@@ -1,0 +1,350 @@
+"""Histogram kernel library as native Spark SQL expressions.
+
+Re-implements the reference's pure-Go percentile math
+(``pkg/histogram/percentile.go``) over ``ARRAY<STRUCT<le DOUBLE, count
+BIGINT>>`` columns using higher-order functions (``aggregate`` /
+``transform`` / ``zip_with``). HOFs run inside whole-stage codegen with no
+shuffle and no Python round-trip - row-local, scale-safe at 100 TB, unlike
+explode-based formulations which shuffle per bucket.
+
+Semantics (pinned by the reference's golden tests, FIXTURES.md SS4):
+
+- ``bucket_percentile`` - ``CalculatePercentile`` (percentile.go:17-67):
+  sort by le, total = sum(count) (input treated as DELTA buckets),
+  target = total*p/100, walk cumulative to the hit bucket; a hit on the
+  +Inf bucket returns the previous finite bound; empty/zero-count input
+  returns NULL (the Go version returns an error).
+
+  IMPORTANT documented inconsistency in the reference: the shipped Go
+  code interpolates ``prev + frac*(le - prev)`` (percentile.go:51-57),
+  which returns 0.02 for the P50 golden case - FAILING the reference's
+  own test expectation of 0.0167 +/- 0.001 (test/histogram_test.go:11-87).
+  The golden values were computed as ``frac * le`` (interpolation from 0
+  to the hit bucket's upper bound). Since the golden tests are the
+  semantics contract (SURVEY SS5), ``interpolation="golden"`` (default)
+  implements ``frac * le``; ``interpolation="prometheus"`` implements the
+  shipped code's previous-bound form for users who want the running
+  system's actual behavior.
+- ``delta_to_cumulative_buckets`` / ``cumulative_to_delta_buckets`` -
+  percentile.go:107-151, running sum / adjacent difference over le-sorted
+  buckets.
+- ``merge_buckets_agg`` - ``MergeBuckets`` (percentile.go:83-105): sum
+  counts grouped by upper bound; here as a DataFrame aggregation recipe
+  (explode -> groupBy le -> sum) used at rollup time.
+- ``exp_histogram_percentile`` - ``ExponentialHistogramCalculator``
+  (percentile.go:159-225): bucket midpoint value with base 2^(2^-scale).
+  Documented deviation: we walk negative buckets in DESCENDING index
+  order (true ascending sample order: most-negative values first); the
+  reference walks them ascending (percentile.go:186-191), which misorders
+  negative samples. Positive-only inputs (all reference golden tests) are
+  unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_INF = float("inf")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _sorted_buckets(buckets: Column | str) -> Column:
+    # array_sort on struct<le,count> orders lexicographically -> by le.
+    return F.array_sort(_col(buckets))
+
+
+def bucket_total(buckets: Column | str) -> Column:
+    """Total observation count of a delta-bucket array."""
+    return F.aggregate(
+        _col(buckets), F.lit(0).cast("bigint"), lambda acc, x: acc + x["count"]
+    )
+
+
+def bucket_percentile(
+    buckets: Column | str,
+    percentile: float | Column,
+    interpolation: str = "golden",
+) -> Column:
+    """Interpolated percentile of a delta-bucket histogram (H1).
+
+    Single-pass ``aggregate`` walk - O(buckets) per row, fully codegen'd.
+    See module docstring for the ``interpolation`` modes.
+    """
+    if interpolation not in ("golden", "prometheus"):
+        raise ValueError(f"unknown interpolation mode: {interpolation}")
+    b = _sorted_buckets(buckets)
+    p = F.lit(percentile) if not isinstance(percentile, Column) else percentile
+    total = bucket_total(b)
+    target = total.cast("double") * (p.cast("double") / F.lit(100.0))
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (acc["cum"] + x["count"]).cast("double") >= target
+        frac = (target - acc["cum"].cast("double")) / x["count"].cast("double")
+        if interpolation == "golden":
+            in_bucket = frac * x["le"]
+        else:
+            in_bucket = acc["prev"] + frac * (x["le"] - acc["prev"])
+        interp = (
+            F.when(x["count"] == 0, x["le"])
+            .when(x["le"] == F.lit(_INF), acc["prev"])
+            .otherwise(in_bucket)
+        )
+        return F.when(acc["res"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + x["count"]).alias("cum"),
+                x["le"].alias("prev"),
+                F.when(hit, interp)
+                .otherwise(F.lit(None).cast("double"))
+                .alias("res"),
+            )
+        )
+
+    last_le = F.element_at(b, -1)["le"]
+    walk = F.aggregate(
+        b,
+        F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(0.0).alias("prev"),
+            F.lit(None).cast("double").alias("res"),
+        ),
+        step,
+        # Tail (unreachable when total>0 and p<=100, mirrored for safety):
+        # last finite bound, else previous bound (percentile.go:62-66).
+        lambda acc: F.coalesce(
+            acc["res"], F.when(last_le != F.lit(_INF), last_le).otherwise(acc["prev"])
+        ),
+    )
+    return F.when((total > 0) & (F.size(b) > 0), walk).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def bucket_percentiles(
+    buckets: Column | str, percentiles: list[float], interpolation: str = "golden"
+) -> Column:
+    """Multiple percentiles at once (H2) -> ARRAY<DOUBLE> in input order."""
+    return F.array(
+        *[bucket_percentile(buckets, p, interpolation) for p in percentiles]
+    )
+
+
+def delta_to_cumulative_buckets(buckets: Column | str) -> Column:
+    """Running-sum over le-sorted buckets (H4, percentile.go:107-128)."""
+    b = _sorted_buckets(buckets)
+    # cumulative[i] = sum(counts[0..i]); O(n^2) transform+slice is fine for
+    # bucket arrays (tens of entries) and stays codegen'd / shuffle-free.
+    return F.transform(
+        b,
+        lambda x, i: F.struct(
+            x["le"].alias("le"),
+            F.aggregate(
+                F.slice(b, F.lit(1), i + 1),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["count"],
+            ).alias("count"),
+        ),
+    )
+
+
+def cumulative_to_delta_buckets(buckets: Column | str) -> Column:
+    """Adjacent difference over le-sorted buckets (H5, percentile.go:130-151)."""
+    b = _sorted_buckets(buckets)
+    return F.transform(
+        b,
+        lambda x, i: F.struct(
+            x["le"].alias("le"),
+            (
+                x["count"]
+                - F.when(i == 0, F.lit(0).cast("bigint")).otherwise(
+                    F.element_at(b, i)["count"]  # element_at is 1-based: i = previous
+                )
+            ).alias("count"),
+        ),
+    )
+
+
+def merge_bucket_arrays(buckets_arrays: Column | str) -> Column:
+    """Merge an ARRAY<ARRAY<STRUCT<le,count>>> column by upper bound (H3).
+
+    Row-local merge of a collected group of bucket arrays - used when the
+    group is already assembled (e.g. reading the reference-style
+    groupArray-of-arrays layout). For rollup jobs prefer
+    ``merge_buckets_agg`` (explode -> partial map-side aggregation).
+    """
+    flat = F.flatten(_col(buckets_arrays))
+    les = F.array_distinct(F.transform(flat, lambda x: x["le"]))
+    return F.array_sort(
+        F.transform(
+            les,
+            lambda le: F.struct(
+                le.alias("le"),
+                F.aggregate(
+                    F.filter(flat, lambda x: x["le"] == le),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x["count"],
+                ).alias("count"),
+            ),
+        )
+    )
+
+
+def merge_buckets_agg(df: DataFrame, group_cols: list[str], bucket_col: str = "buckets") -> DataFrame:
+    """Merge bucket arrays across rows of a group (H3) as an aggregation.
+
+    explode -> groupBy(group, le) -> sum(count) -> re-collect sorted array.
+    The per-le partial sum is map-side combinable, so at 100 TB the shuffle
+    carries one row per (group, le), not per input row.
+    """
+    exploded = df.select(*group_cols, F.explode_outer(bucket_col).alias("b"))
+    per_le = (
+        exploded.where(F.col("b").isNotNull())
+        .groupBy(*group_cols, F.col("b.le").alias("le"))
+        .agg(F.sum("b.count").alias("count"))
+    )
+    return per_le.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("le", "count"))).alias(bucket_col)
+    )
+
+
+# --- Exponential histograms (percentile.go:153-297) ---
+
+
+def exp_bucket_value(index: Column, scale: Column, positive: bool = True) -> Column:
+    """Midpoint value of exponential bucket ``index`` at ``scale`` (H6 helper).
+
+    base = 2^(2^-scale); value = (base^index + base^(index+1)) / 2.
+    """
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -scale.cast("double")))
+    mid = (F.pow(base, index.cast("double")) + F.pow(base, index.cast("double") + 1)) / 2
+    return mid if positive else -mid
+
+
+def exp_histogram_percentile(
+    scale: Column | str,
+    zero_count: Column | str,
+    positive_buckets: Column | str,
+    negative_buckets: Column | str,
+    percentile: float | Column,
+) -> Column:
+    """Percentile over an exponential histogram (H6, percentile.go:159-210).
+
+    Builds a unified value-ordered array (negatives desc-index -> zero ->
+    positives asc-index) and walks it. Returns the hit bucket's midpoint
+    value (no interpolation, mirroring the reference); zero bucket -> 0;
+    overflow -> last positive bucket value; empty -> NULL.
+    """
+    sc = _col(scale)
+    zc = F.coalesce(_col(zero_count), F.lit(0).cast("bigint"))
+    pos = F.array_sort(F.coalesce(_col(positive_buckets), F.array()))
+    # negatives in descending index order = ascending sample order
+    neg = F.reverse(F.array_sort(F.coalesce(_col(negative_buckets), F.array())))
+    p = F.lit(percentile) if not isinstance(percentile, Column) else percentile
+
+    neg_vals = F.transform(
+        neg,
+        lambda x: F.struct(
+            exp_bucket_value(x["index"], sc, positive=False).alias("v"),
+            x["count"].alias("count"),
+        ),
+    )
+    zero_val = F.array(F.struct(F.lit(0.0).alias("v"), zc.alias("count")))
+    pos_vals = F.transform(
+        pos,
+        lambda x: F.struct(
+            exp_bucket_value(x["index"], sc, positive=True).alias("v"),
+            x["count"].alias("count"),
+        ),
+    )
+    unified = F.concat(neg_vals, zero_val, pos_vals)
+
+    total = F.aggregate(unified, F.lit(0).cast("bigint"), lambda a, x: a + x["count"])
+    target = total.cast("double") * (p.cast("double") / F.lit(100.0))
+
+    walk = F.aggregate(
+        unified,
+        F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(None).cast("double").alias("res"),
+        ),
+        lambda acc, x: F.when(acc["res"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + x["count"]).alias("cum"),
+                F.when(
+                    (acc["cum"] + x["count"]).cast("double") >= target, x["v"]
+                ).otherwise(F.lit(None).cast("double")).alias("res"),
+            )
+        ),
+        # overflow: last positive bucket's value, else 0 (percentile.go:205-209)
+        lambda acc: F.coalesce(
+            acc["res"],
+            F.when(
+                F.size(pos) > 0,
+                exp_bucket_value(F.element_at(pos, -1)["index"], sc, positive=True),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    return F.when(total > 0, walk).otherwise(F.lit(None).cast("double"))
+
+
+def merge_exp_histograms_agg(
+    df: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge exponential histograms across rows of a group (H7).
+
+    Rescale every histogram to the group's min scale (downscale shifts the
+    bucket index right by the scale difference), sum counts per shifted
+    index, sum zero counts, take the max zero threshold.
+
+    Documented deviation from ``MergeExponentialHistograms``
+    (percentile.go:260-271): the reference uses Go integer division
+    (truncation toward zero), which mis-buckets negative indexes on
+    downscale; we use floor division (arithmetic shift), the
+    OpenTelemetry-correct form.
+    """
+    with_min = df.withColumn(
+        "_min_scale", F.min("exp_scale").over(Window.partitionBy(*group_cols))
+    )
+    shift = (F.col("exp_scale") - F.col("_min_scale")).cast("int")
+
+    def shifted(bucket_col: str) -> Column:
+        return F.transform(
+            F.coalesce(F.col(bucket_col), F.array()),
+            lambda x: F.struct(
+                F.shiftright(x["index"], shift).alias("index"),
+                x["count"].alias("count"),
+            ),
+        )
+
+    exploded = with_min.select(
+        *group_cols,
+        F.col("_min_scale").alias("exp_scale"),
+        F.col("exp_zero_count"),
+        F.col("exp_zero_threshold"),
+        F.explode_outer(
+            F.concat(
+                F.transform(shifted("exp_positive_buckets"), lambda x: F.struct(F.lit(1).alias("sign"), x["index"].alias("index"), x["count"].alias("count"))),
+                F.transform(shifted("exp_negative_buckets"), lambda x: F.struct(F.lit(-1).alias("sign"), x["index"].alias("index"), x["count"].alias("count"))),
+            )
+        ).alias("b"),
+    )
+    per_idx = exploded.groupBy(*group_cols, "exp_scale", F.col("b.sign"), F.col("b.index")).agg(
+        F.sum("b.count").alias("count")
+    )
+    rolled = per_idx.groupBy(*group_cols, "exp_scale").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("sign") == 1, F.struct("index", "count")))
+        ).alias("exp_positive_buckets"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("sign") == -1, F.struct("index", "count")))
+        ).alias("exp_negative_buckets"),
+    )
+    zeros = df.groupBy(*group_cols).agg(
+        F.sum("exp_zero_count").alias("exp_zero_count"),
+        F.max("exp_zero_threshold").alias("exp_zero_threshold"),
+    )
+    return rolled.join(zeros, group_cols, "inner")

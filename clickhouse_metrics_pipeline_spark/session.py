@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Design point is a large cluster reading ~100 TB; tests run on local[N].
+Every knob set here is cluster-relevant, not local-only:
+
+- AQE on (runtime coalesce, skew-join splitting) - replaces hand-tuning
+  shuffle partition counts per query.
+- ``mapKeyDedupPolicy=LAST_WIN`` - required for attribute-map merge
+  semantics (datapoint attrs win over resource attrs; the default raises
+  on duplicate keys). Mirrors ``internal/receiver/otlp.go:332-344``.
+- zstd parquet compression + v2 writer - mirrors the reference schema's
+  ZSTD(1) column codecs (``internal/clickhouse/schema.sql:4-62``).
+- Arrow enabled for the pandas-UDF reference kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "clickhouse-metrics-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS``
+    so the driver's bench and local tests share one code path.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,213 @@
+"""Golden tests for the histogram kernel library.
+
+Every expected value is pinned by the reference's test suite
+(``test/histogram_test.go``, see FIXTURES.md SS4) - these are ports, not
+re-derivations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_metrics_pipeline_spark.schema import BUCKET_TYPE
+from clickhouse_metrics_pipeline_spark.functions.histogram import (
+    bucket_percentile,
+    bucket_percentiles,
+    bucket_total,
+    cumulative_to_delta_buckets,
+    delta_to_cumulative_buckets,
+    exp_histogram_percentile,
+    merge_bucket_arrays,
+    merge_buckets_agg,
+)
+
+INF = float("inf")
+
+# test/histogram_test.go:11-87
+GOLDEN_BUCKETS = [
+    (0.005, 100), (0.01, 200), (0.025, 300), (0.05, 200), (0.1, 150),
+    (0.25, 30), (0.5, 15), (1.0, 5), (INF, 0),
+]
+
+
+def _bucket_df(spark, rows):
+    schema = T.StructType([T.StructField("buckets", BUCKET_TYPE)])
+    return spark.createDataFrame([(r,) for r in rows], schema)
+
+
+def _one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+class TestBucketPercentile:
+    def test_golden_percentiles(self, spark):
+        df = _bucket_df(spark, [GOLDEN_BUCKETS])
+        p50 = _one(df, bucket_percentile("buckets", 50.0))
+        p95 = _one(df, bucket_percentile("buckets", 95.0))
+        p99 = _one(df, bucket_percentile("buckets", 99.0))
+        assert p50 == pytest.approx(0.0167, abs=0.001)  # histogram_test.go:36
+        assert p95 == pytest.approx(0.0933, abs=0.01)  # histogram_test.go:49
+        assert p99 == pytest.approx(0.4, abs=0.1)  # histogram_test.go:62
+
+    def test_multiple_percentiles(self, spark):
+        df = _bucket_df(spark, [GOLDEN_BUCKETS])
+        vals = _one(df, bucket_percentiles("buckets", [50.0, 95.0, 99.0]))
+        assert vals[0] == pytest.approx(0.0167, abs=0.001)
+        assert vals[1] == pytest.approx(0.0933, abs=0.01)
+        assert vals[2] == pytest.approx(0.4, abs=0.1)
+
+    def test_unsorted_input_is_sorted(self, spark):
+        df = _bucket_df(spark, [list(reversed(GOLDEN_BUCKETS))])
+        assert _one(df, bucket_percentile("buckets", 50.0)) == pytest.approx(
+            0.0167, abs=0.001
+        )
+
+    def test_empty_and_zero_total_return_null(self, spark):
+        df = _bucket_df(spark, [[], [(0.1, 0), (1.0, 0)]])
+        vals = df.select(bucket_percentile("buckets", 50.0).alias("v")).collect()
+        assert vals[0]["v"] is None and vals[1]["v"] is None
+
+    def test_inf_bucket_hit_returns_previous_bound(self, spark):
+        # p high enough to land in +Inf bucket -> previous finite bound
+        df = _bucket_df(spark, [[(0.1, 10), (INF, 90)]])
+        assert _one(df, bucket_percentile("buckets", 99.0)) == pytest.approx(0.1)
+
+    def test_total(self, spark):
+        df = _bucket_df(spark, [GOLDEN_BUCKETS])
+        assert _one(df, bucket_total("buckets")) == 1000
+
+
+class TestBucketConversions:
+    BOUNDS = [0.005, 0.01, 0.025, 0.05, 0.1]
+
+    def test_delta_to_cumulative(self, spark):
+        # histogram_test.go:89-124
+        delta = list(zip(self.BOUNDS, [10, 20, 30, 15, 5]))
+        df = _bucket_df(spark, [delta])
+        out = _one(df, delta_to_cumulative_buckets("buckets"))
+        assert [b["count"] for b in out] == [10, 30, 60, 75, 80]
+        assert [b["le"] for b in out] == self.BOUNDS
+
+    def test_cumulative_to_delta(self, spark):
+        # histogram_test.go:126-161
+        cum = list(zip(self.BOUNDS, [10, 30, 60, 75, 80]))
+        df = _bucket_df(spark, [cum])
+        out = _one(df, cumulative_to_delta_buckets("buckets"))
+        assert [b["count"] for b in out] == [10, 20, 30, 15, 5]
+
+    def test_roundtrip(self, spark):
+        delta = list(zip(self.BOUNDS, [10, 20, 30, 15, 5]))
+        df = _bucket_df(spark, [delta])
+        out = _one(
+            df, cumulative_to_delta_buckets(delta_to_cumulative_buckets("buckets"))
+        )
+        assert [b["count"] for b in out] == [10, 20, 30, 15, 5]
+
+
+class TestMergeBuckets:
+    # histogram_test.go:163-211: three groups merge to
+    # {0.005:15, 0.01:35, 0.025:55, 0.05:35, 0.1:20}
+    GROUPS = [
+        [(0.005, 5), (0.01, 10), (0.025, 20)],
+        [(0.005, 10), (0.01, 15), (0.05, 25)],
+        [(0.01, 10), (0.025, 35), (0.05, 10), (0.1, 20)],
+    ]
+    EXPECTED = {0.005: 15, 0.01: 35, 0.025: 55, 0.05: 35, 0.1: 20}
+
+    def test_merge_bucket_arrays_column(self, spark):
+        schema = T.StructType([T.StructField("groups", T.ArrayType(BUCKET_TYPE))])
+        df = spark.createDataFrame([(self.GROUPS,)], schema)
+        out = _one(df, merge_bucket_arrays("groups"))
+        assert {b["le"]: b["count"] for b in out} == self.EXPECTED
+        assert [b["le"] for b in out] == sorted(self.EXPECTED)
+
+    def test_merge_buckets_agg(self, spark):
+        schema = T.StructType(
+            [T.StructField("g", T.StringType()), T.StructField("buckets", BUCKET_TYPE)]
+        )
+        df = spark.createDataFrame([("a", g) for g in self.GROUPS], schema)
+        out = merge_buckets_agg(df, ["g"]).collect()[0]["buckets"]
+        assert {b["le"]: b["count"] for b in out} == self.EXPECTED
+
+
+class TestExpHistogram:
+    # histogram_test.go:213-273: scale=0, positive buckets, percentiles >= 0
+    POS = [(-2, 10), (-1, 20), (0, 100), (1, 50), (2, 15), (3, 5)]
+
+    def _df(self, spark, zero_count):
+        schema = T.StructType(
+            [
+                T.StructField("exp_scale", T.IntegerType()),
+                T.StructField("exp_zero_count", T.LongType()),
+                T.StructField(
+                    "pos",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("index", T.IntegerType()),
+                                T.StructField("count", T.LongType()),
+                            ]
+                        )
+                    ),
+                ),
+                T.StructField(
+                    "neg",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("index", T.IntegerType()),
+                                T.StructField("count", T.LongType()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        )
+        return spark.createDataFrame([(0, zero_count, self.POS, [])], schema)
+
+    @pytest.mark.parametrize("zero_count", [0, 10])
+    @pytest.mark.parametrize("p", [50.0, 95.0, 99.0])
+    def test_non_negative(self, spark, zero_count, p):
+        df = self._df(spark, zero_count)
+        v = _one(
+            df,
+            exp_histogram_percentile(
+                "exp_scale", "exp_zero_count", "pos", "neg", p
+            ),
+        )
+        assert v is not None and v >= 0
+
+    def test_midpoint_formula(self, spark):
+        # scale=0 -> base=2; bucket index 0 covers (1,2] -> midpoint 1.5.
+        # Single bucket: every percentile returns its midpoint.
+        schema = "exp_scale INT, exp_zero_count BIGINT, pos ARRAY<STRUCT<index: INT, count: BIGINT>>, neg ARRAY<STRUCT<index: INT, count: BIGINT>>"
+        df = spark.createDataFrame([(0, 0, [(0, 10)], [])], schema)
+        v = _one(
+            df,
+            exp_histogram_percentile("exp_scale", "exp_zero_count", "pos", "neg", 50.0),
+        )
+        assert v == pytest.approx((2**0 + 2**1) / 2)
+
+    def test_zero_bucket_returns_zero(self, spark):
+        schema = "exp_scale INT, exp_zero_count BIGINT, pos ARRAY<STRUCT<index: INT, count: BIGINT>>, neg ARRAY<STRUCT<index: INT, count: BIGINT>>"
+        df = spark.createDataFrame([(0, 100, [(0, 1)], [])], schema)
+        v = _one(
+            df,
+            exp_histogram_percentile("exp_scale", "exp_zero_count", "pos", "neg", 50.0),
+        )
+        assert v == 0.0
+
+    def test_negative_buckets_walked_most_negative_first(self, spark):
+        # 10 samples in neg index 2 (values ~ -(4,8] midpoint -6), 10 in neg
+        # index 0 (midpoint -1.5). P25 must land in the MORE negative bucket.
+        schema = "exp_scale INT, exp_zero_count BIGINT, pos ARRAY<STRUCT<index: INT, count: BIGINT>>, neg ARRAY<STRUCT<index: INT, count: BIGINT>>"
+        df = spark.createDataFrame([(0, 0, [], [(0, 10), (2, 10)])], schema)
+        v = _one(
+            df,
+            exp_histogram_percentile("exp_scale", "exp_zero_count", "pos", "neg", 25.0),
+        )
+        assert v == pytest.approx(-(4 + 8) / 2)
