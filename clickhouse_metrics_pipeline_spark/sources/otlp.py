@@ -1,0 +1,432 @@
+"""OTLP-shaped ingest flattening (S1-S3, F5-F7).
+
+The reference receives ``pmetricotlp.ExportRequest`` over gRPC and walks
+ResourceMetrics -> ScopeMetrics -> Metrics -> DataPoints imperatively
+(``internal/receiver/otlp.go:91-285``). Spark has no gRPC source, so the
+ingest edge stays a thin adapter (Kafka topic / file drop of OTLP JSON
+payloads); everything after the wire format is expressed here as a
+declarative explode chain - the distributed equivalent of the triple loop,
+fully column-pruned and codegen'd.
+
+Input contract: a DataFrame with one row per ExportRequest, column
+``resourceMetrics`` shaped like OTLP/JSON (see ``OTLP_EXPORT_SCHEMA``).
+Works identically on ``spark.read.json`` batch input and a
+``readStream`` Kafka value stream after ``from_json``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_metrics_pipeline_spark.functions.hashing import series_hash
+from clickhouse_metrics_pipeline_spark.schema import (
+    METRIC_TYPE_EXP_HISTOGRAM,
+    METRIC_TYPE_GAUGE,
+    METRIC_TYPE_HISTOGRAM,
+    METRIC_TYPE_SUM,
+    METRIC_TYPE_SUMMARY,
+)
+
+_KV = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField(
+                "value",
+                T.StructType(
+                    [
+                        T.StructField("stringValue", T.StringType()),
+                        T.StructField("intValue", T.LongType()),
+                        T.StructField("doubleValue", T.DoubleType()),
+                        T.StructField("boolValue", T.BooleanType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+)
+
+_EXEMPLAR = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("spanId", T.StringType()),
+            T.StructField("traceId", T.StringType()),
+            T.StructField("asDouble", T.DoubleType()),
+            T.StructField("asInt", T.LongType()),
+            T.StructField("timeUnixNano", T.LongType()),
+            T.StructField("filteredAttributes", _KV),
+        ]
+    )
+)
+
+_NUMBER_DP = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timeUnixNano", T.LongType()),
+            T.StructField("asDouble", T.DoubleType()),
+            T.StructField("asInt", T.LongType()),
+            T.StructField("attributes", _KV),
+            T.StructField("exemplars", _EXEMPLAR),
+        ]
+    )
+)
+
+_HIST_DP = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timeUnixNano", T.LongType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("bucketCounts", T.ArrayType(T.LongType())),
+            T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
+            T.StructField("attributes", _KV),
+            T.StructField("exemplars", _EXEMPLAR),
+        ]
+    )
+)
+
+_EXP_HIST_DP = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timeUnixNano", T.LongType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("scale", T.IntegerType()),
+            T.StructField("zeroCount", T.LongType()),
+            T.StructField("zeroThreshold", T.DoubleType()),
+            T.StructField(
+                "positive",
+                T.StructType(
+                    [
+                        T.StructField("offset", T.IntegerType()),
+                        T.StructField("bucketCounts", T.ArrayType(T.LongType())),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "negative",
+                T.StructType(
+                    [
+                        T.StructField("offset", T.IntegerType()),
+                        T.StructField("bucketCounts", T.ArrayType(T.LongType())),
+                    ]
+                ),
+            ),
+            T.StructField("attributes", _KV),
+        ]
+    )
+)
+
+_SUMMARY_DP = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timeUnixNano", T.LongType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("attributes", _KV),
+        ]
+    )
+)
+
+OTLP_EXPORT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceMetrics",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", _KV)]),
+                        ),
+                        T.StructField(
+                            "scopeMetrics",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "metrics",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField(
+                                                            "gauge",
+                                                            T.StructType([T.StructField("dataPoints", _NUMBER_DP)]),
+                                                        ),
+                                                        T.StructField(
+                                                            "sum",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField("dataPoints", _NUMBER_DP),
+                                                                    T.StructField("aggregationTemporality", T.IntegerType()),
+                                                                    T.StructField("isMonotonic", T.BooleanType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "histogram",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField("dataPoints", _HIST_DP),
+                                                                    T.StructField("aggregationTemporality", T.IntegerType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "exponentialHistogram",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField("dataPoints", _EXP_HIST_DP),
+                                                                    T.StructField("aggregationTemporality", T.IntegerType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "summary",
+                                                            T.StructType([T.StructField("dataPoints", _SUMMARY_DP)]),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        )
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _attrs_to_map(attrs: Column) -> Column:
+    """OTLP key-value list -> MAP<STRING,STRING>, values stringified
+    (mergeAttributes stringification, receiver/otlp.go:332-344)."""
+    entries = F.transform(
+        F.coalesce(attrs, F.array().cast(_KV)),
+        lambda kv: F.struct(
+            kv["key"].alias("key"),
+            F.coalesce(
+                kv["value"]["stringValue"],
+                kv["value"]["intValue"].cast("string"),
+                kv["value"]["doubleValue"].cast("string"),
+                kv["value"]["boolValue"].cast("string"),
+            ).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
+
+
+def _ts(nanos: Column) -> Column:
+    # OTLP nanos -> microsecond TimestampType (DateTime64(6) equivalent)
+    return F.timestamp_micros((nanos / 1000).cast("bigint"))
+
+
+def _exemplars(raw: Column) -> Column:
+    """OTLP exemplars -> struct array (convertExemplars, otlp.go:298-330)."""
+    return F.transform(
+        F.coalesce(raw, F.array().cast(_EXEMPLAR)),
+        lambda e: F.struct(
+            e["spanId"].alias("spanId"),
+            e["traceId"].alias("traceId"),
+            F.coalesce(e["asDouble"], e["asInt"].cast("double")).alias("value"),
+            _ts(e["timeUnixNano"]).alias("timestamp"),
+            _attrs_to_map(e["filteredAttributes"]).alias("attributes"),
+        ),
+    )
+
+
+def _merged_attrs(resource_attrs: Column, dp_attrs: Column) -> Column:
+    # F5: resource u datapoint, datapoint wins (LAST_WIN dedup policy set in
+    # session.py; map_concat keeps the last occurrence).
+    return F.map_concat(_attrs_to_map(resource_attrs), _attrs_to_map(dp_attrs))
+
+
+def flatten_otlp(requests: DataFrame, workspace_id: str = "default") -> DataFrame:
+    """ExportRequest rows -> metrics_raw rows (S2+S3+F5-F7 in one plan).
+
+    The 4-level nesting flattens with explode; each metric type contributes
+    its own branch, unioned into the sparse wide-row schema. Catalyst
+    prunes unused branches per query; the unions don't shuffle.
+    """
+    base = (
+        requests.select(F.explode("resourceMetrics").alias("rm"))
+        .select(
+            F.col("rm.resource.attributes").alias("res_attrs"),
+            F.explode("rm.scopeMetrics").alias("sm"),
+        )
+        .select("res_attrs", F.explode("sm.metrics").alias("m"))
+    )
+    # service.name promotion (otlp.go:100-110)
+    service = F.element_at(_attrs_to_map(F.col("res_attrs")), "service.name")
+
+    def common(mtype: int, temporality: Column, monotonic: Column, dp_attrs: Column):
+        attrs = _merged_attrs(F.col("res_attrs"), dp_attrs)
+        return [
+            F.lit(workspace_id).alias("workspaceId"),
+            F.lit(0).cast("bigint").alias("series_hash"),
+            F.col("m.name").alias("metric"),
+            service.alias("serviceName"),
+            _ts(F.col("dp.timeUnixNano")).alias("timestamp"),
+            F.lit(mtype).cast("tinyint").alias("metric_type"),
+            temporality.cast("tinyint").alias("temporality"),
+            monotonic.alias("is_monotonic"),
+        ]
+
+    def tail(attrs_col: Column, exemplars_col: Column):
+        return [
+            attrs_col.alias("attributes"),
+            exemplars_col.alias("exemplars"),
+            F.lit(None).cast("timestamp").alias("_ttl"),
+        ]
+
+    null_buckets = F.lit(None).cast(
+        "array<struct<le: double, count: bigint>>"
+    )
+    null_exp = F.lit(None).cast("array<struct<index: int, count: bigint>>")
+    nulls_exp_scalar = [
+        F.lit(None).cast("int").alias("exp_scale"),
+        F.lit(None).cast("bigint").alias("exp_zero_count"),
+        F.lit(None).cast("double").alias("exp_zero_threshold"),
+        null_exp.alias("exp_positive_buckets"),
+        null_exp.alias("exp_negative_buckets"),
+    ]
+
+    # gauge (otlp.go:139-160): int-or-double coercion
+    gauges = base.where(F.col("m.gauge").isNotNull()).select(
+        "res_attrs", "m", F.explode("m.gauge.dataPoints").alias("dp")
+    )
+    gauge_rows = gauges.select(
+        *common(METRIC_TYPE_GAUGE, F.lit(0), F.lit(False), F.col("dp.attributes")),
+        F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").cast("double")).alias("value"),
+        F.lit(None).cast("bigint").alias("count"),
+        F.lit(None).cast("double").alias("sum"),
+        null_buckets.alias("buckets"),
+        *nulls_exp_scalar,
+        *tail(_merged_attrs(F.col("res_attrs"), F.col("dp.attributes")), _exemplars(F.col("dp.exemplars"))),
+    )
+
+    # sum (otlp.go:162-186)
+    sums = base.where(F.col("m.sum").isNotNull()).select(
+        "res_attrs", "m", F.explode("m.sum.dataPoints").alias("dp")
+    )
+    sum_rows = sums.select(
+        *common(
+            METRIC_TYPE_SUM,
+            _temporality(F.col("m.sum.aggregationTemporality")),
+            F.coalesce(F.col("m.sum.isMonotonic"), F.lit(False)),
+            F.col("dp.attributes"),
+        ),
+        F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").cast("double")).alias("value"),
+        F.lit(None).cast("bigint").alias("count"),
+        F.lit(None).cast("double").alias("sum"),
+        null_buckets.alias("buckets"),
+        *nulls_exp_scalar,
+        *tail(_merged_attrs(F.col("res_attrs"), F.col("dp.attributes")), _exemplars(F.col("dp.exemplars"))),
+    )
+
+    # histogram (otlp.go:188-232): zip explicitBounds + bucketCounts, +Inf tail
+    hists = base.where(F.col("m.histogram").isNotNull()).select(
+        "res_attrs", "m", F.explode("m.histogram.dataPoints").alias("dp")
+    )
+    bounds_with_inf = F.concat(
+        F.coalesce(F.col("dp.explicitBounds"), F.array().cast("array<double>")),
+        F.array(F.lit(float("inf"))),
+    )
+    buckets = F.zip_with(
+        bounds_with_inf,
+        F.coalesce(F.col("dp.bucketCounts"), F.array().cast("array<bigint>")),
+        lambda le, c: F.struct(le.alias("le"), F.coalesce(c, F.lit(0)).alias("count")),
+    )
+    hist_rows = hists.select(
+        *common(
+            METRIC_TYPE_HISTOGRAM,
+            _temporality(F.col("m.histogram.aggregationTemporality")),
+            F.lit(False),
+            F.col("dp.attributes"),
+        ),
+        F.lit(None).cast("double").alias("value"),
+        F.col("dp.count").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.when(F.size(F.coalesce(F.col("dp.bucketCounts"), F.array().cast("array<bigint>"))) > 0, buckets)
+        .otherwise(null_buckets)
+        .alias("buckets"),
+        *nulls_exp_scalar,
+        *tail(_merged_attrs(F.col("res_attrs"), F.col("dp.attributes")), _exemplars(F.col("dp.exemplars"))),
+    )
+
+    # exponential histogram: FULL path incl. buckets. The reference drops
+    # exp buckets on ingest (otlp.go:234-258 takes only count/sum;
+    # writer.go:206-212 inserts empty arrays) - documented fix, the schema
+    # and math library support them end-to-end here.
+    exps = base.where(F.col("m.exponentialHistogram").isNotNull()).select(
+        "res_attrs", "m", F.explode("m.exponentialHistogram.dataPoints").alias("dp")
+    )
+
+    def dense_buckets(side: str) -> Column:
+        bc = F.coalesce(F.col(f"dp.{side}.bucketCounts"), F.array().cast("array<bigint>"))
+        off = F.coalesce(F.col(f"dp.{side}.offset"), F.lit(0))
+        arr = F.transform(
+            bc,
+            lambda c, i: F.struct((off + i).cast("int").alias("index"), c.alias("count")),
+        )
+        return F.when(F.size(bc) > 0, F.filter(arr, lambda x: x["count"] > 0)).otherwise(null_exp)
+
+    exp_rows = exps.select(
+        *common(
+            METRIC_TYPE_EXP_HISTOGRAM,
+            _temporality(F.col("m.exponentialHistogram.aggregationTemporality")),
+            F.lit(False),
+            F.col("dp.attributes"),
+        ),
+        F.lit(None).cast("double").alias("value"),
+        F.col("dp.count").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        null_buckets.alias("buckets"),
+        F.coalesce(F.col("dp.scale"), F.lit(0)).alias("exp_scale"),
+        F.coalesce(F.col("dp.zeroCount"), F.lit(0)).alias("exp_zero_count"),
+        F.coalesce(F.col("dp.zeroThreshold"), F.lit(0.0)).alias("exp_zero_threshold"),
+        dense_buckets("positive").alias("exp_positive_buckets"),
+        dense_buckets("negative").alias("exp_negative_buckets"),
+        *tail(_merged_attrs(F.col("res_attrs"), F.col("dp.attributes")), F.lit(None).cast(
+            "array<struct<spanId: string, traceId: string, value: double, timestamp: timestamp, attributes: map<string,string>>>"
+        )),
+    )
+
+    # summary (otlp.go:260-283)
+    summaries = base.where(F.col("m.summary").isNotNull()).select(
+        "res_attrs", "m", F.explode("m.summary.dataPoints").alias("dp")
+    )
+    summary_rows = summaries.select(
+        *common(METRIC_TYPE_SUMMARY, F.lit(0), F.lit(False), F.col("dp.attributes")),
+        F.lit(None).cast("double").alias("value"),
+        F.col("dp.count").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        null_buckets.alias("buckets"),
+        *nulls_exp_scalar,
+        *tail(_merged_attrs(F.col("res_attrs"), F.col("dp.attributes")), F.lit(None).cast(
+            "array<struct<spanId: string, traceId: string, value: double, timestamp: timestamp, attributes: map<string,string>>>"
+        )),
+    )
+
+    out = gauge_rows.unionByName(sum_rows).unionByName(hist_rows).unionByName(exp_rows).unionByName(summary_rows)
+    # K1: canonical deterministic series hash (writer.go:105-116, fixed)
+    return out.withColumn(
+        "series_hash", series_hash("metric", "workspaceId", "attributes")
+    )
+
+
+def _temporality(otlp_code: Column) -> Column:
+    """OTLP temporality enum -> internal code (F6, otlp.go:287-296).
+
+    OTLP: 1=delta, 2=cumulative; internal: 1=cumulative, 2=delta."""
+    return (
+        F.when(otlp_code == 1, F.lit(2))
+        .when(otlp_code == 2, F.lit(1))
+        .otherwise(F.lit(0))
+    )
