@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+The catalog lives in ``clickhouse_metrics_pipeline_spark.workloads``;
+see that module for the per-query operator mapping to SURVEY.md SS2.
 """
 
 from __future__ import annotations
@@ -14,25 +16,48 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _prepare(spark: SparkSession) -> None:
+    """Session settings the engine relies on (idempotent)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Q1 pricing summary - scan + groupBy/agg through the whole engine
+    stack (predicate pushdown, partial aggregation, AQE)."""
+    _prepare(spark)
+    from clickhouse_metrics_pipeline_spark.workloads import q1_pricing_summary
+
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md SS2."""
+    from clickhouse_metrics_pipeline_spark.workloads import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    wrapped: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in QUERIES.items():
+        def _mk(f):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                _prepare(spark)
+                return f(spark, sf_dir)
+
+            return run
+
+        wrapped[name] = _mk(fn)
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same aliases, same rounding).
+
+    ``docs_simhash_pairs`` and ``emb_ann_lsh`` are intentionally absent:
+    xxhash64-bit-level fingerprints aren't expressible in ANSI SQL -> the
+    driver records the weaker rows-only check for those two."""
+    from clickhouse_metrics_pipeline_spark.workloads import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

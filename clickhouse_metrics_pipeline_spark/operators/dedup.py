@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame ops (no Python in the hot path):
+
+- exact: hash-groupBy on normalized text (one shuffle, map-side combine).
+- MinHash + LSH: shingle -> k-permutation minhash signature (row-local
+  HOFs) -> band buckets -> candidate pairs via bucket self-join ->
+  exact-Jaccard verification. At 100 TB the only shuffle is on band
+  buckets (small keys), and verification touches only candidates.
+- SimHash: 64-bit fingerprint from token hashes (row-local), near-dup
+  candidates via 16-bit chunk banding, Hamming filter with xor/bit_count.
+- n-gram Jaccard: exact all-pairs similarity over a shingle inverted
+  index - the verification oracle for the approximate paths.
+
+Determinism: every hash derives from xxhash64 with fixed seeds, so
+signatures are stable across runs/partitions. MinHash permutations are
+(a_i * h31 + b_i) mod p with h31 = xxhash64 folded into 31 bits - keeps
+products within bigint under ANSI arithmetic.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = 2_147_483_647  # Mersenne prime 2^31-1
+_rng = random.Random(42)
+_MINHASH_A = [_rng.randrange(1, _P) for _ in range(256)]
+_MINHASH_B = [_rng.randrange(0, _P) for _ in range(256)]
+
+
+def normalize_text(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(normalize_text(text), " ")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    w = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text.
+
+    Returns (keeper_id, n_copies, ids). Hash-groupBy on a 64-bit content
+    hash, not the full text, so shuffle keys stay small; collisions are
+    broken by grouping on the hash only (at 2^64, negligible)."""
+    h = F.xxhash64(normalize_text(text_col))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .drop("_h")
+    )
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """31-bit base hashes of a shingle array (hash once, permute k times)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def minhash_signature(shingles: Column, k: int = 64) -> Column:
+    """k-wide MinHash signature as ARRAY<BIGINT>, row-local.
+
+    Unrolled over k Python-side so each permutation is a flat
+    ``array_min(transform(...))`` over the shared base-hash array -
+    subexpression elimination computes xxhash64 once per shingle, not
+    k times (the naive nested-HOF form is ~100x slower)."""
+    h31 = shingle_hashes(shingles)
+
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(h31, _perm(_MINHASH_A[i], _MINHASH_B[i])))
+            for i in range(k)
+        ]
+    )
+
+
+def _band_buckets(sig: Column, bands: int, rows: int) -> Column:
+    """Hash each r-row band -> ARRAY<STRUCT<band INT, bucket BIGINT>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(F.array_join(F.slice(sig, b * rows + 1, rows), ",")).alias(
+                "bucket"
+            ),
+        ),
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle sets."""
+    s = shingled.select(
+        F.col(id_col).alias("_id"), F.col("shingles").alias("_sh")
+    )
+    a = s.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a")
+    b = s.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    return joined.withColumn(
+        "jaccard", inter.cast("double") / union.cast("double")
+    ).drop("_sh_a", "_sh_b")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
+
+    bands=16 x rows=4 at threshold 0.8: a 0.9-similar pair is missed with
+    probability (1-0.9^4)^16 ~ 4e-8 - effectively exact for near-dup use.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    # cache: the shingle set feeds the signature AND both sides of the
+    # verification join; the band table feeds both sides of the candidate
+    # self-join - without persistence the (expensive) signature pipeline
+    # is recomputed 4x. At cluster scale this is a persist-to-disk or an
+    # intermediate table write; semantics identical.
+    # small corpus files arrive as one input split; spread the (compute
+    # heavy) shingle/signature work across the cluster first
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = df.repartition(par, id_col).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    shingled = shingled.persist()
+    sig = shingled.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        id_col, F.explode(_band_buckets(F.col("sig"), bands, rows)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket").persist()
+
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_verify(candidates, shingled, id_col)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via a shingle inverted index.
+
+    Only documents sharing >= 1 shingle pair up, so the join is sparse.
+    This is the exact oracle the LSH path approximates; at 100 TB scale
+    prefer ``minhash_lsh_pairs`` (this one's pair-join can explode on very
+    common shingles - mitigate by dropping top-frequency shingles).
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    shingled = shingled.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).persist()  # feeds the self-join + the size lookup
+    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shingled.select(id_col, F.size("shingles").alias("n"))
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+SIMHASH_BITS = 62  # bits 0..61: keeps every bit mask a positive BIGINT
+
+
+def simhash64(text: Column | str) -> Column:
+    """SimHash fingerprint of the token multiset (62 bits in a BIGINT),
+    row-local.
+
+    For each bit j: sum +/-1 over token hashes' bit j; fingerprint bit j
+    is 1 when the sum is positive. 62 bits rather than 64 so every mask
+    literal stays a positive long under ANSI arithmetic."""
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def _bit_step(j: int):
+        # closure factory: pyspark counts lambda parameters to decide HOF
+        # arity, so a `j=j` default arg would receive the index column
+        mask = F.lit(1 << j)
+        return lambda a, h: a + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    fp = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_step(j))
+        fp = fp + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation by 16-bit chunk equality (pigeonhole: distance
+    <= 3 guarantees one of 4 chunks equal), then exact xor/bit_count."""
+    sh = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(F.col(id_col), simhash64(text_col).alias("sim"))
+    chunks = sh.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "sim", "ck.chunk", "ck.key")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "key")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "key")
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+- ``cosine_topk``: brute-force top-k neighbors for a (small) probe set.
+  The probe side broadcasts; the corpus side streams - no shuffle of the
+  corpus, one window per probe for ranking. Dot products are ``zip_with``
+  + ``aggregate`` HOFs: JVM-side, no Python.
+- ``lsh_ann_pairs``: random-hyperplane LSH (sign-random-projection) for
+  corpus-scale near-neighbor pairs. Hyperplane components are derived
+  deterministically from xxhash64(plane, dim) - reproducible across runs
+  with no stored model. Candidates verified exactly.
+
+At 100 TB: brute-force is O(probes x corpus) - fine for probe lookups,
+wrong for all-pairs; the LSH path buckets the corpus (shuffle on small
+band keys) and verifies only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per probe. Returns
+    (probe_id, neighbor_id, cosine_sim, rank); self-matches excluded."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    sim = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_pvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _plane_component(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    h = F.xxhash64(F.concat_ws(":", F.lit(f"plane{plane}"), dim))
+    return (F.pmod(h, F.lit(2_000_000)).cast("double") / F.lit(1_000_000.0)) - 1.0
+
+
+def srp_signature(vec: Column, num_planes: int = 16) -> Column:
+    """Sign-random-projection bits packed into a BIGINT, row-local.
+
+    num_planes <= 62 so every bit mask stays a positive long."""
+    assert num_planes <= 62
+
+    def _components(p: int):
+        # closure factory - a `p=p` default arg would change the lambda's
+        # arity and receive transform's index column instead
+        return lambda d: _plane_component(p, d)
+
+    sig = F.lit(0).cast("bigint")
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.transform(dims, _components(p)), lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_ann_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+) -> DataFrame:
+    """All near-neighbor pairs with cosine >= threshold via SRP-LSH.
+
+    Each table hashes with its own plane block; candidates = pairs
+    agreeing on all bits of some table; verified with exact cosine.
+    Recall for cos=0.95 at 8x8: 1-(1-0.9^8)^8 ~ 0.99+; raise num_tables
+    for stricter guarantees."""
+    total_planes = num_tables * planes_per_table
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
+        srp_signature(F.col(vec_col), total_planes).alias("_sig"),
+    )
+    mask = (1 << planes_per_table) - 1
+    banded = sigs.select(
+        id_col,
+        "_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        F.shiftright(F.col("_sig"), t * planes_per_table)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tk"),
+    ).select(id_col, "_vec", "tk.table", "tk.key")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "table", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "table", "key")
+    cand = (
+        a.join(b, ["table", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    n_probe_cells: int = 4,
+) -> DataFrame:
+    """IVF-flat style ANN: coarse-quantize the corpus into SRP cells,
+    search each probe only in its n_probe_cells nearest cells.
+
+    Cell assignment reuses the SRP signature (hamming-near cells share
+    prefixes); probing multiple cells trades recall for scan fraction.
+    Approximate: recall < 1 by design - the scale path when brute force
+    is too expensive and pairwise LSH too broad."""
+    import math
+
+    bits = max(1, int(math.log2(num_cells)))
+    c = corpus.withColumn("_cell", srp_signature(F.col(vec_col), bits))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pvec"),
+        srp_signature(F.col(vec_col), bits).alias("_pcell"),
+    )
+    # probe cells: own cell plus single-bit flips, limited to n_probe_cells
+    probe_cells = p.select(
+        "probe_id",
+        "_pvec",
+        F.explode(
+            F.slice(
+                F.array(
+                    F.col("_pcell"),
+                    *[
+                        F.col("_pcell").bitwiseXOR(F.lit(1 << j))
+                        for j in range(bits)
+                    ],
+                ),
+                1,
+                n_probe_cells,
+            )
+        ).alias("_cell"),
+    )
+    sim = (
+        F.broadcast(probe_cells)
+        .join(c, "_cell")
+        .where(F.col("probe_id") != F.col(id_col))
+        .withColumn("cosine_sim", cosine(F.col("_pvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", F.col(id_col).alias("neighbor_id"), "cosine_sim", "rank")
+    )

