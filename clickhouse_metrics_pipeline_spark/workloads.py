@@ -49,6 +49,7 @@ from clickhouse_metrics_pipeline_spark.operators.dedup import (
 )
 from clickhouse_metrics_pipeline_spark.operators.similarity import (
     cosine,
+    cosine_np,
     cosine_topk,
     lsh_ann_pairs,
 )
@@ -896,7 +897,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_c")))
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("_p"), F.col("_c")), 4))
+        .withColumn("cosine_sim", F.round(cosine_np(F.col("_p"), F.col("_c")), 4))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -932,7 +933,7 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("_a"), F.col("_b")), 4))
+        .withColumn("cosine_sim", F.round(cosine_np(F.col("_a"), F.col("_b")), 4))
         .where(F.col("cosine_sim") >= 0.45)
         .select("id_a", "id_b", "cosine_sim")
     )
