@@ -23,10 +23,15 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "events_rollup_1m",
+    "events_rollup_1h",
     "events_cum_to_delta",
     "hist_percentile_events",
+    "exp_hist_merge",
     "docs_minhash_lsh",
     "docs_text_stats",
     "emb_cosine_topk",

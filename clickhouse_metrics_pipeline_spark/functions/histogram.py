@@ -306,16 +306,24 @@ def merge_exp_histograms_agg(
     downscale; we use floor division (arithmetic shift), the
     OpenTelemetry-correct form.
     """
+    # _shift must be a materialized column: referencing exp_scale inside
+    # the later select (which re-aliases exp_scale := _min_scale) would
+    # lateral-alias-resolve to the NEW column — shift silently 0
     with_min = df.withColumn(
         "_min_scale", F.min("exp_scale").over(Window.partitionBy(*group_cols))
-    )
-    shift = (F.col("exp_scale") - F.col("_min_scale")).cast("int")
+    ).withColumn("_shift", (F.col("exp_scale") - F.col("_min_scale")).cast("int"))
+    # floor-div by 2^shift == arithmetic right shift; F.shiftright only
+    # takes a literal bit count, so divide explicitly (exact in double
+    # for |index| < 2^50 — exp-histogram indexes are tiny)
+    scale_div = F.pow(F.lit(2.0), F.col("_shift").cast("double"))
 
     def shifted(bucket_col: str) -> Column:
         return F.transform(
             F.coalesce(F.col(bucket_col), F.array()),
             lambda x: F.struct(
-                F.shiftright(x["index"], shift).alias("index"),
+                F.floor(x["index"].cast("double") / scale_div)
+                .cast("int")
+                .alias("index"),
                 x["count"].alias("count"),
             ),
         )

@@ -57,21 +57,7 @@ from clickhouse_metrics_pipeline_spark.operators.similarity import (
 INF = float("inf")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts normalized to a microsecond TimestampType.
-
-    The driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it as
-    bigint nanos (legacy.parquet.nanosAsLong) - truncate to micros, same
-    flooring DuckDB applies when surfacing ns timestamps to clients."""
-    ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        # integer `div`, NOT `/`: float division loses ULPs at 1e18 nanos
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return ev
+from clickhouse_metrics_pipeline_spark.tables import _events, _t  # noqa: F401
 
 
 # --------------------------------------------------------------------------
@@ -1054,3 +1040,13 @@ ORACLE_SQL: dict[str, str] = {
     # docs_simhash_pairs, emb_ann_lsh: intentionally no oracle
     # (approximate / hash-bit-level ops) -> driver rows-only check.
 }
+
+# extended suite (rest of TPC-H shapes + remaining SS2 operators);
+# imported last: workloads_ext pulls _t/_events from this module
+from clickhouse_metrics_pipeline_spark.workloads_ext import (  # noqa: E402
+    EXTRA_ORACLE,
+    EXTRA_QUERIES,
+)
+
+QUERIES.update(EXTRA_QUERIES)
+ORACLE_SQL.update(EXTRA_ORACLE)

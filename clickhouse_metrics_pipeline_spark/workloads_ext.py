@@ -1,0 +1,698 @@
+"""Extended workload catalog: the rest of the TPC-H-shape relational
+suite plus the remaining SURVEY §2 operators (rollup-1h cascade A11,
+TTL retention ladder, attribute merge F5, exponential-histogram merge
+H7, rolling-hash document fingerprinting).
+
+The driver's tables are a slimmed TPC-H (no partsupp; lineitem lacks
+shipmode/commitdate/receiptdate; customer lacks phone) — queries whose
+standard form needs a missing column are ADAPTED to preserve the
+operator shape (semi/anti joins, correlated subqueries, disjunctive
+predicate pushdown, outer-join distributions) on the available columns;
+each docstring says what changed. Semantics are pinned by the DuckDB
+oracle either way.
+
+Scale notes (100 TB design point) are per query: dimension sides are
+broadcast explicitly; fact-fact joins key on orderkey (the natural
+bucketing key for lineitem/orders co-location); aggregations are
+partial-agg friendly (no high-cardinality collect_list in hot paths).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_metrics_pipeline_spark.functions.histogram import (
+    merge_exp_histograms_agg,
+)
+from clickhouse_metrics_pipeline_spark.operators.rollup import apply_retention
+
+# shared loaders (events ns-timestamp handling)
+from clickhouse_metrics_pipeline_spark.tables import _events, _t
+
+
+def _rev() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shape relational suite (continued)
+# --------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bidirectional nation-pair trade volume by ship year.
+    supplier⋈lineitem⋈orders⋈customer with two broadcast nation dims."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    s, c = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            )
+            & F.col("l_shipdate").between("1995-01-01", "1996-12-31 23:59:59")
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::INT AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                           AND TIMESTAMP '1996-12-31 23:59:59')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3 suppliers' share of ECONOMY-part volume sold to ASIA
+    customers, by order year. Conditional-sum ratio over a 6-way join."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    s, c, p = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "part")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p.where(F.col("p_type") == "ECONOMY")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59"))
+    )
+    vol = _rev()
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+FROM (SELECT year(o_orderdate)::INT AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                            AND TIMESTAMP '1996-12-31 23:59:59'
+        AND p_type = 'ECONOMY')
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 ADAPTED (no partsupp): supply cost proxied as
+    0.6 * p_retailprice * l_quantity; parts filtered by name LIKE.
+    Shape kept: LIKE-filtered part dim, 5-way join, (nation, year) agg."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    s, p = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    amount = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    j = (
+        li.join(F.broadcast(p.where(F.col("p_name").like("%red%"))), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%')
+GROUP BY nation, o_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by revenue lost to returns in 1995Q1+.
+    Deterministic top-k: orderBy(revenue DESC, c_custkey)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(F.col("o_orderdate").between("1995-01-01", "1995-03-31 23:59:59")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    # sum in integer 1/100-cents: double summation order is engine-
+    # dependent and flips round(x, 2) at exact-cent boundaries
+    cents = F.round(_rev() * 10000).cast("long")
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(cents) / 10000.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       round(sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0, 2)
+         AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31 23:59:59'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 ADAPTED (no l_shipmode/commitdate): per ship-year counts of
+    high- vs low-priority order lines. Shape kept: join + CASE-WHEN
+    conditional counts."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(hi.cast("int")).alias("high_line_count"),
+            F.sum((~hi).cast("int")).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT year(l_shipdate)::INT AS l_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+GROUP BY l_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of order counts per customer, LEFT OUTER JOIN so
+    zero-order customers are counted (filter: non-LOW priorities only)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) achieving max quarterly revenue — aggregate,
+    global-max subquery, equijoin back."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31 23:59:59")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("m"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31 23:59:59'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 ADAPTED (no partsupp — lineitem is the part↔supplier link):
+    distinct suppliers per (brand, type, size) bucket, excluding one brand
+    and suppliers with negative balance via NOT IN. Shape kept: anti-join
+    + count distinct."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.where(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_sk"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .join(F.broadcast(bad), li.l_suppkey == F.col("bad_sk"), "left_anti")
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 ADAPTED (p_container → p_brand filter): revenue impact of
+    small-quantity orders. Shape kept: per-part correlated AVG compared
+    row-wise. Spark form: the per-part average is a groupBy re-joined
+    (broadcast) — the classic decorrelation Catalyst would emit."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    pb = p.where(F.col("p_brand") == "Brand#3")
+    li_p = li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
+    avg_q = li_p.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qlim")
+    )
+    return (
+        li_p.join(F.broadcast(avg_q), li_p.l_partkey == F.col("ap"))
+        .where(F.col("l_quantity") < F.col("qlim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = p_partkey)
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 ADAPTED (no shipmode/shipinstruct): disjunction of three
+    brand/size/quantity envelopes — the OR-of-ANDs predicate-pushdown
+    shape."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 ADAPTED (no commit/receipt dates — 'late' = shipped >60d after
+    order date): suppliers in NATION_5 who were the only late shipper in a
+    multi-supplier finalized order. Shape kept: EXISTS (semi) + NOT
+    EXISTS (anti) on the same fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(late)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    )
+    others = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    # EXISTS: another supplier has a line in the same order
+    with_other = l1.join(
+        others, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")), "left_semi"
+    )
+    # NOT EXISTS: no OTHER supplier was late in that order
+    other_late = l1.select(F.col("ok").alias("ok3"), F.col("sk").alias("sk3"))
+    only_late = with_other.join(
+        other_late,
+        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    nat = F.broadcast(
+        s.join(n.where(F.col("n_name") == "NATION_5"), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        only_late.join(nat, F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND o3.o_orderkey = l3.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+GROUP BY s_name
+"""
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 ADAPTED (no c_phone — 'code' = last-2 digits of c_name):
+    positive-balance customers above the positive-balance average with no
+    orders. Shape kept: scalar AVG subquery + anti join + substring
+    grouping."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    code = F.substring("c_name", 17, 2)
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o.select(F.col("o_custkey").alias("ock")).distinct(),
+              F.col("c_custkey") == F.col("ock"), "left_anti")
+        .groupBy(code.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT substring(c_name, 17, 2) AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+"""
+
+
+# --------------------------------------------------------------------------
+# Metrics-pipeline operators (continued)
+# --------------------------------------------------------------------------
+
+
+def events_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 full cascade raw→1m→5m→1h with the weighted-avg fix; the
+    oracle aggregates raw directly at 1h — the cascade must be lossless
+    for min/max/weighted-avg/last/count (schema.sql:340-373 semantics,
+    corrected avg)."""
+    ev = _events(spark, sf_dir)
+    # the cascade carries (sum, count), not (avg, count): avg*n re-
+    # expansion lands on the wrong side of round(.,4) ties vs a direct
+    # avg, and sums are the right stored form for re-aggregation anyway
+    m1 = (
+        ev.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("vsum"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("vlast"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", F.col("w.start").alias("ts1"), "vmin", "vmax", "vsum", "vlast", "n")
+    )
+    m5 = (
+        m1.groupBy("event_type", F.window("ts1", "5 minutes").alias("w"))
+        .agg(
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+            F.max_by("vlast", "ts1").alias("vlast"),
+            F.sum("n").alias("n"),
+        )
+        .select("event_type", F.col("w.start").alias("ts5"), "vmin", "vmax", "vsum", "vlast", "n")
+    )
+    return (
+        m5.groupBy("event_type", F.window("ts5", "1 hour").alias("w"))
+        .agg(
+            F.round(F.min("vmin"), 4).alias("value_min"),
+            F.round(F.max("vmax"), 4).alias("value_max"),
+            F.round(F.sum("vsum") / 10000.0 / F.sum("n"), 4).alias("value_avg"),
+            F.round(F.max_by("vlast", "ts5"), 4).alias("value_last"),
+            F.sum("n").alias("samples_count"),
+        )
+        .select("event_type", F.col("w.start").alias("bucket_ts"),
+                "value_min", "value_max", "value_avg", "value_last", "samples_count")
+    )
+
+
+EVENTS_ROLLUP_1H_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+)
+SELECT event_type, bucket_ts,
+       round(min(value), 4) AS value_min,
+       round(max(value), 4) AS value_max,
+       round(sum(round(value * 10000)::BIGINT) / 10000.0 / count(*), 4) AS value_avg,
+       round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
+       count(*) AS samples_count
+FROM ranked
+GROUP BY event_type, bucket_ts
+"""
+
+
+def events_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention ladder (schema.sql:63,133,237) with fixed
+    now=2024-01-31: per event_type, rows surviving the raw (3h) and 1m
+    (15d) rungs vs total — the rewrite-job filter each resolution table
+    applies (operators.rollup.apply_retention)."""
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", "timestamp")
+    now = F.to_timestamp(F.lit("2024-01-31 00:00:00"))
+    keep_raw = apply_retention(ev, "3 HOURS", now=now).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw_kept")
+    )
+    keep_1m = apply_retention(ev, "15 DAYS", now=now).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_1m_kept")
+    )
+    total = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        total.join(keep_1m, "event_type", "left")
+        .join(keep_raw, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_1m_kept", F.lit(0)).alias("n_1m_kept"),
+            F.coalesce("n_raw_kept", F.lit(0)).alias("n_raw_kept"),
+        )
+    )
+
+
+EVENTS_TTL_SQL = """
+SELECT event_type, count(*) AS n_total,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-31' - INTERVAL 15 DAY THEN 1 ELSE 0 END)::BIGINT AS n_1m_kept,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-31' - INTERVAL 3 HOUR THEN 1 ELSE 0 END)::BIGINT AS n_raw_kept
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+GROUP BY event_type
+"""
+
+
+def events_attr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 attribute merge: resource attrs ∪ datapoint attrs with
+    datapoint-wins (LAST_WIN map_concat — otlp.go:332-344 semantics).
+    props JSON is the datapoint attr map; the fixed resource map carries
+    a colliding key 'k' that must lose. Output: canonical sorted k=v
+    string per event (hash-stable)."""
+    ev = _events(spark, sf_dir)
+    resource = F.create_map(
+        F.lit("env"), F.lit("prod"), F.lit("k"), F.lit("resource")
+    )
+    dp = F.from_json("props", "map<string,string>")
+    merged = F.map_concat(resource, dp)
+    attrs = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(merged)),
+            lambda e: F.concat_ws("=", e["key"], e["value"]),
+        ),
+        ",",
+    )
+    return ev.select("event_id", attrs.alias("attrs"))
+
+
+EVENTS_ATTR_MERGE_SQL = """
+SELECT event_id, 'env=prod,k=' || json_extract_string(props, '$.k') AS attrs
+FROM events
+"""
+
+
+def exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 exponential-histogram merge across scales: per (event_type,
+    user_id%3) histograms are built at scale=sub (0/1/2), then merged to
+    the group's min scale with floor-div index downscaling
+    (merge_exp_histograms_agg — the documented fix of percentile.go's
+    truncating division). Oracle: direct scale-0 indexing of raw values —
+    the merge must reproduce it exactly."""
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    sub = (F.col("user_id") % 3).cast("int")
+    idx = F.floor(F.log2("value") * F.pow(F.lit(2.0), sub)).cast("int")
+    hists = (
+        ev.select("event_type", sub.alias("sub"), idx.alias("index"))
+        .groupBy("event_type", "sub", "index")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .groupBy("event_type", "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("index", "count"))).alias("exp_positive_buckets"))
+        .select(
+            "event_type",
+            F.col("sub").alias("exp_scale"),
+            F.lit(0).cast("bigint").alias("exp_zero_count"),
+            F.lit(0.0).alias("exp_zero_threshold"),
+            "exp_positive_buckets",
+            F.array().cast("array<struct<index: int, count: bigint>>").alias("exp_negative_buckets"),
+        )
+    )
+    merged = merge_exp_histograms_agg(hists, ["event_type"])
+    return (
+        merged.select("event_type", F.explode("exp_positive_buckets").alias("b"))
+        .select("event_type", F.col("b.index").alias("index"), F.col("b.count").alias("count"))
+    )
+
+
+EXP_HIST_MERGE_SQL = """
+SELECT event_type, floor(log2(value))::INT AS index, count(*)::BIGINT AS count
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
+WHERE value > 0
+GROUP BY 1, 2
+"""
+
+
+def docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint with a full oracle: polynomial
+    hash (base 31 mod 2^31-1) over the token-length stream — engine-
+    agnostic (no xxhash in ANSI SQL), same locality properties as the
+    xxhash winnowing form in functions.text.rolling_hash_fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    lens = F.transform(w, lambda t: F.length(t) + 1)
+    fp = F.aggregate(
+        lens,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(2_147_483_647)),
+    )
+    return d.select("doc_id", F.size(w).alias("n_tokens"), fp.alias("fp"))
+
+
+DOCS_FP_SQL = """
+SELECT doc_id, len(toks) AS n_tokens,
+       list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> len(t) + 1)),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp
+FROM (SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents)
+"""
+
+
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_count": q16_supplier_count,
+    "q17_small_quantity": q17_small_quantity,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_global_sales": q22_global_sales,
+    "events_rollup_1h": events_rollup_1h,
+    "events_ttl_retention": events_ttl_retention,
+    "events_attr_merge": events_attr_merge,
+    "exp_hist_merge": exp_hist_merge,
+    "docs_rolling_fingerprint": docs_rolling_fingerprint,
+}
+
+EXTRA_ORACLE: dict[str, str] = {
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_count": Q16_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_global_sales": Q22_SQL,
+    "events_rollup_1h": EVENTS_ROLLUP_1H_SQL,
+    "events_ttl_retention": EVENTS_TTL_SQL,
+    "events_attr_merge": EVENTS_ATTR_MERGE_SQL,
+    "exp_hist_merge": EXP_HIST_MERGE_SQL,
+    "docs_rolling_fingerprint": DOCS_FP_SQL,
+}

@@ -211,3 +211,52 @@ class TestExpHistogram:
             exp_histogram_percentile("exp_scale", "exp_zero_count", "pos", "neg", 25.0),
         )
         assert v == pytest.approx(-(4 + 8) / 2)
+
+
+class TestMergeExpHistograms:
+    """H7 merge across scales (percentile.go:227-297 semantics with the
+    documented floor-div fix for negative-index downscale)."""
+
+    SCHEMA = (
+        "g STRING, exp_scale INT, exp_zero_count BIGINT, "
+        "exp_zero_threshold DOUBLE, "
+        "exp_positive_buckets ARRAY<STRUCT<index: INT, count: BIGINT>>, "
+        "exp_negative_buckets ARRAY<STRUCT<index: INT, count: BIGINT>>"
+    )
+
+    def test_downscale_to_min_scale(self, spark):
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            merge_exp_histograms_agg,
+        )
+
+        # scale-2 indexes 4..7 all cover scale-0 index 1 (floor(i/4)=1);
+        # scale-0 row contributes index 1 directly -> merged count 4+6+5+7+3
+        rows = [
+            ("a", 2, 10, 0.001, [(4, 4), (5, 6), (6, 5), (7, 7)], []),
+            ("a", 0, 5, 0.01, [(1, 3)], []),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = merge_exp_histograms_agg(df, ["g"]).collect()[0]
+        assert out["exp_scale"] == 0
+        assert out["exp_zero_count"] == 15
+        assert out["exp_zero_threshold"] == 0.01
+        assert [(b["index"], b["count"]) for b in out["exp_positive_buckets"]] == [
+            (1, 25)
+        ]
+
+    def test_negative_index_floor_division(self, spark):
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            merge_exp_histograms_agg,
+        )
+
+        # scale-1 index -1 -> scale-0 floor(-1/2) = -1 (Go truncation
+        # would give 0 - the documented deviation)
+        rows = [
+            ("a", 1, 0, 0.0, [(-1, 2)], []),
+            ("a", 0, 0, 0.0, [(-1, 3)], []),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = merge_exp_histograms_agg(df, ["g"]).collect()[0]
+        assert [(b["index"], b["count"]) for b in out["exp_positive_buckets"]] == [
+            (-1, 5)
+        ]
