@@ -167,6 +167,88 @@ def split_buckets(df: DataFrame) -> DataFrame:
     )
 
 
+def rollup_stream(
+    df: DataFrame,
+    grain: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed rollup — the continuous form of the reference's
+    insert-triggered materialized views (schema.sql:146-192): tumbling
+    windows over event time with a late-data watermark instead of the
+    MV's "WHERE timestamp >= now() - INTERVAL" freshness guard.
+
+    Returns the aggregated streaming DataFrame; sink choice is the
+    caller's (append mode emits a window once its watermark passes —
+    exactly-once rollup rows; update mode gives low-latency running
+    values to a serving store).
+
+    Column semantics match the batch rollup (operators.rollup): min/max/
+    sum/count plus a deterministic last-by-event-time. samples_count and
+    value_sum are carried (not avg) so higher-grain cascades re-aggregate
+    losslessly (the A11 weighted-avg fix).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.withWatermark("timestamp", watermark)
+        .groupBy(
+            F.window("timestamp", grain).alias("w"),
+            "workspaceId",
+            "metric",
+            "series_hash",
+        )
+        .agg(
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.sum("value").alias("value_sum"),
+            F.max_by("value", "timestamp").alias("value_last"),
+            F.sum("count").alias("count"),
+            F.sum("sum").alias("sum"),
+            F.count(F.lit(1)).alias("samples_count"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            "workspaceId",
+            "metric",
+            "series_hash",
+            "value_min",
+            "value_max",
+            "value_sum",
+            (F.col("value_sum") / F.col("samples_count")).alias("value_avg"),
+            "value_last",
+            "count",
+            "sum",
+            "samples_count",
+        )
+    )
+
+
+def rollup_to_parquet(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    grain: str = "1 minute",
+    watermark: str = "10 minutes",
+    trigger_seconds: int = 10,
+):
+    """Continuous rollup job: append-mode parquet sink partitioned by
+    date — each window row is written exactly once, after the watermark
+    closes it (replaces the reference's MV insert trigger)."""
+    from pyspark.sql import functions as F
+
+    rolled = rollup_stream(df, grain=grain, watermark=watermark)
+    return (
+        rolled.withColumn("date", F.to_date("bucket_ts"))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def ingest_stream(
     raw_stream: DataFrame,
     out_path: str,

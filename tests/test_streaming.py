@@ -1,0 +1,146 @@
+"""Structured Streaming pipeline tests (SURVEY §2.9).
+
+Drives the real streaming operators through a file drop-zone source and
+asserts sink contents — the micro-batch equivalent of the reference's
+gRPC→processor→writer flow (processor.go:55-91, writer.go:87-145).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.schema import METRICS_RAW_SCHEMA
+from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+    ingest_stream,
+    rollup_stream,
+)
+
+_NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None, microsecond=0)
+
+
+def _ts(seconds: int) -> dt.datetime:
+    return _NOW - dt.timedelta(seconds=3600 - seconds)
+
+
+def _sum_row(series: int, sec: int, value: float, monotonic: bool = True):
+    return (
+        "w1", series, "requests_total", "svc", _ts(sec), 2, 1, monotonic,
+        float(value), None, None, None, None, None, None, None, None,
+        {"env": "prod"}, None, None,
+    )
+
+
+def _gauge_row(series: int, sec: int, value: float):
+    return (
+        "w1", series, "temp", "svc", _ts(sec), 1, 0, False, float(value),
+        None, None, None, None, None, None, None, None, {}, None, None,
+    )
+
+
+def _wait_for_parquet(q, out, timeout_s=60):
+    import os
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(out)
+            for f in fs
+        ):
+            time.sleep(3)
+            return
+        time.sleep(1)
+    raise AssertionError("no parquet output within timeout")
+
+
+class TestIngestStream:
+    def test_cumulative_to_delta_with_reset_and_validation(self, spark, tmp_path):
+        src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+        rows = [
+            # temporality_test.go:51-120 sequences: [100,150,200] -> [100,50,50];
+            # reset series [100,150,20,50] -> [100,50,20,30]
+            _sum_row(1, 1, 100), _sum_row(1, 2, 150), _sum_row(1, 3, 200),
+            _sum_row(2, 1, 100), _sum_row(2, 2, 150), _sum_row(2, 3, 20), _sum_row(2, 4, 50),
+            # invalid: empty metric name -> dropped by F1
+            ("w1", 3, "", "svc", _ts(5), 2, 1, True, 5.0, None, None, None,
+             None, None, None, None, None, {}, None, None),
+            # gauge passes through unconverted
+            _gauge_row(4, 1, 42.5),
+        ]
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(src)
+        q = ingest_stream(
+            spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(src),
+            out, ckpt, workspace_id="w1", trigger_seconds=2,
+        )
+        try:
+            _wait_for_parquet(q, out)
+        finally:
+            q.stop()
+        res = spark.read.parquet(out)
+        s1 = [r.value for r in res.where("series_hash = 1").orderBy("timestamp").collect()]
+        assert s1 == [100.0, 50.0, 50.0]
+        s2 = [r.value for r in res.where("series_hash = 2").orderBy("timestamp").collect()]
+        assert s2 == [100.0, 50.0, 20.0, 30.0]
+        assert res.where("series_hash = 3").count() == 0  # dropped
+        g = res.where("series_hash = 4").collect()
+        assert [r.value for r in g] == [42.5]
+        assert g[0].temporality == 0  # gauge untouched
+
+    def test_checkpoint_restart_is_idempotent(self, spark, tmp_path):
+        src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+        rows = [_sum_row(1, i, 100 * i) for i in range(1, 4)]
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(src)
+        for _ in range(2):  # second start must not reprocess
+            q = ingest_stream(
+                spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(src),
+                out, ckpt, workspace_id="w1", trigger_seconds=2,
+            )
+            try:
+                _wait_for_parquet(q, out)
+            finally:
+                q.stop()
+        assert spark.read.parquet(out).count() == 3
+
+
+class TestRollupStream:
+    def test_windowed_rollup_update_mode(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        base = _NOW.replace(second=0) - dt.timedelta(minutes=30)
+        rows = []
+        for i, v in enumerate([10.0, 20.0, 30.0]):  # same minute
+            r = list(_gauge_row(7, 0, v))
+            r[4] = base + dt.timedelta(seconds=10 * (i + 1))
+            rows.append(tuple(r))
+        r = list(_gauge_row(7, 0, 99.0))  # next minute
+        r[4] = base + dt.timedelta(minutes=1, seconds=5)
+        rows.append(tuple(r))
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(src)
+        rolled = rollup_stream(stream, grain="1 minute", watermark="5 minutes")
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName("rollup_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        out = spark.sql(
+            "SELECT * FROM rollup_test WHERE series_hash = 7 ORDER BY bucket_ts"
+        ).collect()
+        assert len(out) == 2
+        w1, w2 = out
+        assert w1.value_min == 10.0 and w1.value_max == 30.0
+        assert w1.value_avg == pytest.approx(20.0)
+        assert w1.value_last == 30.0  # by event time
+        assert w1.samples_count == 3
+        assert w2.samples_count == 1 and w2.value_last == 99.0
