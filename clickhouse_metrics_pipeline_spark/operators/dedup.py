@@ -175,23 +175,24 @@ def minhash_lsh_pairs(
     bands=16 x rows=4 at threshold 0.8: a 0.9-similar pair is missed with
     probability (1-0.9^4)^16 ~ 4e-8 - effectively exact for near-dup use.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
+
+    Dataflow (one full-corpus pass): text -> shingles -> 31-bit hashes ->
+    numpy signature -> band buckets, materialized once (persist); the
+    candidate self-join runs on the small banded table; exact-Jaccard
+    verification RE-computes string shingles only for candidate ids (a
+    few hundred rows) instead of persisting the full string-shingle
+    corpus — at 100 TB that persist is the difference between caching
+    ~64 longs/doc and caching the documents' full n-gram text."""
     rows = num_hashes // bands
-    # cache: the shingle set feeds the signature AND both sides of the
-    # verification join; the band table feeds both sides of the candidate
-    # self-join - without persistence the (expensive) signature pipeline
-    # is recomputed 4x. At cluster scale this is a persist-to-disk or an
-    # intermediate table write; semantics identical.
-    # small corpus files arrive as one input split; spread the (compute
-    # heavy) shingle/signature work across the cluster first
+    # small corpus files arrive as one input split; spread the compute-
+    # heavy shingle/signature work across the cluster first
     par = df.sparkSession.sparkContext.defaultParallelism
-    shingled = df.repartition(par, id_col).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    shingled = shingled.persist()
-    sig = shingled.withColumn(
-        "sig", minhash_signature_np(shingle_hashes(F.col("shingles")), num_hashes)
-    )
+    sig = df.repartition(par, id_col).select(
+        F.col(id_col),
+        minhash_signature_np(
+            shingle_hashes(word_shingles(text_col, shingle_n)), num_hashes
+        ).alias("sig"),
+    ).where(F.col("sig").isNotNull())
     banded = sig.select(
         id_col, F.explode(_band_buckets(F.col("sig"), bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket").persist()
@@ -204,8 +205,31 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = jaccard_verify(candidates, shingled, id_col)
-    return verified.where(F.col("jaccard") >= threshold)
+    # verification: shingle only the candidate docs (semi-join first, so
+    # the expensive shingle expression runs on survivors only)
+    cand = candidates.persist()
+    ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+    ids_b = cand.select(F.col("id_b").alias(id_col)).distinct()
+
+    def _shingled_for(ids: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(ids), id_col, "left_semi")
+            .select(
+                F.col(id_col).alias(out_id),
+                word_shingles(text_col, shingle_n).alias(out_sh),
+            )
+        )
+
+    a = _shingled_for(ids_a, "id_a", "_sh_a")
+    b = _shingled_for(ids_b, "id_b", "_sh_b")
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
