@@ -657,6 +657,48 @@ FROM (SELECT doc_id,
 """
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal mapInPandas plumbing end-to-end: documents as a fake
+    media corpus -> Arrow-batched feature extraction (deterministic fake
+    decode) + frame-sampling plan. Oracle checks the parts ANSI SQL can
+    express: payload size, feature-vector arity, planned frame count
+    (sha1 digests and the fake feature values are not SQL-expressible)."""
+    from clickhouse_metrics_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, fake_decode=True).select(
+        "media_id", "payload_bytes", F.size("features").alias("n_features")
+    )
+    frames = frame_sample_plan(media, every_ms=1000).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return feats.join(frames, "media_id")
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS payload_bytes,
+       8 AS n_features,
+       floor(n_chars * 10.0 / 1000)::BIGINT + 1 AS n_frames
+FROM documents
+"""
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN probe search (approximate by design — rows-only
+    check; the exact baseline is emb_cosine_topk)."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    out = ivf_topk(e, probes, k=5, num_cells=16, n_probe_cells=4)
+    return out.withColumn("cosine_sim", F.round("cosine_sim", 4))
+
+
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -675,6 +717,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attr_merge": events_attr_merge,
     "exp_hist_merge": exp_hist_merge,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
+    "multimodal_features": multimodal_features,
+    "emb_ivf_topk": emb_ivf_topk,
 }
 
 EXTRA_ORACLE: dict[str, str] = {
@@ -695,4 +739,6 @@ EXTRA_ORACLE: dict[str, str] = {
     "events_attr_merge": EVENTS_ATTR_MERGE_SQL,
     "exp_hist_merge": EXP_HIST_MERGE_SQL,
     "docs_rolling_fingerprint": DOCS_FP_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    # emb_ivf_topk: approximate by design -> rows-only check
 }
