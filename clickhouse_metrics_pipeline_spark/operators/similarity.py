@@ -191,6 +191,149 @@ def lsh_ann_pairs(
     )
 
 
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance of a vector column to a literal centroid."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Indexes of the n nearest centroids, nearest first (row-local)."""
+    scored = F.array(
+        *[
+            F.struct(_sq_dist(vec, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["i"])
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 4,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train k coarse-quantizer centroids with distributed Lloyd's.
+
+    Per iteration: row-local nearest-centroid assignment (centroids are
+    k x dim literals, no join), then one groupBy(cell, dim) shuffle over
+    posexploded components; only k*dim (sum, count) rows ever reach the
+    driver. At 100 TB pass ``sample_fraction`` - IVF quantizers are
+    trained on samples (a 0.1% sample of 100 TB is ~100 GB, plenty for
+    k<=4096) - and reuse the centroid list across jobs. Deterministic:
+    init picks the k rows with the smallest xxhash64 of the vector text,
+    so the same corpus always trains the same quantizer. Empty cells
+    keep their previous centroid."""
+    vecs = df.select(F.col(vec_col).alias("v")).where(F.col(vec_col).isNotNull())
+    if sample_fraction is not None:
+        vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    init_rows = (
+        vecs.withColumn(
+            "_h",
+            F.xxhash64(F.concat_ws(",", F.transform("v", lambda x: x.cast("string")))),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in init_rows]
+    for _ in range(iters):
+        assigned = vecs.withColumn(
+            "_c", F.element_at(_nearest_cells(F.col("v"), centroids, 1), 1)
+        )
+        stats = (
+            assigned.select("_c", F.posexplode("v").alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(F.sum("_x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(r["_c"], {})[r["_d"]] = (float(r["s"]), r["n"])
+        centroids = [
+            [by_cell[i][d][0] / by_cell[i][d][1] for d in range(len(c))]
+            if i in by_cell
+            else c
+            for i, c in enumerate(centroids)
+        ]
+    return centroids
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    n_probe_cells: int = 4,
+    iters: int = 4,
+    centroids: list[list[float]] | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """True IVF-flat ANN: k-means coarse quantizer, per-probe search of
+    the n_probe_cells nearest cells only.
+
+    The trained variant of :func:`ivf_topk` (which uses untrained SRP
+    cells): centroids adapt to the corpus's cluster structure, so the
+    same probe budget buys much higher recall. Pass ``centroids`` to
+    reuse a trained quantizer across queries (the 100 TB deployment
+    shape: train once on a sample, broadcast the k x dim list)."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, vec_col, num_cells, iters, sample_fraction
+        )
+    c = corpus.withColumn(
+        "_cell", F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1)
+    )
+    probe_cells = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pvec"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, n_probe_cells)
+        ).alias("_cell"),
+    )
+    sim = (
+        F.broadcast(probe_cells)
+        .join(c, "_cell")
+        .where(F.col("probe_id") != F.col(id_col))
+        .withColumn("cosine_sim", cosine_np(F.col("_pvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", F.col(id_col).alias("neighbor_id"), "cosine_sim", "rank")
+    )
+
+
+def _srp_projection(plane: int, vec: Column) -> Column:
+    """Raw dot product of ``vec`` with pseudo-random hyperplane ``plane``."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def _components(p: int):
+        return lambda d: _plane_component(p, d)
+
+    return F.aggregate(
+        F.zip_with(
+            vec, F.transform(dims, _components(plane)), lambda v, w: v.cast("double") * w
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -201,36 +344,56 @@ def ivf_topk(
     n_probe_cells: int = 4,
 ) -> DataFrame:
     """IVF-flat style ANN: coarse-quantize the corpus into SRP cells,
-    search each probe only in its n_probe_cells nearest cells.
+    search each probe only in its n_probe_cells likeliest cells.
 
-    Cell assignment reuses the SRP signature (hamming-near cells share
-    prefixes); probing multiple cells trades recall for scan fraction.
-    Approximate: recall < 1 by design - the scale path when brute force
-    is too expensive and pairwise LSH too broad."""
+    Multi-probe cell selection (Lv et al., 2007): a near neighbor's cell
+    differs from the probe's on the planes the probe is CLOSEST to, so
+    candidate cells are ranked by the summed |projection margin| of their
+    flipped planes and the cheapest n_probe_cells are searched. Ranking
+    is row-local on the (small, broadcast) probe side; the corpus side
+    only computes its own cell. Approximate: recall < 1 by design - the
+    scale path when brute force is too expensive and pairwise LSH too
+    broad."""
     import math
 
     bits = max(1, int(math.log2(num_cells)))
     c = corpus.withColumn("_cell", srp_signature(F.col(vec_col), bits))
+    projs = F.array(*[_srp_projection(j, F.col(vec_col)) for j in range(bits)])
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pvec"),
-        srp_signature(F.col(vec_col), bits).alias("_pcell"),
+        projs.alias("_projs"),
     )
-    # probe cells: own cell plus single-bit flips, limited to n_probe_cells
+    own_cell = F.lit(0).cast("bigint")
+    for j in range(bits):
+        own_cell = own_cell + F.when(
+            F.element_at("_projs", j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    # all 2^bits flip masks scored by summed |margin| of flipped planes;
+    # mask 0 scores 0.0 so the own cell always ranks first
+    scored = F.array(
+        *[
+            F.struct(
+                sum(
+                    (
+                        F.abs(F.element_at("_projs", j + 1))
+                        for j in range(bits)
+                        if m & (1 << j)
+                    ),
+                    start=F.lit(0.0),
+                ).alias("score"),
+                own_cell.bitwiseXOR(F.lit(m)).alias("cell"),
+            )
+            for m in range(1 << bits)
+        ]
+    )
     probe_cells = p.select(
         "probe_id",
         "_pvec",
         F.explode(
-            F.slice(
-                F.array(
-                    F.col("_pcell"),
-                    *[
-                        F.col("_pcell").bitwiseXOR(F.lit(1 << j))
-                        for j in range(bits)
-                    ],
-                ),
-                1,
-                n_probe_cells,
+            F.transform(
+                F.slice(F.array_sort(scored), 1, n_probe_cells),
+                lambda s: s["cell"],
             )
         ).alias("_cell"),
     )

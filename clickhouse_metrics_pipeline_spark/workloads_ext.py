@@ -689,13 +689,28 @@ FROM documents
 
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN probe search (approximate by design — rows-only
-    check; the exact baseline is emb_cosine_topk)."""
+    """IVF-flat ANN probe search, untrained SRP cells (approximate by
+    design — rows-only check; the exact baseline is emb_cosine_topk)."""
     from clickhouse_metrics_pipeline_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     out = ivf_topk(e, probes, k=5, num_cells=16, n_probe_cells=4)
+    return out.withColumn("cosine_sim", F.round("cosine_sim", 4))
+
+
+def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF-flat ANN: k-means coarse quantizer (distributed
+    Lloyd's, deterministic init), multi-cell probe search. Approximate
+    by design — rows-only check; recall vs brute force is pinned in
+    tests/test_training_ops.py."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    out = ivf_kmeans_topk(e, probes, k=5, num_cells=16, n_probe_cells=4, iters=2)
     return out.withColumn("cosine_sim", F.round("cosine_sim", 4))
 
 
@@ -719,6 +734,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "multimodal_features": multimodal_features,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_ivf_kmeans_topk": emb_ivf_kmeans_topk,
 }
 
 EXTRA_ORACLE: dict[str, str] = {

@@ -1,0 +1,200 @@
+"""Unit tests for the training-data operators (dedup / similarity /
+text analysis) — semantics on small constructed inputs plus recall
+checks on the driver's sf0.001 tables.
+
+The oracle harness (tools/check_oracle.py) pins these end-to-end at
+sf0.01; these tests pin the operator-level contracts directly so a
+regression localizes to the operator, not the workload query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signature_from_text,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from clickhouse_metrics_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    ivf_kmeans_topk,
+    ivf_topk,
+)
+from clickhouse_metrics_pipeline_spark.functions.text import (
+    bpe_token_count,
+    detect_language,
+    quality_score,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the distant purple mountains of the old west"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("purple", "crimson")),  # near-dup of 1
+        (4, "completely different content about database engines and "
+            "distributed query processing at petabyte scale today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+class TestExactDedup:
+    def test_groups_exact_copies(self, spark):
+        out = exact_duplicates(_docs(spark)).orderBy("keeper_id").collect()
+        groups = {r.keeper_id: (r.n_copies, r.ids) for r in out}
+        assert groups[1] == (2, [1, 2])
+        assert groups[3][0] == 1
+        assert groups[4][0] == 1
+
+    def test_whitespace_and_case_normalized(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world "), (3, "hello")],
+            "doc_id BIGINT, text STRING",
+        )
+        out = exact_duplicates(df).collect()
+        assert sorted(r.n_copies for r in out) == [1, 2]
+
+
+class TestMinHashLSH:
+    def test_finds_near_dups_not_distinct(self, spark):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_matches_exact_jaccard_oracle(self, spark):
+        lsh = {
+            (r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+        }
+        assert lsh == exact
+
+    def test_signature_null_for_short_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "two words"), (2, None), (3, BASE)], "doc_id BIGINT, text STRING"
+        )
+        out = df.select(
+            "doc_id", minhash_signature_from_text("text", 16, 3).alias("sig")
+        ).collect()
+        by_id = {r.doc_id: r.sig for r in out}
+        assert by_id[1] is None and by_id[2] is None
+        assert by_id[3] is not None and len(by_id[3]) == 16
+
+    def test_signature_deterministic_and_order_insensitive_agreement(self, spark):
+        # identical text -> identical signature on every evaluation
+        df = spark.createDataFrame(
+            [(i, BASE) for i in range(4)], "doc_id BIGINT, text STRING"
+        )
+        sigs = df.select(
+            minhash_signature_from_text("text", 32, 3).alias("s")
+        ).collect()
+        assert all(list(r.s) == list(sigs[0].s) for r in sigs)
+
+
+class TestSimHash:
+    def test_identical_zero_distance_distinct_far(self, spark):
+        out = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(_docs(spark), max_hamming=3).collect()
+        }
+        assert out[(1, 2)] == 0
+        assert (1, 4) not in out and (2, 4) not in out and (3, 4) not in out
+
+
+class TestTextFunctions:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("one two three",)], "text STRING")
+        r = df.select(
+            token_count("text").alias("t"), bpe_token_count("text").alias("b")
+        ).collect()[0]
+        assert r.t == 3 and r.b == 3
+
+    def test_bpe_splits_punct_and_digits(self, spark):
+        df = spark.createDataFrame([("don't stop123!",)], "text STRING")
+        # don / ' / t / stop / 123 / !
+        assert df.select(bpe_token_count("text").alias("b")).collect()[0].b == 6
+
+    def test_language_id_on_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat and the dog are in the house",),
+                ("el perro y el gato que son de la casa",),
+                ("le chien et le chat sont les amis des enfants",),
+                ("der Hund und die Katze sind das Licht von ist",),
+            ],
+            "text STRING",
+        )
+        out = [r.l for r in df.select(detect_language("text").alias("l")).collect()]
+        assert out == ["en", "es", "fr", "de"]
+
+    def test_quality_score_in_unit_interval(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        r = docs.select(
+            F.min(quality_score("text")).alias("lo"),
+            F.max(quality_score("text")).alias("hi"),
+        ).collect()[0]
+        assert 0.0 <= r.lo <= r.hi <= 1.0
+
+
+class TestSimilaritySearch:
+    def test_cosine_topk_exact_on_axes(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.9, 0.1]),
+                (3, [0.0, 1.0]),
+            ],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        probes = df.filter(F.col("vec_id") == 1)
+        out = cosine_topk(df, probes, k=2).orderBy("rank").collect()
+        assert [r.neighbor_id for r in out] == [2, 3]
+        assert out[0].cosine_sim == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5, rel=1e-6)
+        assert out[1].cosine_sim == pytest.approx(0.0, abs=1e-9)
+
+    # Recall context: the driver's embeddings are nearly unstructured -
+    # top-5 cosine neighbors average only ~0.32 similarity and match the
+    # probe's label ~9% of the time - so coarse-quantized recall has a
+    # low ceiling here (random cell choice would give n_probe/num_cells).
+    # Both bounds below are well above that chance line and deterministic
+    # (fixed data, fixed hash/init seeds).
+
+    def test_srp_multiprobe_recall(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 20)
+        exact = cosine_topk(emb, probes, k=5)
+        approx = ivf_topk(emb, probes, k=5, num_cells=16, n_probe_cells=8)
+        hits = exact.join(approx, ["probe_id", "neighbor_id"], "left_semi").count()
+        assert exact.count() == 100
+        # measured 77/100; chance at 8/16 cells would be ~50
+        assert hits / 100 >= 0.70
+
+    def test_ivf_kmeans_recall(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 20)
+        exact = cosine_topk(emb, probes, k=5)
+        approx = ivf_kmeans_topk(
+            emb, probes, k=5, num_cells=16, n_probe_cells=4, iters=4
+        )
+        hits = exact.join(approx, ["probe_id", "neighbor_id"], "left_semi").count()
+        # measured 60/100; chance at 4/16 cells would be ~25
+        assert hits / 100 >= 0.55
