@@ -460,6 +460,184 @@ GROUP BY cntrycode
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 ADAPTED: no partsupp table, so the part-supplier supply
+    relation is derived from lineitem (supplycost = min observed unit
+    price per (part, supplier)). Preserves Q2's shape: multi-way
+    dim joins + correlated-min subquery (here a self-join on the
+    per-part min over region-filtered suppliers).
+
+    Scale: the supply relation is one shuffle on (l_partkey,
+    l_suppkey); the per-part min REUSES the partkey-side partitioning
+    (no extra exchange — partial agg on a prefix of the grouping key);
+    part/supplier/nation/region dims are broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p, s = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("supplycost").alias("mincost")
+    )
+    parts = p.where((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        supply.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("supplycost") == F.col("mincost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+    )
+
+
+Q2_SQL = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'),
+supply AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, supply, eu
+WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+  AND p_size = 15 AND p_type = 'ECONOMY'
+  AND supplycost = (SELECT min(s2.supplycost) FROM supply s2, eu e2
+                    WHERE s2.l_partkey = p_partkey
+                      AND s2.l_suppkey = e2.s_suppkey)
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 ADAPTED: stock value per part is derived from lineitem
+    (sum of extendedprice x quantity shipped by NATION_7 suppliers)
+    instead of partsupp availqty x supplycost. Preserves Q11's shape:
+    group-by-part value + scalar-subquery fraction-of-total threshold.
+
+    Value arithmetic runs in integer cents (price is 2-decimal, qty is
+    integral) so the threshold comparison is exact — a float sum's
+    order-dependent rounding could flip borderline parts between Spark
+    and the oracle. Scale: one shuffle on l_partkey; the scalar total
+    is a broadcast of one row."""
+    li, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nat = s.join(
+        F.broadcast(n.where(F.col("n_name") == "NATION_7")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    val = (
+        li.join(F.broadcast(nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("vcents"))
+    )
+    total = val.agg(F.sum("vcents").alias("tcents"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("vcents") * 1000 > F.col("tcents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("vcents") / 100.0).alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(round(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT) AS vcents
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7'
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, vcents / 100.0 AS part_value
+FROM val
+WHERE vcents * 1000 > (SELECT sum(vcents) FROM val)
+"""
+
+
+def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 ADAPTED: no partsupp availqty, so the "excess stock" test
+    becomes: supplier shipped more than 30% of a part's total 1995
+    volume (for parts named small%). Preserves Q20's shape: nested
+    semi-join chain part -> grouped lineitem -> threshold -> supplier.
+
+    Scale: the shipped agg shuffles once on (l_partkey, l_suppkey);
+    the per-part total reuses that partitioning; the supplier probe is
+    a broadcast left-semi. Quantities are integral doubles, so sums
+    and the 0.3x comparison is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p, s = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    parts = p.where(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("tot_qty")
+    )
+    big = (
+        shipped.join(tot, F.col("l_partkey") == F.col("tk"))
+        .where(F.col("qty") > 0.3 * F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(big), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+            s.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT l_partkey, sum(qty) AS tot_qty FROM shipped GROUP BY l_partkey)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+                    WHERE qty > 0.3 * tot_qty)
+"""
+
+
 # --------------------------------------------------------------------------
 # Metrics-pipeline operators (continued)
 # --------------------------------------------------------------------------
@@ -715,6 +893,9 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q20_potential_part_promotion": q20_potential_part_promotion,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -738,6 +919,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXTRA_ORACLE: dict[str, str] = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q20_potential_part_promotion": Q20_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
