@@ -1,0 +1,176 @@
+"""SQL surface: every SQL UDF must equal its Column-builder twin.
+
+The SQL bodies in ``sql_api`` are hand-written mirrors of the
+``functions/`` kernels; these tests run both forms over the same data
+and assert exact equality, so the two surfaces cannot drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from clickhouse_metrics_pipeline_spark import sql_api
+from clickhouse_metrics_pipeline_spark.functions.hashing import (
+    series_hash,
+    series_key,
+)
+from clickhouse_metrics_pipeline_spark.functions.histogram import (
+    bucket_percentile,
+    bucket_total,
+    cumulative_to_delta_buckets,
+    delta_to_cumulative_buckets,
+    merge_bucket_arrays,
+)
+from clickhouse_metrics_pipeline_spark.functions.text import (
+    bpe_token_count,
+    detect_language,
+    doc_fingerprint,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    rolling_hash_fingerprint,
+    stopword_ratio,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+INF = float("inf")
+BUCKET_ROWS = [
+    Row(id=1, buckets=[Row(le=0.1, count=5), Row(le=0.5, count=3),
+                       Row(le=1.0, count=2), Row(le=INF, count=1)]),
+    Row(id=2, buckets=[Row(le=INF, count=4), Row(le=0.25, count=7)]),  # unsorted
+    Row(id=3, buckets=[Row(le=2.0, count=0), Row(le=4.0, count=9)]),
+    Row(id=4, buckets=[]),
+]
+
+
+@pytest.fixture(scope="module")
+def sql_spark(spark):
+    sql_api.open_sql(spark, SF_DIR)
+    return spark
+
+
+def _hist_df(spark):
+    return spark.createDataFrame(
+        BUCKET_ROWS,
+        "id INT, buckets ARRAY<STRUCT<le: DOUBLE, count: BIGINT>>",
+    )
+
+
+def _assert_cols_equal(df, sql_expr: str, col, tol=None):
+    rows = df.select(
+        F.expr(sql_expr).alias("sql"), col.alias("py")
+    ).collect()
+    assert rows, "empty comparison input"
+    for r in rows:
+        if tol is not None and r.sql is not None and r.py is not None:
+            assert math.isclose(r.sql, r.py, rel_tol=tol, abs_tol=1e-12), r
+        else:
+            assert r.sql == r.py, r
+
+
+class TestHistogramSqlUdfs:
+    def test_total(self, sql_spark):
+        _assert_cols_equal(_hist_df(sql_spark), "hist_total(buckets)",
+                           bucket_total("buckets"))
+
+    @pytest.mark.parametrize("p", [0.0, 50.0, 95.0, 99.9, 100.0])
+    def test_percentile(self, sql_spark, p):
+        _assert_cols_equal(_hist_df(sql_spark), f"hist_percentile(buckets, {p})",
+                           bucket_percentile("buckets", p), tol=1e-12)
+
+    @pytest.mark.parametrize("p", [0.0, 50.0, 95.0, 99.9, 100.0])
+    def test_percentile_prom(self, sql_spark, p):
+        _assert_cols_equal(
+            _hist_df(sql_spark), f"hist_percentile_prom(buckets, {p})",
+            bucket_percentile("buckets", p, interpolation="prometheus"),
+            tol=1e-12)
+
+    def test_delta_to_cumulative(self, sql_spark):
+        _assert_cols_equal(_hist_df(sql_spark),
+                           "hist_delta_to_cumulative(buckets)",
+                           delta_to_cumulative_buckets("buckets"))
+
+    def test_cumulative_to_delta(self, sql_spark):
+        _assert_cols_equal(_hist_df(sql_spark),
+                           "hist_cumulative_to_delta(buckets)",
+                           cumulative_to_delta_buckets("buckets"))
+
+    def test_merge(self, sql_spark):
+        df = (
+            _hist_df(sql_spark)
+            .agg(F.collect_list("buckets").alias("arrays"))
+        )
+        _assert_cols_equal(df, "hist_merge(arrays)",
+                           merge_bucket_arrays("arrays"))
+
+    def test_percentile_on_events(self, sql_spark):
+        # real data end-to-end: bucket events.value per type in SQL,
+        # then merge + percentile through the SQL UDFs; P95 >= P50
+        out = sql_spark.sql(
+            """WITH bucketed AS (
+                 SELECT event_type,
+                        array_sort(collect_list(b)) AS buckets
+                 FROM (SELECT event_type,
+                              named_struct('le', CAST(ceil(value) AS DOUBLE),
+                                           'count', count(*)) AS b
+                       FROM events GROUP BY event_type, ceil(value))
+                 GROUP BY event_type)
+               SELECT event_type,
+                      hist_percentile_prom(buckets, 50.0) AS p50,
+                      hist_percentile_prom(buckets, 95.0) AS p95
+               FROM bucketed"""
+        ).collect()
+        assert out
+        for r in out:
+            assert r.p50 is not None and r.p95 is not None
+            assert r.p95 >= r.p50
+
+
+class TestSeriesSqlUdfs:
+    def test_series_key_and_hash(self, sql_spark):
+        df = sql_spark.createDataFrame(
+            [("m1", "ws", {"b": "2", "a": "1"}), ("m2", "ws", {}),
+             ("m3", "ws", None)],
+            "metric STRING, ws STRING, attributes MAP<STRING, STRING>",
+        )
+        _assert_cols_equal(df, "series_key(metric, attributes)",
+                           series_key("metric", "attributes"))
+        _assert_cols_equal(df, "series_hash(metric, ws, attributes)",
+                           series_hash("metric", "ws", "attributes"))
+
+
+class TestTextSqlUdfs:
+    PAIRS = [
+        ("text_token_count(text)", token_count, None),
+        ("text_bpe_token_count(text)", bpe_token_count, None),
+        ("text_punct_ratio(text)", punct_ratio, 1e-12),
+        ("text_stopword_ratio(text)", stopword_ratio, 1e-12),
+        ("text_mean_token_length(text)", mean_token_length, 1e-12),
+        ("text_quality_score(text)", quality_score, 1e-12),
+        ("text_detect_language(text)", detect_language, None),
+        ("doc_fingerprint(text)", doc_fingerprint, None),
+        ("doc_rolling_fingerprint(text, 8)", rolling_hash_fingerprint, None),
+    ]
+
+    @pytest.mark.parametrize("sql_expr,builder,tol",
+                             PAIRS, ids=[p[0].split("(")[0] for p in PAIRS])
+    def test_on_documents(self, sql_spark, sql_expr, builder, tol):
+        docs = sql_spark.table("documents").limit(300)
+        _assert_cols_equal(docs, sql_expr, builder("text"), tol=tol)
+
+
+class TestSqlEndToEnd:
+    def test_reference_style_recipe(self, sql_spark):
+        # the README.md:163-170 quantile recipe shape, natively in SQL
+        out = sql_spark.sql(
+            """SELECT event_type,
+                      count(*) AS n,
+                      round(avg(value), 4) AS avg_value
+               FROM events GROUP BY event_type ORDER BY event_type"""
+        )
+        assert out.count() > 0
