@@ -188,6 +188,97 @@ def minhash_signature_from_text(
     return _sig(F.col(text) if isinstance(text, str) else text)
 
 
+def minhash_band_buckets_from_text(
+    text: Column | str, k: int = 64, bands: int = 16, shingle_n: int = 3
+) -> Column:
+    """Raw text -> the ``bands`` LSH bucket keys in ONE Arrow kernel.
+
+    Fuses :func:`minhash_signature_from_text` with band hashing: the
+    (bands x rows) signature matrix is folded per band with an FNV-1a
+    style uint64 mix, so the plan needs no string band-join, no xxhash64
+    HOF, and no 64-wide signature array in the shuffle — just
+    ``bands`` bigints per document. Bucket values are opaque keys;
+    equality (not order) is all LSH needs. NULL for docs with fewer than
+    ``shingle_n`` tokens, mirroring the signature kernel."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    rows = k // bands
+    A = np.asarray(_MINHASH_A[:k], dtype=np.int64)[:, None]
+    B = np.asarray(_MINHASH_B[:k], dtype=np.int64)[:, None]
+    FNV_OFF = np.uint64(14695981039346656037)
+    FNV_PRIME = np.uint64(1099511628211)
+
+    @pandas_udf("array<bigint>")
+    def _bands(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = _WS_RE.sub(" ", t).strip().lower().split(" ")
+                if len(toks) < shingle_n:
+                    out.append(None)
+                    continue
+                th = np.fromiter(
+                    (zlib.crc32(tok.encode()) for tok in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                g = th[: len(toks) - shingle_n + 1] % _P
+                for j in range(1, shingle_n):
+                    g = (g * 1_000_003 + th[j : len(toks) - shingle_n + 1 + j]) % _P
+                h = np.unique(g)
+                sig = ((A * h[None, :] + B) % _P).min(axis=1)
+                band = sig.astype(np.uint64).reshape(bands, rows)
+                acc = np.full(bands, FNV_OFF, dtype=np.uint64)
+                for r in range(rows):
+                    acc = (acc ^ band[:, r]) * FNV_PRIME
+                out.append(acc.view(np.int64))
+        return pd.Series(out)
+
+    return _bands(F.col(text) if isinstance(text, str) else text)
+
+
+def gram_hashes_from_text(text: Column | str, shingle_n: int = 3) -> Column:
+    """Raw text -> sorted distinct 64-bit shingle hashes, one Arrow kernel.
+
+    The exact-verification twin of the signature kernel: same
+    normalize/tokenize/rolling-gram dataflow, but grams are hashed into
+    the full uint64 space (wraparound polynomial over per-token crc32),
+    so Jaccard over these arrays equals Jaccard over the string shingles
+    up to a ~1e-15 per-pair collision probability — while candidate
+    verification joins ship small bigint arrays instead of n-gram text
+    (the 100 TB difference between shuffling hashes and shuffling the
+    corpus). NULL when the doc has fewer than ``shingle_n`` tokens."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = _WS_RE.sub(" ", t).strip().lower().split(" ")
+                if len(toks) < shingle_n:
+                    out.append(None)
+                    continue
+                th = np.fromiter(
+                    (zlib.crc32(tok.encode()) for tok in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                g = th[: len(toks) - shingle_n + 1].copy()
+                for j in range(1, shingle_n):
+                    g = g * np.uint64(1_000_003) + th[j : len(toks) - shingle_n + 1 + j]
+                out.append(np.unique(g).view(np.int64))
+        return pd.Series(out)
+
+    return _grams(F.col(text) if isinstance(text, str) else text)
+
+
 def _band_buckets(sig: Column, bands: int, rows: int) -> Column:
     """Hash each r-row band -> ARRAY<STRUCT<band INT, bucket BIGINT>>."""
     return F.transform(
@@ -240,17 +331,23 @@ def minhash_lsh_pairs(
     few hundred rows) instead of persisting the full string-shingle
     corpus — at 100 TB that persist is the difference between caching
     ~64 longs/doc and caching the documents' full n-gram text."""
-    rows = num_hashes // bands
     # small corpus files arrive as one input split; spread the compute-
-    # heavy signature kernel across the cluster first
+    # heavy signature kernel across the cluster first. The fused kernel
+    # emits the band bucket keys directly (no 64-wide signature array,
+    # no string band-join in the plan).
     par = df.sparkSession.sparkContext.defaultParallelism
-    sig = df.repartition(par, id_col).select(
-        F.col(id_col),
-        minhash_signature_from_text(text_col, num_hashes, shingle_n).alias("sig"),
-    ).where(F.col("sig").isNotNull())
-    banded = sig.select(
-        id_col, F.explode(_band_buckets(F.col("sig"), bands, rows)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket").persist()
+    banded = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                minhash_band_buckets_from_text(
+                    text_col, num_hashes, bands, shingle_n
+                )
+            ).alias("band", "bucket"),
+        )
+        .persist()
+    )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -260,16 +357,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verification: shingle only the candidate docs — ONE corpus scan for
-    # the union of ids (semi-join first, so the expensive shingle
-    # expression runs on survivors only), joined back as both sides
+    # verification: gram-hash only the candidate docs — ONE corpus scan
+    # for the union of ids (semi-join first, so the kernel runs on
+    # survivors only), joined back as both sides; Jaccard over distinct
+    # 64-bit gram hashes == string-shingle Jaccard (collision odds
+    # ~1e-15/pair) with bigint arrays instead of n-gram text in flight
     cand = candidates.persist()
     ids = (
         cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     )
     cand_sh = (
         df.join(F.broadcast(ids), id_col, "left_semi")
-        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+        .select(F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("_sh"))
         .persist()
     )
     a = cand_sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
