@@ -50,6 +50,49 @@ def _lang_hits(lang: str) -> str:
     )
 
 
+_EXP_BUCKETS = "ARRAY<STRUCT<index: INT, count: BIGINT>>"
+
+
+def _exp_percentile_ddl() -> str:
+    """H6 as one SQL expression (mirrors ``exp_histogram_percentile``)."""
+    base = "power(2.0D, power(2.0D, -CAST(scale AS DOUBLE)))"
+
+    def mid(idx: str) -> str:
+        return (
+            f"(power({base}, CAST({idx} AS DOUBLE))"
+            f" + power({base}, CAST({idx} AS DOUBLE) + 1)) / 2"
+        )
+
+    empty = f"CAST(array() AS {_EXP_BUCKETS})"
+    unified = f"""concat(
+      transform(reverse(array_sort(coalesce(neg, {empty}))),
+                x -> named_struct('v', -({mid('x.index')}), 'count', x.count)),
+      array(named_struct('v', CAST(0.0 AS DOUBLE),
+                         'count', coalesce(zero_count, CAST(0 AS BIGINT)))),
+      transform(array_sort(coalesce(pos, {empty})),
+                x -> named_struct('v', {mid('x.index')}, 'count', x.count)))"""
+    total = f"aggregate({unified}, CAST(0 AS BIGINT), (a, x) -> a + x.count)"
+    target = f"CAST({total} AS DOUBLE) * (p / 100.0)"
+    overflow = f"""CASE WHEN size(coalesce(pos, {empty})) > 0
+      THEN {mid(f"element_at(array_sort(coalesce(pos, {empty})), -1).index")}
+      ELSE 0.0D END"""
+    return f"""CREATE OR REPLACE TEMPORARY FUNCTION exp_hist_percentile(
+          scale INT, zero_count BIGINT,
+          pos {_EXP_BUCKETS}, neg {_EXP_BUCKETS}, p DOUBLE)
+        RETURNS DOUBLE RETURN
+        CASE WHEN {total} > 0 THEN
+          aggregate(
+            {unified},
+            named_struct('cum', CAST(0 AS BIGINT), 'res', CAST(NULL AS DOUBLE)),
+            (acc, x) -> CASE WHEN acc.res IS NOT NULL THEN acc
+              ELSE named_struct(
+                'cum', acc.cum + x.count,
+                'res', CASE WHEN CAST(acc.cum + x.count AS DOUBLE) >= {target}
+                            THEN x.v ELSE CAST(NULL AS DOUBLE) END) END,
+            acc -> coalesce(acc.res, {overflow}))
+        ELSE CAST(NULL AS DOUBLE) END"""
+
+
 def _functions() -> list[str]:
     """DDL for every SQL UDF, dependency order (later bodies call earlier)."""
     canon = (
@@ -150,6 +193,9 @@ def _functions() -> list[str]:
               le -> named_struct('le', le,
                 'count', aggregate(filter(flatten(arrays), x -> x.le = le),
                                    CAST(0 AS BIGINT), (acc, x) -> acc + x.count))))""",
+        # --- exponential histograms (H6; H7's merge is a relational op,
+        #     see operators... merge_exp_histograms_agg) ---
+        _exp_percentile_ddl(),
         # --- series identity (K1/K2, canonical sorted-attribute form) ---
         f"""CREATE OR REPLACE TEMPORARY FUNCTION series_key(
               metric STRING, attributes MAP<STRING, STRING>) RETURNS STRING

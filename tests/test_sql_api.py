@@ -131,6 +131,38 @@ class TestHistogramSqlUdfs:
             assert r.p95 >= r.p50
 
 
+class TestExpHistSqlUdf:
+    ROWS = [
+        Row(id=1, scale=2, zero_count=100,
+            pos=[Row(index=0, count=10), Row(index=3, count=5),
+                 Row(index=1, count=8)],
+            neg=[Row(index=0, count=4), Row(index=2, count=2)]),
+        Row(id=2, scale=0, zero_count=0,
+            pos=[Row(index=-2, count=7), Row(index=5, count=1)], neg=[]),
+        Row(id=3, scale=1, zero_count=0, pos=[], neg=[]),
+        Row(id=4, scale=3, zero_count=9, pos=None, neg=None),
+    ]
+
+    @pytest.mark.parametrize("p", [0.0, 50.0, 95.0, 99.0, 100.0])
+    def test_matches_builder(self, sql_spark, p):
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            exp_histogram_percentile,
+        )
+
+        df = sql_spark.createDataFrame(
+            self.ROWS,
+            "id INT, scale INT, zero_count BIGINT, "
+            "pos ARRAY<STRUCT<index: INT, count: BIGINT>>, "
+            "neg ARRAY<STRUCT<index: INT, count: BIGINT>>",
+        )
+        _assert_cols_equal(
+            df,
+            f"exp_hist_percentile(scale, zero_count, pos, neg, {p})",
+            exp_histogram_percentile("scale", "zero_count", "pos", "neg", p),
+            tol=1e-12,
+        )
+
+
 class TestSeriesSqlUdfs:
     def test_series_key_and_hash(self, sql_spark):
         df = sql_spark.createDataFrame(
