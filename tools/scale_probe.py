@@ -1,0 +1,181 @@
+"""Empirical scale probe: does operator throughput hold as data grows?
+
+The bench (`bench.py`) measures absolute latency at sf0.1. This tool
+answers the scale question directly: it synthesizes m x sf0.1 inputs
+(m in 1, 4, 16 by default) by unioning shifted copies — new key ranges
+per copy, so series/document CARDINALITY grows with volume the way real
+data grows — and times the steady-state run of one representative of
+each core operator family:
+
+- shuffle aggregation   (1h windowed rollup over events)
+- sequential window     (per-series cumulative->delta, lag over sort)
+- hash dedup            (normalize -> xxhash64 -> groupBy over documents)
+- Arrow kernel          (fused MinHash band-bucket signature over documents)
+
+A distributed-friendly operator keeps rows/sec roughly flat as m grows
+(until cores saturate); an operator hiding a driver-side loop or an
+all-pairs join collapses. The summary prints per-op scaling efficiency
+eff = (rows/sec at max m) / (rows/sec at m=1); >=0.7 passes on
+local[32] given 100k-row baselines leave cores idle at m=1.
+
+Usage: python tools/scale_probe.py [--multiples 1,4,16] [--sf-dir DIR]
+Prints one JSON line per (op, multiple), then a summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from clickhouse_metrics_pipeline_spark.operators import dedup
+from clickhouse_metrics_pipeline_spark.session import get_spark
+from clickhouse_metrics_pipeline_spark.tables import _events
+
+
+def scaled_events(spark, sf_dir: str, m: int) -> DataFrame:
+    """m shifted copies of events: distinct user_id range per copy, so
+    the series key space (user_id, event_type) grows m-fold."""
+    base = _events(spark, sf_dir)
+    parts = [
+        base.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        for i in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def scaled_docs(spark, sf_dir: str, m: int) -> DataFrame:
+    """m copies of documents with fresh ids and per-copy text salt (so
+    exact-dedup groups don't collapse degenerately across copies)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copy{i}")).alias("text"),
+        )
+        for i in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def op_rollup_agg(ev: DataFrame) -> int:
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.min("value"),
+            F.max("value"),
+            F.sum("value"),
+            F.count(F.lit(1)),
+        )
+        .count()
+    )
+
+
+def op_window_delta(ev: DataFrame) -> int:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    delta = F.when(prev.isNull(), F.col("value")).otherwise(F.col("value") - prev)
+    return ev.select("event_id", delta.alias("d")).where(F.col("d").isNotNull()).count()
+
+
+def op_exact_dedup(docs: DataFrame) -> int:
+    key = F.xxhash64(dedup.normalize_text("text"))
+    return (
+        docs.groupBy(key.alias("k"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+
+
+def op_minhash_kernel(docs: DataFrame) -> int:
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select(dedup.minhash_band_buckets_from_text("text").alias("bb"))
+        .selectExpr("sum(size(bb)) as s")
+        .collect()[0][0]
+    )
+
+
+OPS = {
+    "rollup_agg": ("events", op_rollup_agg),
+    "window_delta": ("events", op_window_delta),
+    "exact_dedup": ("documents", op_exact_dedup),
+    "minhash_kernel": ("documents", op_minhash_kernel),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multiples", default="1,4,16")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+    multiples = [int(x) for x in args.multiples.split(",")]
+
+    spark = get_spark(app_name="cmp-spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rates: dict[str, dict[int, float]] = {name: {} for name in OPS}
+    for m in multiples:
+        inputs = {
+            "events": scaled_events(spark, args.sf_dir, m).persist(),
+            "documents": scaled_docs(spark, args.sf_dir, m).persist(),
+        }
+        counts = {k: df.count() for k, df in inputs.items()}  # materialize
+        for name, (src, fn) in OPS.items():
+            fn(inputs[src])  # cold run: codegen + worker warm
+            t0 = time.time()
+            fn(inputs[src])
+            dt = time.time() - t0
+            rate = counts[src] / dt
+            rates[name][m] = rate
+            print(
+                json.dumps(
+                    {
+                        "op": name,
+                        "multiple": m,
+                        "input_rows": counts[src],
+                        "sec": round(dt, 3),
+                        "rows_per_sec": round(rate),
+                    }
+                )
+            )
+        for df in inputs.values():
+            df.unpersist()
+
+    lo, hi = min(multiples), max(multiples)
+    summary = {
+        "metric": "scale_efficiency",
+        "multiples": multiples,
+        "efficiency": {
+            name: round(r[hi] / r[lo], 3) for name, r in rates.items()
+        },
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
