@@ -443,22 +443,30 @@ def simhash64(text: Column | str) -> Column:
 
     For each bit j: sum +/-1 over token hashes' bit j; fingerprint bit j
     is 1 when the sum is positive. 62 bits rather than 64 so every mask
-    literal stays a positive long under ANSI arithmetic."""
+    literal stays a positive long under ANSI arithmetic.
+
+    Single corpus-scan form: ONE ``aggregate`` carries a 62-counter
+    accumulator array and a ``zip_with`` against the bit-mask array adds
+    +/-1 to every counter per token. The earlier per-bit form ran 62
+    separate ``aggregate`` passes, each re-evaluating the tokenize+hash
+    subexpression (no CSE across aggregate initial plans) — ~10x slower
+    on the sf0.1 corpus."""
     hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
-
-    def _bit_step(j: int):
-        # closure factory: pyspark counts lambda parameters to decide HOF
-        # arity, so a `j=j` default arg would receive the index column
-        mask = F.lit(1 << j)
-        return lambda a, h: a + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-
-    fp = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_step(j))
-        fp = fp + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return fp
+    masks = F.array(*[F.lit(1 << j) for j in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    signed = F.zip_with(
+        counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(signed, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
 def simhash_pairs(
