@@ -204,7 +204,8 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    """Indexes of the n nearest centroids, nearest first (row-local)."""
+    """Indexes of the n nearest centroids, nearest first (row-local HOF
+    reference form; see :func:`nearest_cells_np` for the hot path)."""
     scored = F.array(
         *[
             F.struct(_sq_dist(vec, c).alias("d"), F.lit(i).alias("i"))
@@ -212,6 +213,38 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
         ]
     )
     return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["i"])
+
+
+def nearest_cells_np(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Indexes of the n nearest centroids, nearest first (Arrow kernel).
+
+    Same ordering as :func:`_nearest_cells` (squared L2; exact-distance
+    ties break toward the lower centroid index — stable argsort). The
+    k x d centroid matrix rides the UDF closure instead of being inlined
+    as k*d literal sub-expressions: at k=16, d=64 the literal form made
+    every retrained-quantizer plan a fresh ~1000-node codegen unit,
+    re-analyzed and re-compiled per Lloyd iteration."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def _nc(xs: pd.Series) -> pd.Series:
+        try:
+            X = np.stack(xs.to_numpy()).astype(np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+            return pd.Series(list(idx))
+        except ValueError:  # ragged dims — per-row fallback
+            out = []
+            for x in xs:
+                d2 = ((np.asarray(x, dtype=np.float64)[None, :] - C) ** 2).sum(
+                    axis=-1
+                )
+                out.append(np.argsort(d2, kind="stable")[:n].astype(np.int32))
+            return pd.Series(out)
+
+    return _nc(vec)
 
 
 def kmeans_centroids(
@@ -247,22 +280,43 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r.v] for r in init_rows]
     for _ in range(iters):
-        assigned = vecs.withColumn(
-            "_c", F.element_at(_nearest_cells(F.col("v"), centroids, 1), 1)
-        )
-        stats = (
-            assigned.select("_c", F.posexplode("v").alias("_d", "_x"))
-            .groupBy("_c", "_d")
-            .agg(F.sum("_x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
-        for r in stats:
-            by_cell.setdefault(r["_c"], {})[r["_d"]] = (float(r["s"]), r["n"])
+        # one job per iteration: each Arrow batch computes assignment +
+        # per-cell (sum-vector, count) partials in a single numpy pass;
+        # <= num_partitions * k tiny rows reach the driver, which
+        # finishes the reduction (same map-side-combine shape the
+        # posexplode/groupBy form had, minus its k*dim-literal plans
+        # that re-compiled per iteration)
+        C = np.asarray(centroids, dtype=np.float64)
+
+        def _partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+                a = d2.argmin(axis=1)
+                cells = np.unique(a)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype(np.int32),
+                        "s": [X[a == c].sum(axis=0).tolist() for c in cells],
+                        "n": [int((a == c).sum()) for c in cells],
+                    }
+                )
+
+        rows = vecs.mapInPandas(_partials, "cell int, s array<double>, n bigint").collect()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            s = np.asarray(r["s"], dtype=np.float64)
+            if r["cell"] in sums:
+                sums[r["cell"]] += s
+                counts[r["cell"]] += r["n"]
+            else:
+                sums[r["cell"]] = s
+                counts[r["cell"]] = r["n"]
         centroids = [
-            [by_cell[i][d][0] / by_cell[i][d][1] for d in range(len(c))]
-            if i in by_cell
-            else c
+            (sums[i] / counts[i]).tolist() if i in sums else c
             for i, c in enumerate(centroids)
         ]
     return centroids
@@ -293,13 +347,13 @@ def ivf_kmeans_topk(
             corpus, vec_col, num_cells, iters, sample_fraction
         )
     c = corpus.withColumn(
-        "_cell", F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1)
+        "_cell", F.element_at(nearest_cells_np(F.col(vec_col), centroids, 1), 1)
     )
     probe_cells = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pvec"),
         F.explode(
-            _nearest_cells(F.col(vec_col), centroids, n_probe_cells)
+            nearest_cells_np(F.col(vec_col), centroids, n_probe_cells)
         ).alias("_cell"),
     )
     sim = (
