@@ -43,6 +43,11 @@ HEADLINE = [
     "docs_minhash_lsh",
     "docs_text_stats",
     "emb_cosine_topk",
+    "events_matcher_query",
+    "docs_ngram_jaccard",
+    "docs_simhash_pairs",
+    "multimodal_features",
+    "emb_ivf_kmeans_topk",
 ]
 
 
