@@ -501,15 +501,17 @@ def simhash_pairs(
     ).select(id_col, "sim", "ck.chunk", "ck.key")
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "key")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "key")
-    cand = (
-        a.join(b, ["chunk", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    # Hamming filter BEFORE the dedup shuffle: it commutes with
+    # distinct, each match costs one xor+popcount on columns already in
+    # hand, and it shrinks the distinct's input from every bucket
+    # collision (~20x the output at sf0.1) to the qualifying pairs —
+    # three narrow columns instead of two 64-bit signatures per row.
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.withColumn("hamming", ham)
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
