@@ -49,3 +49,33 @@ def write_metrics_table(
 def read_metrics_table(spark: SparkSession, path: str) -> DataFrame:
     """Read back; the `date` partition column stays available for pruning."""
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (optionally bucket-sorted) managed table.
+
+    Bucketing is the co-located-join lever the plain parquet path can't
+    offer: two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle on either side - at 100 TB that turns
+    the nightly fact-fact joins (lineitem x orders on orderkey, raw x
+    rollup on series_hash) from the dominant exchange into a local
+    zipper per bucket. ClickHouse gets the same effect from sharing one
+    ORDER BY prefix across tables (``internal/clickhouse/schema.sql``);
+    parquet's equivalent is the metastore bucket spec. Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog, not the
+    files) - plain ``.parquet(path)`` silently drops the bucket spec."""
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
