@@ -123,3 +123,47 @@ def documents_as_media(df: DataFrame) -> DataFrame:
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def resize_image_stub(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Resize an image payload to (width, height).
+
+    STUB: real resize needs PIL/opencv (not in this container). With
+    ``fake=True`` returns a deterministic byte string of the exact size
+    a 3-channel uint8 raster would occupy (w*h*3), derived from the
+    payload digest - so downstream size accounting and schema handling
+    are exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an imaging library; not available here"
+        )
+    digest = hashlib.sha1(payload or b"").digest()
+    size = max(width, 0) * max(height, 0) * 3
+    return (digest * (size // len(digest) + 1))[:size]
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """mapInPandas resize over BINARY payloads: same MEDIA_SCHEMA out,
+    payload replaced by the resized raster, meta.width/height updated.
+
+    Keeping the output schema identical to the input makes the op
+    composable with itself and with :func:`extract_features` (resize ->
+    extract is the standard preprocess chain); payloads never leave the
+    executors."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda p: resize_image_stub(p, width, height, fake=fake_decode)
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield out
+
+    return df.mapInPandas(_resize, schema=MEDIA_SCHEMA)

@@ -866,6 +866,41 @@ FROM documents
 """
 
 
+def multimodal_resize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize -> extract preprocess chain over BINARY payloads: the
+    resize stub emits the exact w*h*3 raster size and stamps
+    meta.width/height, then feature extraction reads the resized
+    payload — so the oracle can pin byte accounting and metadata
+    propagation through two chained mapInPandas stages."""
+    from clickhouse_metrics_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        resize_media,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    resized = resize_media(media, width=32, height=24, fake_decode=True)
+    feats = extract_features(resized, fake_decode=True).select(
+        "media_id", "payload_bytes", F.size("features").alias("n_features")
+    )
+    dims = resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return feats.join(dims, "media_id")
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       32 * 24 * 3 AS payload_bytes,
+       8 AS n_features,
+       32 AS width,
+       24 AS height
+FROM documents
+"""
+
+
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN probe search, untrained SRP cells (approximate by
     design — rows-only check; the exact baseline is emb_cosine_topk)."""
@@ -914,6 +949,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exp_hist_merge": exp_hist_merge,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "multimodal_features": multimodal_features,
+    "multimodal_resize_chain": multimodal_resize_chain,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_kmeans_topk": emb_ivf_kmeans_topk,
 }
@@ -940,5 +976,6 @@ EXTRA_ORACLE: dict[str, str] = {
     "exp_hist_merge": EXP_HIST_MERGE_SQL,
     "docs_rolling_fingerprint": DOCS_FP_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize_chain": MULTIMODAL_RESIZE_SQL,
     # emb_ivf_topk: approximate by design -> rows-only check
 }
