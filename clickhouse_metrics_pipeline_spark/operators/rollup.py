@@ -178,3 +178,59 @@ def apply_retention(df: DataFrame, retention: str, now=None) -> DataFrame:
     """
     now = F.current_timestamp() if now is None else now
     return df.filter(F.col("timestamp") >= now - F.expr(f"INTERVAL {retention}"))
+
+
+def _partition_dates(spark, path: str) -> set[str]:
+    """Dates (date=YYYY-MM-DD partition values) present under a metrics
+    table path — driver-side file-listing metadata only, no data scan."""
+    try:
+        files = spark.read.parquet(path).inputFiles()
+    except Exception:  # path doesn't exist yet -> nothing rolled up
+        return set()
+    return {
+        f.split("date=")[1].split("/")[0] for f in files if "date=" in f
+    }
+
+
+def incremental_rollup_job(
+    spark,
+    raw_path: str,
+    out_path: str,
+    grain: str = "1 minute",
+    lookback_days: int = 1,
+) -> list[str]:
+    """Roll up only what changed: the reference's MV freshness guards
+    (WHERE timestamp >= now() - INTERVAL 1 DAY, schema.sql:183,274,365)
+    as partition arithmetic.
+
+    Processes raw date partitions that are (a) absent from the output
+    or (b) within ``lookback_days`` of the newest raw date (the
+    late-data window), and overwrites exactly those output partitions
+    (dynamic partition overwrite -> rerunning is idempotent). At 100 TB
+    this is the difference between re-aggregating the full history
+    nightly and touching ~1/455th of it; late data older than the
+    lookback is dropped by design, mirroring the reference's guard.
+
+    Returns the list of processed dates (empty = nothing to do)."""
+    import datetime as dt
+
+    raw_dates = _partition_dates(spark, raw_path)
+    if not raw_dates:
+        return []
+    done = _partition_dates(spark, out_path)
+    horizon = dt.date.fromisoformat(max(raw_dates)) - dt.timedelta(
+        days=lookback_days - 1
+    )
+    stale = {d for d in raw_dates if dt.date.fromisoformat(d) >= horizon}
+    todo = sorted((raw_dates - done) | stale)
+
+    raw = spark.read.parquet(raw_path).where(F.col("date").isin(todo))
+    out = rollup_raw_to_1m(raw, grain).withColumn("date", F.to_date("timestamp"))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("date").parquet(out_path)
+    finally:
+        spark.conf.set(key, prev)
+    return todo
