@@ -52,6 +52,11 @@ def _lang_hits(lang: str) -> str:
 
 _EXP_BUCKETS = "ARRAY<STRUCT<index: INT, count: BIGINT>>"
 
+# bit masks 2^0..2^61 for the SimHash kernel (operators.dedup.simhash64)
+_SIMHASH_MASKS_SQL = (
+    "array(" + ", ".join(f"{1 << j}L" for j in range(62)) + ")"
+)
+
 
 def _exp_percentile_ddl() -> str:
     """H6 as one SQL expression (mirrors ``exp_histogram_percentile``)."""
@@ -241,6 +246,18 @@ def _functions() -> list[str]:
             array_min(transform(
               sequence(0, greatest(size({_TOKENS}) - window, 0)),
               i -> xxhash64(array_join(slice({_TOKENS}, i + 1, window), ' '))))""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION doc_simhash(
+              text STRING) RETURNS BIGINT RETURN
+            aggregate(
+              zip_with(
+                aggregate(
+                  transform({_TOKENS}, t -> xxhash64(t)),
+                  array_repeat(CAST(0 AS BIGINT), 62),
+                  (acc, h) -> zip_with(acc, {_SIMHASH_MASKS_SQL},
+                    (a, m) -> a + IF(h & m != 0, 1, -1))),
+                {_SIMHASH_MASKS_SQL},
+                (c, m) -> IF(c > 0, m, CAST(0 AS BIGINT))),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""",
     ]
 
 

@@ -24,6 +24,7 @@ from clickhouse_metrics_pipeline_spark.functions.histogram import (
     delta_to_cumulative_buckets,
     merge_bucket_arrays,
 )
+from clickhouse_metrics_pipeline_spark.operators.dedup import simhash64
 from clickhouse_metrics_pipeline_spark.functions.text import (
     bpe_token_count,
     detect_language,
@@ -187,6 +188,7 @@ class TestTextSqlUdfs:
         ("text_detect_language(text)", detect_language, None),
         ("doc_fingerprint(text)", doc_fingerprint, None),
         ("doc_rolling_fingerprint(text, 8)", rolling_hash_fingerprint, None),
+        ("doc_simhash(text)", simhash64, None),
     ]
 
     @pytest.mark.parametrize("sql_expr,builder,tol",
