@@ -167,3 +167,47 @@ def resize_media(
             yield out
 
     return df.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def audio_chunk_plan(
+    df: DataFrame, chunk_ms: int = 30_000, hop_ms: int | None = None
+) -> DataFrame:
+    """Audio chunking plan: one row per (possibly overlapping) window,
+    computed from metadata only — the audio analogue of
+    :func:`frame_sample_plan`. ``hop_ms`` < ``chunk_ms`` gives
+    overlapping windows (the ASR/embedding preprocessing shape);
+    default is non-overlapping. Rows fan out BEFORE the heavy decode
+    stage so Spark rebalances chunks, not files, across executors; a
+    final partial chunk is emitted whenever the duration isn't a hop
+    multiple."""
+    hop = hop_ms if hop_ms is not None else chunk_ms
+    if hop <= 0 or chunk_ms <= 0:
+        raise ValueError("chunk_ms and hop_ms must be positive")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    # number of windows starting before the end: ceil(max(dur-chunk,0)/hop)+1
+    n_chunks = F.when(dur <= 0, F.lit(0)).otherwise(
+        F.ceil(F.greatest(dur - chunk_ms, F.lit(0)) / hop).cast("int") + 1
+    )
+    return (
+        df.select(
+            "media_id",
+            "mime",
+            dur.alias("_dur"),
+            # sequence(0, -1) would step BACKWARD ([0, -1]) — guard the
+            # zero-chunk case with an empty array instead
+            F.explode(
+                F.when(
+                    n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "mime",
+            "chunk_idx",
+            (F.col("chunk_idx") * hop).alias("start_ms"),
+            F.least(
+                F.col("chunk_idx") * hop + chunk_ms, F.col("_dur")
+            ).alias("end_ms"),
+        )
+    )

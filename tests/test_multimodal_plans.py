@@ -1,0 +1,70 @@
+"""Multimodal plan ops: audio chunking and resize chain math."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from clickhouse_metrics_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_chunk_plan,
+    extract_features,
+    resize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id=1, payload=b"a", mime="audio/wav",
+            meta=Row(width=None, height=None, duration_ms=90_000)),
+        Row(media_id=2, payload=b"b", mime="audio/wav",
+            meta=Row(width=None, height=None, duration_ms=45_000)),
+        Row(media_id=3, payload=b"c", mime="audio/wav",
+            meta=Row(width=None, height=None, duration_ms=0)),
+        Row(media_id=4, payload=b"d", mime="audio/wav",
+            meta=Row(width=None, height=None, duration_ms=None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _chunks(df, media_id):
+    return sorted(
+        (r["chunk_idx"], r["start_ms"], r["end_ms"])
+        for r in df.collect()
+        if r["media_id"] == media_id
+    )
+
+
+def test_non_overlapping_chunks(spark, media):
+    out = audio_chunk_plan(media, chunk_ms=30_000)
+    assert _chunks(out, 1) == [(0, 0, 30_000), (1, 30_000, 60_000),
+                               (2, 60_000, 90_000)]
+    # 45s: full chunk + partial tail
+    assert _chunks(out, 2) == [(0, 0, 30_000), (1, 30_000, 45_000)]
+
+
+def test_zero_or_null_duration_emits_no_chunks(spark, media):
+    out = audio_chunk_plan(media, chunk_ms=30_000)
+    assert _chunks(out, 3) == []
+    assert _chunks(out, 4) == []
+
+
+def test_overlapping_hop(spark, media):
+    out = audio_chunk_plan(media, chunk_ms=30_000, hop_ms=15_000)
+    got = _chunks(out, 2)  # 45s, windows every 15s
+    assert got == [(0, 0, 30_000), (1, 15_000, 45_000)]
+
+
+def test_invalid_args_rejected(spark, media):
+    with pytest.raises(ValueError):
+        audio_chunk_plan(media, chunk_ms=0)
+
+
+def test_resize_then_extract_chain(spark, media):
+    out = extract_features(
+        resize_media(media, width=8, height=4, fake_decode=True),
+        fake_decode=True,
+    ).collect()
+    assert {r["payload_bytes"] for r in out} == {8 * 4 * 3}
+    assert all(len(r["features"]) == 8 for r in out)
