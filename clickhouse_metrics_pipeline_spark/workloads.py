@@ -461,7 +461,8 @@ def events_reset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_RESET_DETECT_SQL = """
 SELECT user_id, event_type,
-       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets,
+       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)::BIGINT
+         AS n_resets,
        count(*) AS n_points
 FROM (SELECT user_id, event_type, value,
              lag(value) OVER (PARTITION BY user_id, event_type
@@ -568,11 +569,11 @@ SELECT event_type,
        sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
                  AND ts <= TIMESTAMP '2024-01-16 00:00:00'
                  AND event_type IS NOT NULL AND event_type != ''
-                 AND value IS NOT NULL THEN 1 ELSE 0 END) AS n_valid,
+                 AND value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_valid,
        sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
                  AND ts <= TIMESTAMP '2024-01-16 00:00:00'
                  AND event_type IS NOT NULL AND event_type != ''
-                 AND value IS NOT NULL THEN 0 ELSE 1 END) AS n_dropped
+                 AND value IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS n_dropped
 FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
 GROUP BY event_type
 """

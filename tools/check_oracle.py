@@ -30,10 +30,12 @@ def _norm_cell(v):
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
+        # Strict: an int-valued float does NOT collapse to int — the
+        # driver's hasher distinguishes them (DuckDB HUGEINT sums come
+        # back as float64 via pandas and must be ::BIGINT-cast in the
+        # oracle SQL instead).
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 6))
     if isinstance(v, bool):
         return str(int(v))
