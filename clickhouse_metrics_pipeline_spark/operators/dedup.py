@@ -435,27 +435,25 @@ def ngram_jaccard_pairs(
 
 
 SIMHASH_BITS = 62  # bits 0..61: keeps every bit mask a positive BIGINT
+PORTABLE_SIMHASH_BITS = 60  # 15 md5 hex chars -> bit-exact in any engine
 
 
-def simhash64(text: Column | str) -> Column:
-    """SimHash fingerprint of the token multiset (62 bits in a BIGINT),
-    row-local.
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """Majority-vote SimHash over a token-hash array, row-local.
 
     For each bit j: sum +/-1 over token hashes' bit j; fingerprint bit j
-    is 1 when the sum is positive. 62 bits rather than 64 so every mask
-    literal stays a positive long under ANSI arithmetic.
+    is 1 when the sum is positive.
 
-    Single corpus-scan form: ONE ``aggregate`` carries a 62-counter
+    Single corpus-scan form: ONE ``aggregate`` carries a bits-counter
     accumulator array and a ``zip_with`` against the bit-mask array adds
     +/-1 to every counter per token. The earlier per-bit form ran 62
     separate ``aggregate`` passes, each re-evaluating the tokenize+hash
     subexpression (no CSE across aggregate initial plans) — ~10x slower
     on the sf0.1 corpus."""
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
-    masks = F.array(*[F.lit(1 << j) for j in range(SIMHASH_BITS)])
+    masks = F.array(*[F.lit(1 << j) for j in range(bits)])
     counts = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
         lambda acc, h: F.zip_with(
             acc,
             masks,
@@ -469,19 +467,57 @@ def simhash64(text: Column | str) -> Column:
     return F.aggregate(signed, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
+def simhash64(text: Column | str) -> Column:
+    """SimHash fingerprint of the token multiset (62 bits in a BIGINT),
+    row-local. xxhash64 token hashes — the fast scale path (JVM hash, no
+    hex parse). 62 bits rather than 64 so every mask literal stays a
+    positive long under ANSI arithmetic."""
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    return _simhash_from_hashes(hashes, SIMHASH_BITS)
+
+
+def simhash60_portable(text: Column | str) -> Column:
+    """SimHash with md5-derived 60-bit token hashes (first 15 hex chars).
+
+    Bit-for-bit reproducible in any engine with md5 + hex parse (DuckDB:
+    ``('0x' || substr(md5(tok), 1, 15))::BIGINT``) — used where an exact
+    cross-engine oracle matters; ~30% slower than :func:`simhash64`."""
+    hashes = F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    return _simhash_from_hashes(hashes, PORTABLE_SIMHASH_BITS)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidate generation by 16-bit chunk equality (pigeonhole: distance
-    <= 3 guarantees one of 4 chunks equal), then exact xor/bit_count."""
-    sh = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(F.col(id_col), simhash64(text_col).alias("sim"))
+    Candidate generation by bit-chunk equality over max_hamming+1 chunks
+    (pigeonhole: distance <= max_hamming guarantees one chunk equal), so
+    the pair set is EXACT, then xor/bit_count verification. ``portable``
+    switches to the md5-derived 60-bit signature with a cross-engine
+    oracle (:func:`simhash60_portable`)."""
+    n_chunks = max_hamming + 1
+    bits = PORTABLE_SIMHASH_BITS if portable else SIMHASH_BITS
+    sig = simhash60_portable(text_col) if portable else simhash64(text_col)
+    width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
+    # Cache the signature relation: the chunk self-join consumes it twice
+    # and Spark re-executes the tokenize+hash lineage per side otherwise
+    # (exchange reuse doesn't fire — the per-side projections push below
+    # the exchange and break canonical equality). One narrow (id, int64)
+    # row per document: at 100 TB this is ~GBs, MEMORY_AND_DISK-safe; for
+    # a persistent corpus write it to a signatures table instead.
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(F.col(id_col), sig.alias("sim"))
+        .cache()
+    )
     chunks = sh.select(
         id_col,
         "sim",
@@ -490,11 +526,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sim"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sim"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

@@ -936,10 +936,40 @@ WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
 
 
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 6). No SQL oracle (bit-level
-    xxhash64 manipulation is Spark-specific) - rows-only check."""
+    """SimHash near-dup pairs (hamming <= 6), EXACT: pigeonhole chunk
+    candidates + xor/bit_count verify, portable md5-derived 60-bit
+    signature -> full DuckDB oracle (brute-force recompute)."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=6)
+    return simhash_pairs(d, max_hamming=6, portable=True)
+
+
+# Brute-force recompute of the portable SimHash in SQL: per-token 60-bit
+# md5 hash -> per-bit majority vote -> signature -> all pairs with
+# bit_count(xor) <= 6. The Spark side's chunked candidate generation is
+# exact (pigeonhole over 7 chunks), so the sets match exactly.
+DOCS_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                             ' ')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(60) r(j)
+  GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS sim
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 6
+"""
 
 
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,8 +1068,11 @@ ORACLE_SQL: dict[str, str] = {
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "multimodal_binary_meta": MULTIMODAL_META_SQL,
-    # docs_simhash_pairs, emb_ann_lsh: intentionally no oracle
-    # (approximate / hash-bit-level ops) -> driver rows-only check.
+    "docs_simhash_pairs": DOCS_SIMHASH_SQL,
+    # emb_ann_lsh (+ ivf variants in workloads_ext): intentionally no
+    # oracle — approximate recall by design (LSH bucketing / trained
+    # quantizer); pytest checks recall vs brute force instead, and the
+    # driver records the rows-only check.
 }
 
 # extended suite (rest of TPC-H shapes + remaining SS2 operators);
