@@ -22,7 +22,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint nanos (legacy.parquet.nanosAsLong) - truncate to micros, same
     flooring DuckDB applies when surfacing ns timestamps to clients."""
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
         # integer `div`, NOT `/`: float division loses ULPs at 1e18 nanos
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        # micros-precision files read as NTZ; session tz is pinned UTC so
+        # this cast is value-identity - gives every sf the same ts type
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev

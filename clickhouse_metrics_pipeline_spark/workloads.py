@@ -1084,3 +1084,13 @@ from clickhouse_metrics_pipeline_spark.workloads_ext import (  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE)
+
+# second extension: session/sliding windows, as-of + interval joins,
+# CUBE, series assembly, exemplar cap, rollup cascade, routing, lang-ID
+from clickhouse_metrics_pipeline_spark.workloads_ext2 import (  # noqa: E402
+    EXTRA2_ORACLE,
+    EXTRA2_QUERIES,
+)
+
+QUERIES.update(EXTRA2_QUERIES)
+ORACLE_SQL.update(EXTRA2_ORACLE)

@@ -1,0 +1,639 @@
+"""Second extended catalog: temporal/windowing operators beyond the
+reference's tumbling-only surface (session windows, sliding windows,
+as-of join, interval containment join), multidimensional aggregation
+(CUBE / grouping sets), exact distinct counts, remote-read series
+assembly with an order-sensitive checksum, exemplar capping (F4) as an
+array kernel, the full 1m->5m->1h rollup cascade proven lossless
+against raw, summary-type exact quantiles (A13), resolution routing
+(Q1) as a first-class query, and language identification as a
+confusion-matrix query.
+
+Reference anchors (SURVEY SS2): tumbling rollups `schema.sql:152,255,346`
+are generalized to sliding/session windows Spark gives for free;
+exemplar capping mirrors `processor/processor.go:100-104`; series
+assembly mirrors `promread/handler.go:137-220`; the cascade mirrors the
+MV chain `schema.sql:249-283,340-373` with the weighted-avg fix (A11);
+resolution routing mirrors `promread/handler.go:304-321`.
+
+Scale notes are inline per query; the common themes:
+- windows/sessions: one shuffle on the series key, no self-joins;
+- as-of join: union-and-carry, one exchange, no range explosion;
+- interval join: broadcast the (tiny) interval side, non-equi join
+  stays a BroadcastNestedLoopJoin over 3 rows - the scale-safe shape;
+- cascade: each level re-aggregates the previous level's output
+  (15x, then 12x row reduction), never re-reads raw.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_metrics_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    detect_language,
+)
+from clickhouse_metrics_pipeline_spark.operators.asof import asof_join
+from clickhouse_metrics_pipeline_spark.plans.router import select_resolution
+from clickhouse_metrics_pipeline_spark.tables import _events, _t
+
+_EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
+
+
+# --------------------------------------------------------------------------
+# Session windows (streaming-native operator, batch-checkable)
+# --------------------------------------------------------------------------
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-minute gap (F.session_window - the
+    operator Structured Streaming uses for session state; batch form is
+    oracle-checkable). Merge rule pinned by test: a point exactly
+    gap-after the previous point still merges (new session iff
+    gap > 30 min strictly).
+
+    Scale: one shuffle on user_id; session merge is a sort within the
+    key partition - no self-join, no state blowup."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SESSION_SQL = f"""
+WITH flg AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM {_EV_SQL}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flg
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# Sliding windows (hop < size: each point lands in size/hop windows)
+# --------------------------------------------------------------------------
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 - the overlap shape tumbling
+    rollups (schema.sql:152) can't express; built-in `window()` emits
+    each point into exactly 2 windows.
+
+    Scale: the duplication factor is size/hop (2x), applied before the
+    partial aggregation - shuffle carries pre-aggregated partials, not
+    doubled raw rows."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k.k * INTERVAL 5 MINUTE AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM {_EV_SQL}
+CROSS JOIN (VALUES (0), (1)) k(k)
+GROUP BY win_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join (union-and-carry; operators/asof.py)
+# --------------------------------------------------------------------------
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the latest click by the same user at or
+    before it (backward as-of join): attribution, the canonical
+    temporal-join workload. gap_us is an exact integer so the oracle
+    hash can't wobble on float formatting."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        payload=["event_id", "ts"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_ts").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )
+
+
+EVENTS_ASOF_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM {_EV_SQL}
+  WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(c_id IGNORE NULLS) OVER w AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       click_id, click_ts,
+       date_diff('microsecond', click_ts, ts) AS gap_us
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval containment join (broadcast range join)
+# --------------------------------------------------------------------------
+
+
+def events_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pick the 3 days with the most 'error' events
+    ("incidents"), then count every event type inside those day windows
+    via a ts-containment join.
+
+    Scale: the interval side is 3 rows -> F.broadcast makes the
+    non-equi join a BroadcastNestedLoopJoin over a tiny build side,
+    which is the *correct* plan (a shuffle range-join would be wasted
+    motion); the probe side streams once."""
+    ev = _events(spark, sf_dir)
+    incidents = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("inc_day"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy(F.col("n_errors").desc(), F.col("inc_day"))
+        .limit(3)
+    )
+    iv = F.broadcast(
+        incidents.select(
+            "inc_day",
+            F.col("inc_day").cast("timestamp").alias("win_start"),
+            F.date_add("inc_day", 1).cast("timestamp").alias("win_end"),
+        )
+    )
+    return (
+        ev.join(iv, (ev.ts >= iv.win_start) & (ev.ts < iv.win_end))
+        .groupBy("inc_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_INCIDENT_SQL = f"""
+WITH inc AS (
+  SELECT ts::DATE AS inc_day, count(*) AS n_errors
+  FROM {_EV_SQL} WHERE event_type = 'error'
+  GROUP BY 1 ORDER BY n_errors DESC, inc_day LIMIT 3
+)
+SELECT inc_day, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM {_EV_SQL}
+JOIN inc ON ts >= inc_day::TIMESTAMP AND ts < (inc_day + 1)::TIMESTAMP
+GROUP BY inc_day, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE / grouping sets
+# --------------------------------------------------------------------------
+
+
+def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day): all four grouping sets in one pass with
+    grouping_id disambiguating the ALL rows (DuckDB's grouping() uses
+    the same bit order).
+
+    Scale: CUBE expands each row into 4 grouping-set rows *after*
+    partial aggregation under Spark's Expand operator - the shuffle
+    carries partials per set, not 4x raw."""
+    ev = _events(spark, sf_dir)
+    day = F.to_date("ts").cast("string")
+    return (
+        ev.cube(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_CUBE_SQL = f"""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       grouping(event_type, day)::BIGINT AS gid,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, ts::DATE::VARCHAR AS day, value FROM {_EV_SQL}) e
+GROUP BY CUBE (event_type, day)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact distinct (partial-agg friendly)
+# --------------------------------------------------------------------------
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users + active days. count(DISTINCT x, y)
+    expands to a two-phase plan (dedup shuffle then count) - partials
+    keep the shuffle narrow. The HLL approximate variant is pytest-
+    checked against this within 5% (tests/test_workloads_ext2.py)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_DISTINCT_SQL = f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT ts::DATE) AS n_days,
+       count(*) AS n_events
+FROM {_EV_SQL}
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Remote-read series assembly (Q3) with order-sensitive checksum
+# --------------------------------------------------------------------------
+
+
+def events_series_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series assembly exactly as promread/handler.go:137-220: group by
+    series, samples in (ts, tiebreak) order. The sample vector is
+    summarized by an order-SENSITIVE md5 over integer-scaled values, so
+    any mis-ordering flips the hash - a stronger check than count/min/
+    max. Values are scaled to bigints (round(value*10000)) before
+    stringification: no float-formatting divergence between engines."""
+    ev = _events(spark, sf_dir)
+    vint = F.round(F.col("value") * 10000, 0).cast("bigint").cast("string")
+    samples = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), vint.alias("v")))
+    )
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.md5(
+            F.array_join(F.transform(samples, lambda s: s["v"]), ",")
+        ).alias("series_md5"),
+    )
+
+
+EVENTS_ASSEMBLY_SQL = f"""
+SELECT user_id, event_type,
+       count(*) AS n_samples,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       md5(string_agg(round(value * 10000, 0)::BIGINT::VARCHAR, ','
+                      ORDER BY ts, event_id)) AS series_md5
+FROM {_EV_SQL}
+GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Exemplar cap (F4) as an array kernel
+# --------------------------------------------------------------------------
+
+
+def events_exemplar_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (processor.go:100-104): keep at most N exemplars per series.
+    Exemplar policy: top-3 by value (ties by event_id), implemented the
+    way the engine stores them - collect, sort, slice(1..N) - then
+    exploded back to rows so the oracle can pin every kept exemplar."""
+    ev = _events(spark, sf_dir)
+    ex = F.struct(
+        (-F.col("value")).alias("neg_v"),
+        F.col("event_id").alias("eid"),
+        F.round("value", 4).alias("v"),
+    )
+    capped = ev.groupBy("user_id", "event_type").agg(
+        F.slice(F.array_sort(F.collect_list(ex)), 1, 3).alias("exemplars")
+    )
+    e = F.posexplode("exemplars")
+    return capped.select(
+        "user_id", "event_type", e.alias("pos", "x")
+    ).select(
+        "user_id",
+        "event_type",
+        (F.col("pos") + 1).alias("exemplar_rank"),
+        F.col("x.eid").alias("event_id"),
+        F.col("x.v").alias("value"),
+    )
+
+
+EVENTS_EXEMPLAR_SQL = f"""
+SELECT user_id, event_type, rn AS exemplar_rank, event_id,
+       round(value, 4) AS value
+FROM (SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM {_EV_SQL})
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup cascade 1m -> 5m -> 1h, proven lossless against raw
+# --------------------------------------------------------------------------
+
+
+def _grain_rollup(df: DataFrame, grain: str) -> DataFrame:
+    """One cascade level: re-aggregate aggregates (A11, weighted form).
+    Carries (sum_value, samples) so avg is exact at every level, and
+    (last_key, value_last) so anyLast is deterministic (max_by)."""
+    return df.groupBy(
+        "user_id", "event_type", F.date_trunc(grain, "bucket_ts").alias("bucket_ts")
+    ).agg(
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+        F.sum("sum_value").alias("sum_value"),
+        F.max_by("value_last", "last_key").alias("value_last"),
+        F.max("last_key").alias("last_key"),
+        F.sum("samples").alias("samples"),
+    )
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MV chain (schema.sql:249-283, 340-373) as explicit jobs:
+    raw -> 1m -> 5m -> 1h, each level reading ONLY the previous level.
+    avg is weighted (A11 fix), so the oracle computes 1h directly from
+    raw - hash equality proves the cascade is lossless.
+
+    Scale: this is the plan that survives 100 TB - the 1h job reads the
+    5m table (180x smaller than raw), not raw; each level is one
+    shuffle on the same (series, bucket) key family."""
+    ev = _events(spark, sf_dir)
+    m1 = ev.groupBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("bucket_ts")
+    ).agg(
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.sum("value").alias("sum_value"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("value_last"),
+        F.max(F.struct("ts", "event_id")).alias("last_key"),
+        F.count(F.lit(1)).alias("samples"),
+    )
+    m5 = _grain_rollup(
+        m1.withColumn(
+            "bucket_ts",
+            F.timestamp_seconds(F.floor(F.unix_timestamp("bucket_ts") / 300) * 300),
+        ),
+        "minute",
+    )
+    h1 = _grain_rollup(m5, "hour")
+    return h1.select(
+        "user_id",
+        "event_type",
+        "bucket_ts",
+        F.round("value_min", 4).alias("value_min"),
+        F.round("value_max", 4).alias("value_max"),
+        F.round(F.col("sum_value") / F.col("samples"), 4).alias("value_avg"),
+        F.round("value_last", 4).alias("value_last"),
+        F.col("samples").alias("samples_count"),
+    )
+
+
+EVENTS_CASCADE_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                                         time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {_EV_SQL}
+)
+SELECT user_id, event_type, bucket_ts,
+       round(min(value), 4) AS value_min,
+       round(max(value), 4) AS value_max,
+       round(sum(value) / count(*), 4) AS value_avg,
+       round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
+       count(*) AS samples_count
+FROM ranked
+GROUP BY user_id, event_type, bucket_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Summary-type exact quantiles (A13)
+# --------------------------------------------------------------------------
+
+
+def events_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary metric shape (count/sum/quantiles) per event_type using
+    EXACT percentiles (linear interpolation) - the oracle comparison
+    A13 prescribes exact percentile for. percentile_approx is the
+    at-scale variant (pytest-checked within tolerance, not hashed)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
+EVENTS_SUMMARY_SQL = f"""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM {_EV_SQL}
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Resolution routing (Q1) as a first-class query
+# --------------------------------------------------------------------------
+
+_ROUTE_NOW_MS = 1_706_745_600_000  # 2024-02-01 00:00:00 UTC
+_ROUTE_START_MS = 1_704_844_800_000  # 2024-01-10
+_ROUTE_END_MS = 1_705_017_600_000  # 2024-01-12 (span 2d, age 22d -> 5m)
+
+
+def events_resolution_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (promread/handler.go:304-321) live: the router picks the
+    grain for a 2-day-span, 22-day-old query -> metrics_5m; the rollup
+    then runs at that grain over the range. The routing decision is
+    itself pinned by pytest (tests/test_workloads_ext2.py)."""
+    table = select_resolution(_ROUTE_START_MS, _ROUTE_END_MS, _ROUTE_NOW_MS)
+    assert table == "metrics_5m", table
+    grain_s = {"metrics_raw": 1, "metrics_1m": 60, "metrics_5m": 300, "metrics_1h": 3600}[
+        table
+    ]
+    ev = _events(spark, sf_dir).where(
+        (F.unix_micros("ts") >= _ROUTE_START_MS * 1000)
+        & (F.unix_micros("ts") < _ROUTE_END_MS * 1000)
+    )
+    return (
+        ev.groupBy(
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / grain_s) * grain_s
+            ).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+        )
+        .withColumn("resolution", F.lit(table))
+    )
+
+
+EVENTS_ROUTE_SQL = f"""
+SELECT event_type,
+       time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
+       count(*) AS n_samples,
+       round(avg(value), 4) AS value_avg,
+       'metrics_5m' AS resolution
+FROM {_EV_SQL}
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type, bucket_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Language identification (confusion matrix vs the labeled lang column)
+# --------------------------------------------------------------------------
+
+
+def _sql_list_lit(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (marker n-gram heuristic) as a confusion matrix
+    against the labeled `lang` column: rows (lang, lang_pred, n). The
+    heuristic itself is pure built-in expressions (functions/text.py);
+    argmax ties break en > de > es > fr, no hits -> 'und'."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", detect_language("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _docs_language_sql() -> str:
+    toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    hits = {
+        lang: f"len(list_filter({toks}, x -> list_contains({_sql_list_lit(ws)}, x)))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    return f"""
+SELECT lang,
+       CASE WHEN {best} = 0 THEN 'und'
+            WHEN {hits['en']} = {best} THEN 'en'
+            WHEN {hits['de']} = {best} THEN 'de'
+            WHEN {hits['es']} = {best} THEN 'es'
+            WHEN {hits['fr']} = {best} THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_session_window": events_session_window,
+    "events_sliding_window": events_sliding_window,
+    "events_asof_join": events_asof_join,
+    "events_incident_windows": events_incident_windows,
+    "events_cube_rollup": events_cube_rollup,
+    "events_distinct_users": events_distinct_users,
+    "events_series_assembly": events_series_assembly,
+    "events_exemplar_cap": events_exemplar_cap,
+    "events_rollup_cascade": events_rollup_cascade,
+    "events_summary_quantiles": events_summary_quantiles,
+    "events_resolution_route": events_resolution_route,
+    "docs_language_id": docs_language_id,
+}
+
+EXTRA2_ORACLE: dict[str, str] = {
+    "events_session_window": EVENTS_SESSION_SQL,
+    "events_sliding_window": EVENTS_SLIDING_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "events_incident_windows": EVENTS_INCIDENT_SQL,
+    "events_cube_rollup": EVENTS_CUBE_SQL,
+    "events_distinct_users": EVENTS_DISTINCT_SQL,
+    "events_series_assembly": EVENTS_ASSEMBLY_SQL,
+    "events_exemplar_cap": EVENTS_EXEMPLAR_SQL,
+    "events_rollup_cascade": EVENTS_CASCADE_SQL,
+    "events_summary_quantiles": EVENTS_SUMMARY_SQL,
+    "events_resolution_route": EVENTS_ROUTE_SQL,
+    "docs_language_id": _docs_language_sql(),
+}

@@ -1,0 +1,188 @@
+"""Semantics pins for the second extended catalog (workloads_ext2).
+
+The oracle harness proves sf-scale equality; these tests pin the edge
+semantics the docstrings promise, on tiny hand-built frames where the
+expected value is computed by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.operators.asof import asof_join
+from clickhouse_metrics_pipeline_spark.plans.router import select_resolution
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+# --------------------------------------------------------------------------
+# Session window: merge iff gap <= 30 min (strictly-greater starts new)
+# --------------------------------------------------------------------------
+
+
+def test_session_exact_gap_merges(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0),
+        (2, "2024-01-01 00:30:00", 7, "click", 1.0),  # exactly 30:00 -> merge
+        (3, "2024-01-01 01:00:01", 7, "click", 1.0),  # 30:01 -> new session
+    ]
+    out = (
+        _ev(spark, rows)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sw.start")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [2, 1]
+    assert out[0]["sw"]["end"].strftime("%H:%M:%S") == "01:00:00"
+
+
+# --------------------------------------------------------------------------
+# As-of join: backward, tie at equal ts decided by tiebreak order
+# --------------------------------------------------------------------------
+
+
+def test_asof_backward_and_ties(spark):
+    purchases = _ev(
+        spark,
+        [
+            (10, "2024-01-01 01:00:00", 7, "purchase", 5.0),
+            (20, "2024-01-01 02:00:00", 7, "purchase", 5.0),
+            (30, "2024-01-01 00:10:00", 8, "purchase", 5.0),  # no prior click
+        ],
+    )
+    clicks = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:30:00", 7, "click", 1.0),
+            (15, "2024-01-01 02:00:00", 7, "click", 1.0),  # same ts as p20, id<20
+            (25, "2024-01-01 02:00:00", 7, "click", 1.0),  # same ts, id>20: invisible
+            (99, "2024-01-01 09:00:00", 8, "click", 1.0),  # future: invisible
+        ],
+    ).select("user_id", "ts", "event_id")
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            purchases, clicks, keys=["user_id"], payload=["event_id", "ts"]
+        ).collect()
+    }
+    assert out[10]["asof_event_id"] == 1
+    assert out[20]["asof_event_id"] == 15  # id 15 visible at tie, id 25 not
+    assert out[30]["asof_event_id"] is None  # nothing at-or-before
+
+
+# --------------------------------------------------------------------------
+# Exemplar cap: top-3 by value, ties by event_id, slice is exact
+# --------------------------------------------------------------------------
+
+
+def test_exemplar_cap_top3(spark):
+    from clickhouse_metrics_pipeline_spark.workloads_ext2 import events_exemplar_cap
+
+    out = events_exemplar_cap(spark, SF)
+    g = out.groupBy("user_id", "event_type").count().agg(F.max("count")).first()[0]
+    assert g <= 3
+    # rank 1 must be the per-series max value
+    ranked = out.where(F.col("exemplar_rank") == 1).alias("r")
+    raw = (
+        _raw_events(spark)
+        .groupBy("user_id", "event_type")
+        .agg(F.round(F.max("value"), 4).alias("vmax"))
+        .alias("m")
+    )
+    joined = ranked.join(raw, ["user_id", "event_type"])
+    assert joined.where(F.col("value") != F.col("vmax")).count() == 0
+
+
+def _raw_events(spark):
+    from clickhouse_metrics_pipeline_spark.tables import _events
+
+    return _events(spark, SF)
+
+
+# --------------------------------------------------------------------------
+# Rollup cascade == direct 1h aggregation (losslessness, small frame)
+# --------------------------------------------------------------------------
+
+
+def test_cascade_equals_direct(spark):
+    from clickhouse_metrics_pipeline_spark.workloads_ext2 import events_rollup_cascade
+
+    cascade = events_rollup_cascade(spark, SF)
+    ev = _raw_events(spark)
+    direct = (
+        ev.groupBy("user_id", "event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.round(F.min("value"), 4).alias("value_min"),
+            F.round(F.max("value"), 4).alias("value_max"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+            F.round(F.max_by("value", F.struct("ts", "event_id")), 4).alias("value_last"),
+            F.count(F.lit(1)).alias("samples_count"),
+        )
+    )
+    assert cascade.exceptAll(direct).count() == 0
+    assert direct.exceptAll(cascade).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Resolution router: the documented ladder
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "age_h,span_h,expect",
+    [
+        (1, 0.5, "metrics_raw"),
+        (10, 0.5, "metrics_1m"),  # too old for raw
+        (10, 30, "metrics_5m"),  # span too wide for 1m
+        (30 * 24, 0.5, "metrics_5m"),  # too old for 1m
+        (100 * 24, 0.5, "metrics_1h"),  # too old for 5m
+        (10, 10 * 24, "metrics_1h"),  # span too wide for 5m
+    ],
+)
+def test_router_ladder(age_h, span_h, expect):
+    now = 1_706_745_600_000
+    start = now - int(age_h * 3_600_000)
+    end = start + int(span_h * 3_600_000)
+    assert select_resolution(start, end, now) == expect
+
+
+# --------------------------------------------------------------------------
+# Approx distinct (HLL) within 5% of the exact catalog query
+# --------------------------------------------------------------------------
+
+
+def test_approx_distinct_tolerance(spark):
+    ev = _raw_events(spark)
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    for r in got:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"])
+
+
+# --------------------------------------------------------------------------
+# Sliding window: every event lands in exactly size/hop windows
+# --------------------------------------------------------------------------
+
+
+def test_sliding_window_duplication_factor(spark):
+    from clickhouse_metrics_pipeline_spark.workloads_ext2 import events_sliding_window
+
+    total = events_sliding_window(spark, SF).agg(F.sum("n_events")).first()[0]
+    n = _raw_events(spark).count()
+    assert total == 2 * n

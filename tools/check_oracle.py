@@ -42,7 +42,12 @@ def _norm_cell(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
-        s = v.isoformat(sep=" ")
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            s = v.isoformat(sep=" ")
+        else:
+            s = v.isoformat()
         return s.replace("+00:00", "")
     return str(v)
 
