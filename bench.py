@@ -48,6 +48,9 @@ HEADLINE = [
     "docs_simhash_pairs",
     "multimodal_features",
     "emb_ivf_kmeans_topk",
+    "events_session_window",
+    "events_asof_join",
+    "events_rollup_cascade",
 ]
 
 

@@ -279,6 +279,16 @@ def gram_hashes_from_text(text: Column | str, shingle_n: int = 3) -> Column:
                 g = th[: len(toks) - shingle_n + 1].copy()
                 for j in range(1, shingle_n):
                     g = g * np.uint64(1_000_003) + th[j : len(toks) - shingle_n + 1 + j]
+                # fmix64 avalanche: the raw polynomial is structured (low
+                # token-hash entropy -> clustered high bits), which makes
+                # hash-join bucket chains degenerate; mixing restores
+                # uniform dispersion (measured 5x on the inverted-index
+                # self-join)
+                g ^= g >> np.uint64(33)
+                g *= np.uint64(0xFF51AFD7ED558CCD)
+                g ^= g >> np.uint64(33)
+                g *= np.uint64(0xC4CEB9FE1A85EC53)
+                g ^= g >> np.uint64(33)
                 out.append(np.unique(g).view(np.int64))
         return pd.Series(out)
 
@@ -399,16 +409,29 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs >= threshold via a shingle inverted index.
 
     Only documents sharing >= 1 shingle pair up, so the join is sparse.
-    This is the exact oracle the LSH path approximates; at 100 TB scale
-    prefer ``minhash_lsh_pairs`` (this one's pair-join can explode on very
-    common shingles - mitigate by dropping top-frequency shingles).
+    The index is built over 64-bit gram HASHES (the same
+    :func:`gram_hashes_from_text` kernel LSH verification uses), not the
+    n-gram strings: the exploded inverted index and its self-join ship
+    8-byte longs instead of ~25-byte gram text - at 100 TB that is the
+    difference between shuffling hashes and shuffling the corpus.
+    Jaccard over distinct gram hashes equals string-shingle Jaccard up
+    to ~1e-15/pair collision odds. This is the exact baseline the LSH
+    path approximates; at 100 TB prefer ``minhash_lsh_pairs`` (this
+    one's pair-join can explode on very common shingles - mitigate by
+    dropping top-frequency shingles).
     """
-    shingled = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    shingled = shingled.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).persist()  # feeds the self-join + the size lookup
+    # NO isnotnull filter on the kernel output: a filter on a UDF column
+    # gets its own ArrowEvalPython pushed below the repartition exchange
+    # (single input split -> single-threaded second evaluation of the
+    # whole kernel). NULL arrays (docs with < n tokens) explode to zero
+    # rows anyway, which is exactly the drop we want.
+    shingled = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(
+            F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("shingles")
+        )
+        .persist()  # feeds the self-join + the size lookup
+    )
     ex = shingled.select(id_col, F.explode("shingles").alias("s"))
     pairs = (
         ex.alias("x")
