@@ -20,6 +20,7 @@ products within bigint under ANSI arithmetic.
 
 from __future__ import annotations
 
+import hashlib
 import random
 import re
 import zlib
@@ -512,6 +513,43 @@ def simhash60_portable(text: Column | str) -> Column:
     return _simhash_from_hashes(hashes, PORTABLE_SIMHASH_BITS)
 
 
+def simhash60_portable_kernel(text: Column | str) -> Column:
+    """Arrow-kernel twin of :func:`simhash60_portable` - bit-identical
+    signatures (pinned by test_training_ops), ~10x cheaper cold: the
+    expression form compiles a 60-iteration aggregate/zip_with codegen
+    class (~8 s janino on first run); the kernel is a short numpy loop
+    with a per-batch token-hash memo (corpus vocabularies repeat, so
+    md5 runs once per distinct token per batch, not once per
+    occurrence)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    shifts = np.arange(PORTABLE_SIMHASH_BITS, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def _sim(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = _WS_RE.sub(" ", t).strip().lower().split(" ")
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for i, tok in enumerate(toks):
+                h = memo.get(tok)
+                if h is None:
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                    memo[tok] = h
+                hs[i] = h
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = int(((votes > 0).astype(np.uint64) << shifts).sum())
+            out.append(sig)
+        return pd.Series(out, dtype="object")
+
+    return _sim(F.col(text) if isinstance(text, str) else text)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -528,7 +566,7 @@ def simhash_pairs(
     oracle (:func:`simhash60_portable`)."""
     n_chunks = max_hamming + 1
     bits = PORTABLE_SIMHASH_BITS if portable else SIMHASH_BITS
-    sig = simhash60_portable(text_col) if portable else simhash64(text_col)
+    sig = simhash60_portable_kernel(text_col) if portable else simhash64(text_col)
     width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
     # Cache the signature relation: the chunk self-join consumes it twice
     # and Spark re-executes the tokenize+hash lineage per side otherwise

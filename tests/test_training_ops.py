@@ -119,6 +119,27 @@ class TestSimHash:
         assert out[(1, 2)] == 0
         assert (1, 4) not in out and (2, 4) not in out and (3, 4) not in out
 
+    def test_portable_kernel_matches_expression(self, spark):
+        # the Arrow kernel must be bit-identical to the expression form
+        # (both are pinned to the DuckDB md5 oracle)
+        from pyspark.sql import functions as F
+
+        from clickhouse_metrics_pipeline_spark.operators.dedup import (
+            simhash60_portable,
+            simhash60_portable_kernel,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        diff = (
+            d.select(
+                simhash60_portable("text").alias("a"),
+                simhash60_portable_kernel("text").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert diff == 0
+
 
 class TestTextFunctions:
     def test_token_counts(self, spark):
