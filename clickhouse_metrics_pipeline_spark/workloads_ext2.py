@@ -605,6 +605,99 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Context-window chunking (training-data op: fixed-size token windows
+# with overlap, the shape LLM pretraining sharding uses)
+# --------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24  # 8-token overlap
+
+
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into 32-token windows with stride 24. All
+    row-local JVM expressions (sequence -> slice -> posexplode): the
+    chunk fan-out happens inside the scan stage, no shuffle until a
+    consumer asks for one - at 100 TB chunking is a map, never a
+    shuffle. chunk_md5 pins exact window content against the oracle."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = tokens("text")
+    n = F.size(w)
+    # last chunk index: floor((n - CHUNK + STRIDE - 1) / STRIDE) = floor((n-9)/24)
+    kmax = F.greatest(
+        F.lit(0), F.floor((n - F.lit(_CHUNK - _STRIDE + 1)) / F.lit(_STRIDE))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), kmax),
+        lambda k: F.slice(w, k * _STRIDE + 1, _CHUNK),
+    )
+    e = F.posexplode(chunks)
+    return (
+        d.select(F.col("doc_id"), F.size(w).alias("n_tokens"), e.alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "chunk_idx",
+            F.size("c").alias("n_chunk_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_md5"),
+        )
+    )
+
+
+DOCS_CHUNKING_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), k AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         unnest(range(0, greatest((len(toks) - 9) // 24, 0) + 1)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, n_tokens, chunk_idx,
+       len(list_slice(toks, chunk_idx * 24 + 1,
+                      least(chunk_idx * 24 + 32, n_tokens))) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * 24 + 1,
+                      least(chunk_idx * 24 + 32, n_tokens)), ' ')) AS chunk_md5
+FROM k
+"""
+
+
+def docs_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: global top-20 tokens by frequency, ranked with a
+    deterministic tie-break. The groupBy is partial-aggregated (shuffle
+    carries one row per distinct token per partition); the rank window
+    then runs on the aggregated vocabulary - tiny - so the
+    single-partition window is not a scale hazard."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("rank", "tok", "n")
+    )
+
+
+DOCS_TOKEN_TOPK_SQL = """
+SELECT rank, tok, n
+FROM (SELECT tok, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+      FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+            FROM documents)
+      GROUP BY tok)
+WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -621,6 +714,8 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_summary_quantiles": events_summary_quantiles,
     "events_resolution_route": events_resolution_route,
     "docs_language_id": docs_language_id,
+    "docs_chunking": docs_chunking,
+    "docs_token_topk": docs_token_topk,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -636,4 +731,6 @@ EXTRA2_ORACLE: dict[str, str] = {
     "events_summary_quantiles": EVENTS_SUMMARY_SQL,
     "events_resolution_route": EVENTS_ROUTE_SQL,
     "docs_language_id": _docs_language_sql(),
+    "docs_chunking": DOCS_CHUNKING_SQL,
+    "docs_token_topk": DOCS_TOKEN_TOPK_SQL,
 }
