@@ -223,6 +223,50 @@ def rollup_stream(
     )
 
 
+def session_stream(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming session windows per series — activity episodes with a
+    merge-on-gap rule, an operator family the reference's tumbling-only
+    MV cascade cannot express (SURVEY §2.9 'windows' row). Built-in
+    ``session_window`` carries the session state in the streaming state
+    store; the watermark bounds it (closed sessions evict once event
+    time passes end + watermark).
+
+    Merge semantics are identical to the batch form pinned by
+    tests/test_workloads_ext2.py: a point exactly ``gap`` after the
+    previous point still merges; session end = last event + gap.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.withWatermark("timestamp", watermark)
+        .groupBy(
+            F.session_window("timestamp", gap).alias("sw"),
+            "workspaceId",
+            "metric",
+            "series_hash",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.max_by("value", "timestamp").alias("value_last"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "workspaceId",
+            "metric",
+            "series_hash",
+            "n_events",
+            "value_sum",
+            "value_last",
+        )
+    )
+
+
 def rollup_to_parquet(
     df: DataFrame,
     out_path: str,

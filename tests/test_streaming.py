@@ -18,6 +18,7 @@ from clickhouse_metrics_pipeline_spark.schema import METRICS_RAW_SCHEMA
 from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
     ingest_stream,
     rollup_stream,
+    session_stream,
 )
 
 _NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None, microsecond=0)
@@ -144,3 +145,49 @@ class TestRollupStream:
         assert w1.value_last == 30.0  # by event time
         assert w1.samples_count == 3
         assert w2.samples_count == 1 and w2.value_last == 99.0
+
+
+class TestSessionStream:
+    def test_session_merge_and_gap_split(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        base = _NOW.replace(second=0) - dt.timedelta(minutes=50)
+        rows = []
+        # three points 10 min apart -> one session (gap 30m); a fourth
+        # 40 min later -> second session
+        for i, v in enumerate([1.0, 2.0, 3.0]):
+            r = list(_gauge_row(9, 0, v))
+            r[4] = base + dt.timedelta(minutes=10 * i)
+            rows.append(tuple(r))
+        r = list(_gauge_row(9, 0, 9.0))
+        r[4] = base + dt.timedelta(minutes=20 + 40)
+        rows.append(tuple(r))
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(src)
+        sess = session_stream(stream, gap="30 minutes", watermark="5 minutes")
+        # session windows only support append mode: a session is emitted
+        # exactly once, after the watermark passes its end
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("session_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        out = spark.sql(
+            "SELECT * FROM session_test WHERE series_hash = 9 ORDER BY session_start"
+        ).collect()
+        # watermark = last event (base+60m) - 5m = base+55m: the merged
+        # session (end base+50m) has closed and is emitted once; the
+        # base+60m singleton's window is still open -> held in state,
+        # not emitted. Exactly-once session emission.
+        assert len(out) == 1
+        (s1,) = out
+        assert s1.n_events == 3 and s1.value_sum == 6.0 and s1.value_last == 3.0
+        # merge rule: 10-min gaps < 30-min gap merged 3 points into one
+        # session; end = last event + gap
+        assert (s1.session_end - s1.session_start) == dt.timedelta(minutes=50)
