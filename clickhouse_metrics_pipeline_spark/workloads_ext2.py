@@ -605,6 +605,97 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# PromQL-style query-side functions (beyond the reference's remote-read
+# projection: promread/handler.go:177-205 re-cumulates; rate/topk are
+# the natural next functions a metrics engine serves)
+# --------------------------------------------------------------------------
+
+
+def events_irate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL irate() shape: per series and 5-minute bucket, the
+    instantaneous rate at the bucket's last sample = last value divided
+    by the seconds since the previous sample of the same series (lag
+    crosses bucket boundaries, as irate does). Same-timestamp pairs
+    yield NULL via nullif. One shuffle on the series key serves both
+    the lag window and the per-bucket argmax."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6
+    with_gap = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        gap.alias("gap_s"),
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / 300) * 300
+        ).alias("bucket_ts"),
+    )
+    return (
+        with_gap.groupBy("user_id", "event_type", "bucket_ts")
+        .agg(
+            F.max_by(
+                F.round(F.col("value") / F.nullif(F.col("gap_s"), F.lit(0.0)), 6),
+                F.struct("ts", "event_id"),
+            ).alias("irate"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+EVENTS_IRATE_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         date_diff('microsecond', lag(ts) OVER w, ts) / 1e6 AS gap_s,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                                         time_bucket(INTERVAL 5 MINUTE, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {_EV_SQL}
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, bucket_ts,
+       max(CASE WHEN rn = 1
+                THEN round(value / nullif(gap_s, 0.0), 6) END) AS irate,
+       count(*) AS n_samples
+FROM g
+GROUP BY user_id, event_type, bucket_ts
+"""
+
+
+def events_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL topk(5, ...) shape: the 5 heaviest series per metric by
+    total value. The rank window runs per metric over the aggregated
+    series table (750 rows at sf0.1), never over raw samples - the
+    composition that stays cheap at 100 TB."""
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "rank", "user_id", "total_value")
+    )
+
+
+EVENTS_TOPK_SERIES_SQL = f"""
+SELECT event_type, rank, user_id, total_value
+FROM (SELECT event_type, user_id,
+             round(sum(value), 4) AS total_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(sum(value), 4) DESC, user_id) AS rank
+      FROM {_EV_SQL}
+      GROUP BY event_type, user_id)
+WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Context-window chunking (training-data op: fixed-size token windows
 # with overlap, the shape LLM pretraining sharding uses)
 # --------------------------------------------------------------------------
@@ -716,6 +807,8 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_language_id": docs_language_id,
     "docs_chunking": docs_chunking,
     "docs_token_topk": docs_token_topk,
+    "events_irate_5m": events_irate_5m,
+    "events_topk_series": events_topk_series,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -733,4 +826,6 @@ EXTRA2_ORACLE: dict[str, str] = {
     "docs_language_id": _docs_language_sql(),
     "docs_chunking": DOCS_CHUNKING_SQL,
     "docs_token_topk": DOCS_TOKEN_TOPK_SQL,
+    "events_irate_5m": EVENTS_IRATE_SQL,
+    "events_topk_series": EVENTS_TOPK_SERIES_SQL,
 }
