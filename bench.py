@@ -51,6 +51,8 @@ HEADLINE = [
     "events_session_window",
     "events_asof_join",
     "events_rollup_cascade",
+    "events_irate_5m",
+    "docs_chunking",
 ]
 
 
