@@ -117,11 +117,33 @@ def op_minhash_kernel(docs: DataFrame) -> int:
     )
 
 
+def op_asof_join(ev: DataFrame) -> int:
+    from clickhouse_metrics_pipeline_spark.operators.asof import asof_join
+
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        left, right, keys=["user_id"], payload=["event_id"]
+    ).count()
+
+
+def op_session_window(ev: DataFrame) -> int:
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)), F.sum("value"))
+        .count()
+    )
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "window_delta": ("events", op_window_delta),
     "exact_dedup": ("documents", op_exact_dedup),
     "minhash_kernel": ("documents", op_minhash_kernel),
+    "asof_join": ("events", op_asof_join),
+    "session_window": ("events", op_session_window),
 }
 
 
