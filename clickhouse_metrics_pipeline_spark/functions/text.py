@@ -94,6 +94,21 @@ def detect_language(text: Column | str) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
+def text_chunks(text: Column | str, chunk: int = 32, stride: int = 24) -> Column:
+    """Fixed-size token windows with overlap (chunk - stride tokens),
+    space-rejoined - the row-local context-window chunking primitive
+    (ARRAY<STRING>, one element per window; a short document yields one
+    short chunk). Pure JVM expressions: chunking is a map at any scale."""
+    w = tokens(text)
+    kmax = F.greatest(
+        F.lit(0), F.floor((F.size(w) - F.lit(chunk - stride + 1)) / F.lit(stride))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), kmax),
+        lambda k: F.array_join(F.slice(w, k * stride + 1, chunk), " "),
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """md5 of normalized text - the portable exact-dedup key."""
     return F.md5(normalize_text(text))

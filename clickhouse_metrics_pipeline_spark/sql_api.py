@@ -246,6 +246,13 @@ def _functions() -> list[str]:
             array_min(transform(
               sequence(0, greatest(size({_TOKENS}) - window, 0)),
               i -> xxhash64(array_join(slice({_TOKENS}, i + 1, window), ' '))))""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION text_chunks(
+              text STRING, chunk INT, stride INT) RETURNS ARRAY<STRING> RETURN
+            transform(
+              sequence(CAST(0 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                CAST(floor((size({_TOKENS}) - (chunk - stride + 1))
+                           / CAST(stride AS DOUBLE)) AS BIGINT))),
+              k -> array_join(slice({_TOKENS}, CAST(k AS INT) * stride + 1, chunk), ' '))""",
         f"""CREATE OR REPLACE TEMPORARY FUNCTION doc_simhash(
               text STRING) RETURNS BIGINT RETURN
             aggregate(

@@ -34,6 +34,7 @@ from clickhouse_metrics_pipeline_spark.functions.text import (
     quality_score,
     rolling_hash_fingerprint,
     stopword_ratio,
+    text_chunks,
     token_count,
 )
 
@@ -189,6 +190,7 @@ class TestTextSqlUdfs:
         ("doc_fingerprint(text)", doc_fingerprint, None),
         ("doc_rolling_fingerprint(text, 8)", rolling_hash_fingerprint, None),
         ("doc_simhash(text)", simhash64, None),
+        ("text_chunks(text, 32, 24)", lambda t: text_chunks(t, 32, 24), None),
     ]
 
     @pytest.mark.parametrize("sql_expr,builder,tol",
