@@ -274,23 +274,29 @@ def rollup_to_parquet(
     grain: str = "1 minute",
     watermark: str = "10 minutes",
     trigger_seconds: int = 10,
+    available_now: bool = False,
 ):
     """Continuous rollup job: append-mode parquet sink partitioned by
     date — each window row is written exactly once, after the watermark
-    closes it (replaces the reference's MV insert trigger)."""
+    closes it (replaces the reference's MV insert trigger).
+    ``available_now=True`` drains the source and stops (the batch
+    backfill form of the same job)."""
     from pyspark.sql import functions as F
 
     rolled = rollup_stream(df, grain=grain, watermark=watermark)
-    return (
+    writer = (
         rolled.withColumn("date", F.to_date("bucket_ts"))
         .writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .partitionBy("date")
         .outputMode("append")
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def ingest_stream(

@@ -81,3 +81,39 @@ def test_bucketed_join_matches_unbucketed_results(spark, bucketed_tables):
         r["o_orderpriority"]: float(r["qty"]) for r in _join(li, orders).collect()
     }
     assert got == pytest.approx(want)
+
+
+class TestPartitionPruning:
+    def test_date_predicate_prunes_partitions(self, spark, tmp_path):
+        """write_metrics_table's date layout must actually prune: a
+        single-date predicate reaches the scan as a PartitionFilter and
+        only that date's files are read (SURVEY §4 row 1)."""
+        import datetime as dt
+
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            read_metrics_table,
+            write_metrics_table,
+        )
+
+        rows = [
+            ("w1", s, "m", "svc", dt.datetime(2024, 1, d, 12, 0, 0), float(s))
+            for d in (1, 2, 3)
+            for s in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "workspaceId STRING, series_hash BIGINT, metric STRING, "
+            "serviceName STRING, timestamp TIMESTAMP, value DOUBLE",
+        )
+        path = str(tmp_path / "metrics")
+        write_metrics_table(df, path, mode="overwrite")
+
+        back = read_metrics_table(spark, path)
+        q = back.where(F.col("date") == "2024-01-02")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # the date predicate must reach the scan node as a PartitionFilter
+        # (inputFiles() reports the unpruned relation, so the plan is the
+        # observable proof)
+        assert "PartitionFilters" in plan and "2024-01-02" in plan
+        assert q.count() == 4
+        assert read_metrics_table(spark, path).count() == 12

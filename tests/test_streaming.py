@@ -18,6 +18,7 @@ from clickhouse_metrics_pipeline_spark.schema import METRICS_RAW_SCHEMA
 from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
     ingest_stream,
     rollup_stream,
+    rollup_to_parquet,
     session_stream,
 )
 
@@ -191,3 +192,42 @@ class TestSessionStream:
         # merge rule: 10-min gaps < 30-min gap merged 3 points into one
         # session; end = last event + gap
         assert (s1.session_end - s1.session_start) == dt.timedelta(minutes=50)
+
+
+class TestRollupToParquet:
+    def test_exactly_once_append_after_watermark(self, spark, tmp_path):
+        src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+        base = _NOW.replace(second=0) - dt.timedelta(hours=2)
+        rows = []
+        for i, v in enumerate([10.0, 20.0, 30.0]):  # minute M
+            r = list(_gauge_row(11, 0, v))
+            r[4] = base + dt.timedelta(seconds=10 * (i + 1))
+            rows.append(tuple(r))
+        r = list(_gauge_row(11, 0, 99.0))  # minute M+1
+        r[4] = base + dt.timedelta(minutes=1, seconds=5)
+        rows.append(tuple(r))
+        # watermark driver: 15 min later, leaves windows M and M+1 closed
+        r = list(_gauge_row(11, 0, 1.0))
+        r[4] = base + dt.timedelta(minutes=15)
+        rows.append(tuple(r))
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(src)
+
+        def run():
+            q = rollup_to_parquet(
+                spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(src),
+                out, ckpt, grain="1 minute", watermark="10 minutes",
+                available_now=True,
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run()
+        got = spark.read.parquet(out).where("series_hash = 11").orderBy("bucket_ts").collect()
+        # the two closed windows emitted once; the 15-min point's window
+        # is still open (watermark = max - 10m), held in state
+        assert len(got) == 2
+        assert got[0].samples_count == 3 and got[0].value_last == 30.0
+        assert got[1].samples_count == 1 and got[1].value_last == 99.0
+        # restart on the same checkpoint: nothing reprocessed, no dupes
+        run()
+        assert spark.read.parquet(out).where("series_hash = 11").count() == 2
