@@ -606,9 +606,67 @@ GROUP BY 1, 2
 
 # --------------------------------------------------------------------------
 # PromQL-style query-side functions (beyond the reference's remote-read
-# projection: promread/handler.go:177-205 re-cumulates; rate/topk are
-# the natural next functions a metrics engine serves)
+# projection: promread/handler.go:177-205 re-cumulates; rate/topk/
+# quantile-over-time are the natural next functions a metrics engine
+# serves)
 # --------------------------------------------------------------------------
+
+
+def hist_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile over time: per (event_type, 1h window), P95
+    from the windowed bucket histogram - the Grafana heatmap/latency-
+    panel query. Buckets aggregate map-side per (type, window, le)
+    before the array kernel (H1) runs row-local on the tiny per-window
+    arrays: at 100 TB the shuffle carries one row per bucket per
+    window, never raw samples."""
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        bucket_percentile,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads import _le_expr
+
+    ev = _events(spark, sf_dir)
+    per_le = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+            _le_expr(F.col("value")).alias("le"),
+        )
+        .groupBy("event_type", "bucket_ts", "le")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    hists = per_le.groupBy("event_type", "bucket_ts").agg(
+        F.array_sort(F.collect_list(F.struct("le", "count"))).alias("buckets")
+    )
+    return hists.select(
+        "event_type",
+        "bucket_ts",
+        F.round(bucket_percentile("buckets", 95.0), 4).alias("p95"),
+        F.aggregate(
+            "buckets", F.lit(0).cast("bigint"), lambda a, b: a + b["count"]
+        ).alias("n_samples"),
+    )
+
+
+def _quantile_over_time_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.workloads import _LE_SQL, _hist_walk_sql
+
+    return f"""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         {_LE_SQL} AS le, count(*)::BIGINT AS cnt
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+), w AS (
+  SELECT event_type, bucket_ts, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS total,
+         lag(le, 1, 0.0) OVER (PARTITION BY event_type, bucket_ts ORDER BY le) AS prev
+  FROM b
+)
+SELECT event_type, bucket_ts,
+       {_hist_walk_sql(95)} AS p95,
+       sum(cnt) AS n_samples
+FROM w GROUP BY event_type, bucket_ts
+"""
 
 
 def events_irate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,6 +867,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_topk": docs_token_topk,
     "events_irate_5m": events_irate_5m,
     "events_topk_series": events_topk_series,
+    "hist_quantile_over_time": hist_quantile_over_time,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -828,4 +887,5 @@ EXTRA2_ORACLE: dict[str, str] = {
     "docs_token_topk": DOCS_TOKEN_TOPK_SQL,
     "events_irate_5m": EVENTS_IRATE_SQL,
     "events_topk_series": EVENTS_TOPK_SERIES_SQL,
+    "hist_quantile_over_time": _quantile_over_time_sql(),
 }
