@@ -53,6 +53,7 @@ HEADLINE = [
     "events_rollup_cascade",
     "events_irate_5m",
     "docs_chunking",
+    "docs_training_pipeline",
 ]
 
 

@@ -847,6 +847,85 @@ WHERE rank <= 20
 
 
 # --------------------------------------------------------------------------
+# End-to-end training-data prep pipeline (the composite flagship:
+# exact dedup -> near-dup drop -> quality gate -> chunk accounting)
+# --------------------------------------------------------------------------
+
+
+def docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full preprocessing pipeline a pretraining corpus runs, as one
+    plan: (1) exact dedup keeps the min-id doc per normalized-text
+    fingerprint; (2) near-dup drop removes the higher id of every exact
+    n-gram Jaccard >= 0.8 pair; (3) quality gate keeps score >= 0.9;
+    (4) survivors are chunk-counted (32-token windows, stride 24).
+
+    Composition of already-verified operators - the value pinned here is
+    the PIPELINE semantics (stage order, survivor sets). Scale shape:
+    two broadcast-able side tables (keepers by anti-hash, drop-ids from
+    the sparse pair join) against one corpus scan."""
+    from clickhouse_metrics_pipeline_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(doc_fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    drops = ngram_jaccard_pairs(d, threshold=0.8).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    n_tokens = token_count("text")
+    survivors = (
+        d.join(keepers, "doc_id", "left_semi")
+        .join(drops, "doc_id", "left_anti")
+        .where(quality_score("text") >= 0.9)
+    )
+    return survivors.select(
+        "doc_id",
+        (
+            F.greatest(
+                F.lit(0), F.floor((n_tokens - F.lit(9)) / F.lit(24))
+            )
+            + 1
+        ).cast("bigint").alias("n_chunks"),
+        F.round(quality_score("text"), 2).alias("quality"),
+    )
+
+
+def _training_pipeline_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.workloads import (
+        _JACCARD_PAIRS_SQL,
+        _docs_text_stats_sql,
+    )
+
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+), drops AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({_JACCARD_PAIRS_SQL}) p
+), stats AS (
+  SELECT doc_id, n_tokens, quality FROM ({_docs_text_stats_sql()}) s
+)
+SELECT s.doc_id,
+       greatest((n_tokens - 9) // 24, 0) + 1 AS n_chunks,
+       round(quality, 2) AS quality
+FROM stats s
+JOIN keep USING (doc_id)
+LEFT JOIN drops USING (doc_id)
+WHERE drops.doc_id IS NULL AND quality >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -868,6 +947,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_irate_5m": events_irate_5m,
     "events_topk_series": events_topk_series,
     "hist_quantile_over_time": hist_quantile_over_time,
+    "docs_training_pipeline": docs_training_pipeline,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -888,4 +968,5 @@ EXTRA2_ORACLE: dict[str, str] = {
     "events_irate_5m": EVENTS_IRATE_SQL,
     "events_topk_series": EVENTS_TOPK_SERIES_SQL,
     "hist_quantile_over_time": _quantile_over_time_sql(),
+    "docs_training_pipeline": _training_pipeline_sql(),
 }
