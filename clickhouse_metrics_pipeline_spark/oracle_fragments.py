@@ -1,0 +1,112 @@
+"""Shared DuckDB-oracle SQL fragments.
+
+Lives outside the workload catalogs so workloads.py and
+workloads_ext2.py can both build oracle strings from one definition
+without a circular import (workloads imports the ext catalogs at the
+end of its own module body; any ext module importing back into
+workloads at module scope would deadlock the partial import).
+
+Every fragment here has a Column-builder twin in workloads.py /
+functions/ pinned by the driver's hash comparison.
+"""
+
+from __future__ import annotations
+
+from clickhouse_metrics_pipeline_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+)
+
+# fixed histogram bounds shared by the H1-H5 event-histogram queries
+BOUNDS = [10.0, 25.0, 50.0, 100.0, 200.0, 500.0]
+
+LE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN value <= {b} THEN {b}" for b in BOUNDS)
+    + " ELSE 'infinity'::DOUBLE END"
+)
+
+
+def hist_walk_sql(p: int) -> str:
+    """SQL cumulative-walk percentile (golden interpolation frac*le)."""
+    return f"""
+    round(arg_min(CASE WHEN cnt = 0 THEN le
+                       WHEN isinf(le) THEN coalesce(prev, 0)
+                       ELSE ((total * {p} / 100.0) - (cum - cnt)) / cnt * le END,
+                  le) FILTER (WHERE cum >= total * {p} / 100.0), 4)"""
+
+
+SHINGLE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3
+           THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                 for i in range(1, len(words) - 1)]
+           ELSE [] END) AS shingles
+  FROM docs
+)
+"""
+
+JACCARD_PAIRS_SQL = (
+    SHINGLE_SQL
+    + """, ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+)
+
+
+def sql_tokens() -> str:
+    return "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+
+def sql_list_lit(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def docs_text_stats_sql() -> str:
+    toks = sql_tokens()
+    sw = sql_list_lit(STOPWORDS_EN)
+    hits = {
+        lang: f"len(list_filter({toks}, x -> list_contains({sql_list_lit(ws)}, x)))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = f"""CASE WHEN {best} = 0 THEN 'und'
+        WHEN {hits['en']} = {best} THEN 'en'
+        WHEN {hits['de']} = {best} THEN 'de'
+        WHEN {hits['es']} = {best} THEN 'es'
+        WHEN {hits['fr']} = {best} THEN 'fr'
+        ELSE 'und' END"""
+    n_tokens = f"len({toks})"
+    mtl = f"(list_sum(list_transform({toks}, x -> len(x))) * 1.0 / greatest({n_tokens}, 1))"
+    swr = f"(len(list_filter({toks}, x -> list_contains({sw}, x))) * 1.0 / greatest({n_tokens}, 1))"
+    punct = r"(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(len(text), 1))"
+    quality = f"""(CASE WHEN {n_tokens} BETWEEN 10 AND 100000 THEN 0.3 ELSE 0 END
+        + CASE WHEN {mtl} BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0 END
+        + CASE WHEN {punct} <= 0.2 THEN 0.2 ELSE 0 END
+        + CASE WHEN {swr} >= 0.01 THEN 0.2 ELSE 0 END)"""
+    return f"""
+SELECT doc_id,
+       {n_tokens} AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       round({mtl}, 4) AS mean_token_len,
+       round({swr}, 4) AS stopword_ratio,
+       round({punct}, 4) AS punct_ratio,
+       round(({quality})::DOUBLE, 2) AS quality,
+       {lang_case} AS lang_pred
+FROM documents
+"""

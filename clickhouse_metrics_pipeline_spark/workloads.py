@@ -583,7 +583,16 @@ GROUP BY event_type
 # Histogram kernels over driver data (H1-H5 with a SQL-walk oracle)
 # --------------------------------------------------------------------------
 
-_BOUNDS = [10.0, 25.0, 50.0, 100.0, 200.0, 500.0]
+# SQL fragments shared with workloads_ext2 live in oracle_fragments
+# (no circular import); the private aliases keep this module readable
+from clickhouse_metrics_pipeline_spark.oracle_fragments import (  # noqa: E402
+    BOUNDS as _BOUNDS,
+    JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+    LE_SQL as _LE_SQL,
+    SHINGLE_SQL as _SHINGLE_SQL,
+    docs_text_stats_sql as _docs_text_stats_sql,
+    hist_walk_sql as _hist_walk_sql,
+)
 
 
 def _le_expr(value: Column) -> Column:
@@ -591,13 +600,6 @@ def _le_expr(value: Column) -> Column:
     for b in reversed(_BOUNDS):
         out = F.when(value <= b, F.lit(b)).otherwise(out)
     return out
-
-
-_LE_SQL = (
-    "CASE "
-    + " ".join(f"WHEN value <= {b} THEN {b}" for b in _BOUNDS)
-    + " ELSE 'infinity'::DOUBLE END"
-)
 
 
 def _event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,15 +624,6 @@ def hist_percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bucket_percentile("buckets", 95.0), 4).alias("p95"),
         F.round(bucket_percentile("buckets", 99.0), 4).alias("p99"),
     )
-
-
-def _hist_walk_sql(p: int) -> str:
-    """SQL cumulative-walk percentile (golden interpolation frac*le)."""
-    return f"""
-    round(arg_min(CASE WHEN cnt = 0 THEN le
-                       WHEN isinf(le) THEN coalesce(prev, 0)
-                       ELSE ((total * {p} / 100.0) - (cum - cnt)) / cnt * le END,
-                  le) FILTER (WHERE cum >= total * {p} / 100.0), 4)"""
 
 
 HIST_PERCENTILE_SQL = f"""
@@ -770,38 +763,6 @@ SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
 FROM documents GROUP BY 1
 """
 
-_SHINGLE_SQL = """
-WITH docs AS (
-  SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(words) >= 3
-           THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                 for i in range(1, len(words) - 1)]
-           ELSE [] END) AS shingles
-  FROM docs
-)
-"""
-
-_JACCARD_PAIRS_SQL = (
-    _SHINGLE_SQL
-    + """, ex AS (
-  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
-SELECT id_a, id_b,
-       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
-FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
-"""
-)
-
-
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, threshold=0.8)
@@ -828,49 +789,6 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score("text"), 2).alias("quality"),
         detect_language("text").alias("lang_pred"),
     )
-
-
-def _sql_tokens() -> str:
-    return "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
-
-
-def _sql_list_lit(words: list[str]) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-
-def _docs_text_stats_sql() -> str:
-    toks = _sql_tokens()
-    sw = _sql_list_lit(STOPWORDS_EN)
-    hits = {
-        lang: f"len(list_filter({toks}, x -> list_contains({_sql_list_lit(ws)}, x)))"
-        for lang, ws in LANG_MARKERS.items()
-    }
-    best = "greatest(" + ", ".join(hits.values()) + ")"
-    lang_case = f"""CASE WHEN {best} = 0 THEN 'und'
-        WHEN {hits['en']} = {best} THEN 'en'
-        WHEN {hits['de']} = {best} THEN 'de'
-        WHEN {hits['es']} = {best} THEN 'es'
-        WHEN {hits['fr']} = {best} THEN 'fr'
-        ELSE 'und' END"""
-    n_tokens = f"len({toks})"
-    mtl = f"(list_sum(list_transform({toks}, x -> len(x))) * 1.0 / greatest({n_tokens}, 1))"
-    swr = f"(len(list_filter({toks}, x -> list_contains({sw}, x))) * 1.0 / greatest({n_tokens}, 1))"
-    punct = r"(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(len(text), 1))"
-    quality = f"""(CASE WHEN {n_tokens} BETWEEN 10 AND 100000 THEN 0.3 ELSE 0 END
-        + CASE WHEN {mtl} BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0 END
-        + CASE WHEN {punct} <= 0.2 THEN 0.2 ELSE 0 END
-        + CASE WHEN {swr} >= 0.01 THEN 0.2 ELSE 0 END)"""
-    return f"""
-SELECT doc_id,
-       {n_tokens} AS n_tokens,
-       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
-       round({mtl}, 4) AS mean_token_len,
-       round({swr}, 4) AS stopword_ratio,
-       round({punct}, 4) AS punct_ratio,
-       round(({quality})::DOUBLE, 2) AS quality,
-       {lang_case} AS lang_pred
-FROM documents
-"""
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -648,7 +648,10 @@ def hist_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quantile_over_time_sql() -> str:
-    from clickhouse_metrics_pipeline_spark.workloads import _LE_SQL, _hist_walk_sql
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        LE_SQL as _LE_SQL,
+        hist_walk_sql as _hist_walk_sql,
+    )
 
     return f"""
 WITH b AS (
@@ -900,9 +903,9 @@ def docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _training_pipeline_sql() -> str:
-    from clickhouse_metrics_pipeline_spark.workloads import (
-        _JACCARD_PAIRS_SQL,
-        _docs_text_stats_sql,
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+        docs_text_stats_sql as _docs_text_stats_sql,
     )
 
     return f"""
