@@ -55,9 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same aliases, same rounding).
 
-    ``docs_simhash_pairs`` and ``emb_ann_lsh`` are intentionally absent:
-    xxhash64-bit-level fingerprints aren't expressible in ANSI SQL -> the
-    driver records the weaker rows-only check for those two."""
+    Intentionally absent: ``emb_ann_lsh``, ``emb_ivf_topk``, and
+    ``emb_ivf_kmeans_topk`` - approximate/iterative ANN by design
+    (xxhash64-derived SRP planes / trained k-means quantizer aren't
+    ANSI-SQL-expressible); the driver records rows-only checks and
+    pytest pins their recall against the exact brute-force baseline."""
     from clickhouse_metrics_pipeline_spark.workloads import ORACLE_SQL
 
     return dict(ORACLE_SQL)

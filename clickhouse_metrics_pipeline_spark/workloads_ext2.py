@@ -850,6 +850,76 @@ WHERE rank <= 20
 
 
 # --------------------------------------------------------------------------
+# Gap filling (LOCF) — aligned range-query grids with carried values
+# --------------------------------------------------------------------------
+
+
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-query alignment: per series, a dense 1-hour bucket grid
+    from the series' first to last hour; empty buckets carry the last
+    observed rollup value forward (LOCF - PromQL staleness semantics
+    without the 5m cutoff). is_gap marks carried rows.
+
+    Scale shape: the grid is generated per series with sequence()
+    (row-local, bounded by the series' own span), the actuals join is
+    on the same (series, bucket) key as the rollup shuffle, and the
+    carry-forward is one window over the already-aggregated grid -
+    bucket-grain rows, never raw samples."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 25)
+    actual = ev.groupBy(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    span = actual.groupBy("user_id", "event_type").agg(
+        F.min("bucket_ts").alias("t0"), F.max("bucket_ts").alias("t1")
+    )
+    grid = span.select(
+        "user_id",
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(actual, ["user_id", "event_type", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "event_type",
+        "bucket_ts",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("sum_value").isNull().cast("int").alias("is_gap"),
+    )
+
+
+EVENTS_GAP_FILL_SQL = f"""
+WITH actual AS (
+  SELECT user_id, event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         round(sum(value), 4) AS sum_value
+  FROM {_EV_SQL}
+  WHERE user_id < 25
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT user_id, event_type,
+         unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                INTERVAL 1 HOUR)) AS bucket_ts
+  FROM actual GROUP BY user_id, event_type
+)
+SELECT g.user_id, g.event_type, g.bucket_ts,
+       last_value(a.sum_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id, g.event_type ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (a.sum_value IS NULL)::INT AS is_gap
+FROM grid g
+LEFT JOIN actual a USING (user_id, event_type, bucket_ts)
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end training-data prep pipeline (the composite flagship:
 # exact dedup -> near-dup drop -> quality gate -> chunk accounting)
 # --------------------------------------------------------------------------
@@ -951,6 +1021,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_topk_series": events_topk_series,
     "hist_quantile_over_time": hist_quantile_over_time,
     "docs_training_pipeline": docs_training_pipeline,
+    "events_gap_fill_locf": events_gap_fill_locf,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -972,4 +1043,5 @@ EXTRA2_ORACLE: dict[str, str] = {
     "events_topk_series": EVENTS_TOPK_SERIES_SQL,
     "hist_quantile_over_time": _quantile_over_time_sql(),
     "docs_training_pipeline": _training_pipeline_sql(),
+    "events_gap_fill_locf": EVENTS_GAP_FILL_SQL,
 }
