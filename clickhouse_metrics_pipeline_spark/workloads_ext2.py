@@ -850,6 +850,40 @@ WHERE rank <= 20
 
 
 # --------------------------------------------------------------------------
+# Pivot (wide reshaping - one column per metric)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one value column per event_type (the
+    dashboard-table reshaping). The value list is EXPLICIT - with it,
+    pivot is a single groupBy with conditional aggregates (no extra
+    pass to discover the domain, no shuffle beyond the groupBy); an
+    implicit pivot would scan once just to enumerate types."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+        .orderBy("day")
+    )
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT ts::DATE AS day,
+       {", ".join(
+           f"round(sum(value) FILTER (WHERE event_type = '{t}'), 4) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM {_EV_SQL}
+GROUP BY day
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
 # Gap filling (LOCF) — aligned range-query grids with carried values
 # --------------------------------------------------------------------------
 
@@ -1022,6 +1056,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_quantile_over_time": hist_quantile_over_time,
     "docs_training_pipeline": docs_training_pipeline,
     "events_gap_fill_locf": events_gap_fill_locf,
+    "events_pivot_daily": events_pivot_daily,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -1044,4 +1079,5 @@ EXTRA2_ORACLE: dict[str, str] = {
     "hist_quantile_over_time": _quantile_over_time_sql(),
     "docs_training_pipeline": _training_pipeline_sql(),
     "events_gap_fill_locf": EVENTS_GAP_FILL_SQL,
+    "events_pivot_daily": EVENTS_PIVOT_SQL,
 }
