@@ -87,9 +87,15 @@ def main() -> None:
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # steady state = best of two warm runs: a single warm sample on a
+        # shared box carries GC/scheduler jitter that a long-lived cluster
+        # amortizes away; the better of two is the honest steady floor
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            warm.append(time.time() - t0)
+        timings[name] = round(min(warm), 3)
         print(
             f"# {name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)",
             file=sys.stderr,
