@@ -1,12 +1,14 @@
 """Second extended catalog: temporal/windowing operators beyond the
 reference's tumbling-only surface (session windows, sliding windows,
 as-of join, interval containment join), multidimensional aggregation
-(CUBE / grouping sets), exact distinct counts, remote-read series
-assembly with an order-sensitive checksum, exemplar capping (F4) as an
-array kernel, the full 1m->5m->1h rollup cascade proven lossless
-against raw, summary-type exact quantiles (A13), resolution routing
-(Q1) as a first-class query, and language identification as a
-confusion-matrix query.
+(CUBE / grouping sets, explicit-domain pivot), exact distinct counts,
+remote-read series assembly with an order-sensitive checksum, exemplar
+capping (F4) as an array kernel, the full 1m->5m->1h rollup cascade
+proven lossless against raw, summary-type exact quantiles (A13),
+resolution routing (Q1) as a first-class query, PromQL-style query
+functions (irate, topk, quantile-over-time, LOCF gap fill), language
+identification as a confusion-matrix query, context-window chunking /
+vocabulary top-k, and the end-to-end training-data prep pipeline.
 
 Reference anchors (SURVEY SS2): tumbling rollups `schema.sql:152,255,346`
 are generalized to sliding/session windows Spark gives for free;
