@@ -727,6 +727,37 @@ GROUP BY user_id, event_type, bucket_ts
 """
 
 
+def events_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame rolling aggregate: per series, the 3-sample moving
+    average (ROWS 2 PRECEDING .. CURRENT) in (ts, event_id) order - the
+    smoothing primitive dashboards apply over irate/gauge series. The
+    bounded frame keeps window state O(frame) per partition regardless
+    of series length (unlike unbounded running frames)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_mean_3"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+EVENTS_ROLLING_MEAN_SQL = f"""
+SELECT user_id, event_type, event_id,
+       round(avg(value) OVER w, 4) AS rolling_mean_3,
+       count(*) OVER w AS n_in_frame
+FROM {_EV_SQL}
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def events_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL topk(5, ...) shape: the 5 heaviest series per metric by
     total value. The rank window runs per metric over the aggregated
@@ -1054,6 +1085,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunking": docs_chunking,
     "docs_token_topk": docs_token_topk,
     "events_irate_5m": events_irate_5m,
+    "events_rolling_mean": events_rolling_mean,
     "events_topk_series": events_topk_series,
     "hist_quantile_over_time": hist_quantile_over_time,
     "docs_training_pipeline": docs_training_pipeline,
@@ -1077,6 +1109,7 @@ EXTRA2_ORACLE: dict[str, str] = {
     "docs_chunking": DOCS_CHUNKING_SQL,
     "docs_token_topk": DOCS_TOKEN_TOPK_SQL,
     "events_irate_5m": EVENTS_IRATE_SQL,
+    "events_rolling_mean": EVENTS_ROLLING_MEAN_SQL,
     "events_topk_series": EVENTS_TOPK_SERIES_SQL,
     "hist_quantile_over_time": _quantile_over_time_sql(),
     "docs_training_pipeline": _training_pipeline_sql(),
