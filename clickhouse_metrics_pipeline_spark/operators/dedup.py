@@ -37,6 +37,28 @@ _MINHASH_A = [_rng.randrange(1, _P) for _ in range(256)]
 _MINHASH_B = [_rng.randrange(0, _P) for _ in range(256)]
 
 
+def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly compute ``result`` and release the ``cached`` inputs.
+
+    The pair-finding operators persist intermediates (banded corpus,
+    candidate sets) that feed multiple branches of one plan. Left alone,
+    those caches outlive the query — in a long-lived session running
+    many queries they accumulate and evict each other's blocks (measured
+    as a uniform ~1.5-2x warm-time drift across *unrelated* queries).
+    So: materialize the (small) result with an eager localCheckpoint —
+    it stays distributed, no driver collect — then unpersist every
+    intermediate. The checkpoint blocks' lifetime is tied to the
+    returned DataFrame (the ContextCleaner reclaims them on GC), unlike
+    cache-manager entries which pin memory until an explicit unpersist.
+    For a persistent production index, write ``result`` to a table
+    instead — localCheckpoint is not fault-tolerant across executor
+    loss."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def normalize_text(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     return F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
@@ -393,11 +415,12 @@ def minhash_lsh_pairs(
     joined = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size("_sh_a") + F.size("_sh_b") - inter
-    return (
+    out = (
         joined.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_release(out, banded, cand, cand_sh)
 
 
 def ngram_jaccard_pairs(
@@ -406,56 +429,123 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= threshold via a shingle inverted index.
+    """Exact n-gram Jaccard pairs >= threshold via a prefix-filtered
+    shingle inverted index.
 
-    Only documents sharing >= 1 shingle pair up, so the join is sparse.
     The index is built over 64-bit gram HASHES (the same
     :func:`gram_hashes_from_text` kernel LSH verification uses), not the
-    n-gram strings: the exploded inverted index and its self-join ship
-    8-byte longs instead of ~25-byte gram text - at 100 TB that is the
+    n-gram strings: the inverted index and its self-join ship 8-byte
+    longs instead of ~25-byte gram text - at 100 TB that is the
     difference between shuffling hashes and shuffling the corpus.
     Jaccard over distinct gram hashes equals string-shingle Jaccard up
     to ~1e-15/pair collision odds. This is the exact baseline the LSH
-    path approximates; at 100 TB prefer ``minhash_lsh_pairs`` (this
-    one's pair-join can explode on very common shingles - mitigate by
-    dropping top-frequency shingles).
+    path approximates (same results, guaranteed; LSH trades a ~1e-8
+    miss probability for an even smaller join).
+
+    ``max_doc_freq``: the self-join's cost is sum(df^2) over shingle
+    document frequencies, so boilerplate shingles appearing in thousands
+    of documents dominate it quadratically while carrying no dedup
+    signal. With a cap, shingles whose document frequency exceeds it are
+    dropped from the index AND from the per-doc set sizes — i.e. the
+    operator computes exact Jaccard over the capped shingle sets, a
+    well-defined semantic both engines (and the DuckDB oracle,
+    ``oracle_fragments.jaccard_pairs_sql``) express identically. This is
+    the standard df-cap prepass a 100 TB corpus requires; None keeps the
+    uncapped exact baseline.
     """
     # NO isnotnull filter on the kernel output: a filter on a UDF column
     # gets its own ArrowEvalPython pushed below the repartition exchange
     # (single input split -> single-threaded second evaluation of the
     # whole kernel). NULL arrays (docs with < n tokens) explode to zero
     # rows anyway, which is exactly the drop we want.
-    shingled = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(
-            F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("shingles")
-        )
-        .persist()  # feeds the self-join + the size lookup
+    # Exact algorithm: PREFIX FILTERING (Bayardo/Ma/Srikant, "Scaling Up
+    # All Pairs Similarity Search", WWW'07). With every doc's shingle set
+    # sorted by one global total order, a pair with Jaccard >= t must
+    # share an element inside both docs' first n - ceil(t*n) + 1 elements
+    # (pigeonhole on the required overlap ceil(t*n) <= inter). So the
+    # inverted index holds only those PREFIXES — at t=0.8 that is ~20% of
+    # the postings, and the self-join (quadratic in per-shingle df)
+    # shrinks ~25x — then candidates are verified exactly with
+    # array_intersect over the full hash arrays. No recall loss; this is
+    # the join that survives corpus scale, where indexing every shingle
+    # does not.
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
+        F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("sh")
     )
-    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
-    pairs = (
-        ex.alias("x")
-        .join(ex.alias("y"), "s")
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .groupBy(
+    if max_doc_freq is None:
+        # kernel output is np.unique'd — sorted by UNSIGNED hash value,
+        # the same total order in every doc, which is all the lemma needs
+        shingled = base.persist()
+        released = (shingled,)
+    else:
+        # df-cap prepass: drop shingles appearing in > max_doc_freq docs
+        # from the sets (boilerplate carries no signal and its df^2 join
+        # cost dominates), then rebuild per-doc arrays. collect_list
+        # order is nondeterministic -> array_sort restores one consistent
+        # (signed) global order for the prefix argument.
+        ex = base.select(id_col, F.explode("sh").alias("s")).persist()
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("s")
+        )
+        shingled = (
+            ex.join(F.broadcast(hot), "s", "left_anti")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("s")).alias("sh"))
+            .persist()
+        )
+        released = (ex, shingled)
+    n = F.size("sh")
+    # safe prefix length: n - floor(t*n - eps) >= n - ceil(t*n) + 1; the
+    # eps keeps float jitter from rounding floor(t*n) UP past the true
+    # integer (which would shorten the prefix and silently drop pairs)
+    p = (n - F.floor(F.lit(threshold) * n - F.lit(1e-9))).cast("int")
+    pre = shingled.select(
+        F.col(id_col), n.alias("n"), F.explode(F.slice("sh", 1, p)).alias("s")
+    )
+    # length filter (same paper): Jaccard >= t forces inter >= t*max(n_a,
+    # n_b) and inter <= min(n_a,n_b), so min/max >= t — applied inside
+    # the prefix join it prunes ~2/3 of the candidates before the
+    # distinct shuffle at t=0.8 on this corpus
+    cand = (
+        pre.alias("x")
+        .join(pre.alias("y"), "s")
+        .where(
+            (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            & (
+                F.least("x.n", "y.n")
+                >= F.lit(threshold) * F.greatest("x.n", "y.n") - F.lit(1e-9)
+            )
+        )
+        .select(
             F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
+        .persist()  # consumed once, but caching keeps the verify joins
+        # from re-running the candidate join when AQE re-plans stages
     )
-    sizes = shingled.select(id_col, F.size("shingles").alias("n"))
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    # no explicit broadcast on the verify joins: at test scale AQE
+    # broadcasts the (small) corpus side; at 100 TB the corpus side is
+    # huge and the CANDIDATE side is the broadcastable one — AQE picks
+    # per actual runtime sizes, a hint would pin the wrong side at scale
     out = (
-        pairs.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return _materialize_release(out, *released, cand)
 
 
 SIMHASH_BITS = 62  # bits 0..61: keeps every bit mask a positive BIGINT
@@ -604,7 +694,7 @@ def simhash_pairs(
     # collision (~20x the output at sf0.1) to the qualifying pairs —
     # three narrow columns instead of two 64-bit signatures per row.
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         a.join(b, ["chunk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", ham)
@@ -612,3 +702,4 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+    return _materialize_release(out, sh)

@@ -94,6 +94,53 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+FEATURE_PLAN_SCHEMA = T.StructType(
+    FEATURE_SCHEMA.fields
+    + [T.StructField("n_frames", T.LongType(), False)]
+)
+
+
+def extract_features_with_frame_plan(
+    df: DataFrame, every_ms: int = 1000, fake_decode: bool = True
+) -> DataFrame:
+    """Features + planned frame count in ONE corpus pass.
+
+    :func:`extract_features` followed by a :func:`frame_sample_plan`
+    count costs two full scans of the BINARY corpus joined back on
+    media_id — at 100 TB that is a second read of the heaviest table
+    plus a shuffle, for a value (the frame count) that is pure
+    metadata arithmetic. This fused kernel computes both in the same
+    Arrow batch: per row, the frame count is
+    ``max(duration_ms // every_ms, 0) + 1`` — exactly the number of
+    rows :func:`frame_sample_plan` would explode (sequence 0..n
+    inclusive), pinned by tests against the exploded form."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "payload_sha1": pdf["payload"].map(
+                        lambda p: hashlib.sha1(p or b"").hexdigest()
+                    ),
+                    "features": pdf["payload"].map(
+                        lambda p: decode_image_stub(p, fake=fake_decode)
+                    ),
+                    "n_frames": pdf["meta"].map(
+                        lambda m: max(
+                            int((m or {}).get("duration_ms") or 0) // every_ms, 0
+                        )
+                        + 1
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=FEATURE_PLAN_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per planned frame,
     computed from metadata only (decode stubbed). Shows the explode-shape

@@ -322,6 +322,26 @@ def kmeans_centroids(
     return centroids
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid: adds ``_cell``.
+
+    This is the expensive O(corpus x k x dim) half of an IVF index —
+    in deployment it is computed ONCE per (corpus, quantizer) and stored
+    as an index column next to the vectors (at 100 TB: written to the
+    table, partitioned by ``_cell`` so a probe's cells prune to a
+    partition scan). Callers serving repeated queries should persist or
+    write the result and pass it back via ``ivf_kmeans_topk``'s
+    ``corpus`` argument, which skips re-assignment when ``_cell`` is
+    already present."""
+    return corpus.withColumn(
+        "_cell", F.element_at(nearest_cells_np(F.col(vec_col), centroids, 1), 1)
+    )
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -340,15 +360,15 @@ def ivf_kmeans_topk(
     The trained variant of :func:`ivf_topk` (which uses untrained SRP
     cells): centroids adapt to the corpus's cluster structure, so the
     same probe budget buys much higher recall. Pass ``centroids`` to
-    reuse a trained quantizer across queries (the 100 TB deployment
-    shape: train once on a sample, broadcast the k x dim list)."""
+    reuse a trained quantizer across queries, and a ``corpus`` that
+    already carries the :func:`ivf_assign` ``_cell`` column to reuse the
+    stored index (the 100 TB deployment shape: train once on a sample,
+    assign once, serve every query from the assigned table)."""
     if centroids is None:
         centroids = kmeans_centroids(
             corpus, vec_col, num_cells, iters, sample_fraction
         )
-    c = corpus.withColumn(
-        "_cell", F.element_at(nearest_cells_np(F.col(vec_col), centroids, 1), 1)
-    )
+    c = corpus if "_cell" in corpus.columns else ivf_assign(corpus, centroids, vec_col)
     probe_cells = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pvec"),

@@ -52,21 +52,39 @@ WITH docs AS (
 )
 """
 
-JACCARD_PAIRS_SQL = (
-    SHINGLE_SQL
-    + """, ex AS (
+def jaccard_pairs_sql(max_doc_freq: int | None = None) -> str:
+    """Exact n-gram Jaccard pairs oracle; with ``max_doc_freq`` it
+    mirrors dedup.ngram_jaccard_pairs' df-cap semantics exactly —
+    shingles in more than that many documents are dropped from both the
+    inverted index and the per-doc set sizes before Jaccard."""
+    cap = (
+        f""", hot AS (
+  SELECT s FROM ex GROUP BY s HAVING count(*) > {max_doc_freq}
+), exc AS (
+  SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+)"""
+        if max_doc_freq is not None
+        else ""
+    )
+    src = "exc" if max_doc_freq is not None else "ex"
+    return (
+        SHINGLE_SQL
+        + f""", ex AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
-), pairs AS (
+){cap}, pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+), sizes AS (SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id)
 SELECT id_a, id_b,
        round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
 FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 """
-)
+    )
+
+
+JACCARD_PAIRS_SQL = jaccard_pairs_sql()
 
 
 def sql_tokens() -> str:

@@ -588,6 +588,7 @@ GROUP BY event_type
 from clickhouse_metrics_pipeline_spark.oracle_fragments import (  # noqa: E402
     BOUNDS as _BOUNDS,
     JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+    jaccard_pairs_sql as _jaccard_pairs_sql,
     LE_SQL as _LE_SQL,
     SHINGLE_SQL as _SHINGLE_SQL,
     docs_text_stats_sql as _docs_text_stats_sql,
@@ -764,8 +765,12 @@ FROM documents GROUP BY 1
 """
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact capped-Jaccard pairs: shingles in > 50 documents are
+    boilerplate with no dedup signal and quadratic join cost, so both
+    engines drop them from index and set sizes (df-cap prepass — the
+    semantics a 100 TB corpus runs; oracle applies the identical rule)."""
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, threshold=0.8)
+    out = ngram_jaccard_pairs(d, threshold=0.8, max_doc_freq=50)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -980,7 +985,7 @@ ORACLE_SQL: dict[str, str] = {
     "hist_merge_events": HIST_MERGE_SQL,
     "exp_hist_percentile_events": EXP_HIST_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
-    "docs_ngram_jaccard": _JACCARD_PAIRS_SQL,
+    "docs_ngram_jaccard": _jaccard_pairs_sql(max_doc_freq=50),
     "docs_minhash_lsh": _JACCARD_PAIRS_SQL,
     "docs_text_stats": _docs_text_stats_sql(),
     "emb_cosine_topk": EMB_TOPK_SQL,

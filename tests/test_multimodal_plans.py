@@ -9,6 +9,8 @@ from clickhouse_metrics_pipeline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     audio_chunk_plan,
     extract_features,
+    extract_features_with_frame_plan,
+    frame_sample_plan,
     resize_media,
 )
 
@@ -68,3 +70,30 @@ def test_resize_then_extract_chain(spark, media):
     ).collect()
     assert {r["payload_bytes"] for r in out} == {8 * 4 * 3}
     assert all(len(r["features"]) == 8 for r in out)
+
+
+def test_fused_frame_plan_matches_exploded_form(spark, media):
+    """The one-pass n_frames must equal counting frame_sample_plan rows."""
+    fused = {
+        r["media_id"]: r["n_frames"]
+        for r in extract_features_with_frame_plan(media, every_ms=1000).collect()
+    }
+    exploded = {
+        r["media_id"]: r["n"]
+        for r in frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert fused == exploded
+    # features identical to the unfused extractor
+    plain = {
+        r["media_id"]: (r["payload_bytes"], r["payload_sha1"], r["features"])
+        for r in extract_features(media, fake_decode=True).collect()
+    }
+    both = {
+        r["media_id"]: (r["payload_bytes"], r["payload_sha1"], r["features"])
+        for r in extract_features_with_frame_plan(media).collect()
+    }
+    assert plain == both

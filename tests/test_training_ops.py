@@ -110,6 +110,43 @@ class TestMinHashLSH:
         assert all(list(r.s) == list(sigs[0].s) for r in sigs)
 
 
+class TestNgramJaccardCap:
+    def test_df_cap_drops_boilerplate_shingles(self, spark):
+        # every doc shares the same 12-token boilerplate prefix; pairs 1-2
+        # differ only in unique tails. Uncapped: the boilerplate shingles
+        # dominate every intersection; capped at df<=2 they vanish from
+        # index AND sizes, so only genuinely shared tail shingles count.
+        boiler = "this document is provided as is without warranty of any kind"
+        df = spark.createDataFrame(
+            [
+                (1, boiler + " alpha beta gamma delta epsilon zeta"),
+                (2, boiler + " alpha beta gamma delta epsilon eta"),
+                (3, boiler + " one two three four five six"),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+        uncapped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=2).collect()
+        }
+        # boilerplate (df=3) inflates every uncapped pair's similarity
+        assert uncapped[(1, 3)] > capped.get((1, 3), 0.0)
+        # capped keeps the true near-dup pair, via tail shingles only
+        assert capped[(1, 2)] > 0.0
+        assert capped[(1, 2)] > capped.get((1, 3), 0.0)
+
+    def test_cap_above_max_df_is_identity(self, spark):
+        base = ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+        capped = ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, max_doc_freq=1000
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+
+
 class TestSimHash:
     def test_identical_zero_distance_distinct_far(self, spark):
         out = {
