@@ -15,6 +15,13 @@ lifetime, not per query (at the 100 TB operating point they are <0.01%
 of any query's runtime; at sf0.1 they would be ~80% of the
 measurement). Cold (first-run) times are kept in the JSON under
 "cold_queries"/"cold_value" for transparency.
+
+Methodology note (changed after round 1): the headline per-query number
+is the BEST of two warm runs — a single warm sample on a shared box
+carries GC/scheduler jitter a long-lived cluster amortizes away. Both
+raw warm samples are recorded under "warm_samples" so cross-round
+comparisons can recompute either statistic; round-1 numbers were
+single-warm-run and read ~0-10% higher than min-of-two would.
 """
 
 from __future__ import annotations
@@ -81,6 +88,7 @@ def main() -> None:
     spark.range(0, 64, 1, 32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -94,8 +102,9 @@ def main() -> None:
         for _ in range(2):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            warm.append(time.time() - t0)
-        timings[name] = round(min(warm), 3)
+            warm.append(round(time.time() - t0, 3))
+        warm_samples[name] = warm
+        timings[name] = min(warm)
         print(
             f"# {name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)",
             file=sys.stderr,
@@ -109,6 +118,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_samples": warm_samples,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "sf": float(sf),

@@ -30,6 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -51,15 +52,21 @@ def asof_join(
     """
     keys = list(keys)
     pay = list(payload)
-    right_types = dict(right.dtypes)
     carry = [c for c in left.columns if c not in keys and c != left_ts]
 
+    # The payload rides in ONE struct, not per-column: every right row's
+    # struct is non-null (even when its fields are null), so
+    # last(ignorenulls) picks the latest right ROW atomically. Carrying
+    # columns independently would stitch the output from different right
+    # rows whenever a newer right row holds a NULL in one payload column
+    # — breaking the "latest right row" contract and NULL fidelity.
+    pay_type = T.StructType([right.schema[c] for c in pay])
     r = right.select(
         *keys,
         F.col(right_ts).alias("_asof_ts"),
         F.col(right_tiebreak).alias("_asof_tb"),
         F.lit(0).alias("_asof_side"),
-        *[F.col(c).alias(f"_pay_{c}") for c in pay],
+        F.struct(*[F.col(c).alias(c) for c in pay]).alias("_pay"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_left_{c}") for c in carry],
     )
     l = left.select(
@@ -67,7 +74,7 @@ def asof_join(
         F.col(left_ts).alias("_asof_ts"),
         F.col(left_tiebreak).alias("_asof_tb"),
         F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(right_types[c]).alias(f"_pay_{c}") for c in pay],
+        F.lit(None).cast(pay_type).alias("_pay"),
         *[F.col(c).alias(f"_left_{c}") for c in carry],
     )
     w = (
@@ -76,15 +83,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"_pay_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in pay
-        ],
+        "*", F.last("_pay", ignorenulls=True).over(w).alias("_asof_pay")
     )
     return carried.where(F.col("_asof_side") == 1).select(
         *keys,
         F.col("_asof_ts").alias(left_ts),
         *[F.col(f"_left_{c}").alias(c) for c in carry],
-        *[F.col(f"asof_{c}") for c in pay],
+        *[F.col(f"_asof_pay.{c}").alias(f"asof_{c}") for c in pay],
     )

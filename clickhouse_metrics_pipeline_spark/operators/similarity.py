@@ -257,10 +257,10 @@ def kmeans_centroids(
 ) -> list[list[float]]:
     """Train k coarse-quantizer centroids with distributed Lloyd's.
 
-    Per iteration: row-local nearest-centroid assignment (centroids are
-    k x dim literals, no join), then one groupBy(cell, dim) shuffle over
-    posexploded components; only k*dim (sum, count) rows ever reach the
-    driver. At 100 TB pass ``sample_fraction`` - IVF quantizers are
+    Per iteration: row-local nearest-centroid assignment + per-cell
+    partial sums in one Arrow pass, then a groupBy(cell) reduction; only
+    k (sum-vector, count) rows ever reach the driver. At 100 TB pass
+    ``sample_fraction`` - IVF quantizers are
     trained on samples (a 0.1% sample of 100 TB is ~100 GB, plenty for
     k<=4096) - and reuse the centroid list across jobs. Deterministic:
     init picks the k rows with the smallest xxhash64 of the vector text,
@@ -281,11 +281,9 @@ def kmeans_centroids(
     centroids = [[float(x) for x in r.v] for r in init_rows]
     for _ in range(iters):
         # one job per iteration: each Arrow batch computes assignment +
-        # per-cell (sum-vector, count) partials in a single numpy pass;
-        # <= num_partitions * k tiny rows reach the driver, which
-        # finishes the reduction (same map-side-combine shape the
-        # posexplode/groupBy form had, minus its k*dim-literal plans
-        # that re-compiled per iteration)
+        # per-cell (sum-vector, count) partials in a single numpy pass
+        # (same map-side-combine shape the posexplode/groupBy form had,
+        # minus its k*dim-literal plans that re-compiled per iteration)
         C = np.asarray(centroids, dtype=np.float64)
 
         def _partials(batches):
@@ -304,19 +302,30 @@ def kmeans_centroids(
                     }
                 )
 
-        rows = vecs.mapInPandas(_partials, "cell int, s array<double>, n bigint").collect()
-        sums: dict[int, np.ndarray] = {}
-        counts: dict[int, int] = {}
-        for r in rows:
-            s = np.asarray(r["s"], dtype=np.float64)
-            if r["cell"] in sums:
-                sums[r["cell"]] += s
-                counts[r["cell"]] += r["n"]
-            else:
-                sums[r["cell"]] = s
-                counts[r["cell"]] = r["n"]
+        # distributed reduction: fold the <= num_partitions partials per
+        # cell into one (sum-vector, count) row with a groupBy, so only
+        # k rows ever reach the driver (at k=4096 and thousands of
+        # partitions, collecting raw partials becomes a driver hot
+        # spot). Partials are array_sort'ed before the fold so the
+        # float-addition order is deterministic regardless of shuffle
+        # arrival order — same centroids every run.
+        dim = len(centroids[0])
+        partials = vecs.mapInPandas(
+            _partials, "cell int, s array<double>, n bigint"
+        )
+        folded = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("s", "n"))),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, x: F.zip_with(acc, x["s"], lambda a, b: a + b),
+        )
+        rows = (
+            partials.groupBy("cell")
+            .agg(folded.alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        agg = {r["cell"]: (np.asarray(r["s"], dtype=np.float64), r["n"]) for r in rows}
         centroids = [
-            (sums[i] / counts[i]).tolist() if i in sums else c
+            (agg[i][0] / agg[i][1]).tolist() if i in agg else c
             for i, c in enumerate(centroids)
         ]
     return centroids

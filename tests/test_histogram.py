@@ -76,6 +76,20 @@ class TestBucketPercentile:
         df = _bucket_df(spark, [[(0.1, 10), (INF, 90)]])
         assert _one(df, bucket_percentile("buckets", 99.0)) == pytest.approx(0.1)
 
+    def test_golden_mode_inversion_documented_in_readme(self, spark):
+        # The reference's frac*le interpolation is NOT monotone in p:
+        # crossing into a wide bucket collapses the value toward 0
+        # (README "Percentile interpolation modes"). Pin the example.
+        df = _bucket_df(spark, [[(10.0, 50), (1000.0, 51)]])
+        g49 = _one(df, bucket_percentile("buckets", 49.0, "golden"))
+        g50 = _one(df, bucket_percentile("buckets", 50.0, "golden"))
+        assert g49 == pytest.approx(9.898, abs=0.001)
+        assert g50 == pytest.approx(9.804, abs=0.001)
+        assert g50 < g49  # the inversion golden mode permits
+        p49 = _one(df, bucket_percentile("buckets", 49.0, "prometheus"))
+        p50 = _one(df, bucket_percentile("buckets", 50.0, "prometheus"))
+        assert p50 > p49  # prometheus mode stays monotone
+
     def test_total(self, spark):
         df = _bucket_df(spark, [GOLDEN_BUCKETS])
         assert _one(df, bucket_total("buckets")) == 1000

@@ -79,6 +79,26 @@ def test_asof_backward_and_ties(spark):
     assert out[30]["asof_event_id"] is None  # nothing at-or-before
 
 
+def test_asof_null_payload_is_row_atomic(spark):
+    """The latest right row wins AS A ROW: a NULL payload value in the
+    newest right row must come through as NULL, not be backfilled from an
+    older right row (and multi-column payloads must never be stitched
+    from different right rows)."""
+    purchases = _ev(spark, [(10, "2024-01-01 03:00:00", 7, "purchase", 5.0)])
+    clicks = spark.createDataFrame(
+        [
+            (1, "2024-01-01 01:00:00", 7, 111.0),
+            (2, "2024-01-01 02:00:00", 7, None),  # latest: value is NULL
+        ],
+        "event_id BIGINT, ts STRING, user_id BIGINT, value DOUBLE",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value")
+    row = asof_join(
+        purchases, clicks, keys=["user_id"], payload=["event_id", "value"]
+    ).collect()[0]
+    assert row["asof_event_id"] == 2
+    assert row["asof_value"] is None  # NOT 111.0 from the older row
+
+
 # --------------------------------------------------------------------------
 # Exemplar cap: top-3 by value, ties by event_id, slice is exact
 # --------------------------------------------------------------------------
