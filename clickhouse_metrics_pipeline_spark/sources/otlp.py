@@ -204,6 +204,30 @@ OTLP_EXPORT_SCHEMA = T.StructType(
 )
 
 
+def otlp_json_stream(
+    spark,
+    drop_dir: str,
+    workspace_id: str = "default",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-drop OTLP listener: the runnable stand-in for the reference's
+    gRPC receiver (``internal/receiver/otlp.go:42-89``).
+
+    Watches ``drop_dir`` for OTLP/JSON ExportRequest files (one JSON
+    object per line, the standard OTLP file-exporter layout; a
+    collector's ``file`` exporter or any curl of the /v1/metrics JSON
+    body drops straight in) and returns the flattened ``metrics_raw``
+    stream — feed it to ``streaming.pipeline.ingest_stream`` for the
+    full validate -> delta-convert -> partitioned-parquet path.
+    ``max_files_per_trigger`` bounds per-batch file intake (backpressure
+    at scale; at 100 TB/day the same flatten plan runs on a Kafka
+    source instead — the contract is just the resourceMetrics column)."""
+    reader = spark.readStream.schema(OTLP_EXPORT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return flatten_otlp(reader.json(drop_dir), workspace_id=workspace_id)
+
+
 def _attrs_to_map(attrs: Column) -> Column:
     """OTLP key-value list -> MAP<STRING,STRING>, values stringified
     (mergeAttributes stringification, receiver/otlp.go:332-344)."""

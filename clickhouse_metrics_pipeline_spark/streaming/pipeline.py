@@ -43,11 +43,23 @@ _STATE_SCHEMA = (
     "last_les array<double>, last_counts array<bigint>"
 )
 
+_EXEMPLARS_DDL = (
+    "array<struct<spanId:string,traceId:string,value:double,"
+    "timestamp:timestamp,attributes:map<string,string>>>"
+)
+
+# full metrics_raw width (minus the exp-histogram columns, which the
+# cumulative->delta state machine never touches — the reference's
+# converter handles sum/histogram only, temporality.go:43-113): the
+# sink must store serviceName/attributes/exemplars like the reference's
+# writer does (clickhouse/writer.go:184-241), not just the numeric core
 _OUTPUT_SCHEMA = (
     "series_hash bigint, timestamp timestamp, metric string, "
-    "workspaceId string, metric_type tinyint, temporality tinyint, "
-    "is_monotonic boolean, value double, count bigint, sum double, "
-    "buckets_le array<double>, buckets_count array<bigint>"
+    "workspaceId string, serviceName string, metric_type tinyint, "
+    "temporality tinyint, is_monotonic boolean, value double, "
+    "count bigint, sum double, "
+    "buckets_le array<double>, buckets_count array<bigint>, "
+    f"attributes map<string,string>, exemplars {_EXEMPLARS_DDL}"
 )
 
 
@@ -156,6 +168,7 @@ def split_buckets(df: DataFrame) -> DataFrame:
         "timestamp",
         "metric",
         "workspaceId",
+        "serviceName",
         "metric_type",
         "temporality",
         "is_monotonic",
@@ -164,6 +177,8 @@ def split_buckets(df: DataFrame) -> DataFrame:
         "sum",
         F.transform("buckets", lambda b: b["le"]).alias("buckets_le"),
         F.transform("buckets", lambda b: b["count"]).alias("buckets_count"),
+        "attributes",
+        "exemplars",
     )
 
 
@@ -305,9 +320,12 @@ def ingest_stream(
     checkpoint: str,
     workspace_id: str = "default",
     trigger_seconds: int = 10,
+    available_now: bool = False,
 ):
     """Full streaming ingest: validate -> stamp -> delta-convert ->
     partitioned parquet sink, 10 s trigger (cmd/main.go:181-207 defaults).
+    ``available_now=True`` drains the source and stops — the batch-drain
+    mode for catch-up runs and tests.
 
     Returns the StreamingQuery handle."""
     from pyspark.sql import functions as F
@@ -325,9 +343,11 @@ def ingest_stream(
             .parquet(out_path)
         )
 
-    return (
-        converted.writeStream.foreachBatch(_write)
-        .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
+    writer = converted.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
