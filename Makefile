@@ -1,0 +1,33 @@
+# pyspark-metrics-engine Makefile — the one-command runner the reference
+# ships (reference Makefile:23-40 / scripts/run_tests.sh), minus the
+# docker/ClickHouse targets Spark makes unnecessary.
+
+.PHONY: help test test-unit test-oracle test-streaming bench demo-ingest clean
+
+SF_DIR ?= /root/testdata/sf0.01
+
+help: ## Show this help message
+	@echo 'Usage: make [target]'
+	@echo ''
+	@echo 'Targets:'
+	@awk 'BEGIN {FS = ":.*?## "} /^[a-zA-Z_-]+:.*?## / {printf "  %-15s %s\n", $$1, $$2}' $(MAKEFILE_LIST)
+
+test: test-unit test-oracle ## Run all tests (unit + oracle parity)
+
+test-unit: ## Run the pytest suite
+	python -m pytest tests/ -x -q
+
+test-oracle: ## DuckDB oracle parity for every catalog query (sf0.01)
+	python tools/check_oracle.py $(SF_DIR)
+
+test-streaming: ## Streaming pipeline + OTLP ingest e2e only
+	python -m pytest tests/test_streaming.py tests/test_otlp_ingest_e2e.py tests/test_pipeline_e2e.py -x -q
+
+bench: ## Headline benchmark at sf0.1 (one JSON line on stdout)
+	python bench.py
+
+demo-ingest: ## OTLP-JSON drop-dir -> parquet demo (drains /tmp/otlp-drop)
+	python scripts/otlp_json_ingest.py /tmp/otlp-drop /tmp/otlp-out /tmp/otlp-ckpt --drain
+
+clean: ## Remove local run artifacts
+	rm -rf /tmp/otlp-out /tmp/otlp-ckpt spark-warehouse .pytest_cache

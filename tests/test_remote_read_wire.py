@@ -1,0 +1,154 @@
+"""Remote Read wire codec: snappy block format, prompb proto3 framing,
+and the full body-in/body-out handler against the integration fixture
+(``pkg/promread/handler.go:65-107`` + ``remote.DecodeReadRequest``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.operators.temporality import convert_to_delta
+from clickhouse_metrics_pipeline_spark.operators.validate import validate
+from clickhouse_metrics_pipeline_spark.plans.matchers import LabelMatcher, MatchType
+from clickhouse_metrics_pipeline_spark.plans.remote_read import MetricsCatalog
+from clickhouse_metrics_pipeline_spark.plans.remote_read_wire import (
+    decode_read_request,
+    decode_read_response,
+    encode_read_request,
+    encode_read_response,
+    handle_remote_read,
+    snappy_compress,
+    snappy_decompress,
+)
+from clickhouse_metrics_pipeline_spark.sources.fixtures import integration_metrics
+
+NOW = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+class TestSnappy:
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            b"",
+            b"x",
+            b"hello snappy",
+            bytes(range(256)) * 300,  # > one 64 KiB literal chunk
+            random.Random(7).randbytes(200_000),
+        ],
+    )
+    def test_roundtrip(self, payload):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+
+    def test_decodes_copies_including_overlap(self):
+        # hand-assembled per format_description.txt: literal "ab", then a
+        # 2-byte-offset copy of length 18 at offset 2 -> "ab" * 10; the
+        # copy overlaps its own output and must be replayed byte-wise
+        buf = bytes([20, (2 - 1) << 2]) + b"ab" + bytes([((18 - 1) << 2) | 2, 2, 0])
+        assert snappy_decompress(buf) == b"ab" * 10
+
+    def test_decodes_one_byte_offset_copy(self):
+        # literal "abcd", copy len 4 offset 4 (tag 01) -> "abcdabcd"
+        buf = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([(0 << 2) | 1, 4])
+        assert snappy_decompress(buf) == b"abcdabcd"
+
+    def test_length_mismatch_rejected(self):
+        with pytest.raises(ValueError):
+            snappy_decompress(bytes([5, (2 - 1) << 2]) + b"ab")
+
+    def test_real_snappy_interop_if_available(self):
+        try:
+            import snappy  # noqa: F401
+        except ImportError:
+            pytest.skip("python-snappy not installed in this container")
+        data = b"interop" * 1000
+        assert snappy.decompress(snappy_compress(data)) == data
+        assert snappy_decompress(snappy.compress(data)) == data
+
+
+class TestPrompb:
+    def test_read_request_roundtrip(self):
+        queries = [
+            {
+                "start_ms": 1_700_000_000_000,
+                "end_ms": 1_700_003_600_000,
+                "matchers": [
+                    LabelMatcher(MatchType.EQ, "__name__", "requests_total"),
+                    LabelMatcher(MatchType.RE, "endpoint", "/api/.*"),
+                    LabelMatcher(MatchType.NEQ, "method", "DELETE"),
+                ],
+            },
+            {"start_ms": 0, "end_ms": 0, "matchers": []},
+        ]
+        assert decode_read_request(encode_read_request(queries)) == queries
+
+    def test_read_response_roundtrip(self):
+        results = [
+            [
+                {
+                    "labels": {"__name__": "m", "env": "prod"},
+                    "samples": [(1.5, 1_700_000_000_000), (2.0, 1_700_000_001_000)],
+                },
+                {"labels": {"__name__": "n"}, "samples": []},
+            ],
+            [],
+        ]
+        assert decode_read_response(encode_read_response(results)) == results
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    raw = integration_metrics(spark, now=NOW)
+    stored = convert_to_delta(
+        validate(
+            raw,
+            workspace_id="integration_test",
+            now=F.to_timestamp(F.lit("2024-06-01 12:00:00")),
+        )
+    )
+    return MetricsCatalog({"metrics_raw": stored})
+
+
+def test_handler_end_to_end(catalog):
+    body = snappy_compress(
+        encode_read_request(
+            [{"start_ms": 0, "end_ms": 0, "matchers": [
+                LabelMatcher(MatchType.EQ, "__name__", "requests_total")]}]
+        )
+    )
+    resp = decode_read_response(snappy_decompress(handle_remote_read(
+        catalog, body, workspace_id="integration_test"
+    )))
+    assert len(resp) == 1 and len(resp[0]) == 1
+    series = resp[0][0]
+    assert series["labels"]["__name__"] == "requests_total"
+    assert series["labels"]["endpoint"] == "/api/users"
+    # delta sums re-cumulated per series (handler.go:184-197, fixed
+    # per-series): [100, 150], 1 s apart, millisecond timestamps
+    t0 = int(NOW.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    values = [(v, t) for v, t in series["samples"]]
+    assert [v for v, _ in values] == [100.0, 150.0]
+    assert values[1][1] - values[0][1] == 1000
+    assert values[0][1] <= t0  # fixture points sit at/shortly before NOW
+
+
+def test_handler_multi_query_and_empty(catalog):
+    body = snappy_compress(encode_read_request([
+        {"start_ms": 0, "end_ms": 0, "matchers": [
+            LabelMatcher(MatchType.RE, "__name__", "request.*")]},
+        {"start_ms": 0, "end_ms": 0, "matchers": [
+            LabelMatcher(MatchType.EQ, "__name__", "no_such_metric")]},
+    ]))
+    resp = decode_read_response(snappy_decompress(handle_remote_read(
+        catalog, body, workspace_id="integration_test"
+    )))
+    assert len(resp) == 2
+    names = [s["labels"]["__name__"] for s in resp[0]]
+    assert names == sorted(names) and set(names) == {
+        "request_duration", "requests_total"
+    }
+    assert resp[1] == []
