@@ -1039,6 +1039,77 @@ def docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the benchmark-leakage check every
+    pretraining pipeline runs (the n-gram-collision method used for
+    public LLM training sets): flag each eval-split document sharing at
+    least one 8-gram with ANY train-split document, with the shared-gram
+    count as the contamination score.
+
+    Split is deterministic (doc_id % 50 == 0 -> eval). Grams are the
+    same 64-bit hash kernel the dedup suite uses
+    (:func:`operators.dedup.gram_hashes_from_text`, shingle_n=8), so
+    the contains-join ships bigints, not 8-gram text; the oracle runs
+    the string form (collision odds ~1e-9 corpus-wide). Scale shape:
+    the train side reduces to DISTINCT gram hashes (shuffle on the gram
+    key — the inverted-index join), eval explodes only the eval split
+    (~2% of the corpus); no all-pairs anything."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        gram_hashes_from_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id", gram_hashes_from_text("text", shingle_n=8).alias("grams")
+    )
+    ev = grams.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.explode("grams").alias("s"),
+    )
+    tr = (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .select(F.explode("grams").alias("s"))
+        .distinct()
+    )
+    return (
+        ev.join(tr, "s")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select("doc_id", "n_shared", "n_grams")
+    )
+
+
+_EIGHT_GRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                        ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+                        for i in range(1, len(w) - 6)]) AS grams
+  FROM toks WHERE len(w) >= 8
+)"""
+
+DOCS_DECONTAMINATE_SQL = (
+    _EIGHT_GRAM_SQL
+    + """, ev AS (
+  SELECT doc_id, len(grams)::BIGINT AS n_grams, unnest(grams) AS s
+  FROM g WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT DISTINCT unnest(grams) AS s FROM g WHERE doc_id % 50 != 0
+)
+SELECT doc_id, count(*)::BIGINT AS n_shared, n_grams
+FROM ev JOIN tr USING (s)
+GROUP BY doc_id, n_grams
+"""
+)
+
+
 def _training_pipeline_sql() -> str:
     from clickhouse_metrics_pipeline_spark.oracle_fragments import (
         JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
@@ -1089,6 +1160,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_topk_series": events_topk_series,
     "hist_quantile_over_time": hist_quantile_over_time,
     "docs_training_pipeline": docs_training_pipeline,
+    "docs_decontaminate": docs_decontaminate,
     "events_gap_fill_locf": events_gap_fill_locf,
     "events_pivot_daily": events_pivot_daily,
 }
@@ -1113,6 +1185,7 @@ EXTRA2_ORACLE: dict[str, str] = {
     "events_topk_series": EVENTS_TOPK_SERIES_SQL,
     "hist_quantile_over_time": _quantile_over_time_sql(),
     "docs_training_pipeline": _training_pipeline_sql(),
+    "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "events_gap_fill_locf": EVENTS_GAP_FILL_SQL,
     "events_pivot_daily": EVENTS_PIVOT_SQL,
 }
