@@ -68,6 +68,12 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # NOTE: spark.cleaner.periodicGC.interval was tried at 2min to
+        # bound out-of-scope localCheckpoint blocks and REGRESSED the
+        # suite ~1.7x — the forced full GC lands mid-query and stalls
+        # every executor thread. The default (30min) is right: checkpoint
+        # blocks are tiny and the ContextCleaner reclaims them on natural
+        # GCs; do not re-add without A/B timings.
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
