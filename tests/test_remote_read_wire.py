@@ -136,6 +136,32 @@ def test_handler_end_to_end(catalog):
     assert values[0][1] <= t0  # fixture points sit at/shortly before NOW
 
 
+def test_handler_routes_to_rollup_resolution(catalog, spark):
+    """A query older than the raw-table retention must serve from the 1m
+    rollup through the wire path (router Q1, handler.go:304-321)."""
+    from clickhouse_metrics_pipeline_spark.operators.rollup import (
+        build_rollup_hierarchy,
+    )
+
+    stored = catalog.get("metrics_raw")
+    catalog.tables["metrics_1m"] = build_rollup_hierarchy(stored)["metrics_1m"]
+    t0 = int(NOW.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    body = snappy_compress(encode_read_request([
+        {"start_ms": t0 - 3_600_000, "end_ms": t0 + 3_600_000, "matchers": [
+            LabelMatcher(MatchType.EQ, "__name__", "cpu_usage")]},
+    ]))
+    resp = decode_read_response(snappy_decompress(handle_remote_read(
+        catalog, body,
+        workspace_id="integration_test",
+        now_ms=t0 + 4 * 3_600_000,  # age 5h > 3h raw retention -> metrics_1m
+    )))
+    assert len(resp) == 1 and len(resp[0]) == 1
+    series = resp[0][0]
+    assert series["labels"]["__name__"] == "cpu_usage"
+    # rollup rows serve value_last; one 1m bucket for the single gauge point
+    assert [v for v, _ in series["samples"]] == [75.5]
+
+
 def test_handler_multi_query_and_empty(catalog):
     body = snappy_compress(encode_read_request([
         {"start_ms": 0, "end_ms": 0, "matchers": [
