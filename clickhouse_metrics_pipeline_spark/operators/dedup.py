@@ -471,36 +471,40 @@ def ngram_jaccard_pairs(
     # array_intersect over the full hash arrays. No recall loss; this is
     # the join that survives corpus scale, where indexing every shingle
     # does not.
-    base = df.repartition(
+    # kernel output is np.unique'd — sorted by UNSIGNED hash value, the
+    # same total order in every doc, which is all the prefix lemma needs
+    shingled = base = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, id_col
     ).select(
         F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("sh")
-    )
-    if max_doc_freq is None:
-        # kernel output is np.unique'd — sorted by UNSIGNED hash value,
-        # the same total order in every doc, which is all the lemma needs
-        shingled = base.persist()
-        released = (shingled,)
-    else:
+    ).persist()
+    released: tuple[DataFrame, ...] = (base,)
+    if max_doc_freq is not None:
         # df-cap prepass: drop shingles appearing in > max_doc_freq docs
         # from the sets (boilerplate carries no signal and its df^2 join
-        # cost dominates), then rebuild per-doc arrays. collect_list
-        # order is nondeterministic -> array_sort restores one consistent
-        # (signed) global order for the prefix argument.
-        ex = base.select(id_col, F.explode("sh").alias("s")).persist()
+        # cost dominates), then rebuild per-doc arrays. Adaptive, like
+        # AQE's empty-relation propagation but driver-side: when NO
+        # shingle exceeds the cap (clean corpora), the capped result is
+        # provably identical to the uncapped one, so the rebuild
+        # (anti-join + regroup shuffle) is skipped entirely — one cheap
+        # agg probe over the cached index decides.
+        ex = base.select(id_col, F.explode("sh").alias("s"))
         hot = (
             ex.groupBy("s")
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_doc_freq)
             .select("s")
         )
-        shingled = (
-            ex.join(F.broadcast(hot), "s", "left_anti")
-            .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list("s")).alias("sh"))
-            .persist()
-        )
-        released = (ex, shingled)
+        if hot.limit(1).count() > 0:
+            # collect_list order is nondeterministic -> array_sort
+            # restores one consistent (signed) global order
+            shingled = (
+                ex.join(F.broadcast(hot), "s", "left_anti")
+                .groupBy(id_col)
+                .agg(F.array_sort(F.collect_list("s")).alias("sh"))
+                .persist()
+            )
+            released = (base, shingled)
     n = F.size("sh")
     # safe prefix length: n - floor(t*n - eps) >= n - ceil(t*n) + 1; the
     # eps keeps float jitter from rounding floor(t*n) UP past the true
