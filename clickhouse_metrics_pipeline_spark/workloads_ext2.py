@@ -1110,6 +1110,55 @@ GROUP BY doc_id, n_grams
 )
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — the data-mixture step
+    of a pretraining pipeline: per-language keep rates (en 90%, de/es/fr
+    50%, everything else 10%) applied with a HASH-based Bernoulli
+    decision instead of an RNG, so the sample is reproducible across
+    runs, engines and retries (a speculative re-execution must not
+    sample a different corpus). The decision hash is the md5-derived
+    60-bit portable form (same construction as simhash60_portable, so
+    DuckDB computes bit-identical values); at 100 TB this is a map-only
+    scan — no shuffle, no state, resample = rerun with new rates.
+    Returns (lang, n_kept, n_total, rate_pct) per stratum so the oracle
+    pins both the per-stratum totals and the exact kept counts."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % 100
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(90))
+        .when(F.col("lang").isin("de", "es", "fr"), F.lit(50))
+        .otherwise(F.lit(10))
+    )
+    return (
+        d.select("lang", rate.alias("rate_pct"), (h < rate).alias("_keep"))
+        .groupBy("lang", "rate_pct")
+        .agg(
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select("lang", "n_kept", "n_total", "rate_pct")
+    )
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT lang,
+         CASE WHEN lang = 'en' THEN 90
+              WHEN lang IN ('de', 'es', 'fr') THEN 50
+              ELSE 10 END AS rate_pct,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS h
+  FROM documents
+)
+SELECT lang,
+       sum(CASE WHEN h < rate_pct THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       count(*)::BIGINT AS n_total,
+       rate_pct
+FROM d GROUP BY lang, rate_pct
+"""
+
+
 def _training_pipeline_sql() -> str:
     from clickhouse_metrics_pipeline_spark.oracle_fragments import (
         JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
@@ -1161,6 +1210,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_quantile_over_time": hist_quantile_over_time,
     "docs_training_pipeline": docs_training_pipeline,
     "docs_decontaminate": docs_decontaminate,
+    "docs_stratified_sample": docs_stratified_sample,
     "events_gap_fill_locf": events_gap_fill_locf,
     "events_pivot_daily": events_pivot_daily,
 }
@@ -1186,6 +1236,7 @@ EXTRA2_ORACLE: dict[str, str] = {
     "hist_quantile_over_time": _quantile_over_time_sql(),
     "docs_training_pipeline": _training_pipeline_sql(),
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+    "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "events_gap_fill_locf": EVENTS_GAP_FILL_SQL,
     "events_pivot_daily": EVENTS_PIVOT_SQL,
 }
