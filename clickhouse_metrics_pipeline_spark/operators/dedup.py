@@ -356,6 +356,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    banded: DataFrame | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
 
@@ -369,24 +371,38 @@ def minhash_lsh_pairs(
     verification RE-computes string shingles only for candidate ids (a
     few hundred rows) instead of persisting the full string-shingle
     corpus — at 100 TB that persist is the difference between caching
-    ~64 longs/doc and caching the documents' full n-gram text."""
+    ~64 longs/doc and caching the documents' full n-gram text.
+
+    ``banded`` / ``shingled`` accept STORED-INDEX relations built by the
+    caller (``banded``: (id_col, band, bucket) from
+    :func:`minhash_band_buckets_from_text`; ``shingled``: (id_col, sh)
+    from :func:`gram_hashes_from_text` with the same ``shingle_n``).
+    In production the LSH table and the gram-hash fingerprints are
+    computed once at ingest and stored next to the corpus — every dedup
+    query then probes the index instead of re-running the full-corpus
+    kernel. Caller owns the lifetime of provided indexes (they are NOT
+    unpersisted here); when omitted, per-query intermediates are built,
+    persisted, and released before returning."""
     # small corpus files arrive as one input split; spread the compute-
     # heavy signature kernel across the cluster first. The fused kernel
     # emits the band bucket keys directly (no 64-wide signature array,
     # no string band-join in the plan).
     par = df.sparkSession.sparkContext.defaultParallelism
-    banded = (
-        df.repartition(par, id_col)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                minhash_band_buckets_from_text(
-                    text_col, num_hashes, bands, shingle_n
-                )
-            ).alias("band", "bucket"),
+    released: tuple[DataFrame, ...] = ()
+    if banded is None:
+        banded = (
+            df.repartition(par, id_col)
+            .select(
+                F.col(id_col),
+                F.posexplode(
+                    minhash_band_buckets_from_text(
+                        text_col, num_hashes, bands, shingle_n
+                    )
+                ).alias("band", "bucket"),
+            )
+            .persist()
         )
-        .persist()
-    )
+        released += (banded,)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -400,16 +416,24 @@ def minhash_lsh_pairs(
     # for the union of ids (semi-join first, so the kernel runs on
     # survivors only), joined back as both sides; Jaccard over distinct
     # 64-bit gram hashes == string-shingle Jaccard (collision odds
-    # ~1e-15/pair) with bigint arrays instead of n-gram text in flight
+    # ~1e-15/pair) with bigint arrays instead of n-gram text in flight.
+    # With a stored gram index the survivors join it directly instead.
     cand = candidates.persist()
-    ids = (
-        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
-    )
-    cand_sh = (
-        df.join(F.broadcast(ids), id_col, "left_semi")
-        .select(F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("_sh"))
-        .persist()
-    )
+    if shingled is None:
+        ids = (
+            cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+        )
+        cand_sh = (
+            df.join(F.broadcast(ids), id_col, "left_semi")
+            .select(
+                F.col(id_col),
+                gram_hashes_from_text(text_col, shingle_n).alias("_sh"),
+            )
+            .persist()
+        )
+        released += (cand_sh,)
+    else:
+        cand_sh = shingled.select(F.col(id_col), F.col("sh").alias("_sh"))
     a = cand_sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = cand_sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     joined = cand.join(a, "id_a").join(b, "id_b")
@@ -420,7 +444,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_release(out, banded, cand, cand_sh)
+    return _materialize_release(out, *released, cand)
 
 
 def ngram_jaccard_pairs(
@@ -430,9 +454,18 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     max_doc_freq: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via a prefix-filtered
     shingle inverted index.
+
+    ``shingled`` accepts a STORED-INDEX relation (id_col, sh) built by
+    the caller with :func:`gram_hashes_from_text` at the same
+    ``shingle_n`` — the production shape where gram-hash fingerprints
+    are computed once at ingest and stored next to the corpus, so each
+    dedup query probes the index instead of re-running the full-corpus
+    kernel. Caller owns its lifetime (not unpersisted here); the df-cap
+    rebuild (if triggered) still produces its own scoped intermediate.
 
     The index is built over 64-bit gram HASHES (the same
     :func:`gram_hashes_from_text` kernel LSH verification uses), not the
@@ -473,12 +506,16 @@ def ngram_jaccard_pairs(
     # does not.
     # kernel output is np.unique'd — sorted by UNSIGNED hash value, the
     # same total order in every doc, which is all the prefix lemma needs
-    shingled = base = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(
-        F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("sh")
-    ).persist()
-    released: tuple[DataFrame, ...] = (base,)
+    if shingled is None:
+        shingled = base = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        ).select(
+            F.col(id_col), gram_hashes_from_text(text_col, shingle_n).alias("sh")
+        ).persist()
+        released: tuple[DataFrame, ...] = (base,)
+    else:
+        base = shingled
+        released = ()
     if max_doc_freq is not None:
         # df-cap prepass: drop shingles appearing in > max_doc_freq docs
         # from the sets (boilerplate carries no signal and its df^2 join
@@ -504,7 +541,7 @@ def ngram_jaccard_pairs(
                 .agg(F.array_sort(F.collect_list("s")).alias("sh"))
                 .persist()
             )
-            released = (base, shingled)
+            released += (shingled,)
     n = F.size("sh")
     # safe prefix length: n - floor(t*n - eps) >= n - ceil(t*n) + 1; the
     # eps keeps float jitter from rounding floor(t*n) UP past the true
@@ -664,6 +701,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -671,7 +709,12 @@ def simhash_pairs(
     (pigeonhole: distance <= max_hamming guarantees one chunk equal), so
     the pair set is EXACT, then xor/bit_count verification. ``portable``
     switches to the md5-derived 60-bit signature with a cross-engine
-    oracle (:func:`simhash60_portable`)."""
+    oracle (:func:`simhash60_portable`).
+
+    ``signatures`` accepts a STORED-INDEX relation (id_col, sim) built
+    by the caller with the matching signature kernel — the production
+    shape (fingerprints computed once at ingest, stored in a signatures
+    table, probed by every dedup query). Caller owns its lifetime."""
     n_chunks = max_hamming + 1
     bits = PORTABLE_SIMHASH_BITS if portable else SIMHASH_BITS
     sig = simhash60_portable_kernel(text_col) if portable else simhash64(text_col)
@@ -682,11 +725,16 @@ def simhash_pairs(
     # the exchange and break canonical equality). One narrow (id, int64)
     # row per document: at 100 TB this is ~GBs, MEMORY_AND_DISK-safe; for
     # a persistent corpus write it to a signatures table instead.
-    sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(F.col(id_col), sig.alias("sim"))
-        .cache()
-    )
+    released: tuple[DataFrame, ...] = ()
+    if signatures is None:
+        sh = (
+            df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+            .select(F.col(id_col), sig.alias("sim"))
+            .cache()
+        )
+        released = (sh,)
+    else:
+        sh = signatures.select(F.col(id_col), F.col("sim"))
     chunks = sh.select(
         id_col,
         "sim",
@@ -720,4 +768,4 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    return _materialize_release(out, sh)
+    return _materialize_release(out, *released)

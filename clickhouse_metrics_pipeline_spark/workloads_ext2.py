@@ -1018,9 +1018,11 @@ def docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    drops = ngram_jaccard_pairs(d, threshold=0.8).select(
-        F.col("id_b").alias("doc_id")
-    ).distinct()
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
+
+    drops = ngram_jaccard_pairs(
+        d, threshold=0.8, shingled=dedup_index(spark, sf_dir, "grams3")
+    ).select(F.col("id_b").alias("doc_id")).distinct()
     n_tokens = token_count("text")
     survivors = (
         d.join(keepers, "doc_id", "left_semi")
