@@ -22,6 +22,16 @@ carries GC/scheduler jitter a long-lived cluster amortizes away. Both
 raw warm samples are recorded under "warm_samples" so cross-round
 comparisons can recompute either statistic; round-1 numbers were
 single-warm-run and read ~0-10% higher than min-of-two would.
+
+Host-speed calibration (added round 3): "host_floor_sec" records the
+median warm time of a FIXED trivial probe (filtered scan-agg over
+lineitem, pure JVM, no Python, no join) that never changes across
+rounds. The shared box's speed drifts round-to-round (measured: the
+same bare-session probe that took ~0.17 s during the round-1 window
+takes ~0.25-0.30 s in the round-3 window — a uniform ~1.4-1.5x host
+slowdown visible on UNTOUCHED pure-JVM queries and on a minimal-config
+session alike). Dividing per-query times by the floor ratio separates
+engine regressions from machine drift.
 """
 
 from __future__ import annotations
@@ -87,6 +97,26 @@ def main() -> None:
 
     spark.range(0, 64, 1, 32).select(_warm("id")).count()
 
+    # fixed host-speed floor probe (see module docstring): median of 3
+    # warm runs of an unchanging pure-JVM filtered scan-agg
+    from pyspark.sql import functions as F
+
+    def _floor_probe() -> None:
+        # rebuilt from scratch each run so the probe pays the same
+        # analyze/optimize/schedule path every catalog query pays
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.filter(F.col("l_quantity") < 24).agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+        ).collect()
+
+    _floor_probe()
+    floor_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        _floor_probe()
+        floor_samples.append(round(time.time() - t0, 3))
+    host_floor = sorted(floor_samples)[1]
+
     timings: dict[str, float] = {}
     warm_samples: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
@@ -121,6 +151,8 @@ def main() -> None:
                 "warm_samples": warm_samples,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "host_floor_sec": host_floor,
+                "host_floor_samples": floor_samples,
                 "sf": float(sf),
             }
         )
