@@ -769,3 +769,87 @@ def simhash_pairs(
         .distinct()
     )
     return _materialize_release(out, *released)
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph ->
+    (doc_id, keeper_id): every document that appears in at least one
+    pair, labeled with the minimum doc id of its component.
+
+    Production dedup keeps ONE document per duplicate CLUSTER, not per
+    pair: pairwise drop-the-higher-id (as in the training-pipeline
+    query) over-deletes when similarity chains A~B, B~C without A~C.
+    Component labeling is the standard fix (the reference has no
+    equivalent - its engine stops at pairwise SQL joins; this is part
+    of the LLM-data-pipeline extension suite).
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round every node adopts the minimum label among itself and its
+    neighbors (one shuffle: edges join labels, groupBy dst), then labels
+    are path-compressed (labels join labels: lbl <- lbl(lbl)), which
+    doubles the propagation horizon per round - O(log diameter) rounds
+    total, the same bound as alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    with a simpler per-round shape. The loop is driver-controlled with
+    an exact convergence check (any label changed?); each round's labels
+    are eagerly localCheckpoint'ed so lineage stays O(1) deep instead of
+    O(rounds) (the classic iterative-algorithm stack-overflow trap).
+    Near-dup graphs have tiny, dense components (variant clusters of one
+    boilerplate), so 2-3 rounds converge in practice; max_iters bounds
+    pathological chains.
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), "lbl"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("dst", "id")
+        )
+        prop = labels.join(neigh, "id", "left").select(
+            "id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+        )
+        # pointer jump: lbl <- lbl(lbl). Labels always name real nodes
+        # (they start as ids and only min-combine), so the self-join is
+        # total; least() keeps monotone non-increasing labels.
+        jumped = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("y"),
+                "lbl",
+                "left",
+            )
+            .select(
+                F.col("id"), F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl")
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("keeper_id"))

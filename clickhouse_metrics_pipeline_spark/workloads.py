@@ -870,6 +870,31 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level near-dup dedup: connected components over the exact
+    capped-Jaccard pair graph (the same pairs docs_ngram_jaccard emits),
+    labeling every involved document with its component's min doc id and
+    the component size. Pairwise drop-the-higher-id over-deletes on
+    similarity chains (A~B, B~C, A!~C keeps only A); component keepers
+    are what production dedup ships. Oracle: recursive-CTE transitive
+    closure over the identical pair set."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, threshold=0.8, shingled=dedup_index(spark, sf_dir, "grams3_df50")
+    )
+    comp = neardup_components(pairs)
+    w = Window.partitionBy("keeper_id")
+    return comp.select(
+        "doc_id",
+        "keeper_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
 def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1048,6 +1073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_neardup_clusters": docs_neardup_clusters,
     "docs_text_stats": docs_text_stats,
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1080,6 +1106,26 @@ ORACLE_SQL: dict[str, str] = {
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_jaccard": _jaccard_pairs_sql(max_doc_freq=50),
     "docs_minhash_lsh": _JACCARD_PAIRS_SQL,
+    # recursive-CTE transitive closure over the identical pair set the
+    # Spark side clusters with min-label propagation
+    "docs_neardup_clusters": f"""
+WITH RECURSIVE pj AS (
+  SELECT id_a, id_b FROM ({_jaccard_pairs_sql(max_doc_freq=50)}) q
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pj
+  UNION
+  SELECT id_b, id_a FROM pj
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+), labels AS (
+  SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id
+)
+SELECT doc_id, keeper_id,
+       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+FROM labels
+""",
     "docs_text_stats": _docs_text_stats_sql(),
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,

@@ -256,3 +256,34 @@ class TestSimilaritySearch:
         hits = exact.join(approx, ["probe_id", "neighbor_id"], "left_semi").count()
         # measured 60/100; chance at 4/16 cells would be ~25
         assert hits / 100 >= 0.55
+
+
+class TestNeardupComponents:
+    def test_path_graph_converges_to_one_component(self, spark):
+        # worst case for propagation: a 9-node path; pointer jumping
+        # must converge well inside max_iters
+        from clickhouse_metrics_pipeline_spark.operators.dedup import (
+            neardup_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"]
+        )
+        out = neardup_components(pairs, max_iters=6)
+        rows = {r["doc_id"]: r["keeper_id"] for r in out.collect()}
+        assert rows == {i: 1 for i in range(1, 10)}
+
+    def test_chain_vs_pairwise_drop(self, spark):
+        # A~B, B~C with no A~C pair: pairwise drop-the-higher-id keeps
+        # only A; component labeling keeps exactly one per CLUSTER too,
+        # but knows B and C are the same cluster (keeper A for both)
+        from clickhouse_metrics_pipeline_spark.operators.dedup import (
+            neardup_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+        )
+        out = neardup_components(pairs)
+        rows = {r["doc_id"]: r["keeper_id"] for r in out.collect()}
+        assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
