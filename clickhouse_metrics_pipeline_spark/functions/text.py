@@ -123,3 +123,67 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
         lambda i: F.xxhash64(F.array_join(F.slice(w, i + 1, window), " ")),
     )
     return F.array_min(window_hashes)
+
+
+def _max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element in ``arr``, row-local.
+
+    Sort the array, then one ``aggregate`` pass carries (prev element,
+    current run length, best run length) — mode frequency without any
+    per-document shuffle or explode. The whole computation stays inside
+    a single JVM expression, so a 100 TB corpus pays exactly one
+    map-only pass."""
+    s = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def _step(a: Column, x: Column) -> Column:
+        newrun = (
+            F.when(a["prev"].isNotNull() & (a["prev"] == x), a["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(a["best"], newrun).alias("best"),
+        )
+
+    return F.aggregate(s, acc0, _step, lambda a: a["best"])
+
+
+def top_token_frac(text: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of tokens taken by the
+    single most frequent token (high -> degenerate/repetitive text)."""
+    w = tokens(text)
+    return _max_run_count(w).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    ).cast("double")
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """All consecutive token bigrams (duplicates preserved — unlike
+    word_shingles, which deduplicates for set semantics)."""
+    w = tokens(text)
+    m = F.size(w) - 1
+    return F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, m),
+            F.slice(w, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_bigram_frac(text: Column | str) -> Column:
+    """Fraction of token bigrams taken by the most frequent bigram —
+    the 2-gram repetition filter from the Gopher/MassiveText quality
+    rules (fraction-of-characters-in-top-2-gram, adapted to token
+    counts so the DuckDB oracle is exact)."""
+    bg = word_bigrams(text)
+    return _max_run_count(bg).cast("double") / F.greatest(
+        F.size(bg), F.lit(1)
+    ).cast("double")

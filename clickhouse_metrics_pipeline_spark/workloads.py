@@ -909,6 +909,62 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality gate: fraction of
+    tokens in the most frequent token and fraction of bigrams in the
+    most frequent bigram, keep = both under threshold (0.125 / 0.06 -
+    flags the ~15-20% most repetitive of this corpus). Both metrics are
+    a single row-local sorted-array max-run HOF pass (functions.text.
+    _max_run_count) - no shuffle, no explode, no Python; the oracle
+    recomputes them with unnest + group-by. keep is decided on the
+    ROUNDED values so threshold ties can't flip between engines."""
+    from clickhouse_metrics_pipeline_spark.functions.text import (
+        top_bigram_frac,
+        top_token_frac,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tf = F.round(top_token_frac("text"), 4)
+    bf = F.round(top_bigram_frac("text"), 4)
+    return d.select(
+        "doc_id",
+        tf.alias("top_token_frac"),
+        bf.alias("top_bigram_frac"),
+        ((tf <= 0.125) & (bf <= 0.06)).alias("keep"),
+    )
+
+
+DOCS_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+  FROM documents
+), t1 AS (
+  SELECT doc_id, unnest(w) AS tok FROM toks
+), tc AS (
+  SELECT doc_id, max(c) AS mc, sum(c) AS n FROM (
+    SELECT doc_id, tok, count(*) AS c FROM t1 GROUP BY 1, 2) GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                     ELSE [] END) AS b
+  FROM toks
+), bc AS (
+  SELECT doc_id, max(c) AS mc, sum(c) AS n FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+)
+SELECT tc.doc_id,
+       round(tc.mc * 1.0 / greatest(tc.n, 1), 4) AS top_token_frac,
+       round(coalesce(bc.mc, 0) * 1.0 / greatest(coalesce(bc.n, 1), 1), 4)
+         AS top_bigram_frac,
+       (round(tc.mc * 1.0 / greatest(tc.n, 1), 4) <= 0.125
+        AND round(coalesce(bc.mc, 0) * 1.0 / greatest(coalesce(bc.n, 1), 1), 4)
+            <= 0.06) AS keep
+FROM tc LEFT JOIN bc ON bc.doc_id = tc.doc_id
+"""
+
+
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for probes vec_id < 10; ranking on the
     ROUNDED similarity so fp jitter can't flip the oracle comparison."""
@@ -1074,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
     "docs_neardup_clusters": docs_neardup_clusters,
+    "docs_repetition_filter": docs_repetition_filter,
     "docs_text_stats": docs_text_stats,
     "docs_simhash_pairs": docs_simhash_pairs,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1127,6 +1184,7 @@ SELECT doc_id, keeper_id,
 FROM labels
 """,
     "docs_text_stats": _docs_text_stats_sql(),
+    "docs_repetition_filter": DOCS_REPETITION_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "multimodal_binary_meta": MULTIMODAL_META_SQL,

@@ -287,3 +287,25 @@ class TestNeardupComponents:
         out = neardup_components(pairs)
         rows = {r["doc_id"]: r["keeper_id"] for r in out.collect()}
         assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+class TestRepetitionMetrics:
+    def test_top_token_and_bigram_frac(self, spark):
+        from clickhouse_metrics_pipeline_spark.functions.text import (
+            top_bigram_frac,
+            top_token_frac,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "x y z w"), (3, "hi")],
+            ["doc_id", "text"],
+        )
+        out = df.select(
+            "doc_id",
+            F.round(top_token_frac("text"), 4).alias("tf"),
+            F.round(top_bigram_frac("text"), 4).alias("bf"),
+        )
+        rows = {r["doc_id"]: (r["tf"], r["bf"]) for r in out.collect()}
+        assert rows[1] == (0.75, 0.6667)  # 'a' 3/4 tokens; 'a a' 2/3 bigrams
+        assert rows[2] == (0.25, 0.3333)  # all distinct
+        assert rows[3] == (1.0, 0.0)  # single token: no bigrams
