@@ -309,3 +309,76 @@ class TestRepetitionMetrics:
         assert rows[1] == (0.75, 0.6667)  # 'a' 3/4 tokens; 'a a' 2/3 bigrams
         assert rows[2] == (0.25, 0.3333)  # all distinct
         assert rows[3] == (1.0, 0.0)  # single token: no bigrams
+
+
+class TestStoredIndexEquivalence:
+    """The stored-index path (caller-provided banded/shingled/signature
+    relations) must produce byte-identical results to the inline path
+    that builds scoped intermediates - the contract that lets ingest
+    precompute fingerprints without changing query semantics."""
+
+    def test_minhash_and_jaccard_and_simhash(self, spark):
+        from clickhouse_metrics_pipeline_spark.operators.dedup import (
+            gram_hashes_from_text,
+            minhash_band_buckets_from_text,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash60_portable_kernel,
+            simhash_pairs,
+        )
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        grams = d.select(
+            "doc_id", gram_hashes_from_text("text", 3).alias("sh")
+        ).persist()
+        banded = d.select(
+            F.col("doc_id"),
+            F.posexplode(
+                minhash_band_buckets_from_text("text", 64, 16, 3)
+            ).alias("band", "bucket"),
+        ).persist()
+        sigs = d.select(
+            "doc_id", simhash60_portable_kernel("text").alias("sim")
+        ).persist()
+
+        inline = sorted(
+            map(tuple, minhash_lsh_pairs(d, threshold=0.8).collect())
+        )
+        stored = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(
+                    d, threshold=0.8, banded=banded, shingled=grams
+                ).collect(),
+            )
+        )
+        assert inline == stored and len(inline) > 0
+
+        inline = sorted(
+            map(tuple, ngram_jaccard_pairs(d, threshold=0.8).collect())
+        )
+        stored = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(d, threshold=0.8, shingled=grams).collect(),
+            )
+        )
+        assert inline == stored and len(inline) > 0
+
+        inline = sorted(
+            map(
+                tuple,
+                simhash_pairs(d, max_hamming=6, portable=True).collect(),
+            )
+        )
+        stored = sorted(
+            map(
+                tuple,
+                simhash_pairs(
+                    d, max_hamming=6, portable=True, signatures=sigs
+                ).collect(),
+            )
+        )
+        assert inline == stored and len(inline) > 0
+        for c in (grams, banded, sigs):
+            c.unpersist()
