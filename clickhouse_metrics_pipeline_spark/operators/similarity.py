@@ -108,6 +108,97 @@ def cosine_topk(
     )
 
 
+def cosine_topk_fused(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    max_probes: int = 4096,
+) -> DataFrame:
+    """Exact brute-force top-k for a BOUNDED probe set, fused form.
+
+    Same output contract as :func:`cosine_topk` with similarities
+    rounded to ``round_to`` decimals (ties broken by neighbor_id), but a
+    scale-correct plan: :func:`cosine_topk` ships every corpus vector
+    through Arrow once per probe and window-ranks ALL probes x corpus
+    pair scores — a corpus-sized shuffle. Here the probe matrix rides
+    the kernel closure (one bounded ``collect``, like the k-means
+    centroids), the corpus streams through ``mapInPandas`` ONCE with a
+    single (batch x d) @ (d x p) block multiply per Arrow batch, and
+    each batch emits only its local top-k per probe — sorted by the
+    FINAL ordering key (rounded sim desc, neighbor_id asc), so the
+    batch-local prefix provably contains every global top-k row. The
+    final rank runs over <= batches x probes x k candidate rows: the
+    shuffle shrinks from O(|corpus| x p) to O(k x p x batches).
+
+    Ids must be integral (emitted as bigint). Zero-norm vectors get a
+    NULL similarity and sort last, matching :func:`cosine`'s try_divide
+    semantics.
+    """
+    probe_rows = probes.select(id_col, vec_col).limit(max_probes + 1).collect()
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"cosine_topk_fused: probe set exceeds max_probes={max_probes}; "
+            "use the LSH/IVF paths for probe sets that are not "
+            "driver-boundable"
+        )
+    pids = np.asarray([int(r[0]) for r in probe_rows], dtype=np.int64)
+    P = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
+    )  # p x d
+    pnorm = np.linalg.norm(P, axis=1)
+    # zero-norm probes: similarity NULL everywhere (division guarded)
+    Pn = P / np.where(pnorm > 0, pnorm, 1.0)[:, None]
+    p_ok = pnorm > 0
+
+    out_schema = "probe_id bigint, neighbor_id bigint, cosine_sim double"
+
+    def _gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(C, axis=1)
+            Cn = C / np.where(cnorm > 0, cnorm, 1.0)[:, None]
+            sims = Cn @ Pn.T  # n x p
+            valid = (cnorm > 0)[:, None] & p_ok[None, :]
+            sims = np.round(sims, round_to)
+            # sort key: rounded sim desc (NULL ~ -inf last), id asc
+            key = np.where(valid, sims, -np.inf)
+            key[ids[:, None] == pids[None, :]] = np.nan  # self: drop
+            rows = {"probe_id": [], "neighbor_id": [], "cosine_sim": []}
+            kk = min(k, n)
+            for j in range(len(pids)):
+                col = key[:, j]
+                keep = ~np.isnan(col)
+                idx = np.flatnonzero(keep)
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids[idx], -col[idx]))[:kk]
+                sel = idx[order]
+                rows["probe_id"].extend([pids[j]] * len(sel))
+                rows["neighbor_id"].extend(ids[sel].tolist())
+                rows["cosine_sim"].extend(
+                    [float(sims[i, j]) if valid[i, j] else None for i in sel]
+                )
+            if rows["probe_id"]:
+                yield pd.DataFrame(rows)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(_gen, schema=out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def _plane_component(plane: int, dim: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1)."""
     h = F.xxhash64(F.concat_ws(":", F.lit(f"plane{plane}"), dim))

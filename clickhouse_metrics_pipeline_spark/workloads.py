@@ -967,25 +967,20 @@ FROM tc LEFT JOIN bc ON bc.doc_id = tc.doc_id
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for probes vec_id < 10; ranking on the
-    ROUNDED similarity so fp jitter can't flip the oracle comparison."""
+    ROUNDED similarity so fp jitter can't flip the oracle comparison.
+
+    Uses the fused probe-matrix kernel (probe vectors ride the closure;
+    corpus streams once through mapInPandas with batch-local top-k) —
+    see :func:`operators.similarity.cosine_topk_fused` for why this is
+    the 100 TB shape; `tests/test_training_ops.py` pins it equal to the
+    crossJoin+window reference form."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        cosine_topk_fused,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
-    sim = (
-        F.broadcast(
-            probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_p"))
-        )
-        .crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_c")))
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine_np(F.col("_p"), F.col("_c")), 4))
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return cosine_topk_fused(e, probes, k=5, round_to=4)
 
 
 EMB_TOPK_SQL = """

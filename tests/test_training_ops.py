@@ -229,6 +229,75 @@ class TestSimilaritySearch:
         assert out[0].cosine_sim == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5, rel=1e-6)
         assert out[1].cosine_sim == pytest.approx(0.0, abs=1e-9)
 
+    def test_fused_topk_equals_crossjoin_reference(self, spark):
+        """cosine_topk_fused (probe-matrix mapInPandas, batch-local
+        top-k) must be row-for-row identical to the crossJoin+window
+        reference form at the same rounding — the equivalence the
+        emb_cosine_topk catalog query relies on."""
+        from pyspark.sql.window import Window
+
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            cosine_np,
+            cosine_topk_fused,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 10)
+        sim = (
+            F.broadcast(
+                probes.select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("_p"),
+                )
+            )
+            .crossJoin(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("_c"),
+                )
+            )
+            .where(F.col("probe_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cosine_sim", F.round(cosine_np(F.col("_p"), F.col("_c")), 4)
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id")
+        )
+        ref = sorted(
+            tuple(r)
+            for r in sim.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+            .collect()
+        )
+        fused = sorted(
+            tuple(r)
+            for r in cosine_topk_fused(emb, probes, k=5, round_to=4).collect()
+        )
+        assert fused == ref
+
+    def test_fused_topk_zero_norm_sorts_last(self, spark):
+        """Zero-norm corpus vectors get NULL similarity and only appear
+        when fewer than k finite candidates exist (try_divide parity)."""
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            cosine_topk_fused,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.5, 0.5]),
+                (3, [0.0, 0.0]),  # zero norm -> NULL sim
+            ],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        probes = df.filter(F.col("vec_id") == 1)
+        out = cosine_topk_fused(df, probes, k=3).orderBy("rank").collect()
+        assert [r.neighbor_id for r in out] == [2, 3]
+        assert out[0].cosine_sim == pytest.approx(0.7071, abs=1e-4)
+        assert out[1].cosine_sim is None
+
     # Recall context: the driver's embeddings are nearly unstructured -
     # top-5 cosine neighbors average only ~0.32 similarity and match the
     # probe's label ~9% of the time - so coarse-quantized recall has a
