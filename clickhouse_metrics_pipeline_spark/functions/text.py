@@ -187,3 +187,44 @@ def top_bigram_frac(text: Column | str) -> Column:
     return _max_run_count(bg).cast("double") / F.greatest(
         F.size(bg), F.lit(1)
     ).cast("double")
+
+
+# PII scrubbing patterns (Java regex, applied via regexp_replace; the
+# standard pre-training redaction pass — emails / E.164-ish phones /
+# IPv4, the three high-precision patterns the public C4/Dolma cleanup
+# recipes redact). Deliberately conservative: favor precision over
+# recall so the scrubber never mangles ordinary prose.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}", "<PHONE>"),
+    "ipv4": (
+        # lookarounds, not \b: a word boundary would still match the
+        # tail of dotted version strings like v1.2.3.4.5
+        r"(?<![\d.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\d.])",
+        "<IP>",
+    ),
+}
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact emails, phone numbers and IPv4 addresses with typed
+    placeholder tokens. Chained regexp_replace: map-only JVM regex, no
+    Python, no shuffle — scrubbing is scan-speed at any corpus size."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pattern, repl in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(email int, phone int, ipv4 int): per-document match counts
+    for audit metrics (how much PII a source contributes) without
+    materializing the scrubbed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(name)
+            for name, (pat, _) in PII_PATTERNS.items()
+        ]
+    )

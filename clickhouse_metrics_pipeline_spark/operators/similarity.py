@@ -199,6 +199,47 @@ def cosine_topk_fused(
     )
 
 
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization, pure JVM expressions.
+
+    Returns ``struct(scale double, q array<tinyint>)`` with
+    ``scale = max(|x|)/127`` and ``q[i] = round(x[i]/scale)`` — the
+    standard storage/transport compression for embedding corpora (4x
+    smaller than float32, dequant ``q[i]*scale``). Zero vectors get
+    scale 0 and an all-zero code so a degenerate embedding can't fail a
+    corpus-scale job. Map-only: no shuffle, no Python — at 100 TB this
+    runs at scan speed inside whole-stage codegen."""
+    xd = F.transform(vec, lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(xd, F.abs))
+    scale = absmax / F.lit(127.0)
+    q = F.when(
+        absmax > 0,
+        F.transform(xd, lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(F.transform(xd, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(
+        F.when(absmax > 0, scale).otherwise(F.lit(0.0)).alias("scale"),
+        q.alias("q"),
+    )
+
+
+def int8_dequant_error(vec: Column, quant: Column) -> Column:
+    """struct(max_abs_err double, mse double) of int8 dequantization.
+
+    ``quant`` is :func:`int8_quantize`'s output. The MSE fold is an
+    explicit left-to-right ``aggregate`` so an ANSI-SQL oracle can
+    reproduce the exact fp summation order (list_reduce)."""
+    s = quant["scale"]
+    err = F.zip_with(
+        vec, quant["q"], lambda x, qq: F.abs(x.cast("double") - qq * s)
+    )
+    mse = F.aggregate(
+        err, F.lit(0.0), lambda acc, e: acc + e * e
+    ) / F.size(vec)
+    return F.struct(
+        F.array_max(err).alias("max_abs_err"), mse.alias("mse")
+    )
+
+
 def _plane_component(plane: int, dim: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1)."""
     h = F.xxhash64(F.concat_ws(":", F.lit(f"plane{plane}"), dim))

@@ -265,7 +265,36 @@ def _functions() -> list[str]:
                 {_SIMHASH_MASKS_SQL},
                 (c, m) -> IF(c > 0, m, CAST(0 AS BIGINT))),
               CAST(0 AS BIGINT), (a, x) -> a + x)""",
+        _pii_scrub_sql(),
+        """CREATE OR REPLACE TEMPORARY FUNCTION vec_quantize_int8(
+              v ARRAY<FLOAT>) RETURNS STRUCT<scale: DOUBLE, q: ARRAY<TINYINT>>
+            RETURN named_struct(
+              'scale',
+              IF(array_max(transform(v, x -> abs(CAST(x AS DOUBLE)))) > 0,
+                 array_max(transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+                 CAST(0.0 AS DOUBLE)),
+              'q',
+              IF(array_max(transform(v, x -> abs(CAST(x AS DOUBLE)))) > 0,
+                 transform(v, x -> CAST(round(CAST(x AS DOUBLE)
+                   / (array_max(transform(v, y -> abs(CAST(y AS DOUBLE)))) / 127.0))
+                   AS TINYINT)),
+                 transform(v, x -> CAST(0 AS TINYINT))))""",
     ]
+
+
+def _pii_scrub_sql() -> str:
+    """pii_scrub UDF from the same PII_PATTERNS the Column form uses —
+    one chained regexp_replace per pattern, single source of truth."""
+    from clickhouse_metrics_pipeline_spark.functions.text import PII_PATTERNS
+
+    body = "text"
+    for pattern, repl in PII_PATTERNS.values():
+        pat_sql = pattern.replace("\\", "\\\\").replace("'", "''")
+        body = f"regexp_replace({body}, '{pat_sql}', '{repl}')"
+    return (
+        "CREATE OR REPLACE TEMPORARY FUNCTION pii_scrub(text STRING) "
+        f"RETURNS STRING RETURN {body}"
+    )
 
 
 def register_functions(spark: SparkSession) -> list[str]:

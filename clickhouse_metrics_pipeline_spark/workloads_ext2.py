@@ -1188,6 +1188,60 @@ WHERE drops.doc_id IS NULL AND quality >= 0.9
 
 
 # --------------------------------------------------------------------------
+# Embedding compression (storage-side op for 100 TB embedding corpora)
+# --------------------------------------------------------------------------
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus with exact
+    dequantization-error accounting (max abs error + MSE per vector) —
+    the standard 4x compression applied before storing/shipping an
+    embedding corpus; the error columns are the acceptance check a
+    production pipeline runs before swapping the float32 copy out.
+
+    Scale: map-only JVM expressions (transform/zip_with/aggregate), no
+    shuffle, no Python — runs at scan speed. The MSE fold is an explicit
+    left fold so the oracle reproduces the exact fp summation order."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        int8_dequant_error,
+        int8_quantize,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id", "embedding", int8_quantize(F.col("embedding")).alias("_q")
+    )
+    err = int8_dequant_error(F.col("embedding"), F.col("_q"))
+    return d.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.col("_q.scale"), 9).alias("scale_r"),
+        F.round(err["max_abs_err"], 9).alias("max_abs_err"),
+        F.round(err["mse"], 12).alias("mse_r"),
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id, embedding, len(embedding) AS n_dims,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM embeddings
+), e AS (
+  SELECT vec_id, n_dims, scale,
+         list_transform(embedding,
+                        x -> abs(x::DOUBLE - round(x::DOUBLE / scale) * scale)) AS err
+  FROM q
+)
+SELECT vec_id, n_dims, round(scale, 9) AS scale_r,
+       round(list_max(err), 9) AS max_abs_err,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+                                      list_transform(err, x -> x * x)),
+                         (a, b) -> a + b) / n_dims, 12) AS mse_r
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -1215,6 +1269,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": docs_stratified_sample,
     "events_gap_fill_locf": events_gap_fill_locf,
     "events_pivot_daily": events_pivot_daily,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -1241,4 +1296,5 @@ EXTRA2_ORACLE: dict[str, str] = {
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "events_gap_fill_locf": EVENTS_GAP_FILL_SQL,
     "events_pivot_daily": EVENTS_PIVOT_SQL,
+    "emb_quantize_int8": EMB_QUANTIZE_SQL,
 }

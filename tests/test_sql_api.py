@@ -210,3 +210,32 @@ class TestSqlEndToEnd:
                FROM events GROUP BY event_type ORDER BY event_type"""
         )
         assert out.count() > 0
+
+
+class TestPiiAndQuantizeSqlUdfs:
+    def test_pii_scrub_sql_equals_column(self, sql_spark):
+        from clickhouse_metrics_pipeline_spark.functions.text import pii_scrub
+
+        df = sql_spark.createDataFrame(
+            [
+                ("mail a.b@c.org, call +1 (555) 123-4567, host 10.0.0.1",),
+                ("plain text with 3.14 and v1.2.3.4.5 left intact",),
+            ],
+            "text STRING",
+        )
+        df.createOrReplaceTempView("_pii_rows")
+        _assert_cols_equal(df, "pii_scrub(text)", pii_scrub("text"))
+        got = sql_spark.sql(
+            "SELECT pii_scrub(text) AS c FROM _pii_rows ORDER BY c"
+        ).collect()
+        assert got[0].c == "mail <EMAIL>, call <PHONE>, host <IP>"
+
+    def test_vec_quantize_sql_equals_column(self, sql_spark):
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            int8_quantize,
+        )
+
+        emb = sql_spark.table("embeddings").limit(100)
+        _assert_cols_equal(
+            emb, "vec_quantize_int8(embedding)", int8_quantize("embedding")
+        )

@@ -451,3 +451,80 @@ class TestStoredIndexEquivalence:
         assert inline == stored and len(inline) > 0
         for c in (grams, banded, sigs):
             c.unpersist()
+
+
+class TestInt8Quantization:
+    def test_roundtrip_error_bounded_by_half_scale(self, spark):
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            int8_dequant_error,
+            int8_quantize,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+        q = emb.select(
+            "vec_id", "embedding", int8_quantize(F.col("embedding")).alias("q")
+        )
+        err = q.select(
+            "vec_id",
+            F.col("q.scale").alias("scale"),
+            int8_dequant_error(F.col("embedding"), F.col("q")).alias("e"),
+        )
+        bad = err.where(
+            F.col("e.max_abs_err") > F.col("scale") * 0.5 + 1e-12
+        ).count()
+        assert bad == 0
+        # codes must use the full int8 range: every vector's absmax dim
+        # quantizes to exactly +/-127
+        full = q.select(
+            F.array_max(F.transform(F.col("q.q"), F.abs)).alias("m")
+        )
+        assert full.where(F.col("m") != 127).count() == 0
+
+    def test_zero_vector_safe(self, spark):
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            int8_dequant_error,
+            int8_quantize,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        out = df.select(
+            "vec_id",
+            int8_quantize(F.col("embedding")).alias("q"),
+        ).orderBy("vec_id").collect()
+        assert out[0].q.scale == 0.0 and list(out[0].q.q) == [0, 0, 0]
+        assert out[1].q.q[1] == -127  # absmax dim saturates the range
+
+
+class TestPiiScrub:
+    def test_scrubs_and_counts(self, spark):
+        from clickhouse_metrics_pipeline_spark.functions.text import (
+            pii_counts,
+            pii_scrub,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "contact bob.smith+x@example.co.uk or +1 (555) 123-4567"),
+                (2, "server at 192.168.0.1 and 10.0.0.255 replied"),
+                (3, "no pii here, just 3.14 and v1.2.3.4.5 noise"),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+        out = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id",
+                pii_scrub("text").alias("clean"),
+                pii_counts("text").alias("c"),
+            ).collect()
+        }
+        assert out[1].clean == "contact <EMAIL> or <PHONE>"
+        assert out[1].c.email == 1 and out[1].c.phone == 1
+        assert out[2].clean == "server at <IP> and <IP> replied"
+        assert out[2].c.ipv4 == 2
+        # precision: decimals / dotted versions are NOT redacted
+        assert out[3].clean == "no pii here, just 3.14 and v1.2.3.4.5 noise"
+        assert out[3].c.email == out[3].c.phone == out[3].c.ipv4 == 0
