@@ -71,6 +71,19 @@ HEADLINE = [
     "events_irate_5m",
     "docs_chunking",
     "docs_training_pipeline",
+    # round 3 additions: newer catalog entries join the headline so the
+    # per-round artifact tracks them (round-over-round comparisons use
+    # the shared-query subset, not the total)
+    "docs_neardup_clusters",
+    "docs_repetition_filter",
+    "docs_decontaminate",
+    "docs_stratified_sample",
+    "events_gap_fill_locf",
+    "events_sliding_window",
+    "hist_quantile_over_time",
+    "events_topk_series",
+    "emb_quantize_int8",
+    "events_cube_rollup",
 ]
 
 

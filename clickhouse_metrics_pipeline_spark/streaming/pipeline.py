@@ -351,3 +351,43 @@ def ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins; later copies
+    within the watermark horizon are dropped
+    (``dropDuplicatesWithinWatermark``).
+
+    The ingest-side dedup stage a training-data pipeline needs: the
+    batch ``docs_exact_dedup`` catalog query is the offline form, this
+    is the same first-wins contract applied while data lands. State is
+    one row per distinct key currently inside the watermark horizon and
+    is evicted as event time advances — the shape that survives an
+    infinite stream, unlike plain ``dropDuplicates`` whose key state
+    grows forever."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def dedup_documents_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Content dedup for a streaming document feed: normalize -> md5
+    fingerprint (same kernel as the batch exact-dedup path, so offline
+    and online agree on what counts as a duplicate), then first-wins
+    within the watermark horizon."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.functions.text import doc_fingerprint
+
+    with_fp = df.withColumn("fp", doc_fingerprint(F.col(text_col)))
+    return dedup_stream(with_fp, ["fp"], ts_col=ts_col, watermark=watermark)

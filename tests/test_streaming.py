@@ -231,3 +231,46 @@ class TestRollupToParquet:
         # restart on the same checkpoint: nothing reprocessed, no dupes
         run()
         assert spark.read.parquet(out).where("series_hash = 11").count() == 2
+
+
+class TestStreamingDedup:
+    def test_first_wins_across_microbatches(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            dedup_documents_stream,
+        )
+
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        schema = "doc_id BIGINT, text STRING, ingest_ts TIMESTAMP"
+        # batch 1: two distinct docs; batch 2 (later file): an exact
+        # duplicate of doc 1 (different id, later ts) plus a new doc
+        spark.createDataFrame(
+            [(1, "alpha beta gamma", _ts(0)), (2, "delta epsilon", _ts(1))],
+            schema,
+        ).coalesce(1).write.parquet(str(src / "f1"))
+        spark.createDataFrame(
+            [(3, "alpha  BETA gamma ", _ts(120)), (4, "zeta eta", _ts(121))],
+            schema,
+        ).coalesce(1).write.parquet(str(src / "f2"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        deduped = dedup_documents_stream(stream)
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(out))
+        ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+        # doc 3 is a normalized duplicate of doc 1 -> dropped
+        assert ids == [1, 2, 4]
+        assert got.select("fp").distinct().count() == 3
