@@ -7,7 +7,7 @@ reference's MergeTree physical design (``internal/clickhouse/schema.sql``).
 | ORDER BY (ws, metric, hash, ts) (:71)     | sortWithinPartitions(same)        |
 | bloom_filter(0.01) on metric (:65)        | parquet.bloom.filter.enabled      |
 | ZSTD(1) codecs (:4-62)                    | parquet zstd (session default)    |
-| TTL _ttl (:72)                            | retention job (operators.rollup)  |
+| TTL _ttl (:72)                            | retention_sweep partition drops   |
 
 Partitioning by date + sorting within partitions gives Catalyst partition
 pruning on time predicates and parquet row-group min/max skipping on
@@ -79,3 +79,67 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def retention_sweep(
+    spark: SparkSession,
+    base_path: str,
+    retention_days: int,
+    now=None,
+    ts_col: str = "timestamp",
+    rewrite_boundary: bool = False,
+) -> dict[str, list[str]]:
+    """Partition-level TTL enforcement over a ``date=``-partitioned table
+    (the job form of ``TTL _ttl`` / ``schema.sql:72``): date partitions
+    entirely older than ``now - retention_days`` are DROPPED as whole
+    directories — a metadata-only delete, no data read or rewritten,
+    which is the only retention shape that works at 100 TB (a row-level
+    ``DELETE WHERE`` sweep would rewrite the full table daily; ClickHouse
+    TTL likewise drops whole parts). ``operators.rollup.apply_retention``
+    is the row-level filter used inside rewrite jobs; this is the
+    storage-side sweep that makes it rarely necessary.
+
+    The boundary partition (the cutoff date itself) holds both expired
+    and live rows; by default it is left intact — part-granular TTL, the
+    ClickHouse behavior — or rewritten in place with the row filter when
+    ``rewrite_boundary=True`` (write-to-temp + atomic dir rename; note
+    rename is a copy on object stores).
+
+    ``now`` defaults to the current timestamp; pass an explicit
+    ``datetime`` for deterministic jobs/tests. Returns
+    ``{"dropped": [...], "kept": [...], "rewritten": [...]}`` partition
+    names, sorted."""
+    import datetime as _dt
+
+    if now is None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    horizon = now - _dt.timedelta(days=retention_days)
+    cutoff = horizon.date().isoformat()
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    dropped, kept, rewritten = [], [], []
+    for status in fs.listStatus(hpath(base_path)):
+        name = status.getPath().getName()
+        if not name.startswith("date="):
+            continue
+        day = name.split("=", 1)[1]
+        if day < cutoff:
+            fs.delete(status.getPath(), True)
+            dropped.append(name)
+        elif day == cutoff and rewrite_boundary:
+            part = f"{base_path}/{name}"
+            tmp = f"{base_path}/.{name}__rewrite_tmp"
+            live = spark.read.parquet(part).filter(F.col(ts_col) >= horizon)
+            live.write.mode("overwrite").parquet(tmp)
+            fs.delete(hpath(part), True)
+            fs.rename(hpath(tmp), hpath(part))
+            rewritten.append(name)
+        else:
+            kept.append(name)
+    return {
+        "dropped": sorted(dropped),
+        "kept": sorted(kept),
+        "rewritten": sorted(rewritten),
+    }

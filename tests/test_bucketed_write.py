@@ -117,3 +117,68 @@ class TestPartitionPruning:
         assert "PartitionFilters" in plan and "2024-01-02" in plan
         assert q.count() == 4
         assert read_metrics_table(spark, path).count() == 12
+
+
+class TestRetentionSweep:
+    def _write_days(self, spark, path, days):
+        import datetime as dt
+
+        rows = []
+        for i, day in enumerate(days):
+            d = dt.datetime.fromisoformat(day)
+            rows.append((i, d + dt.timedelta(hours=6)))
+            rows.append((1000 + i, d + dt.timedelta(hours=18)))
+        df = spark.createDataFrame(rows, "id BIGINT, timestamp TIMESTAMP")
+        (
+            df.withColumn("date", F.to_date("timestamp"))
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(path)
+        )
+
+    def test_drops_only_fully_expired_partitions(self, spark, tmp_path):
+        import datetime as dt
+
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            retention_sweep,
+        )
+
+        base = str(tmp_path / "tbl")
+        self._write_days(
+            spark, base, ["2026-08-01", "2026-08-05", "2026-08-10", "2026-08-12"]
+        )
+        now = dt.datetime(2026, 8, 13, 12, 0, 0)  # horizon 2026-08-10 12:00
+        res = retention_sweep(spark, base, retention_days=3, now=now)
+        assert res["dropped"] == ["date=2026-08-01", "date=2026-08-05"]
+        assert res["kept"] == ["date=2026-08-10", "date=2026-08-12"]
+        assert res["rewritten"] == []
+        # table still readable, partition pruning column intact
+        left = spark.read.parquet(base)
+        assert left.count() == 4
+        assert sorted(r.date.isoformat() for r in left.select("date").distinct().collect()) == [
+            "2026-08-10", "2026-08-12",
+        ]
+
+    def test_boundary_rewrite_filters_rows(self, spark, tmp_path):
+        import datetime as dt
+
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            retention_sweep,
+        )
+
+        base = str(tmp_path / "tbl2")
+        self._write_days(spark, base, ["2026-08-10", "2026-08-12"])
+        now = dt.datetime(2026, 8, 13, 12, 0, 0)
+        res = retention_sweep(
+            spark, base, retention_days=3, now=now, rewrite_boundary=True
+        )
+        assert res["rewritten"] == ["date=2026-08-10"]
+        left = spark.read.parquet(base)
+        # 2026-08-10 06:00 expired (< 10th 12:00); 18:00 survives
+        assert left.count() == 3
+        assert left.filter("timestamp < '2026-08-10 12:00:00'").count() == 0
+        # idempotent: second sweep is a no-op
+        res2 = retention_sweep(
+            spark, base, retention_days=3, now=now, rewrite_boundary=True
+        )
+        assert spark.read.parquet(base).count() == 3
