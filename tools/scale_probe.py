@@ -11,6 +11,10 @@ each core operator family:
 - sequential window     (per-series cumulative->delta, lag over sort)
 - hash dedup            (normalize -> xxhash64 -> groupBy over documents)
 - Arrow kernel          (fused MinHash band-bucket signature over documents)
+- as-of join            (union-and-carry temporal join over events)
+- session windows       (30m-gap sessions over events)
+- fused ANN probe       (probe-matrix cosine top-k over embeddings)
+- int8 quantization     (map-only JVM HOF compression over embeddings)
 
 A distributed-friendly operator keeps rows/sec roughly flat as m grows
 (until cores saturate); an operator hiding a driver-side loop or an
@@ -67,6 +71,23 @@ def scaled_docs(spark, sf_dir: str, m: int) -> DataFrame:
         base.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(f" copy{i}")).alias("text"),
+        )
+        for i in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def scaled_embeddings(spark, sf_dir: str, m: int) -> DataFrame:
+    """m copies of embeddings with fresh vec_ids (vector values reused —
+    throughput, not recall, is what's probed here)."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    parts = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
         )
         for i in range(m)
     ]
@@ -137,6 +158,24 @@ def op_session_window(ev: DataFrame) -> int:
     )
 
 
+def op_fused_topk(emb: DataFrame) -> int:
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        cosine_topk_fused,
+    )
+
+    probes = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_fused(emb, probes, k=5).count()
+
+
+def op_int8_quantize(emb: DataFrame) -> int:
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        int8_quantize,
+    )
+
+    q = emb.select(int8_quantize(F.col("embedding")).alias("q"))
+    return q.select(F.sum(F.size("q.q")).alias("s")).collect()[0][0]
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "window_delta": ("events", op_window_delta),
@@ -144,6 +183,8 @@ OPS = {
     "minhash_kernel": ("documents", op_minhash_kernel),
     "asof_join": ("events", op_asof_join),
     "session_window": ("events", op_session_window),
+    "fused_topk": ("embeddings", op_fused_topk),
+    "int8_quantize": ("embeddings", op_int8_quantize),
 }
 
 
@@ -164,6 +205,7 @@ def main() -> None:
         inputs = {
             "events": scaled_events(spark, args.sf_dir, m).persist(),
             "documents": scaled_docs(spark, args.sf_dir, m).persist(),
+            "embeddings": scaled_embeddings(spark, args.sf_dir, m).persist(),
         }
         counts = {k: df.count() for k, df in inputs.items()}  # materialize
         for name, (src, fn) in OPS.items():
