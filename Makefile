@@ -2,7 +2,7 @@
 # ships (reference Makefile:23-40 / scripts/run_tests.sh), minus the
 # docker/ClickHouse targets Spark makes unnecessary.
 
-.PHONY: help test test-unit test-oracle test-streaming bench scale-probe demo-ingest clean
+.PHONY: help test test-unit test-oracle test-streaming bench scale-probe demo-ingest serve clean
 
 SF_DIR ?= /root/testdata/sf0.01
 
@@ -31,6 +31,9 @@ scale-probe: ## Throughput scaling at 1x/4x/16x sf0.1 (JSON lines)
 
 demo-ingest: ## OTLP-JSON drop-dir -> parquet demo (drains /tmp/otlp-drop)
 	python scripts/otlp_json_ingest.py /tmp/otlp-drop /tmp/otlp-out /tmp/otlp-ckpt --drain
+
+serve: ## Full app: OTLP/HTTP receiver + streaming ingest + Remote Read endpoint
+	python scripts/serve.py
 
 clean: ## Remove local run artifacts
 	rm -rf /tmp/otlp-out /tmp/otlp-ckpt spark-warehouse .pytest_cache

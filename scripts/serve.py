@@ -1,0 +1,94 @@
+"""Run the whole engine as one process — the reference's ``cmd/main.go``
+shape (gRPC receiver + writer + Remote Read handler in one binary),
+re-expressed: OTLP/HTTP JSON receiver -> drop dir -> Structured
+Streaming ingest (validate -> delta-convert -> date-partitioned
+parquet) -> Prometheus Remote Read HTTP endpoint over the stored table.
+
+Usage:
+    python scripts/serve.py [--data-dir /tmp/cmp-data] \
+        [--otlp-port 4318] [--read-port 9201] \
+        [--workspace default] [--trigger-seconds 10]
+
+Then:
+    curl -X POST localhost:4318/v1/metrics -H 'Content-Type: application/json' \
+         -d @export.json           # push OTLP metrics
+    # point prometheus remote_read.url at localhost:9201/api/v1/read
+
+Ctrl-C stops all three components.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", default="/tmp/cmp-data")
+    ap.add_argument("--otlp-port", type=int, default=4318)  # OTLP/HTTP default
+    ap.add_argument("--read-port", type=int, default=9201)
+    ap.add_argument("--workspace", default="default")
+    ap.add_argument("--trigger-seconds", type=int, default=10)
+    args = ap.parse_args()
+
+    drop = os.path.join(args.data_dir, "drop")
+    out = os.path.join(args.data_dir, "metrics_raw")
+    ckpt = os.path.join(args.data_dir, "ckpt")
+
+    from clickhouse_metrics_pipeline_spark.plans.remote_read import MetricsCatalog
+    from clickhouse_metrics_pipeline_spark.plans.remote_read_http import (
+        make_remote_read_server,
+    )
+    from clickhouse_metrics_pipeline_spark.session import get_spark
+    from clickhouse_metrics_pipeline_spark.sources.otlp import otlp_json_stream
+    from clickhouse_metrics_pipeline_spark.sources.otlp_http import (
+        make_otlp_http_server,
+    )
+    from clickhouse_metrics_pipeline_spark.streaming.pipeline import ingest_stream
+
+    spark = get_spark(app_name="cmp-serve")
+    spark.sparkContext.setLogLevel("WARN")
+
+    class FreshCatalog(MetricsCatalog):
+        """Re-list the parquet path per request so newly ingested
+        micro-batches are queryable immediately (a cached DataFrame
+        pins the file listing of its first scan)."""
+
+        def get(self, name: str):
+            if name != "metrics_raw" or not os.path.isdir(out):
+                raise KeyError(f"table {name} not available yet")
+            return spark.read.parquet(out)
+
+    receiver = make_otlp_http_server(drop, port=args.otlp_port)
+    threading.Thread(target=receiver.serve_forever, daemon=True).start()
+    print(f"OTLP/HTTP receiver:  POST localhost:{args.otlp_port}/v1/metrics")
+
+    reader = make_remote_read_server(
+        FreshCatalog(), port=args.read_port, workspace_id=args.workspace
+    )
+    threading.Thread(target=reader.serve_forever, daemon=True).start()
+    print(f"Remote Read:         POST localhost:{args.read_port}/api/v1/read")
+
+    q = ingest_stream(
+        otlp_json_stream(spark, drop, workspace_id=args.workspace),
+        out,
+        ckpt,
+        workspace_id=args.workspace,
+        trigger_seconds=args.trigger_seconds,
+    )
+    print(f"ingesting {drop} -> {out} every {args.trigger_seconds}s; Ctrl-C to stop")
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+        receiver.shutdown()
+        reader.shutdown()
+
+
+if __name__ == "__main__":
+    main()
