@@ -128,3 +128,40 @@ SELECT doc_id,
        {lang_case} AS lang_pred
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Exact value arithmetic
+# --------------------------------------------------------------------------
+# events.value carries exactly two decimals (driver generator), so value
+# sums/averages are computed over integer CENTS: the integer sum is
+# associative, hence identical under Spark's nondeterministic
+# partial-aggregation combine order and DuckDB's sequential/segment-tree
+# orders (float sums of the same rows flipped three rollup hashes at
+# sf0.1). Sums need nothing more: S/100.0 has <= 2 true decimals, so
+# round(.,4) is boundary-free. AVERAGES are the treacherous case — an
+# avg of 2-decimal values frequently lands EXACTLY on a 4th-decimal
+# half (e.g. 1583.79/24 = 65.99125), where Spark's exact-decimal
+# HALF_UP and DuckDB's float re-quantization can disagree — so the
+# half-up rounding itself is done in integer space:
+#   round(S/(100 n), 4) = floor((200 S + n) / (2 n)) / 10000
+# The double division (200S+n)/(2n) is exact enough for floor (the
+# fractional part is never within 1/(2n) of 1, far above double ulp at
+# these magnitudes), and exact-boundary cases divide exactly; both
+# engines floor the same double. Column twins live in tables.py and
+# must match token for token.
+
+
+def sum_value_sql(expr: str = "value") -> str:
+    return f"round(sum(CAST(round({expr} * 100) AS BIGINT)) / 100.0, 4)"
+
+
+def avg_value_sql(expr: str = "value") -> str:
+    s = f"sum(CAST(round({expr} * 100) AS BIGINT))"
+    n = f"count({expr})"
+    return f"floor((200 * {s} + {n}) / (2 * {n})) / 10000.0"
+
+
+def avg_from_cents_sql(sum_cents: str, n: str) -> str:
+    """Same exact half-up rounding over pre-aggregated (cents, count)."""
+    return f"floor((200 * {sum_cents} + {n}) / (2 * {n})) / 10000.0"

@@ -31,3 +31,41 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this cast is value-identity - gives every sf the same ts type
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
+
+
+def value_cents(col="value"):
+    """Exact integer-cents form of a 2-decimal double column — see
+    oracle_fragments.sum_value_sql for why sums ride on this."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
+def sum_value(col="value"):
+    """Order-independent exact sum of a 2-decimal value, rounded to 4.
+    Column twin of oracle_fragments.sum_value_sql; S/100.0 has <= 2 true
+    decimals so the round is boundary-free."""
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(value_cents(col)) / F.lit(100.0), 4)
+
+
+def avg_from_cents(sum_cents, n):
+    """Exact half-up 4-decimal average from pre-aggregated (cents,
+    count) columns — floor((200 S + n)/(2 n)) / 10000, entirely free of
+    float rounding boundaries; twin of avg_from_cents_sql (see
+    oracle_fragments for the exactness argument)."""
+    from pyspark.sql import functions as F
+
+    return F.floor(
+        (F.lit(200) * sum_cents + n) / (F.lit(2) * n)
+    ) / F.lit(10000.0)
+
+
+def avg_value(col="value"):
+    """Order-independent exact average; twin of avg_value_sql."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return avg_from_cents(F.sum(value_cents(col)), F.count(c))

@@ -60,7 +60,14 @@ from clickhouse_metrics_pipeline_spark.operators.similarity import (
 INF = float("inf")
 
 
-from clickhouse_metrics_pipeline_spark.tables import _events, _t  # noqa: F401
+from clickhouse_metrics_pipeline_spark.tables import (  # noqa: F401
+    _events,
+    _t,
+    avg_from_cents,
+    avg_value,
+    sum_value,
+    value_cents,
+)
 
 
 # --------------------------------------------------------------------------
@@ -316,7 +323,7 @@ def events_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min("value"), 4).alias("value_min"),
             F.round(F.max("value"), 4).alias("value_max"),
-            F.round(F.avg("value"), 4).alias("value_avg"),
+            avg_value("value").alias("value_avg"),
             F.round(
                 F.max_by("value", F.struct("ts", "event_id")), 4
             ).alias("value_last"),
@@ -344,7 +351,8 @@ WITH ranked AS (
 SELECT event_type, bucket_ts,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max,
-       round(avg(value), 4) AS value_avg,
+       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             / (2 * count(value))) / 10000.0 AS value_avg,
        round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
        count(*) AS samples_count
 FROM ranked
@@ -357,23 +365,24 @@ def events_rollup_5m_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the 1m rollup must equal direct aggregation of raw (the oracle
     computes direct-from-raw)."""
     ev = _events(spark, sf_dir)
+    # the 1m partials carry the exact integer-cents sum (not the float
+    # avg): re-aggregation is then associative, so cascade == direct
+    # EXACTLY, not just to fp jitter (see tables.avg_value)
     m1 = ev.groupBy(
         "event_type", F.window("ts", "1 minute").alias("w")
     ).agg(
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
-        F.avg("value").alias("value_avg"),
+        F.sum(value_cents("value")).alias("value_sum_cents"),
         F.count(F.lit(1)).alias("samples_count"),
-    ).select("event_type", F.col("w.start").alias("ts1"), "value_min", "value_max", "value_avg", "samples_count")
+    ).select("event_type", F.col("w.start").alias("ts1"), "value_min", "value_max", "value_sum_cents", "samples_count")
     return (
         m1.groupBy("event_type", F.window("ts1", "5 minutes").alias("w"))
         .agg(
             F.round(F.min("value_min"), 4).alias("value_min"),
             F.round(F.max("value_max"), 4).alias("value_max"),
-            F.round(
-                F.sum(F.col("value_avg") * F.col("samples_count"))
-                / F.sum("samples_count"),
-                4,
+            avg_from_cents(
+                F.sum("value_sum_cents"), F.sum("samples_count")
             ).alias("value_avg"),
             F.sum("samples_count").alias("samples_count"),
         )
@@ -392,7 +401,8 @@ EVENTS_ROLLUP_5M_SQL = """
 SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max,
-       round(avg(value), 4) AS value_avg,
+       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             / (2 * count(value))) / 10000.0 AS value_avg,
        count(*) AS samples_count
 FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
 GROUP BY event_type, bucket_ts
@@ -436,15 +446,20 @@ def events_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.round(F.sum("value").over(run), 4).alias("cumulative_value"),
+        # cents running sum: exact under both engines' window
+        # accumulation strategies (DuckDB uses segment trees)
+        F.round(F.sum(value_cents("value")).over(run) / F.lit(100.0), 4).alias(
+            "cumulative_value"
+        ),
     )
 
 
 EVENTS_DELTA_TO_CUM_SQL = """
 SELECT event_id, user_id, event_type,
-       round(sum(value) OVER (PARTITION BY user_id, event_type
-                              ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+       round(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 4)
        AS cumulative_value
 FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
 """

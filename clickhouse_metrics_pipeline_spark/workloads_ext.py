@@ -679,7 +679,11 @@ def events_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min("vmin"), 4).alias("value_min"),
             F.round(F.max("vmax"), 4).alias("value_max"),
-            F.round(F.sum("vsum") / 10000.0 / F.sum("n"), 4).alias("value_avg"),
+            # exact integer-space half-up round: avg*1e4 = sum(vsum)/sum(n)
+            (F.floor(
+                (F.lit(2) * F.sum("vsum") + F.sum("n"))
+                / (F.lit(2) * F.sum("n"))
+            ) / F.lit(10000.0)).alias("value_avg"),
             F.round(F.max_by("vlast", "ts5"), 4).alias("value_last"),
             F.sum("n").alias("samples_count"),
         )
@@ -698,7 +702,8 @@ WITH ranked AS (
 SELECT event_type, bucket_ts,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max,
-       round(sum(round(value * 10000)::BIGINT) / 10000.0 / count(*), 4) AS value_avg,
+       floor((2 * sum(round(value * 10000)::BIGINT) + count(*))
+             / (2 * count(*))) / 10000.0 AS value_avg,
        round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
        count(*) AS samples_count
 FROM ranked

@@ -40,7 +40,14 @@ from clickhouse_metrics_pipeline_spark.functions.text import (
 )
 from clickhouse_metrics_pipeline_spark.operators.asof import asof_join
 from clickhouse_metrics_pipeline_spark.plans.router import select_resolution
-from clickhouse_metrics_pipeline_spark.tables import _events, _t
+from clickhouse_metrics_pipeline_spark.tables import (
+    _events,
+    _t,
+    avg_from_cents,
+    avg_value,
+    sum_value,
+    value_cents,
+)
 
 _EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
 
@@ -64,7 +71,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            sum_value("value").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -94,7 +101,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM sess
 GROUP BY user_id, sid
 """
@@ -120,7 +127,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            sum_value("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -135,7 +142,7 @@ EVENTS_SLIDING_SQL = f"""
 SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k.k * INTERVAL 5 MINUTE AS win_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM {_EV_SQL}
 CROSS JOIN (VALUES (0), (1)) k(k)
 GROUP BY win_start, event_type
@@ -229,7 +236,7 @@ def events_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("inc_day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            sum_value("value").alias("sum_value"),
         )
     )
 
@@ -241,7 +248,7 @@ WITH inc AS (
   GROUP BY 1 ORDER BY n_errors DESC, inc_day LIMIT 3
 )
 SELECT inc_day, event_type, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM {_EV_SQL}
 JOIN inc ON ts >= inc_day::TIMESTAMP AND ts < (inc_day + 1)::TIMESTAMP
 GROUP BY inc_day, event_type
@@ -268,7 +275,7 @@ def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            sum_value("value").alias("sum_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -285,7 +292,7 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(day, 'ALL') AS day,
        grouping(event_type, day)::BIGINT AS gid,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM (SELECT event_type, ts::DATE::VARCHAR AS day, value FROM {_EV_SQL}) e
 GROUP BY CUBE (event_type, day)
 """
@@ -436,7 +443,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
-        F.sum("value").alias("sum_value"),
+        F.sum(value_cents("value")).alias("sum_value"),  # exact cents
         F.max_by("value", F.struct("ts", "event_id")).alias("value_last"),
         F.max(F.struct("ts", "event_id")).alias("last_key"),
         F.count(F.lit(1)).alias("samples"),
@@ -455,7 +462,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts",
         F.round("value_min", 4).alias("value_min"),
         F.round("value_max", 4).alias("value_max"),
-        F.round(F.col("sum_value") / F.col("samples"), 4).alias("value_avg"),
+        avg_from_cents(F.col("sum_value"), F.col("samples")).alias("value_avg"),
         F.round("value_last", 4).alias("value_last"),
         F.col("samples").alias("samples_count"),
     )
@@ -473,7 +480,8 @@ WITH ranked AS (
 SELECT user_id, event_type, bucket_ts,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max,
-       round(sum(value) / count(*), 4) AS value_avg,
+       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+             / (2 * count(*))) / 10000.0 AS value_avg,
        round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
        count(*) AS samples_count
 FROM ranked
@@ -494,7 +502,7 @@ def events_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        sum_value("value").alias("sum_value"),
         F.round(F.percentile("value", 0.5), 4).alias("p50"),
         F.round(F.percentile("value", 0.9), 4).alias("p90"),
         F.round(F.percentile("value", 0.99), 4).alias("p99"),
@@ -504,7 +512,7 @@ def events_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SUMMARY_SQL = f"""
 SELECT event_type,
        count(*) AS n,
-       round(sum(value), 4) AS sum_value,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value,
        round(quantile_cont(value, 0.5), 4) AS p50,
        round(quantile_cont(value, 0.9), 4) AS p90,
        round(quantile_cont(value, 0.99), 4) AS p99
@@ -545,7 +553,7 @@ def events_resolution_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            F.round(F.avg("value"), 4).alias("value_avg"),
+            avg_value("value").alias("value_avg"),
         )
         .withColumn("resolution", F.lit(table))
     )
@@ -555,7 +563,8 @@ EVENTS_ROUTE_SQL = f"""
 SELECT event_type,
        time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
        count(*) AS n_samples,
-       round(avg(value), 4) AS value_avg,
+       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             / (2 * count(value))) / 10000.0 AS value_avg,
        'metrics_5m' AS resolution
 FROM {_EV_SQL}
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
@@ -743,14 +752,19 @@ def events_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("rolling_mean_3"),
+        avg_from_cents(
+            F.sum(value_cents("value")).over(w),
+            F.count(F.lit(1)).over(w),
+        ).alias("rolling_mean_3"),
         F.count(F.lit(1)).over(w).alias("n_in_frame"),
     )
 
 
 EVENTS_ROLLING_MEAN_SQL = f"""
 SELECT user_id, event_type, event_id,
-       round(avg(value) OVER w, 4) AS rolling_mean_3,
+       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) OVER w
+              + count(*) OVER w) / (2 * count(*) OVER w)) / 10000.0
+         AS rolling_mean_3,
        count(*) OVER w AS n_in_frame
 FROM {_EV_SQL}
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
@@ -765,7 +779,7 @@ def events_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition that stays cheap at 100 TB."""
     ev = _events(spark, sf_dir)
     totals = ev.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 4).alias("total_value")
+        sum_value("value").alias("total_value")
     )
     w = Window.partitionBy("event_type").orderBy(
         F.col("total_value").desc(), F.col("user_id")
@@ -780,9 +794,10 @@ def events_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_TOPK_SERIES_SQL = f"""
 SELECT event_type, rank, user_id, total_value
 FROM (SELECT event_type, user_id,
-             round(sum(value), 4) AS total_value,
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total_value,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY round(sum(value), 4) DESC, user_id) AS rank
+                                ORDER BY round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) DESC,
+                                         user_id) AS rank
       FROM {_EV_SQL}
       GROUP BY event_type, user_id)
 WHERE rank <= 5
@@ -899,7 +914,7 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 4))
+        .agg(sum_value("value"))
         .orderBy("day")
     )
 
@@ -907,7 +922,8 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_PIVOT_SQL = f"""
 SELECT ts::DATE AS day,
        {", ".join(
-           f"round(sum(value) FILTER (WHERE event_type = '{t}'), 4) AS {t}"
+           f"round(sum(CAST(round(value * 100) AS BIGINT))"
+           f" FILTER (WHERE event_type = '{t}') / 100.0, 4) AS {t}"
            for t in _EVENT_TYPES
        )}
 FROM {_EV_SQL}
@@ -937,7 +953,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.date_trunc("hour", "ts").alias("bucket_ts"),
-    ).agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    ).agg(sum_value("value").alias("sum_value"))
     span = actual.groupBy("user_id", "event_type").agg(
         F.min("bucket_ts").alias("t0"), F.max("bucket_ts").alias("t1")
     )
@@ -966,7 +982,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_GAP_FILL_SQL = f"""
 WITH actual AS (
   SELECT user_id, event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
-         round(sum(value), 4) AS sum_value
+         round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
   FROM {_EV_SQL}
   WHERE user_id < 25
   GROUP BY 1, 2, 3
