@@ -55,7 +55,10 @@ def avg_from_cents(sum_cents, n):
     """Exact half-up 4-decimal average from pre-aggregated (cents,
     count) columns — floor((200 S + n)/(2 n)) / 10000, entirely free of
     float rounding boundaries; twin of avg_from_cents_sql (see
-    oracle_fragments for the exactness argument)."""
+    oracle_fragments for the exactness argument). Derived for
+    non-negative sums (HALF_UP rounds away from zero below it);
+    property-pinned against decimal.ROUND_HALF_UP in
+    tests/test_properties.py."""
     from pyspark.sql import functions as F
 
     return F.floor(

@@ -6,6 +6,11 @@ hashes values):
 - every computed column is aliased identically in Spark and SQL;
 - every floating-point output is round()ed (4 dp) on BOTH sides so
   summation-order ULP differences can't flip the hash;
+- sums/averages of the 2-decimal `value` column ride EXACT integer
+  cents (tables.value_cents/sum_value/avg_value + their SQL twins in
+  oracle_fragments): float sums are combine-order-dependent and an avg
+  of 2-decimal values often sits exactly on a round-to-4 half boundary,
+  which flipped three rollup hashes at sf0.1 before the conversion;
 - LIMIT queries order by a unique key so the row set is deterministic;
 - window orderings include a unique tiebreaker (event_id).
 
