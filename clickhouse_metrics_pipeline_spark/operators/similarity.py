@@ -120,22 +120,31 @@ def cosine_topk_fused(
     """Exact brute-force top-k for a BOUNDED probe set, fused form.
 
     Same output contract as :func:`cosine_topk` with similarities
-    rounded to ``round_to`` decimals (ties broken by neighbor_id), but a
-    scale-correct plan: :func:`cosine_topk` ships every corpus vector
-    through Arrow once per probe and window-ranks ALL probes x corpus
-    pair scores — a corpus-sized shuffle. Here the probe matrix rides
-    the kernel closure (one bounded ``collect``, like the k-means
-    centroids), the corpus streams through ``mapInPandas`` ONCE with a
-    single (batch x d) @ (d x p) block multiply per Arrow batch, and
-    each batch emits only its local top-k per probe — sorted by the
-    FINAL ordering key (rounded sim desc, neighbor_id asc), so the
-    batch-local prefix provably contains every global top-k row. The
-    final rank runs over <= batches x probes x k candidate rows: the
+    rounded to ``round_to`` decimals by the SAME JVM ``F.round``
+    (ties broken by neighbor_id), but a scale-correct plan:
+    :func:`cosine_topk` ships every corpus vector through Arrow once
+    per probe and window-ranks ALL probes x corpus pair scores — a
+    corpus-sized shuffle. Here the probe matrix rides the kernel
+    closure (one bounded ``collect``, like the k-means centroids), the
+    corpus streams through ``mapInPandas`` ONCE with a single
+    (batch x d) @ (d x p) block multiply per Arrow batch, and each
+    batch emits only its top-k candidates per probe. The final rank
+    runs over <= ~(k+ties) x probes x batches candidate rows: the
     shuffle shrinks from O(|corpus| x p) to O(k x p x batches).
+
+    Rounding parity: the kernel emits RAW similarities and prunes by
+    raw order with an epsilon margin — every row within
+    ``1.5 * 10^-round_to`` of the batch's kth raw sim is kept, which
+    provably covers any row the final ROUNDED ordering could promote
+    (one rounding moves a value by at most half an ulp of the rounded
+    grid, so two comparands can cross only within one grid step). The
+    final stage applies ``F.round`` + window rank — bit-identical to
+    the crossJoin reference path, with no numpy re-implementation of
+    JVM HALF_UP rounding to drift at half boundaries.
 
     Ids must be integral (emitted as bigint). Zero-norm vectors get a
     NULL similarity and sort last, matching :func:`cosine`'s try_divide
-    semantics.
+    semantics. An empty probe set returns an empty result.
     """
     probe_rows = probes.select(id_col, vec_col).limit(max_probes + 1).collect()
     if len(probe_rows) > max_probes:
@@ -144,6 +153,13 @@ def cosine_topk_fused(
             "use the LSH/IVF paths for probe sets that are not "
             "driver-boundable"
         )
+    spark = corpus.sparkSession
+    out_schema = "probe_id bigint, neighbor_id bigint, cosine_sim double"
+    final_schema = (
+        "probe_id bigint, neighbor_id bigint, cosine_sim double, rank int"
+    )
+    if not probe_rows:
+        return spark.createDataFrame([], final_schema)
     pids = np.asarray([int(r[0]) for r in probe_rows], dtype=np.int64)
     P = np.stack(
         [np.asarray(r[1], dtype=np.float64) for r in probe_rows]
@@ -152,8 +168,7 @@ def cosine_topk_fused(
     # zero-norm probes: similarity NULL everywhere (division guarded)
     Pn = P / np.where(pnorm > 0, pnorm, 1.0)[:, None]
     p_ok = pnorm > 0
-
-    out_schema = "probe_id bigint, neighbor_id bigint, cosine_sim double"
+    eps = 1.5 * 10.0 ** (-round_to)
 
     def _gen(batches):
         for pdf in batches:
@@ -166,20 +181,23 @@ def cosine_topk_fused(
             Cn = C / np.where(cnorm > 0, cnorm, 1.0)[:, None]
             sims = Cn @ Pn.T  # n x p
             valid = (cnorm > 0)[:, None] & p_ok[None, :]
-            sims = np.round(sims, round_to)
-            # sort key: rounded sim desc (NULL ~ -inf last), id asc
+            # sort key: raw sim desc (NULL ~ -inf last), id asc
             key = np.where(valid, sims, -np.inf)
             key[ids[:, None] == pids[None, :]] = np.nan  # self: drop
             rows = {"probe_id": [], "neighbor_id": [], "cosine_sim": []}
             kk = min(k, n)
             for j in range(len(pids)):
                 col = key[:, j]
-                keep = ~np.isnan(col)
-                idx = np.flatnonzero(keep)
+                idx = np.flatnonzero(~np.isnan(col))
                 if idx.size == 0:
                     continue
-                order = np.lexsort((ids[idx], -col[idx]))[:kk]
-                sel = idx[order]
+                order = np.lexsort((ids[idx], -col[idx]))
+                kth = col[idx[order[kk - 1]]] if order.size >= kk else -np.inf
+                # epsilon window: rows the ROUNDED order could promote
+                take = order[: kk] if kth == -np.inf else order[
+                    col[idx[order]] >= kth - eps
+                ]
+                sel = idx[take]
                 rows["probe_id"].extend([pids[j]] * len(sel))
                 rows["neighbor_id"].extend(ids[sel].tolist())
                 rows["cosine_sim"].extend(
@@ -189,6 +207,7 @@ def cosine_topk_fused(
                 yield pd.DataFrame(rows)
 
     cand = corpus.select(id_col, vec_col).mapInPandas(_gen, schema=out_schema)
+    cand = cand.withColumn("cosine_sim", F.round("cosine_sim", round_to))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

@@ -50,7 +50,11 @@ def make_remote_read_server(
             if self.path != READ_PATH:
                 self.send_error(404, "unknown path")
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self.send_error(400, "bad Content-Length")
+                return
             body = self.rfile.read(length)
             try:
                 resp = handle_remote_read(

@@ -56,7 +56,11 @@ def make_otlp_http_server(
             if "json" not in ctype:
                 self.send_error(415, "only application/json is supported")
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._reply(400, {"error": "bad Content-Length"})
+                return
             body = self.rfile.read(length)
             try:
                 payload = json.loads(body)

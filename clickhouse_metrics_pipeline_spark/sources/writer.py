@@ -102,8 +102,10 @@ def retention_sweep(
     The boundary partition (the cutoff date itself) holds both expired
     and live rows; by default it is left intact — part-granular TTL, the
     ClickHouse behavior — or rewritten in place with the row filter when
-    ``rewrite_boundary=True`` (write-to-temp + atomic dir rename; note
-    rename is a copy on object stores).
+    ``rewrite_boundary=True`` (write-to-temp, then a checked two-rename
+    trash swap — a crash mid-swap leaves the old rows under a hidden
+    ``.date=...__rewrite_old`` dir for manual recovery instead of lost;
+    note rename is a copy on object stores).
 
     ``now`` defaults to the current timestamp; pass an explicit
     ``datetime`` for deterministic jobs/tests. Returns
@@ -131,10 +133,20 @@ def retention_sweep(
         elif day == cutoff and rewrite_boundary:
             part = f"{base_path}/{name}"
             tmp = f"{base_path}/.{name}__rewrite_tmp"
+            trash = f"{base_path}/.{name}__rewrite_old"
             live = spark.read.parquet(part).filter(F.col(ts_col) >= horizon)
             live.write.mode("overwrite").parquet(tmp)
-            fs.delete(hpath(part), True)
-            fs.rename(hpath(tmp), hpath(part))
+            # swap via a trash rename, never delete-before-rename: a
+            # crash between the two renames leaves the old data intact
+            # under the trash name instead of lost. Hadoop rename
+            # signals most failures by returning false, not raising.
+            if not fs.rename(hpath(part), hpath(trash)):
+                fs.delete(hpath(tmp), True)
+                raise IOError(f"retention_sweep: rename {part} -> {trash} failed")
+            if not fs.rename(hpath(tmp), hpath(part)):
+                fs.rename(hpath(trash), hpath(part))  # roll back
+                raise IOError(f"retention_sweep: rename {tmp} -> {part} failed")
+            fs.delete(hpath(trash), True)
             rewritten.append(name)
         else:
             kept.append(name)

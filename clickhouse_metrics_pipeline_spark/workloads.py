@@ -73,6 +73,10 @@ from clickhouse_metrics_pipeline_spark.tables import (  # noqa: F401
     sum_value,
     value_cents,
 )
+from clickhouse_metrics_pipeline_spark.oracle_fragments import avg_value_sql
+
+# canonical cents-average fragment (single source; Column twin above)
+_AVG_VALUE_SQL = avg_value_sql()
 
 
 # --------------------------------------------------------------------------
@@ -346,7 +350,7 @@ def events_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_ROLLUP_1M_SQL = """
+EVENTS_ROLLUP_1M_SQL = f"""
 WITH ranked AS (
   SELECT event_type, date_trunc('minute', ts) AS bucket_ts, value,
          row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
@@ -356,8 +360,7 @@ WITH ranked AS (
 SELECT event_type, bucket_ts,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max,
-       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
-             / (2 * count(value))) / 10000.0 AS value_avg,
+       {_AVG_VALUE_SQL} AS value_avg,
        round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
        count(*) AS samples_count
 FROM ranked
@@ -402,12 +405,11 @@ def events_rollup_5m_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_ROLLUP_5M_SQL = """
+EVENTS_ROLLUP_5M_SQL = f"""
 SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max,
-       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
-             / (2 * count(value))) / 10000.0 AS value_avg,
+       {_AVG_VALUE_SQL} AS value_avg,
        count(*) AS samples_count
 FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events
 GROUP BY event_type, bucket_ts

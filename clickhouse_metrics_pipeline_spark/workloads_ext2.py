@@ -51,6 +51,16 @@ from clickhouse_metrics_pipeline_spark.tables import (
 
 _EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
 
+from clickhouse_metrics_pipeline_spark.oracle_fragments import (  # noqa: E402
+    avg_from_cents_sql,
+    avg_value_sql,
+    sum_value_sql,
+)
+
+# canonical cents fragments (single source; Column twins in tables.py)
+_SUMV = sum_value_sql()
+_AVGV = avg_value_sql()
+
 
 # --------------------------------------------------------------------------
 # Session windows (streaming-native operator, batch-checkable)
@@ -101,7 +111,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+       {_SUMV} AS sum_value
 FROM sess
 GROUP BY user_id, sid
 """
@@ -142,7 +152,7 @@ EVENTS_SLIDING_SQL = f"""
 SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k.k * INTERVAL 5 MINUTE AS win_start,
        event_type,
        count(*) AS n_events,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+       {_SUMV} AS sum_value
 FROM {_EV_SQL}
 CROSS JOIN (VALUES (0), (1)) k(k)
 GROUP BY win_start, event_type
@@ -248,7 +258,7 @@ WITH inc AS (
   GROUP BY 1 ORDER BY n_errors DESC, inc_day LIMIT 3
 )
 SELECT inc_day, event_type, count(*) AS n_events,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+       {_SUMV} AS sum_value
 FROM {_EV_SQL}
 JOIN inc ON ts >= inc_day::TIMESTAMP AND ts < (inc_day + 1)::TIMESTAMP
 GROUP BY inc_day, event_type
@@ -292,7 +302,7 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(day, 'ALL') AS day,
        grouping(event_type, day)::BIGINT AS gid,
        count(*) AS n_events,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+       {_SUMV} AS sum_value
 FROM (SELECT event_type, ts::DATE::VARCHAR AS day, value FROM {_EV_SQL}) e
 GROUP BY CUBE (event_type, day)
 """
@@ -480,8 +490,7 @@ WITH ranked AS (
 SELECT user_id, event_type, bucket_ts,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max,
-       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
-             / (2 * count(*))) / 10000.0 AS value_avg,
+       {avg_from_cents_sql("sum(CAST(round(value * 100) AS BIGINT))", "count(*)")} AS value_avg,
        round(max(CASE WHEN rn = 1 THEN value END), 4) AS value_last,
        count(*) AS samples_count
 FROM ranked
@@ -512,7 +521,7 @@ def events_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SUMMARY_SQL = f"""
 SELECT event_type,
        count(*) AS n,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value,
+       {_SUMV} AS sum_value,
        round(quantile_cont(value, 0.5), 4) AS p50,
        round(quantile_cont(value, 0.9), 4) AS p90,
        round(quantile_cont(value, 0.99), 4) AS p99
@@ -563,8 +572,7 @@ EVENTS_ROUTE_SQL = f"""
 SELECT event_type,
        time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
        count(*) AS n_samples,
-       floor((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
-             / (2 * count(value))) / 10000.0 AS value_avg,
+       {_AVGV} AS value_avg,
        'metrics_5m' AS resolution
 FROM {_EV_SQL}
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
@@ -794,9 +802,9 @@ def events_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_TOPK_SERIES_SQL = f"""
 SELECT event_type, rank, user_id, total_value
 FROM (SELECT event_type, user_id,
-             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total_value,
+             {_SUMV} AS total_value,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) DESC,
+                                ORDER BY {_SUMV} DESC,
                                          user_id) AS rank
       FROM {_EV_SQL}
       GROUP BY event_type, user_id)
@@ -982,7 +990,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_GAP_FILL_SQL = f"""
 WITH actual AS (
   SELECT user_id, event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
-         round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+         {_SUMV} AS sum_value
   FROM {_EV_SQL}
   WHERE user_id < 25
   GROUP BY 1, 2, 3
@@ -1244,8 +1252,12 @@ WITH q AS (
   FROM embeddings
 ), e AS (
   SELECT vec_id, n_dims, scale,
+         -- scale=0 guard mirrors int8_quantize: a zero vector gets an
+         -- all-zero code, so its error is |x| (= 0 for every dim)
          list_transform(embedding,
-                        x -> abs(x::DOUBLE - round(x::DOUBLE / scale) * scale)) AS err
+                        x -> CASE WHEN scale > 0
+                             THEN abs(x::DOUBLE - round(x::DOUBLE / scale) * scale)
+                             ELSE abs(x::DOUBLE) END) AS err
   FROM q
 )
 SELECT vec_id, n_dims, round(scale, 9) AS scale_r,

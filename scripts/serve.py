@@ -54,15 +54,62 @@ def main() -> None:
     spark = get_spark(app_name="cmp-serve")
     spark.sparkContext.setLogLevel("WARN")
 
+    from pyspark.sql import functions as F
+
+    def _as_metrics_raw(df):
+        """Adapt the ingest sink's stored shape (split bucket arrays,
+        no exp-histogram columns) back to the metrics_raw shape the
+        rollup operators consume."""
+        if "buckets" not in df.columns and "buckets_le" in df.columns:
+            df = df.withColumn(
+                "buckets",
+                F.when(
+                    F.col("buckets_le").isNotNull(),
+                    F.zip_with(
+                        "buckets_le",
+                        "buckets_count",
+                        lambda le, c: F.struct(
+                            le.alias("le"), c.alias("count")
+                        ),
+                    ),
+                ),
+            )
+        exp_defaults = [
+            ("exp_scale", "int"),
+            ("exp_zero_count", "bigint"),
+            ("exp_zero_threshold", "double"),
+            ("exp_positive_buckets", "array<struct<index:int,count:bigint>>"),
+            ("exp_negative_buckets", "array<struct<index:int,count:bigint>>"),
+        ]
+        for c, t in exp_defaults:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(t))
+        return df
+
     class FreshCatalog(MetricsCatalog):
         """Re-list the parquet path per request so newly ingested
         micro-batches are queryable immediately (a cached DataFrame
-        pins the file listing of its first scan)."""
+        pins the file listing of its first scan). The rollup
+        resolutions the router can pick (metrics_1m/5m/1h — any query
+        spanning >= 1h or older than the raw retention routes there)
+        are derived from raw on demand; a durable deployment would
+        read the incremental rollup tables instead
+        (operators.rollup.incremental_rollup_job)."""
 
         def get(self, name: str):
-            if name != "metrics_raw" or not os.path.isdir(out):
+            if not os.path.isdir(out):
                 raise KeyError(f"table {name} not available yet")
-            return spark.read.parquet(out)
+            raw = spark.read.parquet(out)
+            if name == "metrics_raw":
+                return raw
+            from clickhouse_metrics_pipeline_spark.operators.rollup import (
+                build_rollup_hierarchy,
+            )
+
+            hierarchy = build_rollup_hierarchy(_as_metrics_raw(raw))
+            if name not in hierarchy:
+                raise KeyError(f"table {name} not registered")
+            return hierarchy[name]
 
     receiver = make_otlp_http_server(drop, port=args.otlp_port)
     threading.Thread(target=receiver.serve_forever, daemon=True).start()
