@@ -184,3 +184,34 @@ class TestOtlpHttpReceiver:
             assert e.value.code == 400
         finally:
             srv.shutdown()
+
+
+class TestMalformedHeaders:
+    def test_bad_content_length_is_400_not_500(self, read_server, tmp_path):
+        import http.client
+
+        # urllib normalizes Content-Length; drive the socket directly
+        host = read_server.split("//")[1]
+        conn = http.client.HTTPConnection(host, timeout=30)
+        conn.putrequest("POST", "/api/v1/read", skip_accept_encoding=True)
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+
+        srv = make_otlp_http_server(str(tmp_path / "d"))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            conn = http.client.HTTPConnection(
+                f"127.0.0.1:{srv.server_address[1]}", timeout=30
+            )
+            conn.putrequest("POST", "/v1/metrics", skip_accept_encoding=True)
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", "abc")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            conn.close()
+        finally:
+            srv.shutdown()
