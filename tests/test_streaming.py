@@ -274,3 +274,47 @@ class TestStreamingDedup:
         # doc 3 is a normalized duplicate of doc 1 -> dropped
         assert ids == [1, 2, 4]
         assert got.select("fp").distinct().count() == 3
+
+    def test_checkpoint_restart_keeps_dedup_state(self, spark, tmp_path):
+        """Restarting from the same checkpoint must not re-emit already
+        seen fingerprints: a duplicate arriving in a new file after the
+        restart is still dropped (dedup state rides the state store)."""
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            dedup_documents_stream,
+        )
+
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        schema = "doc_id BIGINT, text STRING, ingest_ts TIMESTAMP"
+
+        def _run_drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*"))
+            )
+            q = (
+                dedup_documents_stream(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(
+            [(1, "alpha beta", _ts(0)), (2, "gamma delta", _ts(1))], schema
+        ).coalesce(1).write.parquet(str(src / "f1"))
+        _run_drain()
+        assert spark.read.parquet(str(out)).count() == 2
+
+        # restart: duplicate of doc 1 (same fp, ts within watermark) + new doc
+        spark.createDataFrame(
+            [(3, "ALPHA  beta", _ts(60)), (4, "epsilon zeta", _ts(61))], schema
+        ).coalesce(1).write.parquet(str(src / "f2"))
+        _run_drain()
+        ids = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+        assert ids == [1, 2, 4]
