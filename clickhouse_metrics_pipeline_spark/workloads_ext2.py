@@ -1212,6 +1212,79 @@ WHERE drops.doc_id IS NULL AND quality >= 0.9
 
 
 # --------------------------------------------------------------------------
+# Sequence packing (training-batch assembly over token budgets)
+# --------------------------------------------------------------------------
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: assign documents to fixed-token-budget
+    training bins (2048 tokens) - the batch-assembly step between
+    chunking and the data loader in a pretraining pipeline. Documents
+    are sharded by a portable hash (md5-derived, DuckDB-computable) so
+    packing runs per shard in parallel - the 100 TB shape, where a
+    single global packing order would serialize into one partition -
+    then packed SEQUENTIALLY within the shard in doc_id order: a doc's
+    bin is floor(tokens_before_it / budget) (concat-then-split
+    semantics, same as chunked corpus assembly; a doc may straddle its
+    bin boundary and is counted where it starts). Token counts are
+    exact integers, so the running sum is order-independent-safe and
+    both engines agree bit-for-bit. Output: per (shard, bin) the doc
+    count, token total, and budget fill ratio.
+
+    Scale: one shuffle on the shard key; the window is per shard
+    (corpus/32 rows each), the output is tiny (one row per bin)."""
+    budget = 2048
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 32
+    )
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), "\\s+"))
+    base = d.select(
+        "doc_id", shard.alias("shard"), toks.cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = base.select(
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).alias("bin"),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 4).alias("fill_ratio"),
+    )
+
+
+DOCS_PACK_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32 AS shard,
+         len(string_split(trim(lower(text)), ' '))::BIGINT AS n_tokens
+  FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS text
+        FROM documents)
+), binned AS (
+  SELECT shard, n_tokens,
+         floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 2048)::BIGINT AS bin
+  FROM base
+)
+SELECT shard, bin, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       round(sum(n_tokens) / 2048.0, 4) AS fill_ratio
+FROM binned
+GROUP BY shard, bin
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding compression (storage-side op for 100 TB embedding corpora)
 # --------------------------------------------------------------------------
 
@@ -1298,6 +1371,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gap_fill_locf": events_gap_fill_locf,
     "events_pivot_daily": events_pivot_daily,
     "emb_quantize_int8": emb_quantize_int8,
+    "docs_pack_sequences": docs_pack_sequences,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -1325,4 +1399,5 @@ EXTRA2_ORACLE: dict[str, str] = {
     "events_gap_fill_locf": EVENTS_GAP_FILL_SQL,
     "events_pivot_daily": EVENTS_PIVOT_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
+    "docs_pack_sequences": DOCS_PACK_SQL,
 }
