@@ -84,6 +84,7 @@ HEADLINE = [
     "events_topk_series",
     "emb_quantize_int8",
     "events_cube_rollup",
+    "docs_pack_sequences",
 ]
 
 
