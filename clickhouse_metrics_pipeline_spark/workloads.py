@@ -805,6 +805,13 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         idx = d.select(
             F.col("doc_id"), gram_hashes_from_text("text", 3).alias("sh")
         )
+    elif kind == "grams8":
+        # decontamination index: 8-gram 64-bit hashes per document —
+        # precomputed once per corpus in production (the train-side
+        # n-gram index every leakage check probes)
+        idx = d.select(
+            F.col("doc_id"), gram_hashes_from_text("text", shingle_n=8).alias("sh")
+        )
     elif kind == "grams3_df50":
         # probe first: when no shingle exceeds the cap, the capped index
         # is provably the raw index — skip the rebuild shuffle entirely

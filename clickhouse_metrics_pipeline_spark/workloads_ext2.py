@@ -1077,18 +1077,16 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`operators.dedup.gram_hashes_from_text`, shingle_n=8), so
     the contains-join ships bigints, not 8-gram text; the oracle runs
     the string form (collision odds ~1e-9 corpus-wide). Scale shape:
-    the train side reduces to DISTINCT gram hashes (shuffle on the gram
-    key — the inverted-index join), eval explodes only the eval split
-    (~2% of the corpus); no all-pairs anything."""
-    from clickhouse_metrics_pipeline_spark.operators.dedup import (
-        gram_hashes_from_text,
-    )
+    the gram hashes probe the stored per-corpus index
+    (``dedup_index("grams8")`` — precomputed once at ingest, the shape
+    every production leakage check uses); the train side reduces to
+    DISTINCT gram hashes (shuffle on the gram key — the inverted-index
+    join), eval explodes only the eval split (~2% of the corpus); no
+    all-pairs anything."""
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
 
-    d = _t(spark, sf_dir, "documents")
-    grams = d.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).select(
-        "doc_id", gram_hashes_from_text("text", shingle_n=8).alias("grams")
+    grams = dedup_index(spark, sf_dir, "grams8").withColumnRenamed(
+        "sh", "grams"
     )
     ev = grams.where(F.col("doc_id") % 50 == 0).select(
         "doc_id",
