@@ -206,3 +206,40 @@ def test_sliding_window_duplication_factor(spark):
     total = events_sliding_window(spark, SF).agg(F.sum("n_events")).first()[0]
     n = _raw_events(spark).count()
     assert total == 2 * n
+
+
+class TestPartitionCountDeterminism:
+    """Results must be invariant to shuffle parallelism — the property
+    that holds on a 1000-executor cluster exactly when no output
+    depends on float combine order. The full 80-query sweep passes
+    (see PLAN_AUDIT.md methodology); this pins the families that were
+    combine-order-sensitive before the integer-cents conversion plus
+    one representative per operator family."""
+
+    QUERIES = [
+        "events_rollup_5m_weighted",  # flipped at sf0.1 pre-conversion
+        "events_rollup_1h",           # flipped at sf0.1 pre-conversion
+        "events_resolution_route",    # flipped at sf0.1 pre-conversion
+        "events_rollup_cascade",
+        "events_session_window",
+        "events_topk_series",
+        "docs_pack_sequences",
+        "emb_cosine_topk",
+        "docs_minhash_lsh",
+        "q1_pricing_summary",
+    ]
+
+    @pytest.mark.parametrize("name", QUERIES)
+    def test_invariant_under_shuffle_parallelism(self, spark, name):
+        from clickhouse_metrics_pipeline_spark.workloads import QUERIES
+
+        fn = QUERIES[name]
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            a = sorted(map(tuple, fn(spark, SF).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            b = sorted(map(tuple, fn(spark, SF).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b
