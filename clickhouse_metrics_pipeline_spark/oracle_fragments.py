@@ -37,6 +37,19 @@ def hist_walk_sql(p: int) -> str:
                   le) FILTER (WHERE cum >= total * {p} / 100.0), 4)"""
 
 
+def hist_walk_prom_sql(p: int) -> str:
+    """SQL cumulative-walk percentile, Prometheus interpolation
+    (prev + frac * (le - prev)); same walk/edge cases as
+    :func:`hist_walk_sql`, mirroring functions.histogram
+    bucket_percentile(interpolation="prometheus")."""
+    return f"""
+    round(arg_min(CASE WHEN cnt = 0 THEN le
+                       WHEN isinf(le) THEN coalesce(prev, 0)
+                       ELSE prev + ((total * {p} / 100.0) - (cum - cnt)) / cnt
+                            * (le - prev) END,
+                  le) FILTER (WHERE cum >= total * {p} / 100.0), 4)"""
+
+
 SHINGLE_SQL = """
 WITH docs AS (
   SELECT doc_id,

@@ -618,6 +618,7 @@ from clickhouse_metrics_pipeline_spark.oracle_fragments import (  # noqa: E402
     SHINGLE_SQL as _SHINGLE_SQL,
     docs_text_stats_sql as _docs_text_stats_sql,
     hist_walk_sql as _hist_walk_sql,
+    hist_walk_prom_sql as _hist_walk_prom_sql,
 )
 
 
@@ -667,6 +668,45 @@ SELECT event_type,
        {_hist_walk_sql(50)} AS p50,
        {_hist_walk_sql(95)} AS p95,
        {_hist_walk_sql(99)} AS p99
+FROM w GROUP BY event_type
+"""
+
+
+def hist_percentile_prom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H2 in Prometheus interpolation mode (prev + frac*(le-prev),
+    the histogram_quantile formula) — the mode README recommends when
+    monotonicity in p matters; golden mode (frac*le, the reference's
+    formula) is hash-checked by hist_percentile_events."""
+    b = _event_buckets(spark, sf_dir)
+    return b.select(
+        "event_type",
+        F.round(
+            bucket_percentile("buckets", 50.0, interpolation="prometheus"), 4
+        ).alias("p50"),
+        F.round(
+            bucket_percentile("buckets", 95.0, interpolation="prometheus"), 4
+        ).alias("p95"),
+        F.round(
+            bucket_percentile("buckets", 99.0, interpolation="prometheus"), 4
+        ).alias("p99"),
+    )
+
+
+HIST_PERCENTILE_PROM_SQL = f"""
+WITH b AS (
+  SELECT event_type, {_LE_SQL} AS le, count(*)::BIGINT AS cnt
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total,
+         lag(le, 1, 0.0) OVER (PARTITION BY event_type ORDER BY le) AS prev
+  FROM b
+)
+SELECT event_type,
+       {_hist_walk_prom_sql(50)} AS p50,
+       {_hist_walk_prom_sql(95)} AS p95,
+       {_hist_walk_prom_sql(99)} AS p99
 FROM w GROUP BY event_type
 """
 
@@ -1147,6 +1187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_series_fingerprint": events_series_fingerprint,
     "events_validation": events_validation,
     "hist_percentile_events": hist_percentile_events,
+    "hist_percentile_prom_events": hist_percentile_prom_events,
     "hist_cum_delta_roundtrip": hist_cum_delta_roundtrip,
     "hist_merge_events": hist_merge_events,
     "exp_hist_percentile_events": exp_hist_percentile_events,
@@ -1181,6 +1222,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_series_fingerprint": EVENTS_SERIES_FP_SQL,
     "events_validation": EVENTS_VALIDATION_SQL,
     "hist_percentile_events": HIST_PERCENTILE_SQL,
+    "hist_percentile_prom_events": HIST_PERCENTILE_PROM_SQL,
     "hist_cum_delta_roundtrip": HIST_ROUNDTRIP_SQL,
     "hist_merge_events": HIST_MERGE_SQL,
     "exp_hist_percentile_events": EXP_HIST_SQL,
