@@ -57,3 +57,15 @@ def series_fingerprint_md5(
     m = F.col(metric) if isinstance(metric, str) else metric
     w = F.col(workspace_id) if isinstance(workspace_id, str) else workspace_id
     return F.md5(F.concat_ws("|", m, w, _canonical_attrs(attributes)))
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit hash from the md5 hex prefix, bit-identical in any engine
+    with md5 + hex parse (DuckDB: ``('0x' || substr(md5(x), 1, 15))::
+    BIGINT`` — twin fragment: oracle_fragments.portable_hash60_sql).
+    The single source for cross-engine-reproducible sharding/sampling
+    decisions (stratified sampling, sequence-packing shards, portable
+    SimHash token hashes): a hash that must agree across engines and
+    retries cannot be xxhash64 (Spark-only) or rand() (run-dependent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

@@ -651,10 +651,11 @@ def simhash60_portable(text: Column | str) -> Column:
     Bit-for-bit reproducible in any engine with md5 + hex parse (DuckDB:
     ``('0x' || substr(md5(tok), 1, 15))::BIGINT``) — used where an exact
     cross-engine oracle matters; ~30% slower than :func:`simhash64`."""
-    hashes = F.transform(
-        tokens(text),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
     )
+
+    hashes = F.transform(tokens(text), portable_hash60)
     return _simhash_from_hashes(hashes, PORTABLE_SIMHASH_BITS)
 
 

@@ -178,3 +178,8 @@ def avg_value_sql(expr: str = "value") -> str:
 def avg_from_cents_sql(sum_cents: str, n: str) -> str:
     """Same exact half-up rounding over pre-aggregated (cents, count)."""
     return f"floor((200 * {sum_cents} + {n}) / (2 * {n})) / 10000.0"
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB twin of functions.hashing.portable_hash60."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"

@@ -54,6 +54,8 @@ _EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
 from clickhouse_metrics_pipeline_spark.oracle_fragments import (  # noqa: E402
     avg_from_cents_sql,
     avg_value_sql,
+    portable_hash60_sql,
+    sql_tokens,
     sum_value_sql,
 )
 
@@ -1146,10 +1148,12 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — no shuffle, no state, resample = rerun with new rates.
     Returns (lang, n_kept, n_total, rate_pct) per stratum so the oracle
     pins both the per-stratum totals and the exact kept counts."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint") % 100
+    h = portable_hash60(F.col("doc_id").cast("string")) % 100
     rate = (
         F.when(F.col("lang") == "en", F.lit(90))
         .when(F.col("lang").isin("de", "es", "fr"), F.lit(50))
@@ -1231,15 +1235,18 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on the shard key; the window is per shard
     (corpus/32 rows each), the output is tiny (one row per bin)."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.text import token_count
+
     budget = 2048
     d = _t(spark, sf_dir, "documents")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 32
-    )
-    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), "\\s+"))
+    shard = portable_hash60(F.col("doc_id").cast("string")) % 32
     base = d.select(
-        "doc_id", shard.alias("shard"), toks.cast("bigint").alias("n_tokens")
+        "doc_id",
+        shard.alias("shard"),
+        token_count("text").cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -1260,13 +1267,12 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_PACK_SQL = """
+DOCS_PACK_SQL = f"""
 WITH base AS (
   SELECT doc_id,
-         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32 AS shard,
-         len(string_split(trim(lower(text)), ' '))::BIGINT AS n_tokens
-  FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS text
-        FROM documents)
+         {portable_hash60_sql("doc_id::VARCHAR")} % 32 AS shard,
+         len({sql_tokens()})::BIGINT AS n_tokens
+  FROM documents
 ), binned AS (
   SELECT shard, n_tokens,
          floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

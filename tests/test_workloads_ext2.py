@@ -211,7 +211,7 @@ def test_sliding_window_duplication_factor(spark):
 class TestPartitionCountDeterminism:
     """Results must be invariant to shuffle parallelism — the property
     that holds on a 1000-executor cluster exactly when no output
-    depends on float combine order. The full 80-query sweep passes
+    depends on float combine order. The full catalog sweep passes (81 queries as of round 3)
     (see PLAN_AUDIT.md methodology); this pins the families that were
     combine-order-sensitive before the integer-cents conversion plus
     one representative per operator family."""
@@ -226,6 +226,7 @@ class TestPartitionCountDeterminism:
         "docs_pack_sequences",
         "emb_cosine_topk",
         "docs_minhash_lsh",
+        "hist_percentile_prom_events",
         "q1_pricing_summary",
     ]
 
