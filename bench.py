@@ -85,6 +85,7 @@ HEADLINE = [
     "emb_quantize_int8",
     "events_cube_rollup",
     "docs_pack_sequences",
+    "docs_source_overlap",
 ]
 
 

@@ -1289,6 +1289,98 @@ GROUP BY shard, bin
 
 
 # --------------------------------------------------------------------------
+# Cross-source overlap matrix (dataset-curation diagnostics)
+# --------------------------------------------------------------------------
+
+
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram overlap matrix — the duplication diagnostic a
+    curation pipeline runs BEFORE mixing sources (two crawls of the
+    same sites inflate dedup work and skew mixture weights; this
+    quantifies it per source pair). Probes the stored grams8 index
+    (same one decontamination uses), reduces to per-source DISTINCT
+    gram hashes, inverted-index self-joins on the gram key across
+    sources, and scores each pair with an integer-exact Jaccard in
+    basis points (floor(10000*shared/union) — integer floor, so no
+    float rounding boundary exists for either engine; the oracle runs
+    the string-gram form, hash-collision odds ~1e-9 as in
+    docs_decontaminate).
+
+    Scale: per-source distinct shrinks the join input to unique
+    (source, gram) rows; the self-join shuffles on the gram key
+    (inverted index, no all-pairs over documents); sizes is a tiny
+    broadcast (one row per source)."""
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sg = (
+        dedup_index(spark, sf_dir, "grams8")
+        .join(d, "doc_id")
+        .select("source", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    a = sg.select(F.col("source").alias("source_a"), "s")
+    b = sg.select(F.col("source").alias("source_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.floor(
+                (F.lit(10000) * F.col("n_shared"))
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).cast("bigint").alias("overlap_bp"),
+        )
+    )
+
+
+DOCS_SOURCE_OVERLAP_SQL = (
+    _EIGHT_GRAM_SQL
+    + """, sg AS (
+  SELECT DISTINCT d.source, s
+  FROM (SELECT doc_id, unnest(grams) AS s FROM g) x
+  JOIN documents d USING (doc_id)
+), sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       floor((10000 * n_shared) / (sa.n + sb.n - n_shared))::BIGINT AS overlap_bp
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Embedding compression (storage-side op for 100 TB embedding corpora)
 # --------------------------------------------------------------------------
 
@@ -1376,6 +1468,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot_daily": events_pivot_daily,
     "emb_quantize_int8": emb_quantize_int8,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_source_overlap": docs_source_overlap,
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
@@ -1404,4 +1497,5 @@ EXTRA2_ORACLE: dict[str, str] = {
     "events_pivot_daily": EVENTS_PIVOT_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "docs_pack_sequences": DOCS_PACK_SQL,
+    "docs_source_overlap": DOCS_SOURCE_OVERLAP_SQL,
 }
