@@ -176,8 +176,13 @@ def avg_value_sql(expr: str = "value") -> str:
 
 
 def avg_from_cents_sql(sum_cents: str, n: str) -> str:
-    """Same exact half-up rounding over pre-aggregated (cents, count)."""
-    return f"floor((200 * {sum_cents} + {n}) / (2 * {n})) / 10000.0"
+    """Same exact half-up rounding over pre-aggregated (cents, count);
+    sign-aware magnitude form, identical to tables.avg_from_cents (and,
+    for non-negative sums, to the plain floor form rounds 1-3 used)."""
+    return (
+        f"(case when {sum_cents} < 0 then -1 else 1 end)"
+        f" * floor((200 * abs({sum_cents}) + {n}) / (2 * {n})) / 10000.0"
+    )
 
 
 def portable_hash60_sql(expr: str) -> str:

@@ -52,6 +52,8 @@ def make_remote_read_server(
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    raise ValueError("negative Content-Length")
             except ValueError:
                 self.send_error(400, "bad Content-Length")
                 return

@@ -58,6 +58,8 @@ def make_otlp_http_server(
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    raise ValueError("negative Content-Length")
             except ValueError:
                 self._reply(400, {"error": "bad Content-Length"})
                 return

@@ -134,6 +134,17 @@ def retention_sweep(
             part = f"{base_path}/{name}"
             tmp = f"{base_path}/.{name}__rewrite_tmp"
             trash = f"{base_path}/.{name}__rewrite_old"
+            # a leftover trash/tmp dir means a previous sweep crashed
+            # mid-swap; renaming onto it would return false forever, so
+            # fail loudly with the recovery path instead of looping
+            for stale in (trash, tmp):
+                if fs.exists(hpath(stale)):
+                    raise IOError(
+                        f"retention_sweep: stale artifact {stale} from an "
+                        "interrupted rewrite; inspect it (it holds the "
+                        "pre-rewrite rows if it is the __rewrite_old dir), "
+                        "then delete it and re-run the sweep"
+                    )
             live = spark.read.parquet(part).filter(F.col(ts_col) >= horizon)
             live.write.mode("overwrite").parquet(tmp)
             # swap via a trash rename, never delete-before-rename: a

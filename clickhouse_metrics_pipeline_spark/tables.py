@@ -53,17 +53,21 @@ def sum_value(col="value"):
 
 def avg_from_cents(sum_cents, n):
     """Exact half-up 4-decimal average from pre-aggregated (cents,
-    count) columns — floor((200 S + n)/(2 n)) / 10000, entirely free of
-    float rounding boundaries; twin of avg_from_cents_sql (see
-    oracle_fragments for the exactness argument). Derived for
-    non-negative sums (HALF_UP rounds away from zero below it);
-    property-pinned against decimal.ROUND_HALF_UP in
+    count) columns — sign(S) * floor((200 |S| + n)/(2 n)) / 10000,
+    entirely free of float rounding boundaries; twin of
+    avg_from_cents_sql (see oracle_fragments for the exactness
+    argument). The magnitude form makes HALF_UP (round away from zero)
+    hold for negative sums too — for S >= 0 it is identical to the
+    plain floor((200 S + n)/(2 n)) form, so catalog hashes (all
+    non-negative data) are unchanged; property-pinned against
+    decimal.ROUND_HALF_UP over both signs in
     tests/test_properties.py."""
     from pyspark.sql import functions as F
 
-    return F.floor(
-        (F.lit(200) * sum_cents + n) / (F.lit(2) * n)
-    ) / F.lit(10000.0)
+    mag = F.floor(
+        (F.lit(200) * F.abs(sum_cents) + n) / (F.lit(2) * n)
+    )
+    return F.when(sum_cents < 0, -mag).otherwise(mag) / F.lit(10000.0)
 
 
 def avg_value(col="value"):

@@ -1280,3 +1280,57 @@ from clickhouse_metrics_pipeline_spark.workloads_ext2 import (  # noqa: E402
 
 QUERIES.update(EXTRA2_QUERIES)
 ORACLE_SQL.update(EXTRA2_ORACLE)
+
+# --------------------------------------------------------------------------
+# Driver-coverage rotation (round 4)
+# --------------------------------------------------------------------------
+# The driver's correctness snapshot grades the FIRST 50 entries of
+# ``queries()`` (dict insertion order). Rounds 1-3 graded the same 50,
+# leaving 32 catalog queries with only the local oracle gate. Rotate the
+# registry so the never-driver-graded queries (plus anything new this
+# round) occupy the head of the window. Names are frozen; only order
+# changes, so round-over-round comparisons by name are unaffected.
+_ROTATION_FIRST: list[str] = [
+    # 32 queries absent from CORRECTNESS_r01..r03
+    "exp_hist_merge",
+    "docs_rolling_fingerprint",
+    "multimodal_features",
+    "multimodal_resize_chain",
+    "emb_ivf_topk",
+    "emb_ivf_kmeans_topk",
+    "events_session_window",
+    "events_sliding_window",
+    "events_asof_join",
+    "events_incident_windows",
+    "events_cube_rollup",
+    "events_distinct_users",
+    "events_series_assembly",
+    "events_exemplar_cap",
+    "events_rollup_cascade",
+    "events_summary_quantiles",
+    "events_resolution_route",
+    "docs_language_id",
+    "docs_chunking",
+    "docs_token_topk",
+    "events_irate_5m",
+    "events_rolling_mean",
+    "events_topk_series",
+    "hist_quantile_over_time",
+    "docs_training_pipeline",
+    "docs_decontaminate",
+    "docs_stratified_sample",
+    "events_gap_fill_locf",
+    "events_pivot_daily",
+    "emb_quantize_int8",
+    "docs_pack_sequences",
+    "docs_source_overlap",
+]
+
+
+def _rotate(d: dict) -> dict:
+    head = {k: d[k] for k in _ROTATION_FIRST if k in d}
+    return {**head, **{k: v for k, v in d.items() if k not in head}}
+
+
+QUERIES = _rotate(QUERIES)
+ORACLE_SQL = _rotate(ORACLE_SQL)
