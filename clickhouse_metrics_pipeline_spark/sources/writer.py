@@ -166,3 +166,46 @@ def retention_sweep(
         "kept": sorted(kept),
         "rewritten": sorted(rewritten),
     }
+
+
+def write_index(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a precomputed index relation as a parquet table — the
+    durable form of the in-session memoized indexes (dedup gram/band/
+    signature tables, IVF cell assignments). Reference analog: the
+    schema's precomputed MV tables (``schema.sql:146-192``) — compute
+    once at ingest, serve every query from the stored relation.
+
+    ``partition_by`` (e.g. ``["band"]`` for an LSH band table,
+    ``["cell"]`` for an IVF assignment) lets probe queries prune to the
+    partitions they touch. NOTE: Spark's file index treats directory
+    names starting with ``_`` or ``.`` as hidden — never partition by a
+    column with a leading underscore (rename first; see
+    workloads_ext.store_ivf_index)."""
+    if partition_by:
+        for c in partition_by:
+            if c.startswith(("_", ".")):
+                raise ValueError(
+                    f"partition column {c!r} would create hidden "
+                    "directories Spark skips; rename it first"
+                )
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def load_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """Load a stored index table if present, else ``None`` (the caller
+    falls back to building it). Presence is an FS-level check so the
+    same code path works on HDFS/object stores, not just local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path)

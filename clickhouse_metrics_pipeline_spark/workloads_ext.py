@@ -932,6 +932,81 @@ _IVF_CENTROIDS: dict[tuple[str, int, int], list[list[float]]] = {}
 _IVF_INDEX: dict[tuple[str, int, int], DataFrame] = {}
 
 
+def _ivf_paths(root: str, sf_dir: str, k: int, iters: int) -> tuple[str, str]:
+    import os
+
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{root}/{corpus}/ivf{k}x{iters}"
+    return f"{base}/centroids", f"{base}/assigned"
+
+
+def store_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    iters: int = 2,
+    root: str | None = None,
+) -> tuple[str, str]:
+    """Materialize the trained IVF index — the k x dim centroid table
+    and the cell-assigned corpus — as parquet tables, partitioned by
+    cell so probe queries prune to their n_probe_cells partitions. The
+    ingest-time half of :func:`emb_ivf_kmeans_topk`; any later session
+    with ``$SPARK_GRAFT_INDEX_DIR`` set loads these instead of
+    re-training/re-assigning. (``_cell`` is renamed ``cell`` on disk:
+    Spark's file index skips underscore-prefixed directories.)"""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from clickhouse_metrics_pipeline_spark.sources.writer import write_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = root or index_root()
+    if root is None:
+        raise ValueError("no index root: pass root= or set SPARK_GRAFT_INDEX_DIR")
+    cent_path, asg_path = _ivf_paths(root, sf_dir, k, iters)
+    key = (sf_dir, k, iters)
+    e = _t(spark, sf_dir, "embeddings")
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = kmeans_centroids(e, "embedding", k=k, iters=iters)
+    cents = _IVF_CENTROIDS[key]
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    write_index(cent_df, cent_path)
+    assigned = (
+        _IVF_INDEX[key]
+        if key in _IVF_INDEX
+        else ivf_assign(e, cents)
+    )
+    write_index(
+        assigned.withColumnRenamed("_cell", "cell"), asg_path, ["cell"]
+    )
+    return cent_path, asg_path
+
+
+def _load_stored_ivf(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> tuple[list[list[float]], DataFrame] | None:
+    from clickhouse_metrics_pipeline_spark.sources.writer import load_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = index_root()
+    if root is None:
+        return None
+    cent_path, asg_path = _ivf_paths(root, sf_dir, k, iters)
+    cent_df = load_index(spark, cent_path)
+    assigned = load_index(spark, asg_path)
+    if cent_df is None or assigned is None:
+        return None
+    cents = [
+        list(r.centroid)
+        for r in sorted(cent_df.collect(), key=lambda r: r.cell)
+    ]
+    return cents, assigned.withColumnRenamed("cell", "_cell")
+
+
 def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF-flat ANN: k-means coarse quantizer (distributed
     Lloyd's, deterministic init), multi-cell probe search over the
@@ -945,6 +1020,14 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     key = (sf_dir, 16, 2)
+    if key not in _IVF_CENTROIDS or key not in _IVF_INDEX:
+        # prefer the stored on-disk index when one exists (the
+        # ingest-time deployment shape; see store_ivf_index) — the
+        # cell-partitioned parquet prunes probe scans without any
+        # in-session training or assignment pass
+        stored = _load_stored_ivf(spark, sf_dir, 16, 2)
+        if stored is not None:
+            _IVF_CENTROIDS[key], _IVF_INDEX[key] = stored
     if key not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[key] = kmeans_centroids(e, "embedding", k=16, iters=2)
     if key not in _IVF_INDEX:

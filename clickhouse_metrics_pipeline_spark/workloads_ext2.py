@@ -1219,51 +1219,24 @@ WHERE drops.doc_id IS NULL AND quality >= 0.9
 
 
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-packing plan: assign documents to fixed-token-budget
-    training bins (2048 tokens) - the batch-assembly step between
-    chunking and the data loader in a pretraining pipeline. Documents
-    are sharded by a portable hash (md5-derived, DuckDB-computable) so
-    packing runs per shard in parallel - the 100 TB shape, where a
-    single global packing order would serialize into one partition -
-    then packed SEQUENTIALLY within the shard in doc_id order: a doc's
-    bin is floor(tokens_before_it / budget) (concat-then-split
-    semantics, same as chunked corpus assembly; a doc may straddle its
-    bin boundary and is counted where it starts). Token counts are
-    exact integers, so the running sum is order-independent-safe and
-    both engines agree bit-for-bit. Output: per (shard, bin) the doc
-    count, token total, and budget fill ratio.
-
-    Scale: one shuffle on the shard key; the window is per shard
-    (corpus/32 rows each), the output is tiny (one row per bin)."""
-    from clickhouse_metrics_pipeline_spark.functions.hashing import (
-        portable_hash60,
-    )
+    """Sequence-packing catalog query: documents into 2048-token
+    training bins via operators.packing.pack_sequences (see that module
+    for semantics and the 100 TB scale shape). The shard count is
+    pinned to 32 here so the oracle hash is stable across hosts; the
+    operator itself defaults to the cluster's defaultParallelism —
+    per-shard packing parallelism must grow with the data."""
     from clickhouse_metrics_pipeline_spark.functions.text import token_count
+    from clickhouse_metrics_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
 
-    budget = 2048
     d = _t(spark, sf_dir, "documents")
-    shard = portable_hash60(F.col("doc_id").cast("string")) % 32
-    base = d.select(
-        "doc_id",
-        shard.alias("shard"),
-        token_count("text").cast("bigint").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    binned = base.select(
-        "shard",
-        "n_tokens",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
-        ).alias("bin"),
-    )
-    return binned.groupBy("shard", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("sum_tokens"),
-        F.round(F.sum("n_tokens") / F.lit(float(budget)), 4).alias("fill_ratio"),
+    return pack_sequences(
+        d,
+        budget=2048,
+        num_shards=32,
+        id_col="doc_id",
+        tokens_col=token_count("text"),
     )
 
 

@@ -1,0 +1,90 @@
+"""Stored index tables (round 4): write_index/load_index roundtrip.
+
+The in-session memoized indexes (_DEDUP_INDEX, _IVF_INDEX) stand in for
+ingest-time parquet tables. These tests pin that the on-disk form is a
+drop-in: store the bands64x16 + grams3 dedup indexes and the trained
+IVF index to a tmp root, clear the memos, point
+$SPARK_GRAFT_INDEX_DIR at the root, and the catalog queries must
+produce hash-identical output while actually reading the stored tables.
+Reference analog: precomputed MV tables, schema.sql:146-192."""
+
+from __future__ import annotations
+
+import clickhouse_metrics_pipeline_spark.workloads as W
+import clickhouse_metrics_pipeline_spark.workloads_ext as WE
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _clear_memos():
+    for d in (W._DEDUP_INDEX, WE._IVF_INDEX):
+        for v in d.values():
+            try:
+                v.unpersist()
+            except Exception:
+                pass
+        d.clear()
+    WE._IVF_CENTROIDS.clear()
+
+
+def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
+    try:
+        # in-memory baseline (also populates the memos store_* reuse)
+        base_minhash = _rows(W.docs_minhash_lsh(spark, SF))
+        base_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
+        assert base_minhash and base_ivf
+
+        # ingest-time store
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+        W.store_dedup_index(spark, SF, "bands64x16")
+        W.store_dedup_index(spark, SF, "grams3")
+        WE.store_ivf_index(spark, SF)
+
+        # fresh "session": memos gone, only the stored tables remain
+        _clear_memos()
+        got_minhash = _rows(W.docs_minhash_lsh(spark, SF))
+        got_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
+        assert got_minhash == base_minhash
+        assert got_ivf == base_ivf
+
+        # prove the queries really read the stored tables, not rebuilt
+        # in-memory indexes: the memoized plans must scan the tmp root
+        for kind in ("bands64x16", "grams3"):
+            files = W._DEDUP_INDEX[(SF, kind)].inputFiles()
+            assert files and all(str(tmp_path) in f for f in files), kind
+        ivf_files = WE._IVF_INDEX[(SF, 16, 2)].inputFiles()
+        assert ivf_files and all(str(tmp_path) in f for f in ivf_files)
+
+        # the band table is stored partitioned by band (probe pruning);
+        # the IVF assignment by cell
+        assert any(
+            p.name.startswith("band=") for p in (tmp_path / "sf0.001" / "bands64x16").iterdir()
+        )
+        assert any(
+            p.name.startswith("cell=")
+            for p in (tmp_path / "sf0.001" / "ivf16x2" / "assigned").iterdir()
+        )
+    finally:
+        # later tests must rebuild in-memory, not read soon-deleted tmp
+        _clear_memos()
+
+
+def test_load_index_absent_returns_none(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.sources.writer import load_index
+
+    assert load_index(spark, str(tmp_path / "nope")) is None
+
+
+def test_write_index_rejects_hidden_partition_column(spark):
+    import pytest
+
+    from clickhouse_metrics_pipeline_spark.sources.writer import write_index
+
+    df = spark.range(1).withColumnRenamed("id", "_cell")
+    with pytest.raises(ValueError):
+        write_index(df, "/tmp/never-written", ["_cell"])
