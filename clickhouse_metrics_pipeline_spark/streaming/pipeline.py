@@ -238,6 +238,59 @@ def rollup_stream(
     )
 
 
+def rollup_cascade_stream(
+    df: DataFrame,
+    grain: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming re-aggregation of a lower-grain rollup to a higher
+    grain — the continuous form of the reference's MV cascade chain
+    (schema.sql:249-283 for 1m→5m, 340-373 for 5m→1h): each rollup
+    table is itself a streaming source (its parquet sink), and the next
+    grain is a tumbling window over ``bucket_ts``.
+
+    Lossless under the A11 weighted-avg semantics: ``value_sum`` and
+    ``samples_count`` are carried at every grain, so ``value_avg`` is
+    always the exact raw-sample-weighted average, never an average of
+    averages. Late lower-grain rows (a window the upstream stage closed
+    late) merge into the right higher-grain window as long as they are
+    inside this stage's watermark."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withWatermark("bucket_ts", watermark)
+        .groupBy(
+            F.window("bucket_ts", grain).alias("w"),
+            "workspaceId",
+            "metric",
+            "series_hash",
+        )
+        .agg(
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+            F.sum("value_sum").alias("value_sum"),
+            F.max_by("value_last", "bucket_ts").alias("value_last"),
+            F.sum("count").alias("count"),
+            F.sum("sum").alias("sum"),
+            F.sum("samples_count").alias("samples_count"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            "workspaceId",
+            "metric",
+            "series_hash",
+            "value_min",
+            "value_max",
+            "value_sum",
+            (F.col("value_sum") / F.col("samples_count")).alias("value_avg"),
+            "value_last",
+            "count",
+            "sum",
+            "samples_count",
+        )
+    )
+
+
 def session_stream(
     df: DataFrame,
     gap: str = "30 minutes",

@@ -178,3 +178,90 @@ def test_handler_multi_query_and_empty(catalog):
         "request_duration", "requests_total"
     }
     assert resp[1] == []
+
+
+# --------------------------------------------------------------------------
+# Recorded wire fixtures (round 4): canonical prompb.ReadRequest bytes
+# derived independently from the public wire specs by
+# tools/gen_prompb_fixture.py and checked in — guards the hand-rolled
+# codec against drift (reference analog: promread/handler.go:65-107).
+# --------------------------------------------------------------------------
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+_T0 = 1717243200000  # 2024-06-01 12:00:00 UTC == NOW, in ms
+_START, _END = _T0 - 3_600_000, _T0 + 3_600_000
+
+
+def _fixture(name: str) -> bytes:
+    with open(os.path.join(_FIXDIR, name), "rb") as f:
+        return f.read()
+
+
+class TestRecordedRequestFixture:
+    def test_decodes_real_request_shape(self):
+        """The recorded request carries ReadHints and
+        accepted_response_types (fields a real Prometheus server sends,
+        a minimal client omits) — the decoder must take the supported
+        fields and skip the rest."""
+        qs = decode_read_request(_fixture("prompb_read_request.bin"))
+        assert len(qs) == 1
+        q = qs[0]
+        assert (q["start_ms"], q["end_ms"]) == (_START, _END)
+        assert q["matchers"] == [
+            LabelMatcher(MatchType.EQ, "__name__", "requests_total")
+        ]
+
+    def test_encoder_is_byte_exact_canonical_marshal(self):
+        """encode_read_request of the same query must equal the
+        canonical proto3 marshal a minimal client produces —
+        byte-for-byte (fields in order, defaults omitted)."""
+        got = encode_read_request([
+            {"start_ms": _START, "end_ms": _END, "matchers": [
+                LabelMatcher(MatchType.EQ, "__name__", "requests_total")]}
+        ])
+        assert got == _fixture("prompb_read_request_minimal.bin")
+
+    def test_snappy_fixture_uses_copy_element(self):
+        """The framed fixture encodes the repeated start-timestamp
+        varint as a snappy COPY element (what a real compressor emits
+        for a >=4-byte match) — the decompressor must reproduce the
+        exact proto bytes from it."""
+        framed = _fixture("prompb_read_request.snappy.bin")
+        raw = _fixture("prompb_read_request.bin")
+        assert snappy_decompress(framed) == raw
+        # and it genuinely differs from our literal-only compressor's
+        # framing (otherwise this adds no coverage)
+        assert framed != snappy_compress(raw)
+
+    def test_handler_end_to_end_byte_exact(self, catalog, spark):
+        """Full wire e2e from the recorded bytes: the 2 h span routes
+        to the 1m rollup (router Q1), and the response body must be the
+        exact canonical framing of the expected result — sorted series,
+        proto3 field order, snappy block format."""
+        from clickhouse_metrics_pipeline_spark.operators.rollup import (
+            build_rollup_hierarchy,
+        )
+
+        stored = catalog.get("metrics_raw")
+        catalog.tables["metrics_1m"] = build_rollup_hierarchy(stored)[
+            "metrics_1m"
+        ]
+        resp = handle_remote_read(
+            catalog,
+            _fixture("prompb_read_request.snappy.bin"),
+            workspace_id="integration_test",
+            now_ms=_T0 + 3_600_000,
+        )
+        raw_resp = snappy_decompress(resp)
+        # the deltas [100, 50] share one 1m bucket; rollup rows serve
+        # value_last (router test pins this projection)
+        expected = [[{
+            "labels": {
+                "__name__": "requests_total",
+                "endpoint": "/api/users",
+                "method": "GET",
+            },
+            "samples": [(50.0, _T0)],
+        }]]
+        assert decode_read_response(raw_resp) == expected
+        assert raw_resp == encode_read_response(expected)

@@ -318,3 +318,132 @@ class TestStreamingDedup:
         _run_drain()
         ids = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
         assert ids == [1, 2, 4]
+
+
+class TestStreamingRollupCascade:
+    """Round-4 e2e: the full raw -> 1m -> 5m streaming CHAIN with late
+    data crossing a window boundary, asserted equal to the batch
+    rollup_raw_to_1m / rollup_cascade results (reference analog: the MV
+    cascade schema.sql:146-373)."""
+
+    _CMP_1M = [
+        "value_min", "value_max", "value_avg", "value_last",
+        "count", "sum", "samples_count",
+    ]
+
+    def _raw_files(self, base):
+        """Three arrival-ordered micro-batch files; file 2 carries a row
+        ~4 min LATE that lands in an already-seen 1m window (inside the
+        10 min watermark); file 3 is the watermark driver (series 999)
+        that closes every real window at both grains."""
+
+        def g(series, offset_s, value, count=None, s=None):
+            r = list(_gauge_row(series, 0, value))
+            r[4] = base + dt.timedelta(seconds=offset_s)
+            r[9], r[10] = count, s
+            return tuple(r)
+
+        return [
+            [g(21, 10, 10.0, 2, 8.0), g(21, 40, 20.0, 1, 4.0),
+             g(21, 330, 50.0)],
+            # late: minute B+1 arrives after B+5 was seen
+            [g(21, 80, 30.0, 3, 9.0), g(21, 370, 60.0)],
+            # two watermark drivers: append mode withholds the last
+            # open window, so the B+30 driver (which closes every real
+            # window in stage 1) must itself be closed by the B+60 one
+            # to reach the 1m parquet and drive stage 2's watermark
+            [g(999, 1800, 1.0)],
+            [g(999, 3600, 1.0)],
+        ]
+
+    def test_chain_matches_batch_cascade(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.operators.rollup import (
+            rollup_cascade,
+            rollup_raw_to_1m,
+        )
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            rollup_cascade_stream,
+        )
+
+        base = _NOW.replace(second=0, minute=0) - dt.timedelta(hours=3)
+        src = tmp_path / "src"
+        src.mkdir()
+        batches = self._raw_files(base)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(
+                1
+            ).write.parquet(str(src / f"b{i}"))
+
+        # ---- stage 1: raw -> 1m, one file per micro-batch (arrival
+        # order), append mode so each 1m window emits exactly once
+        out1, ck1 = str(tmp_path / "out1m"), str(tmp_path / "ck1")
+        q = rollup_to_parquet(
+            spark.readStream.schema(METRICS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            out1, ck1, grain="1 minute", watermark="10 minutes",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        m1_stream = spark.read.parquet(out1)
+        # every real 1m window closed (watermark driver is 30 min out)
+        got_1m = {
+            r.bucket_ts: tuple(r[c] for c in self._CMP_1M)
+            for r in m1_stream.where("series_hash = 21").collect()
+        }
+        raw_all = spark.createDataFrame(
+            [r for b in batches for r in b], METRICS_RAW_SCHEMA
+        )
+        want_1m = {
+            r.timestamp: tuple(r[c] for c in self._CMP_1M)
+            for r in rollup_raw_to_1m(raw_all)
+            .where("series_hash = 21").collect()
+        }
+        assert got_1m == want_1m
+        # the late minute-B+1 row really crossed a boundary: 4 windows
+        assert len(got_1m) == 4
+
+        # ---- stage 2: the 1m parquet sink is itself the stream source
+        # for the 5m grain (the MV-chain shape)
+        out5, ck5 = str(tmp_path / "out5m"), str(tmp_path / "ck5")
+        rolled5 = rollup_cascade_stream(
+            spark.readStream.schema(m1_stream.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out1),
+            grain="5 minutes", watermark="10 minutes",
+        )
+        q = (
+            rolled5.writeStream.format("parquet")
+            .option("path", out5)
+            .option("checkpointLocation", ck5)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        got_5m = {
+            r.bucket_ts: tuple(r[c] for c in self._CMP_1M)
+            for r in spark.read.parquet(out5)
+            .where("series_hash = 21").collect()
+        }
+        m1_batch = rollup_raw_to_1m(raw_all)
+        want_5m = {
+            r.timestamp: tuple(r[c] for c in self._CMP_1M)
+            for r in rollup_cascade(
+                m1_batch.drop(
+                    "exp_scale", "exp_zero_count", "exp_zero_threshold",
+                    "exp_positive_buckets", "exp_negative_buckets",
+                ),
+                "5 minutes",
+            ).where("series_hash = 21").collect()
+        }
+        assert got_5m == want_5m
+        # two 5m windows: [B, B+5) and [B+5, B+10)
+        assert len(got_5m) == 2
+        # weighted-avg check straight from the raw numbers: window B
+        # holds 10,20,30 -> avg 20 even though its minutes are uneven
+        assert got_5m[base][2] == 20.0
