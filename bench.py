@@ -94,6 +94,12 @@ HEADLINE = [
 # the frozen copy stays r3's 39.
 R3_HEADLINE = list(HEADLINE)
 
+HEADLINE += [
+    "docs_minhash_lsh_32band",
+    "events_exemplar_trace_join",
+    "events_workspace_isolation",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -834,6 +834,7 @@ _INDEX_PARTITION: dict[str, list[str] | None] = {
     "grams8": None,
     "grams3_df50": None,
     "bands64x16": ["band"],
+    "bands64x32": ["band"],
     "simhash60": None,
 }
 
@@ -945,6 +946,15 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                 minhash_band_buckets_from_text("text", 64, 16, 3)
             ).alias("band", "bucket"),
         )
+    elif kind == "bands64x32":
+        # second banding operating point: same 64-hash signature split
+        # 32 bands x 2 rows (see docs_minhash_lsh_32band)
+        idx = d.select(
+            F.col("doc_id"),
+            F.posexplode(
+                minhash_band_buckets_from_text("text", 64, 32, 3)
+            ).alias("band", "bucket"),
+        )
     elif kind == "simhash60":
         idx = d.select(
             F.col("doc_id"), simhash60_portable_kernel("text").alias("sim")
@@ -999,6 +1009,27 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64,
         bands=16,
         banded=dedup_index(spark, sf_dir, "bands64x16"),
+        shingled=dedup_index(spark, sf_dir, "grams3"),
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def docs_minhash_lsh_32band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH at the second operating point of the banding
+    tradeoff: the same 64-hash signature budget split 32 bands x 2 rows
+    instead of 16 x 4. r=2 raises candidate recall (a 0.9-similar pair
+    is missed with probability (1-0.9^2)^32 ~ 3e-24 vs ~4e-8 at r=4)
+    and lowers pre-verify precision (more candidates reach the exact
+    check). The output must STILL hash-equal the exact all-pairs oracle
+    — pinning the contract that the band/row choice moves COST along
+    the precision/recall curve but never the verified result."""
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        d,
+        threshold=0.8,
+        num_hashes=64,
+        bands=32,
+        banded=dedup_index(spark, sf_dir, "bands64x32"),
         shingled=dedup_index(spark, sf_dir, "grams3"),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -1259,6 +1290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_minhash_lsh_32band": docs_minhash_lsh_32band,
     "docs_neardup_clusters": docs_neardup_clusters,
     "docs_repetition_filter": docs_repetition_filter,
     "docs_text_stats": docs_text_stats,
@@ -1294,6 +1326,8 @@ ORACLE_SQL: dict[str, str] = {
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_jaccard": _jaccard_pairs_sql(max_doc_freq=50),
     "docs_minhash_lsh": _JACCARD_PAIRS_SQL,
+    # same exact-pairs oracle: the banding config must not change results
+    "docs_minhash_lsh_32band": _JACCARD_PAIRS_SQL,
     # recursive-CTE transitive closure over the identical pair set the
     # Spark side clusters with min-label propagation
     "docs_neardup_clusters": f"""
@@ -1356,7 +1390,10 @@ ORACLE_SQL.update(EXTRA2_ORACLE)
 # round) occupy the head of the window. Names are frozen; only order
 # changes, so round-over-round comparisons by name are unaffected.
 _ROTATION_FIRST: list[str] = [
-    # 32 queries absent from CORRECTNESS_r01..r03
+    # new round-4 queries first, then the 32 absent from r01..r03
+    "docs_minhash_lsh_32band",
+    "events_exemplar_trace_join",
+    "events_workspace_isolation",
     "exp_hist_merge",
     "docs_rolling_fingerprint",
     "multimodal_features",

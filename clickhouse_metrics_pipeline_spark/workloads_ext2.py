@@ -1412,10 +1412,161 @@ FROM e
 
 
 # --------------------------------------------------------------------------
+# Exemplar -> trace linkage (round 4)
+# --------------------------------------------------------------------------
+
+
+def events_exemplar_trace_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link metric spikes to trace IDs through stored exemplar arrays —
+    the investigation query the reference's exemplar columns exist for
+    (schema.sql:55-61: exemplars.traceId/value alongside every series)
+    but which no reference query exercises end-to-end.
+
+    Shape: (1) roll raw points to (event_type, 1h bucket) carrying the
+    capped exemplar array (top-3 by value, F4 policy, each with a
+    deterministic md5-derived trace id standing in for the OTLP trace
+    id); (2) flag spike buckets — bucket avg > 2x the event type's
+    overall avg, compared in EXACT integer-cents cross-multiplied form
+    (sum_c * g_n > 2 * g_sum_c * n) so neither engine faces a float
+    boundary; (3) explode ONLY spike buckets' exemplars to
+    (bucket, rank, trace_id, value) rows.
+
+    Scale: one shuffle to the bucket grain; the per-type global avg is
+    a 5-row broadcast; exemplar arrays are capped at 3 so the explode
+    is bounded by 3x the spike-bucket count, never by raw cardinality."""
+    ev = _events(spark, sf_dir)
+    trace_id = F.substring(F.md5(F.col("event_id").cast("string")), 1, 16)
+    ex = F.struct(
+        (-F.col("value")).alias("neg_v"),
+        F.col("event_id").alias("eid"),
+        F.round("value", 4).alias("v"),
+        trace_id.alias("tid"),
+    )
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.sum(value_cents("value")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+        F.slice(F.array_sort(F.collect_list(ex)), 1, 3).alias("exemplars"),
+    )
+    overall = ev.groupBy("event_type").agg(
+        F.sum(value_cents("value")).alias("gc"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    spikes = buckets.join(F.broadcast(overall), "event_type").where(
+        F.col("c") * F.col("gn") > 2 * F.col("gc") * F.col("n")
+    )
+    e = F.posexplode("exemplars")
+    return spikes.select(
+        "event_type", "bucket_ts", e.alias("pos", "x")
+    ).select(
+        "event_type",
+        "bucket_ts",
+        (F.col("pos") + 1).alias("exemplar_rank"),
+        F.col("x.tid").alias("trace_id"),
+        F.col("x.v").alias("value"),
+    )
+
+
+EVENTS_EXEMPLAR_TRACE_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         sum(CAST(round(value * 100) AS BIGINT)) AS c, count(*) AS n
+  FROM {_EV_SQL} GROUP BY 1, 2
+), g AS (
+  SELECT event_type, sum(CAST(round(value * 100) AS BIGINT)) AS gc, count(*) AS gn
+  FROM {_EV_SQL} GROUP BY 1
+), spikes AS (
+  SELECT b.event_type, b.bucket_ts
+  FROM b JOIN g USING (event_type)
+  WHERE b.c * g.gn > 2 * g.gc * b.n
+), ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY value DESC, event_id) AS rn
+  FROM {_EV_SQL}
+)
+SELECT r.event_type, r.bucket_ts, rn AS exemplar_rank,
+       substr(md5(r.event_id::VARCHAR), 1, 16) AS trace_id,
+       round(r.value, 4) AS value
+FROM ranked r
+JOIN spikes s ON r.event_type = s.event_type AND r.bucket_ts = s.bucket_ts
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-workspace isolation (round 4)
+# --------------------------------------------------------------------------
+
+
+def events_workspace_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tenant isolation: workspaceId is part of every series
+    identity in the reference schema (K1/K2 hash inputs, the first
+    ORDER BY column of every table) but no query exercised filtering
+    one tenant out of a multi-tenant corpus. Derive four synthetic
+    workspaces (user_id % 4), stamp the series fingerprint WITH the
+    workspace — the same metric+attrs in two tenants must be distinct
+    series — and serve tenant ws1's per-metric aggregate next to the
+    all-tenant series count, proving the fingerprint separates tenants
+    (n_series < n_series_total) while values stay tenant-pure (exact
+    integer-cents sum over ws1 rows only).
+
+    Scale: the tenant filter is the FIRST predicate (prunes to ~1/4 of
+    the corpus before any shuffle — on the reference's layout this is
+    the primary-key prefix, here a pushed-down scan filter); the
+    all-tenant series count is a separate 5-row aggregate broadcast
+    back."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ws", F.concat(F.lit("ws"), (F.col("user_id") % 4).cast("string"))
+    )
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.col("ws"),
+            F.concat(F.lit("user_id="), F.col("user_id").cast("string")),
+        )
+    )
+    base = ev.select("event_type", "ws", "value", fp.alias("series_fp"))
+    ws1 = base.where(F.col("ws") == "ws1").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("series_fp").alias("n_series"),
+        sum_value("value").alias("sum_val"),
+    )
+    allw = base.groupBy("event_type").agg(
+        F.countDistinct("series_fp").alias("n_series_total")
+    )
+    return ws1.join(F.broadcast(allw), "event_type")
+
+
+EVENTS_WS_ISOLATION_SQL = f"""
+WITH base AS (
+  SELECT event_type, 'ws' || (user_id % 4)::VARCHAR AS ws, value,
+         md5(event_type || '|' || 'ws' || (user_id % 4)::VARCHAR ||
+             '|' || 'user_id=' || user_id) AS series_fp
+  FROM {_EV_SQL}
+), ws1 AS (
+  SELECT event_type, count(*) AS n_events,
+         count(DISTINCT series_fp) AS n_series,
+         {_SUMV} AS sum_val
+  FROM base WHERE ws = 'ws1' GROUP BY event_type
+), allw AS (
+  SELECT event_type, count(DISTINCT series_fp) AS n_series_total
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n_events, n_series, sum_val, n_series_total
+FROM ws1 JOIN allw USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
 EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_exemplar_trace_join": events_exemplar_trace_join,
+    "events_workspace_isolation": events_workspace_isolation,
     "events_session_window": events_session_window,
     "events_sliding_window": events_sliding_window,
     "events_asof_join": events_asof_join,
@@ -1445,6 +1596,8 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
+    "events_exemplar_trace_join": EVENTS_EXEMPLAR_TRACE_SQL,
+    "events_workspace_isolation": EVENTS_WS_ISOLATION_SQL,
     "events_session_window": EVENTS_SESSION_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
