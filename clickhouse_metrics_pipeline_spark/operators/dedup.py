@@ -777,6 +777,7 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph ->
     (doc_id, keeper_id): every document that appears in at least one
@@ -803,11 +804,25 @@ def neardup_components(
     Near-dup graphs have tiny, dense components (variant clusters of one
     boilerplate), so 2-3 rounds converge in practice; max_iters bounds
     pathological chains.
+
+    Adaptive strategy (``driver_threshold``): the verified pair graph is
+    orders of magnitude smaller than the corpus, and each propagation
+    round costs a fixed multi-shuffle overhead. When the materialized
+    edge count is below the threshold (default 1M edges ~ 16 MB — the
+    same size-based switch broadcast joins make), the components are
+    solved with a driver-side union-find over the already-checkpointed
+    edges instead of O(log d) shuffle rounds; results are identical
+    (both produce min-id labels; equality is property-tested, and the
+    distributed path stays exercised with ``driver_threshold=0``). At
+    100 TB the threshold triggers only if the graph really is small —
+    otherwise the distributed loop runs as before.
     """
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = sym.distinct().localCheckpoint(eager=True)
+    if driver_threshold > 0 and edges.count() <= driver_threshold:
+        return _components_driver(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -854,3 +869,51 @@ def neardup_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("keeper_id"))
+
+
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a small (threshold-gated) symmetric edge list;
+    same (doc_id, keeper_id = component min id) contract as the
+    distributed loop. The collect is bounded by neardup_components'
+    driver_threshold — never called on an unbounded relation."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r.src, r.dst
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    keeper: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = keeper.get(root)
+        if cur is None or node < cur:
+            keeper[root] = node
+    out = [(node, keeper[find(node)]) for node in parent]
+    id_type = edges.schema["src"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("keeper_id", id_type, False),
+        ]
+    )
+    # hand the result back through Arrow (pandas), not a Python-RDD
+    # relation: downstream jobs over an RDD-backed local relation pay a
+    # Python-worker round trip per action; the Arrow path stays JVM-side
+    import pandas as pd
+
+    pdf = pd.DataFrame(out, columns=["doc_id", "keeper_id"])
+    return edges.sparkSession.createDataFrame(pdf, schema)

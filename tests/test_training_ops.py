@@ -338,7 +338,9 @@ class TestNeardupComponents:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"]
         )
-        out = neardup_components(pairs, max_iters=6)
+        # threshold 0 forces the distributed loop (the convergence
+        # property under test); the driver path is covered elsewhere
+        out = neardup_components(pairs, max_iters=6, driver_threshold=0)
         rows = {r["doc_id"]: r["keeper_id"] for r in out.collect()}
         assert rows == {i: 1 for i in range(1, 10)}
 
