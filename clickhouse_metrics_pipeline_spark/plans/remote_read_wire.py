@@ -303,6 +303,11 @@ def handle_remote_read(
             limit=limit,
         )
         series = []
+        # LOAD-BEARING BOUND: this collect + per-row loop is safe ONLY
+        # because read_request caps the scan at `limit` rows (default
+        # 100k, the same cap as the reference's LIMIT, handler.go:298)
+        # before assembly — emitting a protobuf body is inherently a
+        # driver-side serialization of a bounded payload, not a relation
         for row in df.collect():
             samples = [
                 # Spark hands back naive datetimes in the session tz

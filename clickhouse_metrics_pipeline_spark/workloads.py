@@ -835,6 +835,9 @@ _INDEX_PARTITION: dict[str, list[str] | None] = {
     "grams3_df50": None,
     "bands64x16": ["band"],
     "bands64x32": ["band"],
+    "grams8_srcsets": None,
+    "pairs08": None,
+    "exact_keepers": None,
     "simhash60": None,
 }
 
@@ -958,6 +961,39 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     elif kind == "simhash60":
         idx = d.select(
             F.col("doc_id"), simhash60_portable_kernel("text").alias("sim")
+        )
+    elif kind == "exact_keepers":
+        # exact-dedup keeper set (min doc id per normalized-text
+        # fingerprint): the other half of the stored dedup state —
+        # computed at ingest, probed by every downstream pipeline
+        idx = (
+            d.groupBy(doc_fingerprint("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+    elif kind == "pairs08":
+        # verified near-dup PAIR table (exact n-gram Jaccard >= 0.8
+        # over the uncapped gram index): production dedup materializes
+        # the verified pairs at ingest — it is the artifact every
+        # downstream job probes (drop lists, cluster labels, pipeline
+        # composition), tiny next to the corpus (one row per duplicate
+        # pair)
+        idx = ngram_jaccard_pairs(
+            d, threshold=0.8, shingled=dedup_index(spark, sf_dir, "grams3")
+        )
+    elif kind == "grams8_srcsets":
+        # gram -> sorted source set (bounded by #sources, one row per
+        # unique gram): the reduced form every cross-source overlap /
+        # contamination diagnostic reads — derived from grams8 once per
+        # corpus (at 100 TB an ingest-time table, tiny next to the
+        # corpus: unique grams)
+        raw = dedup_index(spark, sf_dir, "grams8")
+        idx = (
+            raw.join(d.select("doc_id", "source"), "doc_id")
+            .select("source", F.explode("sh").alias("s"))
+            .distinct()
+            .groupBy("s")
+            .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
         )
     else:  # pragma: no cover
         raise ValueError(f"unknown dedup index kind: {kind}")

