@@ -98,6 +98,8 @@ HEADLINE += [
     "docs_minhash_lsh_32band",
     "events_exemplar_trace_join",
     "events_workspace_isolation",
+    "events_kmv_users",
+    "events_kmv_cascade",
 ]
 
 

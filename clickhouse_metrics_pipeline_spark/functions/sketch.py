@@ -1,0 +1,129 @@
+"""Deterministic KMV (k-minimum-values) distinct-count sketch.
+
+The reference's rollup cascade stores pre-aggregated state per grain
+and merges it upward (``scripts/schema.sql:146-373`` — sum/count/
+min/max columns re-aggregated 1m→5m→1h); ClickHouse itself ships
+mergeable approximate-distinct states (``uniqState``/``uniqMerge``)
+for exactly this shape, but the reference schema stops at the exact
+aggregates. Spark's built-in ``approx_count_distinct`` is HLL++ and
+engine-private: its estimate cannot be reproduced by a DuckDB oracle,
+so it can never be hash-checked cross-engine.
+
+This module implements the KMV estimator (Bar-Yossef et al., "Counting
+distinct elements in a data stream", RANDOM 2002; the unbiased
+``(k-1)/U_(k)`` form from Beyer et al., "On synopses for distinct-value
+estimation under multiset operations", SIGMOD 2007) over the
+cross-engine ``portable_hash60``:
+
+- the *sketch* of a group is the set of its k smallest distinct 60-bit
+  hashes — a value, not a data structure, so it is bit-identical in any
+  engine with md5 (twin fragments in ``oracle_fragments``);
+- merging partial sketches (union → k smallest) is *lossless* with
+  respect to the direct sketch: every one of the global k minima is a
+  member of its partial's k minima, so ``merge(partials) == direct``
+  exactly — the property that lets a 1m→1h→1d rollup cascade serve
+  distinct-count queries from stored state (pinned by
+  ``events_kmv_cascade``'s oracle, which computes the DIRECT form);
+- the estimate is integer-deterministic: ``|sk|`` exactly when the
+  group has fewer than k distinct hashes, else
+  ``floor((k-1)·2^60 / h_(k))`` in IEEE double arithmetic that both
+  engines evaluate identically.
+
+Scale note: ``kmv_sketch`` alone ships *every* distinct hash of a
+group through the shuffle (collect_set has no size bound); that is the
+correct exact-k-min shape but not a sketch's bounded-state promise.
+``kmv_partial`` is the map-side combine: an Arrow-batched pre-pass
+that reduces each input batch to ≤ k hashes per group *before* the
+shuffle, after which the reducer's collect_set is bounded by
+``batches × k`` per group. Equality with the unbounded path is pinned
+in tests/test_sketch.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: size of the portable_hash60 value space; exact as a double.
+HASH_SPACE = float(1 << 60)
+
+
+def kmv_numerator(k: int) -> float:
+    """``(k-1)·2^60`` as an exactly-representable double (k ≤ 2^16:
+    the product's mantissa is k-1 followed by zero bits)."""
+    return float((k - 1) << 60)
+
+
+def kmv_sketch(hash_col: Column | str, k: int) -> Column:
+    """Aggregate: the k smallest distinct hash values of the group, as
+    a sorted ``array<bigint>`` — THE canonical KMV state."""
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return F.slice(F.array_sort(F.collect_set(h)), 1, k)
+
+
+def kmv_merge(sketch_col: Column | str, k: int) -> Column:
+    """Aggregate: merge partial sketches (arrays) into the group's
+    sketch — union, dedupe, keep k smallest. Associative and lossless
+    w.r.t. ``kmv_sketch`` over the raw rows."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))), 1, k
+    )
+
+
+def kmv_estimate(sketch_col: Column | str, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch, as ``bigint``:
+    exact ``|sk|`` when the group never filled the sketch, else the
+    unbiased ``floor((k-1)·2^60 / h_(k))``. Twin:
+    ``oracle_fragments.kmv_estimate_sql``."""
+    sk = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return (
+        F.when(F.size(sk) < k, F.size(sk).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(kmv_numerator(k)) / F.element_at(sk, k).cast("double")
+            ).cast("bigint")
+        )
+        .alias("kmv_estimate")
+    )
+
+
+def kmv_sketch_md5(sketch_col: Column | str) -> Column:
+    """Order-sensitive md5 over the full sketch (comma-joined decimal
+    hashes) — pins every element, not just the kth. Twin:
+    ``md5(array_to_string(sk, ','))`` in DuckDB."""
+    sk = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.md5(F.array_join(F.transform(sk, lambda x: x.cast("string")), ","))
+
+
+def kmv_partial(
+    df: DataFrame, group_cols: list[str], hash_col: str, k: int
+) -> DataFrame:
+    """Map-side combine for KMV: reduce each Arrow batch to the ≤ k
+    smallest distinct ``hash_col`` values per group, with NO shuffle.
+    Output schema: ``group_cols + [hash_col]`` (long). Feeding the
+    result to ``kmv_sketch`` yields exactly the unbounded sketch —
+    any global k-minimum survives every batch's local k-min cut.
+
+    This is the bounded-state path a 100 TB scan needs: the shuffle
+    carries ≤ k rows per (group, batch) instead of the group's full
+    distinct set. Pure pandas group-nsmallest per batch; stays Arrow-
+    batched end to end."""
+    cols = list(group_cols) + [hash_col]
+    proj = df.select(*cols)
+    schema = proj.schema
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dedup = pdf.drop_duplicates(subset=cols)
+            yield (
+                dedup.sort_values(hash_col)
+                .groupby(list(group_cols), sort=False)
+                .head(k)[cols]
+            )
+
+    return proj.mapInPandas(gen, schema=schema)

@@ -188,3 +188,25 @@ def avg_from_cents_sql(sum_cents: str, n: str) -> str:
 def portable_hash60_sql(expr: str) -> str:
     """DuckDB twin of functions.hashing.portable_hash60."""
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def kmv_sketch_sql(hash_expr: str, k: int) -> str:
+    """DuckDB twin of functions.sketch.kmv_sketch: the group's k
+    smallest distinct hashes as a sorted list."""
+    return f"list_slice(list_sort(list(DISTINCT {hash_expr})), 1, {k})"
+
+
+def kmv_estimate_sql(sk: str, k: int) -> str:
+    """DuckDB twin of functions.sketch.kmv_estimate. The numerator is
+    the same exactly-representable double literal Spark uses, so the
+    floor((k-1)·2^60 / h_(k)) division is bit-identical IEEE math."""
+    num = repr(float((k - 1) << 60))
+    return (
+        f"(CASE WHEN len({sk}) < {k} THEN len({sk})::BIGINT "
+        f"ELSE floor({num} / list_extract({sk}, {k})::DOUBLE)::BIGINT END)"
+    )
+
+
+def kmv_sketch_md5_sql(sk: str) -> str:
+    """DuckDB twin of functions.sketch.kmv_sketch_md5."""
+    return f"md5(array_to_string({sk}, ','))"

@@ -131,33 +131,12 @@ def retention_sweep(
             fs.delete(status.getPath(), True)
             dropped.append(name)
         elif day == cutoff and rewrite_boundary:
-            part = f"{base_path}/{name}"
-            tmp = f"{base_path}/.{name}__rewrite_tmp"
-            trash = f"{base_path}/.{name}__rewrite_old"
-            # a leftover trash/tmp dir means a previous sweep crashed
-            # mid-swap; renaming onto it would return false forever, so
-            # fail loudly with the recovery path instead of looping
-            for stale in (trash, tmp):
-                if fs.exists(hpath(stale)):
-                    raise IOError(
-                        f"retention_sweep: stale artifact {stale} from an "
-                        "interrupted rewrite; inspect it (it holds the "
-                        "pre-rewrite rows if it is the __rewrite_old dir), "
-                        "then delete it and re-run the sweep"
-                    )
-            live = spark.read.parquet(part).filter(F.col(ts_col) >= horizon)
-            live.write.mode("overwrite").parquet(tmp)
-            # swap via a trash rename, never delete-before-rename: a
-            # crash between the two renames leaves the old data intact
-            # under the trash name instead of lost. Hadoop rename
-            # signals most failures by returning false, not raising.
-            if not fs.rename(hpath(part), hpath(trash)):
-                fs.delete(hpath(tmp), True)
-                raise IOError(f"retention_sweep: rename {part} -> {trash} failed")
-            if not fs.rename(hpath(tmp), hpath(part)):
-                fs.rename(hpath(trash), hpath(part))  # roll back
-                raise IOError(f"retention_sweep: rename {tmp} -> {part} failed")
-            fs.delete(hpath(trash), True)
+            live = spark.read.parquet(f"{base_path}/{name}").filter(
+                F.col(ts_col) >= horizon
+            )
+            _rewrite_partition_swap(
+                fs, hpath, base_path, name, live, job="retention_sweep"
+            )
             rewritten.append(name)
         else:
             kept.append(name)
@@ -166,6 +145,109 @@ def retention_sweep(
         "kept": sorted(kept),
         "rewritten": sorted(rewritten),
     }
+
+
+def _rewrite_partition_swap(fs, hpath, base_path, name, df, job: str) -> None:
+    """Crash-safe in-place rewrite of one partition directory: write the
+    replacement rows to a hidden tmp dir, then a checked two-rename
+    trash swap. A crash mid-swap leaves the old rows intact under a
+    hidden ``.{name}__rewrite_old`` dir for manual recovery instead of
+    lost (note rename is a copy on object stores). Shared by
+    retention_sweep and compact_partitions."""
+    part = f"{base_path}/{name}"
+    tmp = f"{base_path}/.{name}__rewrite_tmp"
+    trash = f"{base_path}/.{name}__rewrite_old"
+    # a leftover trash/tmp dir means a previous rewrite crashed
+    # mid-swap; renaming onto it would return false forever, so
+    # fail loudly with the recovery path instead of looping
+    for stale in (trash, tmp):
+        if fs.exists(hpath(stale)):
+            raise IOError(
+                f"{job}: stale artifact {stale} from an "
+                "interrupted rewrite; inspect it (it holds the "
+                "pre-rewrite rows if it is the __rewrite_old dir), "
+                f"then delete it and re-run the {job}"
+            )
+    df.write.mode("overwrite").parquet(tmp)
+    # swap via a trash rename, never delete-before-rename: a
+    # crash between the two renames leaves the old data intact
+    # under the trash name instead of lost. Hadoop rename
+    # signals most failures by returning false, not raising.
+    if not fs.rename(hpath(part), hpath(trash)):
+        fs.delete(hpath(tmp), True)
+        raise IOError(f"{job}: rename {part} -> {trash} failed")
+    if not fs.rename(hpath(tmp), hpath(part)):
+        fs.rename(hpath(trash), hpath(part))  # roll back
+        raise IOError(f"{job}: rename {tmp} -> {part} failed")
+    fs.delete(hpath(trash), True)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    base_path: str,
+    max_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_key: list[str] | None = None,
+) -> dict[str, list[str]]:
+    """Small-file compaction over a ``date=``-partitioned table — the
+    maintenance job every streaming ingest needs: a 10 s flush trigger
+    (streaming/pipeline.py) lands ~8640 small files per partition per
+    day, and parquet scan cost is dominated by per-file open/footer
+    overhead once files shrink below a row group. ClickHouse gets this
+    for free from MergeTree background merges (parts are continuously
+    merged toward ~150 GB); the parquet analog is an explicit rewrite,
+    same idea as OPTIMIZE/bin-packing in table formats.
+
+    A partition is rewritten when it has more than ``max_files`` data
+    files AND its mean file size is below ``target_file_bytes`` — so
+    already-compacted or genuinely-large partitions are never touched
+    (idempotent: a second sweep is a no-op). The rewrite coalesces to
+    ``ceil(total_bytes / target_file_bytes)`` files, re-sorting by
+    ``sort_key`` (default: the metrics ORDER BY) to restore row-group
+    min/max skipping that interleaved micro-batches destroyed, and
+    swaps atomically via the same trash-rename as retention_sweep.
+
+    At 100 TB this runs per-partition-parallel from a scheduler (each
+    date dir is independent); the driver loop here only lists
+    directories and launches one Spark job per eligible partition.
+
+    Returns ``{"compacted": [...], "skipped": [...]}`` with
+    ``name:files_before->files_after`` entries for compacted ones."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    compacted, skipped = [], []
+    for status in fs.listStatus(hpath(base_path)):
+        name = status.getPath().getName()
+        if not name.startswith("date="):
+            continue
+        files = [
+            f
+            for f in fs.listStatus(status.getPath())
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        ]
+        total = sum(f.getLen() for f in files)
+        if len(files) <= max_files or total / max(len(files), 1) >= target_file_bytes:
+            skipped.append(name)
+            continue
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        part_df = spark.read.parquet(f"{base_path}/{name}").coalesce(n_out)
+        key = sort_key if sort_key is not None else SORT_KEY
+        key = [c for c in key if c in part_df.columns]
+        if key:
+            part_df = part_df.sortWithinPartitions(*key)
+        _rewrite_partition_swap(
+            fs, hpath, base_path, name, part_df, job="compact_partitions"
+        )
+        n_after = sum(
+            1
+            for f in fs.listStatus(hpath(f"{base_path}/{name}"))
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        )
+        compacted.append(f"{name}:{len(files)}->{n_after}")
+    return {"compacted": sorted(compacted), "skipped": sorted(skipped)}
 
 
 def write_index(

@@ -1427,6 +1427,8 @@ ORACLE_SQL.update(EXTRA2_ORACLE)
 # changes, so round-over-round comparisons by name are unaffected.
 _ROTATION_FIRST: list[str] = [
     # new round-4 queries first, then the 32 absent from r01..r03
+    "events_kmv_users",
+    "events_kmv_cascade",
     "docs_minhash_lsh_32band",
     "events_exemplar_trace_join",
     "events_workspace_isolation",

@@ -1579,10 +1579,142 @@ FROM ws1 JOIN allw USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# KMV distinct sketch (mergeable approximate-distinct state)
+# --------------------------------------------------------------------------
+
+
+def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user KMV sketch (k=64) next to the exact
+    count. The reference's rollup tables store only exact aggregates
+    (schema.sql:146-192); ClickHouse's uniqState/uniqMerge is the
+    production shape for distinct-counts a cascade can re-aggregate —
+    this is the deterministic, oracle-checkable equivalent (see
+    functions/sketch.py). The full sketch is pinned (order-sensitive
+    md5 over all 64 hashes), not just the estimate."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_sketch_md5,
+    )
+
+    k = 64
+    ev = _events(spark, sf_dir)
+    h = portable_hash60(F.col("user_id").cast("string"))
+    grouped = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        kmv_sketch(h, k).alias("sk"),
+    )
+    return grouped.select(
+        "event_type",
+        "n_exact",
+        kmv_estimate("sk", k).alias("n_kmv"),
+        F.element_at("sk", k).alias("kth_hash"),
+        kmv_sketch_md5("sk").alias("sketch_md5"),
+    )
+
+
+def _kmv_users_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        kmv_estimate_sql,
+        kmv_sketch_md5_sql,
+        kmv_sketch_sql,
+    )
+
+    k = 64
+    return f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         {portable_hash60_sql("user_id::VARCHAR")} AS h
+  FROM {_EV_SQL}
+), sk AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         {kmv_sketch_sql("h", k)} AS sk
+  FROM h GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       {kmv_estimate_sql("sk", k)} AS n_kmv,
+       list_extract(sk, {k}) AS kth_hash,
+       {kmv_sketch_md5_sql("sk")} AS sketch_md5
+FROM sk
+"""
+
+
+def events_kmv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count served FROM STORED ROLLUP STATE: per-minute KMV
+    sketches (k=32) merged minute→hour→day, exactly the re-aggregation
+    ladder of the reference's MV cascade (schema.sql:146-373) with a
+    mergeable distinct state in place of sum/count. The DuckDB oracle
+    computes the DIRECT per-day sketch from raw rows, so the hash match
+    proves both cross-engine determinism and that the two-level merge
+    is lossless (k-min of union of partial k-mins ≡ global k-min).
+    k=32 < per-day distinct users, so the estimator branch (not the
+    exact small-set branch) is what's being pinned."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+        kmv_sketch_md5,
+    )
+
+    k = 32
+    ev = _events(spark, sf_dir)
+    h = portable_hash60(F.col("user_id").cast("string"))
+    per_min = ev.select(
+        "event_type", F.date_trunc("minute", "ts").alias("m"), h.alias("h")
+    ).groupBy("event_type", "m").agg(kmv_sketch("h", k).alias("sk"))
+    per_hour = per_min.groupBy(
+        "event_type", F.date_trunc("hour", "m").alias("hr")
+    ).agg(kmv_merge("sk", k).alias("sk"))
+    per_day = per_hour.groupBy(
+        "event_type", F.to_date("hr").alias("day")
+    ).agg(kmv_merge("sk", k).alias("sk"))
+    return per_day.select(
+        "event_type",
+        "day",
+        kmv_estimate("sk", k).alias("n_kmv"),
+        F.element_at("sk", k).alias("kth_hash"),
+        kmv_sketch_md5("sk").alias("sketch_md5"),
+    )
+
+
+def _kmv_cascade_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        kmv_estimate_sql,
+        kmv_sketch_md5_sql,
+        kmv_sketch_sql,
+    )
+
+    k = 32
+    return f"""
+WITH h AS (
+  SELECT event_type, ts::DATE AS day,
+         {portable_hash60_sql("user_id::VARCHAR")} AS h
+  FROM {_EV_SQL}
+), sk AS (
+  SELECT event_type, day, {kmv_sketch_sql("h", k)} AS sk
+  FROM h GROUP BY event_type, day
+)
+SELECT event_type, day,
+       {kmv_estimate_sql("sk", k)} AS n_kmv,
+       list_extract(sk, {k}) AS kth_hash,
+       {kmv_sketch_md5_sql("sk")} AS sketch_md5
+FROM sk
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
 EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_kmv_users": events_kmv_users,
+    "events_kmv_cascade": events_kmv_cascade,
     "events_exemplar_trace_join": events_exemplar_trace_join,
     "events_workspace_isolation": events_workspace_isolation,
     "events_session_window": events_session_window,
@@ -1614,6 +1746,8 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
+    "events_kmv_users": _kmv_users_sql(),
+    "events_kmv_cascade": _kmv_cascade_sql(),
     "events_exemplar_trace_join": EVENTS_EXEMPLAR_TRACE_SQL,
     "events_workspace_isolation": EVENTS_WS_ISOLATION_SQL,
     "events_session_window": EVENTS_SESSION_SQL,

@@ -182,3 +182,95 @@ class TestRetentionSweep:
             spark, base, retention_days=3, now=now, rewrite_boundary=True
         )
         assert spark.read.parquet(base).count() == 3
+
+
+class TestCompaction:
+    def _fragment(self, spark, path, n_files=12, rows_per_file=50):
+        """One date partition fragmented into many tiny files (the shape
+        a 10 s streaming flush leaves behind)."""
+        import datetime as dt
+
+        d = dt.datetime(2026, 8, 10, 0, 0, 0)
+        rows = [
+            (i, d + dt.timedelta(seconds=i), f"m{i % 3}")
+            for i in range(n_files * rows_per_file)
+        ]
+        df = spark.createDataFrame(
+            rows, "id BIGINT, timestamp TIMESTAMP, metric STRING"
+        )
+        (
+            df.repartition(n_files)
+            .withColumn("date", F.to_date("timestamp"))
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(path)
+        )
+
+    def _data_files(self, tmp_path, part):
+        import os
+
+        return [
+            f
+            for f in os.listdir(str(tmp_path / "frag" / part))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+
+    def test_compacts_fragmented_partition_preserving_rows(
+        self, spark, tmp_path
+    ):
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            compact_partitions,
+        )
+
+        base = str(tmp_path / "frag")
+        self._fragment(spark, base, n_files=12)
+        part = "date=2026-08-10"
+        assert len(self._data_files(tmp_path, part)) >= 12
+        before = sorted(
+            (r.id, r.timestamp, r.metric)
+            for r in spark.read.parquet(base).collect()
+        )
+        res = compact_partitions(
+            spark, base, max_files=4, sort_key=["metric", "timestamp"]
+        )
+        assert len(res["compacted"]) == 1
+        assert res["compacted"][0].startswith(f"{part}:")
+        n_after = len(self._data_files(tmp_path, part))
+        assert n_after <= 4
+        after = sorted(
+            (r.id, r.timestamp, r.metric)
+            for r in spark.read.parquet(base).collect()
+        )
+        assert after == before
+        # idempotent: second sweep skips the now-compacted partition
+        res2 = compact_partitions(spark, base, max_files=4)
+        assert res2["compacted"] == []
+        assert res2["skipped"] == [part]
+
+    def test_large_files_never_touched(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            compact_partitions,
+        )
+
+        base = str(tmp_path / "frag")
+        self._fragment(spark, base, n_files=12)
+        # tiny target: mean file size is already >= target -> skip
+        res = compact_partitions(
+            spark, base, max_files=4, target_file_bytes=1
+        )
+        assert res["compacted"] == []
+
+    def test_stale_trash_dir_fails_loudly(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            compact_partitions,
+        )
+
+        base = str(tmp_path / "frag")
+        self._fragment(spark, base, n_files=12)
+        os.makedirs(str(tmp_path / "frag" / ".date=2026-08-10__rewrite_old"))
+        with _pytest.raises(IOError, match="stale artifact"):
+            compact_partitions(spark, base, max_files=4)
