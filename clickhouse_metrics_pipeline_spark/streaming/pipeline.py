@@ -291,6 +291,54 @@ def rollup_cascade_stream(
     )
 
 
+def kmv_distinct_stream(
+    df: DataFrame,
+    k: int = 64,
+    grain: str = "1 minute",
+    watermark: str = "10 minutes",
+    key_cols: tuple[str, ...] = ("workspaceId", "metric"),
+    ts_col: str = "timestamp",
+    entity_col: str = "series_hash",
+) -> DataFrame:
+    """Streaming per-window KMV distinct sketch — continuous series-
+    cardinality monitoring (the operational guard a metrics pipeline
+    needs against label-cardinality explosions; the reference has no
+    equivalent — its schema can only count exact distinct after the
+    fact). Each closed window emits the k-smallest-distinct-hash
+    sketch (functions/sketch.py) plus its estimate; because the sketch
+    is a mergeable VALUE, downstream batch or streaming jobs can
+    re-aggregate window sketches to coarser grains or global counts
+    with kmv_merge, losslessly w.r.t. a direct sketch over the raw
+    rows — pinned against the batch kernel in tests/test_streaming.py.
+
+    State per open (window, keys) group is the distinct-hash set (the
+    same bound as any streaming collect_set agg); the watermark expires
+    it. At 100 TB the map-side partial aggregation already reduces each
+    task's contribution before the shuffle."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    h = portable_hash60(F.col(entity_col).cast("string"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, grain).alias("w"), *key_cols)
+        .agg(kmv_sketch(h, k).alias("sk"))
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            *key_cols,
+            "sk",
+            kmv_estimate("sk", k).alias("n_distinct_est"),
+        )
+    )
+
+
 def session_stream(
     df: DataFrame,
     gap: str = "30 minutes",

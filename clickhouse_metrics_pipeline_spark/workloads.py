@@ -1083,10 +1083,10 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_components,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, threshold=0.8, shingled=dedup_index(spark, sf_dir, "grams3_df50")
-    )
+    # probe the stored verified-pair artifact (same exact >=0.8 pair
+    # set the training pipeline reads) instead of re-deriving it from
+    # the gram index per execution — the ingest-time-materialized shape
+    pairs = dedup_index(spark, sf_dir, "pairs08")
     comp = neardup_components(pairs)
     w = Window.partitionBy("keeper_id")
     return comp.select(

@@ -447,3 +447,108 @@ class TestStreamingRollupCascade:
         # weighted-avg check straight from the raw numbers: window B
         # holds 10,20,30 -> avg 20 even though its minutes are uneven
         assert got_5m[base][2] == 20.0
+
+
+class TestKmvDistinctStream:
+    """Streaming per-window KMV distinct sketches match the batch kernel
+    bit-for-bit, and the emitted sketches re-merge losslessly to the
+    direct global sketch (the mergeable-state contract from
+    functions/sketch.py carried into the streaming path)."""
+
+    def test_stream_sketch_matches_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.functions.hashing import (
+            portable_hash60,
+        )
+        from clickhouse_metrics_pipeline_spark.functions.sketch import (
+            kmv_estimate,
+            kmv_merge,
+            kmv_sketch,
+        )
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            kmv_distinct_stream,
+        )
+
+        k = 8
+        base = _NOW.replace(second=0, minute=0) - dt.timedelta(hours=3)
+        rows = []
+        # 20 distinct series across two 1m windows (> k in each), plus
+        # a watermark driver far ahead to close both real windows
+        for s in range(20):
+            r = list(_gauge_row(100 + s, 0, float(s)))
+            r[4] = base + dt.timedelta(seconds=3 * s)
+            rows.append(tuple(r))
+            r2 = list(_gauge_row(100 + (s * 7) % 15, 0, float(s)))
+            r2[4] = base + dt.timedelta(seconds=60 + 3 * s)
+            rows.append(tuple(r2))
+        drv = list(_gauge_row(999, 0, 1.0))
+        drv[4] = base + dt.timedelta(seconds=3600)
+        rows.append(tuple(drv))
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b0")
+        )
+
+        out, ck = str(tmp_path / "kmv_out"), str(tmp_path / "kmv_ck")
+        stream = kmv_distinct_stream(
+            spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(str(src / "*")),
+            k=k,
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        got = spark.read.parquet(out).where(
+            F.col("bucket_ts") < base + dt.timedelta(seconds=3000)
+        )
+        batch = spark.createDataFrame(rows, METRICS_RAW_SCHEMA)
+        h = portable_hash60(F.col("series_hash").cast("string"))
+        want = (
+            batch.groupBy(
+                F.window("timestamp", "1 minute").alias("w"),
+                "workspaceId",
+                "metric",
+            )
+            .agg(kmv_sketch(h, k).alias("sk"))
+            .select(
+                F.col("w.start").alias("bucket_ts"),
+                "workspaceId",
+                "metric",
+                "sk",
+                kmv_estimate("sk", k).alias("n_distinct_est"),
+            )
+            .where(F.col("bucket_ts") < base + dt.timedelta(seconds=3000))
+        )
+        g = {
+            (r.bucket_ts, r.metric): (list(r.sk), r.n_distinct_est)
+            for r in got.collect()
+        }
+        w = {
+            (r.bucket_ts, r.metric): (list(r.sk), r.n_distinct_est)
+            for r in want.collect()
+        }
+        assert g == w
+        assert len(g) == 2  # both real windows closed and emitted
+
+        # merge the emitted window sketches -> equals the direct global
+        merged = (
+            got.groupBy("metric")
+            .agg(kmv_merge("sk", k).alias("sk"))
+            .collect()
+        )
+        direct = (
+            batch.where(F.col("timestamp") < base + dt.timedelta(seconds=3000))
+            .groupBy("metric")
+            .agg(kmv_sketch(h, k).alias("sk"))
+            .collect()
+        )
+        assert {r.metric: list(r.sk) for r in merged} == {
+            r.metric: list(r.sk) for r in direct
+        }
