@@ -100,6 +100,7 @@ HEADLINE += [
     "events_workspace_isolation",
     "events_kmv_users",
     "events_kmv_cascade",
+    "docs_kmv_source_overlap",
 ]
 
 

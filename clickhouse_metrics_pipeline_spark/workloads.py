@@ -47,6 +47,7 @@ from clickhouse_metrics_pipeline_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
+from clickhouse_metrics_pipeline_spark.functions.hashing import portable_hash60
 from clickhouse_metrics_pipeline_spark.operators.dedup import (
     gram_hashes_from_text,
     minhash_band_buckets_from_text,
@@ -54,6 +55,7 @@ from clickhouse_metrics_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash60_portable_kernel,
     simhash_pairs,
+    word_shingles,
 )
 from clickhouse_metrics_pipeline_spark.operators.similarity import (
     cosine,
@@ -839,6 +841,7 @@ _INDEX_PARTITION: dict[str, list[str] | None] = {
     "pairs08": None,
     "exact_keepers": None,
     "simhash60": None,
+    "kmv_src128": None,
 }
 
 
@@ -980,6 +983,24 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         # pair)
         idx = ngram_jaccard_pairs(
             d, threshold=0.8, shingled=dedup_index(spark, sf_dir, "grams3")
+        )
+    elif kind == "kmv_src128":
+        # per-source KMV sketch (k=128) over portable md5-hashed 8-gram
+        # strings — the sketch-scale overlap state: one row per source,
+        # 128 bigints each; every pairwise diagnostic is row-local from
+        # here (docs_kmv_source_overlap). Portable hash (not the crc32
+        # grams8 hashes) so a DuckDB/any-engine oracle reproduces the
+        # sketch itself.
+        from clickhouse_metrics_pipeline_spark.functions.sketch import (
+            kmv_sketch,
+        )
+
+        idx = (
+            d.select("source", F.explode(word_shingles("text", 8)).alias("g"))
+            .groupBy("source")
+            .agg(
+                kmv_sketch(portable_hash60(F.col("g")), 128).alias("sk")
+            )
         )
     elif kind == "grams8_srcsets":
         # gram -> sorted source set (bounded by #sources, one row per
@@ -1429,6 +1450,7 @@ _ROTATION_FIRST: list[str] = [
     # new round-4 queries first, then the 32 absent from r01..r03
     "events_kmv_users",
     "events_kmv_cascade",
+    "docs_kmv_source_overlap",
     "docs_minhash_lsh_32band",
     "events_exemplar_trace_join",
     "events_workspace_isolation",

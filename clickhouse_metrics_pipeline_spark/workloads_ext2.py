@@ -1579,6 +1579,94 @@ FROM ws1 JOIN allw USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# KMV cross-source overlap estimate (sketch-scale pair diagnostics)
+# --------------------------------------------------------------------------
+
+
+def docs_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram overlap estimated from per-source KMV
+    sketches — the sketch-scale complement of docs_source_overlap's
+    exact matrix. The exact path touches every unique (source, gram)
+    row per pair; this one reduces each source to a k=128 sketch once,
+    then scores ALL pairs row-locally from the tiny sketch table (the
+    KMV set-operation estimators of Beyer et al., SIGMOD 2007: for a
+    pair, merge the two sketches, count union k-minima present in
+    both, jaccard ≈ common/|union k-min|, intersection ≈ jaccard ×
+    union estimate). At 100 TB the pair diagnostics cost O(sources² ×
+    k) after one corpus scan, instead of a gram-keyed join per pair.
+    Every number is integer/IEEE-deterministic, so the DuckDB oracle
+    reproduces the sketches AND the estimates exactly; accuracy vs the
+    exact matrix is pinned in tests/test_sketch.py."""
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        kmv_estimate,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
+
+    k = 128
+    # the stored per-source sketch table (one row per source, k bigints
+    # each — computed once per corpus at ingest like every dedup index)
+    # IS the query input; all pair scoring below is row-local
+    sk = dedup_index(spark, sf_dir, "kmv_src128")
+    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("skb"))
+    p = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    uk = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ska"), F.col("skb")))),
+        1,
+        k,
+    )
+    p = p.select("source_a", "source_b", uk.alias("uk"), "ska", "skb")
+    common = F.size(
+        F.array_intersect(F.array_intersect(F.col("uk"), F.col("ska")), F.col("skb"))
+    )
+    n_union = kmv_estimate("uk", k)
+    return p.select(
+        "source_a",
+        "source_b",
+        common.alias("n_common"),
+        n_union.alias("n_union_est"),
+        F.floor(F.lit(10000) * common / F.size("uk")).cast("bigint").alias(
+            "jaccard_bp_est"
+        ),
+        F.floor(common * n_union / F.size("uk")).cast("bigint").alias(
+            "n_inter_est"
+        ),
+    )
+
+
+def _kmv_source_overlap_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        kmv_estimate_sql,
+        kmv_sketch_sql,
+    )
+
+    k = 128
+    return (
+        _EIGHT_GRAM_SQL
+        + f""", sg AS (
+  SELECT d.source, {portable_hash60_sql("s")} AS h
+  FROM (SELECT doc_id, unnest(grams) AS s FROM g) x
+  JOIN documents d USING (doc_id)
+), sk AS (
+  SELECT source, {kmv_sketch_sql("h", k)} AS sk FROM sg GROUP BY source
+), p AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.sk AS ska, b.sk AS skb,
+         list_slice(list_sort(list_distinct(list_concat(a.sk, b.sk))), 1, {k}) AS uk
+  FROM sk a JOIN sk b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       len(list_filter(uk, x -> list_contains(ska, x) AND list_contains(skb, x)))::INT AS n_common,
+       {kmv_estimate_sql("uk", k)} AS n_union_est,
+       floor(10000 * len(list_filter(uk, x -> list_contains(ska, x) AND list_contains(skb, x)))
+             / len(uk))::BIGINT AS jaccard_bp_est,
+       floor(len(list_filter(uk, x -> list_contains(ska, x) AND list_contains(skb, x)))
+             * {kmv_estimate_sql("uk", k)} / len(uk))::BIGINT AS n_inter_est
+FROM p
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # KMV distinct sketch (mergeable approximate-distinct state)
 # --------------------------------------------------------------------------
 
@@ -1715,6 +1803,7 @@ FROM sk
 EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kmv_users": events_kmv_users,
     "events_kmv_cascade": events_kmv_cascade,
+    "docs_kmv_source_overlap": docs_kmv_source_overlap,
     "events_exemplar_trace_join": events_exemplar_trace_join,
     "events_workspace_isolation": events_workspace_isolation,
     "events_session_window": events_session_window,
@@ -1748,6 +1837,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXTRA2_ORACLE: dict[str, str] = {
     "events_kmv_users": _kmv_users_sql(),
     "events_kmv_cascade": _kmv_cascade_sql(),
+    "docs_kmv_source_overlap": _kmv_source_overlap_sql(),
     "events_exemplar_trace_join": EVENTS_EXEMPLAR_TRACE_SQL,
     "events_workspace_isolation": EVENTS_WS_ISOLATION_SQL,
     "events_session_window": EVENTS_SESSION_SQL,

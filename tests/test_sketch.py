@@ -162,5 +162,37 @@ def test_estimate_sql_twin_matches_spark(spark):
     assert spark_est == duck_est
 
 
+def test_kmv_source_overlap_tracks_exact(spark):
+    """The sketch pair-overlap estimates stay inside the KMV error
+    envelope of the exact matrix (run at sf0.01 where sources share
+    real gram mass)."""
+    from clickhouse_metrics_pipeline_spark.workloads_ext2 import (
+        docs_kmv_source_overlap,
+        docs_source_overlap,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        (r.source_a, r.source_b): (r.jaccard_bp_est, r.n_union_est)
+        for r in docs_kmv_source_overlap(spark, sf).collect()
+    }
+    exact = {
+        (r.source_a, r.source_b): (
+            r.overlap_bp,
+            r.n_a + r.n_b - r.n_shared,
+        )
+        for r in docs_source_overlap(spark, sf).collect()
+    }
+    # exact only emits pairs with shared grams; est emits all pairs
+    assert set(exact) <= set(est)
+    k = 128
+    for pair, (bp_exact, union_exact) in exact.items():
+        bp_est, union_est = est[pair]
+        # jaccard: +-3 sigma ~ 3/sqrt(k) absolute
+        assert abs(bp_est - bp_exact) <= 3 * 10000 / k**0.5 + 100
+        # union estimate within 40% (k=128 -> sigma ~ 9%)
+        assert abs(union_est - union_exact) <= 0.4 * union_exact
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
