@@ -101,6 +101,7 @@ HEADLINE += [
     "events_kmv_users",
     "events_kmv_cascade",
     "docs_kmv_source_overlap",
+    "events_rate_5m",
 ]
 
 

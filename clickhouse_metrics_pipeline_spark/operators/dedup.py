@@ -455,6 +455,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_doc_freq: int | None = None,
     shingled: DataFrame | None = None,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via a prefix-filtered
     shingle inverted index.
@@ -487,6 +488,17 @@ def ngram_jaccard_pairs(
     ``oracle_fragments.jaccard_pairs_sql``) express identically. This is
     the standard df-cap prepass a 100 TB corpus requires; None keeps the
     uncapped exact baseline.
+
+    ``probe``: a relation of ``id_col`` values restricting output to
+    pairs where AT LEAST ONE side is a probe doc — the incremental-
+    ingest shape: with ``probe`` = the newly-ingested delta, the prefix
+    join runs delta-prefixes x all-prefixes, so a maintenance run costs
+    O(|delta| x corpus) postings instead of re-paying the full corpus^2
+    join (delta x delta pairs are found too; both orientations are
+    normalized and deduped). The prefix/length/positional prunes are
+    symmetric in (x, y), so soundness is unchanged. Union the result
+    with the stored pair table to get exactly the full-rebuild pairs
+    (pinned in tests/test_incremental_dedup.py).
     """
     # NO isnotnull filter on the kernel output: a filter on a UDF column
     # gets its own ArrowEvalPython pushed below the repartition exchange
@@ -567,21 +579,43 @@ def ngram_jaccard_pairs(
     ubound = F.lit(1) + F.least(
         F.col("x.n") - F.col("x.pos") - 1, F.col("y.n") - F.col("y.pos") - 1
     )
-    cand = (
-        pre.alias("x")
-        .join(pre.alias("y"), "s")
-        .where(
-            (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-            & (
-                F.least("x.n", "y.n")
-                >= F.lit(threshold) * F.greatest("x.n", "y.n") - F.lit(1e-9)
+    shared_filters = (
+        F.least("x.n", "y.n")
+        >= F.lit(threshold) * F.greatest("x.n", "y.n") - F.lit(1e-9)
+    ) & (ubound >= alpha)
+    if probe is None:
+        cand_raw = (
+            pre.alias("x")
+            .join(pre.alias("y"), "s")
+            .where(
+                (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")) & shared_filters
             )
-            & (ubound >= alpha)
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
         )
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+    else:
+        # delta maintenance: probe-prefixes x all-prefixes. Pair
+        # orientation is normalized (least/greatest) because a probe
+        # doc may be either side; probe x probe pairs appear in both
+        # orientations and collapse in the distinct.
+        pre_x = pre.join(probe.select(id_col), id_col, "left_semi")
+        cand_raw = (
+            pre_x.alias("x")
+            .join(pre.alias("y"), "s")
+            .where(
+                (F.col(f"x.{id_col}") != F.col(f"y.{id_col}")) & shared_filters
+            )
+            .select(
+                F.least(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias(
+                    "id_b"
+                ),
+            )
         )
-        .distinct()
+    cand = (
+        cand_raw.distinct()
         .persist()  # consumed once, but caching keeps the verify joins
         # from re-running the candidate join when AQE re-plans stages
     )
@@ -601,6 +635,34 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return _materialize_release(out, *released, cand)
+
+
+def incremental_pair_update(
+    all_shingled: DataFrame,
+    stored_pairs: DataFrame,
+    new_ids: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maintain a stored verified-pair table under delta ingest: find
+    only the pairs touching the newly-ingested docs (``probe`` path of
+    :func:`ngram_jaccard_pairs` — delta-prefixes x all-prefixes, so the
+    maintenance run costs O(|delta| x corpus) postings, not corpus^2)
+    and union them with the stored table. Old-only pairs are already
+    stored and delta pairs always touch a new doc, so the union is
+    disjoint and equals the full rebuild exactly (pinned in
+    tests/test_incremental_dedup.py). This is the ingest-time job that
+    keeps the ``pairs08`` artifact fresh — the reference's analog is
+    the insert-triggered MV refresh (``schema.sql:146-192``), here for
+    a state SQL MVs cannot express (cross-row similarity joins)."""
+    delta = ngram_jaccard_pairs(
+        all_shingled,
+        threshold=threshold,
+        id_col=id_col,
+        shingled=all_shingled,
+        probe=new_ids,
+    )
+    return stored_pairs.unionByName(delta)
 
 
 SIMHASH_BITS = 62  # bits 0..61: keeps every bit mask a positive BIGINT

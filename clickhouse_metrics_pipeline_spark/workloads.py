@@ -1448,6 +1448,7 @@ ORACLE_SQL.update(EXTRA2_ORACLE)
 # changes, so round-over-round comparisons by name are unaffected.
 _ROTATION_FIRST: list[str] = [
     # new round-4 queries first, then the 32 absent from r01..r03
+    "events_rate_5m",
     "events_kmv_users",
     "events_kmv_cascade",
     "docs_kmv_source_overlap",

@@ -1579,6 +1579,134 @@ FROM ws1 JOIN allw USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# PromQL rate() with boundary extrapolation
+# --------------------------------------------------------------------------
+
+
+def events_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PromQL ``rate()`` semantics per series and 5-minute range:
+    counter increase over the window's samples (reset-corrected — a
+    drop adds the pre-reset value, exactly the Prometheus loop), then
+    the boundary extrapolation: the sampled interval is extended toward
+    each range edge by the distance to it when that is under 1.1× the
+    average sample interval, else by half an average interval, with the
+    counter's zero-crossing clamp on the start side (never extrapolate
+    a counter below zero). ``irate`` (events_irate_5m) is the two-
+    sample instantaneous variant; this is the one dashboards actually
+    graph. Only deterministic double arithmetic over (first, last,
+    corrections, n) — the DuckDB oracle evaluates the identical
+    expression tree, so the rounded rates hash-match exactly.
+
+    One shuffle on (series, bucket) serves the in-window lag and the
+    aggregation; the fixed 300 s range is the resolution-router grain
+    the 5m rollup serves (plans/router.py)."""
+    ev = _events(spark, sf_dir)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 300) * 300
+    ).alias("bucket_ts")
+    w = Window.partitionBy("user_id", "event_type", "bucket_ts").orderBy(
+        "ts", "event_id"
+    )
+    rows = ev.select(
+        "user_id", "event_type", "ts", "event_id", "value", bucket
+    ).withColumn("prev_v", F.lag("value").over(w))
+    agg = rows.groupBy("user_id", "event_type", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("first_v"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_v"),
+        (F.unix_micros(F.min("ts")) / 1e6).alias("first_s"),
+        (F.unix_micros(F.max("ts")) / 1e6).alias("last_s"),
+        F.sum(
+            F.when(
+                F.col("prev_v").isNotNull() & (F.col("value") < F.col("prev_v")),
+                F.col("prev_v"),
+            ).otherwise(F.lit(0.0))
+        ).alias("corr"),
+    )
+    range_start = F.unix_timestamp("bucket_ts").cast("double")
+    result_v = F.col("last_v") - F.col("first_v") + F.col("corr")
+    sampled = F.col("last_s") - F.col("first_s")
+    avg_iv = sampled / (F.col("n_samples") - 1)
+    dur_start0 = F.col("first_s") - range_start
+    dur_end = range_start + F.lit(300.0) - F.col("last_s")
+    # counter zero-clamp: never extrapolate the start past the point
+    # where the counter would have been negative
+    dur_zero = sampled * (F.col("first_v") / result_v)
+    dur_start = F.when(
+        (result_v > 0) & (F.col("first_v") >= 0) & (dur_zero < dur_start0),
+        dur_zero,
+    ).otherwise(dur_start0)
+    threshold = avg_iv * 1.1
+    ext_start = F.when(dur_start < threshold, dur_start).otherwise(avg_iv / 2)
+    ext_end = F.when(dur_end < threshold, dur_end).otherwise(avg_iv / 2)
+    rate = (
+        result_v * ((sampled + ext_start + ext_end) / sampled) / F.lit(300.0)
+    )
+    return agg.select(
+        "user_id",
+        "event_type",
+        "bucket_ts",
+        "n_samples",
+        F.when(
+            (F.col("n_samples") >= 2) & (sampled > 0), F.round(rate, 6)
+        ).alias("rate"),
+    )
+
+
+EVENTS_RATE_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
+         lag(value) OVER wb AS prev_v,
+         row_number() OVER wb AS rn_a,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                                         time_bucket(INTERVAL 5 MINUTE, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM {_EV_SQL}
+  WINDOW wb AS (PARTITION BY user_id, event_type,
+                             time_bucket(INTERVAL 5 MINUTE, ts)
+                ORDER BY ts, event_id)
+), agg AS (
+  SELECT user_id, event_type, bucket_ts,
+         count(*) AS n_samples,
+         max(CASE WHEN rn_a = 1 THEN value END) AS first_v,
+         max(CASE WHEN rn_d = 1 THEN value END) AS last_v,
+         epoch_us(min(ts)) / 1e6 AS first_s,
+         epoch_us(max(ts)) / 1e6 AS last_s,
+         sum(CASE WHEN prev_v IS NOT NULL AND value < prev_v
+                  THEN prev_v ELSE 0.0 END) AS corr
+  FROM base GROUP BY 1, 2, 3
+), ext AS (
+  SELECT *,
+         epoch(bucket_ts)::DOUBLE AS range_start,
+         last_v - first_v + corr AS result_v,
+         last_s - first_s AS sampled,
+         (last_s - first_s) / (n_samples - 1) AS avg_iv
+  FROM agg
+), ext2 AS (
+  SELECT *,
+         (CASE WHEN result_v > 0 AND first_v >= 0
+                    AND sampled * (first_v / result_v) < first_s - range_start
+               THEN sampled * (first_v / result_v)
+               ELSE first_s - range_start END) AS dur_start,
+         range_start + 300.0 - last_s AS dur_end
+  FROM ext
+)
+SELECT user_id, event_type, bucket_ts, n_samples,
+       CASE WHEN n_samples >= 2 AND sampled > 0 THEN
+         round(result_v
+               * ((sampled
+                   + (CASE WHEN dur_start < avg_iv * 1.1
+                           THEN dur_start ELSE avg_iv / 2 END)
+                   + (CASE WHEN dur_end < avg_iv * 1.1
+                           THEN dur_end ELSE avg_iv / 2 END)) / sampled)
+               / 300.0, 6)
+       END AS rate
+FROM ext2
+"""
+
+
+# --------------------------------------------------------------------------
 # KMV cross-source overlap estimate (sketch-scale pair diagnostics)
 # --------------------------------------------------------------------------
 
@@ -1801,6 +1929,7 @@ FROM sk
 # --------------------------------------------------------------------------
 
 EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_rate_5m": events_rate_5m,
     "events_kmv_users": events_kmv_users,
     "events_kmv_cascade": events_kmv_cascade,
     "docs_kmv_source_overlap": docs_kmv_source_overlap,
@@ -1835,6 +1964,7 @@ EXTRA2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXTRA2_ORACLE: dict[str, str] = {
+    "events_rate_5m": EVENTS_RATE_SQL,
     "events_kmv_users": _kmv_users_sql(),
     "events_kmv_cascade": _kmv_cascade_sql(),
     "docs_kmv_source_overlap": _kmv_source_overlap_sql(),

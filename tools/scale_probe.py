@@ -176,6 +176,24 @@ def op_int8_quantize(emb: DataFrame) -> int:
     return q.select(F.sum(F.size("q.q")).alias("s")).collect()[0][0]
 
 
+def op_kmv_sketch(ev: DataFrame) -> int:
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    h = portable_hash60(F.col("user_id").cast("string"))
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(kmv_sketch(h, 64).alias("sk"))
+        .select(kmv_estimate("sk", 64).alias("e"))
+        .count()
+    )
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "window_delta": ("events", op_window_delta),
@@ -185,6 +203,7 @@ OPS = {
     "session_window": ("events", op_session_window),
     "fused_topk": ("embeddings", op_fused_topk),
     "int8_quantize": ("embeddings", op_int8_quantize),
+    "kmv_sketch": ("events", op_kmv_sketch),
 }
 
 
