@@ -422,16 +422,30 @@ def ingest_stream(
     workspace_id: str = "default",
     trigger_seconds: int = 10,
     available_now: bool = False,
+    compact_every: int | None = None,
+    compact_max_files: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Full streaming ingest: validate -> stamp -> delta-convert ->
     partitioned parquet sink, 10 s trigger (cmd/main.go:181-207 defaults).
     ``available_now=True`` drains the source and stops — the batch-drain
     mode for catch-up runs and tests.
 
+    ``compact_every=N`` runs :func:`sources.writer.compact_partitions`
+    over the sink every N micro-batches, inside ``foreachBatch`` — i.e.
+    serialized with the writes, so no concurrent writer ever races the
+    trash-swap (the one ordering a 10 s-trigger sink needs; MergeTree
+    gets the same effect from its merge scheduler). Idempotent and
+    crash-safe: a batch replayed after a mid-compaction crash either
+    finds the stale-swap sentinel (fails loudly) or re-runs a no-op.
+
     Returns the StreamingQuery handle."""
     from pyspark.sql import functions as F
 
     from clickhouse_metrics_pipeline_spark.operators.validate import validate
+    from clickhouse_metrics_pipeline_spark.sources.writer import (
+        compact_partitions,
+    )
 
     validated = validate(raw_stream, workspace_id=workspace_id)
     converted = delta_convert_stream(split_buckets(validated))
@@ -443,6 +457,13 @@ def ingest_stream(
             .partitionBy("date")
             .parquet(out_path)
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitions(
+                batch_df.sparkSession,
+                out_path,
+                max_files=compact_max_files,
+                target_file_bytes=compact_target_bytes,
+            )
 
     writer = converted.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

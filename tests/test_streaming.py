@@ -552,3 +552,54 @@ class TestKmvDistinctStream:
         assert {r.metric: list(r.sk) for r in merged} == {
             r.metric: list(r.sk) for r in direct
         }
+
+
+class TestStreamingCompaction:
+    """compact_every wires small-file compaction into the ingest sink's
+    foreachBatch — serialized with the writes, so the trash-swap never
+    races a concurrent writer. Many one-file micro-batches must end as
+    few files with identical rows."""
+
+    def test_ingest_compacts_sink_partitions(self, spark, tmp_path):
+        import os
+
+        src = tmp_path / "src"
+        src.mkdir()
+        # 6 micro-batch files, all landing on the same ingest date
+        n_batches = 6
+        for i in range(n_batches):
+            rows = [_gauge_row(500 + i, 2 * i + j, float(i)) for j in range(2)]
+            spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(
+                1
+            ).write.parquet(str(src / f"b{i}"))
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = ingest_stream(
+            spark.readStream.schema(METRICS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            out,
+            ckpt,
+            workspace_id="w1",
+            available_now=True,
+            compact_every=3,
+            compact_max_files=2,
+            compact_target_bytes=64 * 1024 * 1024,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        back = spark.read.parquet(out)
+        assert back.count() == 2 * n_batches
+        assert back.select("series_hash").distinct().count() == n_batches
+        # the last compaction ran at the final batch; at most max_files
+        # data files may remain per partition
+        parts = [p for p in os.listdir(out) if p.startswith("date=")]
+        assert parts
+        for p in parts:
+            files = [
+                f
+                for f in os.listdir(os.path.join(out, p))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            assert len(files) <= 2, (p, len(files))
