@@ -431,39 +431,54 @@ def ingest_stream(
     ``available_now=True`` drains the source and stops — the batch-drain
     mode for catch-up runs and tests.
 
-    ``compact_every=N`` runs :func:`sources.writer.compact_partitions`
-    over the sink every N micro-batches, inside ``foreachBatch`` — i.e.
-    serialized with the writes, so no concurrent writer ever races the
-    trash-swap (the one ordering a 10 s-trigger sink needs; MergeTree
-    gets the same effect from its merge scheduler). Idempotent and
-    crash-safe: a batch replayed after a mid-compaction crash either
-    finds the stale-swap sentinel (fails loudly) or re-runs a no-op.
+    The sink is IDEMPOTENT UNDER REPLAY, not just under clean restart:
+    rows land under ``date=D/batch=K`` and each micro-batch writes with
+    dynamic partition overwrite keyed by its batch id, so a batch
+    replayed after a crash *between the parquet write and the
+    checkpoint commit* (the at-least-once window of a plain append
+    ``foreachBatch``) overwrites its own partitions instead of
+    appending a second copy. Readers see one extra ``batch`` partition
+    column (droppable); ``batch=-1`` holds compacted rows.
+
+    ``compact_every=N`` runs :func:`sources.writer.compact_ingest_sink`
+    at the START of every Nth micro-batch — inside ``foreachBatch``, so
+    the sweep is serialized with the writes (no concurrent writer ever
+    races the trash-swap) and sees only committed batches; a replayed
+    batch's crashed-attempt dir is detected (``defer_batch_geq``) and
+    that partition's sweep deferred, so an uncommitted batch is never
+    folded into ``batch=-1`` and then re-written (which would duplicate
+    it). MergeTree gets the same effect from its merge scheduler.
 
     Returns the StreamingQuery handle."""
     from pyspark.sql import functions as F
 
     from clickhouse_metrics_pipeline_spark.operators.validate import validate
     from clickhouse_metrics_pipeline_spark.sources.writer import (
-        compact_partitions,
+        compact_ingest_sink,
     )
 
     validated = validate(raw_stream, workspace_id=workspace_id)
     converted = delta_convert_stream(split_buckets(validated))
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("date", F.to_date("timestamp"))
-            .write.mode("append")
-            .partitionBy("date")
-            .parquet(out_path)
-        )
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_partitions(
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_ingest_sink(
                 batch_df.sparkSession,
                 out_path,
                 max_files=compact_max_files,
                 target_file_bytes=compact_target_bytes,
+                # a replayed batch finds its crashed attempt's dir on
+                # disk; folding it would duplicate rows on the re-write
+                defer_batch_geq=batch_id,
             )
+        (
+            batch_df.withColumn("date", F.to_date("timestamp"))
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date", "batch")
+            .parquet(out_path)
+        )
 
     writer = converted.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

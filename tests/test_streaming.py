@@ -556,17 +556,18 @@ class TestKmvDistinctStream:
 
 class TestStreamingCompaction:
     """compact_every wires small-file compaction into the ingest sink's
-    foreachBatch — serialized with the writes, so the trash-swap never
-    races a concurrent writer. Many one-file micro-batches must end as
-    few files with identical rows."""
+    foreachBatch (serialized with the writes, so the trash-swap never
+    races a concurrent writer), and the batch-keyed dynamic overwrite
+    makes batch REPLAY idempotent — both driven through one stream so
+    the expensive micro-batch startup is paid once."""
 
-    def test_ingest_compacts_sink_partitions(self, spark, tmp_path):
+    def test_compaction_and_replay_idempotency(self, spark, tmp_path):
         import os
 
         src = tmp_path / "src"
         src.mkdir()
-        # 6 micro-batch files, all landing on the same ingest date
-        n_batches = 6
+        # 3 micro-batch files, all landing on the same ingest date
+        n_batches = 3
         for i in range(n_batches):
             rows = [_gauge_row(500 + i, 2 * i + j, float(i)) for j in range(2)]
             spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(
@@ -574,32 +575,61 @@ class TestStreamingCompaction:
             ).write.parquet(str(src / f"b{i}"))
 
         out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-        q = ingest_stream(
-            spark.readStream.schema(METRICS_RAW_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(src / "*")),
-            out,
-            ckpt,
-            workspace_id="w1",
-            available_now=True,
-            compact_every=3,
-            compact_max_files=2,
-            compact_target_bytes=64 * 1024 * 1024,
-        )
-        q.awaitTermination(120)
-        q.stop()
 
+        def drain():
+            q = ingest_stream(
+                spark.readStream.schema(METRICS_RAW_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*")),
+                out,
+                ckpt,
+                workspace_id="w1",
+                available_now=True,
+                compact_every=2,
+                # 0 = always compact: makes the replay's boundary sweep
+                # reach the defer guard (folding the crashed attempt's
+                # batch dir would duplicate its rows on the re-write)
+                compact_max_files=0,
+                compact_target_bytes=64 * 1024 * 1024,
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        drain()
         back = spark.read.parquet(out)
         assert back.count() == 2 * n_batches
         assert back.select("series_hash").distinct().count() == n_batches
-        # the last compaction ran at the final batch; at most max_files
-        # data files may remain per partition
+
+        def _data_files(root):
+            return [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(root)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+
+        # compaction ran at the start of batch 2, folding batches 0-1
+        # into batch=-1; batch 2 wrote its own dir afterwards
         parts = [p for p in os.listdir(out) if p.startswith("date=")]
         assert parts
         for p in parts:
-            files = [
-                f
-                for f in os.listdir(os.path.join(out, p))
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            ]
-            assert len(files) <= 2, (p, len(files))
+            pdir = os.path.join(out, p)
+            assert os.path.isdir(os.path.join(pdir, "batch=-1")), p
+            compacted = _data_files(os.path.join(pdir, "batch=-1"))
+            assert 1 <= len(compacted) <= 2, (p, compacted)
+            assert len(_data_files(pdir)) <= 2 + (n_batches - 2)
+
+        # at-least-once crash window: the sink wrote the last batch but
+        # the commit marker never landed -> on restart the batch is
+        # REPLAYED. The batch-keyed dynamic overwrite must replace its
+        # own partitions, not append a second copy.
+        commits = sorted(
+            c
+            for c in os.listdir(os.path.join(ckpt, "commits"))
+            if not c.startswith(".")
+        )
+        os.remove(os.path.join(ckpt, "commits", commits[-1]))
+        drain()
+        back = spark.read.parquet(out)
+        assert back.count() == 2 * n_batches  # replayed, not duplicated
+        assert back.select("series_hash").distinct().count() == n_batches
