@@ -266,6 +266,20 @@ def _functions() -> list[str]:
                 (c, m) -> IF(c > 0, m, CAST(0 AS BIGINT))),
               CAST(0 AS BIGINT), (a, x) -> a + x)""",
         _pii_scrub_sql(),
+        # --- KMV distinct-sketch kernels (functions/sketch.py) ---
+        """CREATE OR REPLACE TEMPORARY FUNCTION kmv_estimate(
+              sk ARRAY<BIGINT>, k INT) RETURNS BIGINT RETURN
+            CASE WHEN size(sk) < k THEN CAST(size(sk) AS BIGINT)
+                 ELSE CAST(floor(CAST(k - 1 AS DOUBLE) * 1152921504606846976.0D
+                                 / CAST(element_at(sk, k) AS DOUBLE))
+                           AS BIGINT) END""",
+        """CREATE OR REPLACE TEMPORARY FUNCTION kmv_merge2(
+              a ARRAY<BIGINT>, b ARRAY<BIGINT>, k INT) RETURNS ARRAY<BIGINT>
+            RETURN slice(array_sort(array_distinct(concat(
+              coalesce(a, array()), coalesce(b, array())))), 1, k)""",
+        """CREATE OR REPLACE TEMPORARY FUNCTION kmv_sketch_md5(
+              sk ARRAY<BIGINT>) RETURNS STRING RETURN
+            md5(array_join(transform(sk, x -> CAST(x AS STRING)), ','))""",
         """CREATE OR REPLACE TEMPORARY FUNCTION vec_quantize_int8(
               v ARRAY<FLOAT>) RETURNS STRUCT<scale: DOUBLE, q: ARRAY<TINYINT>>
             RETURN named_struct(

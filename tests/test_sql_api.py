@@ -239,3 +239,49 @@ class TestPiiAndQuantizeSqlUdfs:
         _assert_cols_equal(
             emb, "vec_quantize_int8(embedding)", int8_quantize("embedding")
         )
+
+
+class TestKmvSqlUdfs:
+    def test_kmv_udfs_equal_column_builders(self, sql_spark):
+        from clickhouse_metrics_pipeline_spark.functions.hashing import (
+            portable_hash60,
+        )
+        from clickhouse_metrics_pipeline_spark.functions.sketch import (
+            kmv_estimate,
+            kmv_sketch,
+            kmv_sketch_md5,
+        )
+
+        k = 8
+        sk = (
+            sql_spark.table("events")
+            .groupBy("event_type")
+            .agg(
+                kmv_sketch(
+                    portable_hash60(F.col("user_id").cast("string")), k
+                ).alias("sk")
+            )
+        )
+        sk.createOrReplaceTempView("kmv_t")
+        got = sql_spark.sql(
+            f"""SELECT event_type,
+                       kmv_estimate(sk, {k}) AS est,
+                       kmv_sketch_md5(sk) AS md5,
+                       kmv_merge2(sk, sk, {k}) AS merged
+                FROM kmv_t"""
+        ).collect()
+        want = {
+            r["event_type"]: r
+            for r in sk.select(
+                "event_type",
+                kmv_estimate("sk", k).alias("est"),
+                kmv_sketch_md5("sk").alias("md5"),
+                F.col("sk").alias("merged"),  # self-merge is identity
+            ).collect()
+        }
+        assert got
+        for r in got:
+            w = want[r["event_type"]]
+            assert r["est"] == w["est"]
+            assert r["md5"] == w["md5"]
+            assert list(r["merged"]) == list(w["merged"])
