@@ -102,6 +102,7 @@ HEADLINE += [
     "events_kmv_cascade",
     "docs_kmv_source_overlap",
     "events_rate_5m",
+    "docs_incremental_pairs",
 ]
 
 
