@@ -244,3 +244,68 @@ class TestPartitionCountDeterminism:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert a == b
+
+
+class TestPromRateGoldens:
+    """Hand-computed Prometheus extrapolatedRate goldens for
+    events_rate_5m's kernel — pins the SEMANTICS (the oracle hash only
+    pins cross-engine agreement)."""
+
+    def _rate(self, spark, samples):
+        """samples: [(sec_into_window, value)] for one series in the
+        window [0, 300)."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, base + dt.timedelta(seconds=s), 1, "t", float(v), "{}")
+            for s, v in samples
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE, props STRING",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/events.parquet")
+            from clickhouse_metrics_pipeline_spark.workloads_ext2 import (
+                events_rate_5m,
+            )
+
+            out = events_rate_5m(spark, d).collect()
+        assert len(out) == 1
+        return out[0]["rate"]
+
+    def test_monotone_counter_interior_samples(self, spark):
+        # samples at 60s..240s, values 0..30: increase=30, sampled=180,
+        # avg_iv=60, threshold=66; durToStart=60<66 -> +60 (zero-clamp:
+        # durationToZero = 180*0/30 = 0 < 60 -> start ext 0!);
+        # durToEnd=300-240=60<66 -> +60
+        # factor=(180+0+60)/180, rate=30*(240/180)/300
+        got = self._rate(
+            spark, [(60, 0.0), (120, 10.0), (180, 20.0), (240, 30.0)]
+        )
+        assert got == round(30.0 * (240.0 / 180.0) / 300.0, 6)
+
+    def test_extrapolation_capped_at_half_interval(self, spark):
+        # samples at 140s,160s: sampled=20, avg_iv=20, threshold=22;
+        # durToStart=140 >= 22 -> +10 (avg_iv/2); zero-clamp:
+        # durationToZero = 20*(5/5)=20 < 140 -> dur_start=20 < 22 -> +20!
+        # durToEnd=140 >= 22 -> +10
+        # factor=(20+20+10)/20, rate=5*(50/20)/300
+        got = self._rate(spark, [(140, 5.0), (160, 10.0)])
+        assert got == round(5.0 * (50.0 / 20.0) / 300.0, 6)
+
+    def test_counter_reset_correction(self, spark):
+        # 100 -> 20 is a reset: increase = 20 - 100 + 100 = 20
+        # samples at 100s,200s: sampled=100, avg_iv=100, threshold=110;
+        # zero-clamp: durationToZero = 100*(100/20) = 500 >= 100 ->
+        # dur_start stays 100 < 110 -> +100; durToEnd=100<110 -> +100
+        # factor=(100+100+100)/100=3, rate=20*3/300=0.2
+        got = self._rate(spark, [(100, 100.0), (200, 20.0)])
+        assert got == pytest.approx(0.2, abs=1e-9)  # 0.2 is exact at 6dp
+
+    def test_single_sample_is_null(self, spark):
+        assert self._rate(spark, [(100, 5.0)]) is None
