@@ -490,6 +490,52 @@ def ingest_stream(
     return writer.start()
 
 
+def dead_letter_stream(
+    raw_stream: DataFrame,
+    dlq_path: str,
+    checkpoint: str,
+    trigger_seconds: int = 10,
+    available_now: bool = False,
+):
+    """Dead-letter queue for the ingest path: the rows the validation
+    filter (F1) drops, annotated with their first-failing-check reason
+    code and partitioned by (date, reason) so operators can see WHAT is
+    being rejected and why without replaying the source. The reference
+    only counts drops (``DroppedCount``, processor.go:69); at 100 TB a
+    rising drop rate with no sample of the dropped payloads is
+    undiagnosable. Runs as an independent streaming query over the same
+    source as :func:`ingest_stream` — at scale an independent job with
+    its own checkpoint, so a DLQ backlog never backpressures ingest."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.operators.validate import (
+        rejection_reason,
+        valid_predicate,
+    )
+
+    rejects = (
+        raw_stream.filter(
+            ~F.coalesce(valid_predicate(), F.lit(False))
+        )
+        .withColumn("reject_reason", rejection_reason())
+        .withColumn(
+            "date", F.coalesce(F.to_date("timestamp"), F.lit("1970-01-01"))
+        )
+    )
+    writer = (
+        rejects.writeStream.format("parquet")
+        .option("path", dlq_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date", "reject_reason")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def dedup_stream(
     df: DataFrame,
     keys: list[str],

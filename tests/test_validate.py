@@ -86,3 +86,103 @@ def test_validate_exemplars_disabled(spark):
     df = _mk(spark, [_row(exemplars=[("s", "t", 1.0, OK_TS, {})])])
     out = validate(df, workspace_id="ws", exemplars_enabled=False, now=_now_col())
     assert out.collect()[0]["exemplars"] is None
+
+
+class TestRejectReasons:
+    """Dead-letter annotation: every dropped row carries its FIRST
+    failing check's reason code, in the reference's check order."""
+
+    def test_reason_codes_first_match(self, spark):
+        import datetime as dt
+
+        from clickhouse_metrics_pipeline_spark.operators.validate import (
+            split_valid_invalid,
+        )
+
+        now = F.to_timestamp(F.lit("2026-08-14 12:00:00"))
+        ok_ts = dt.datetime(2026, 8, 14, 11, 0, 0)
+
+        def row(rid, metric="m", ts=ok_ts, mtype=1, value=1.0):
+            r = [None] * 20
+            r[0] = "w1"; r[1] = rid; r[2] = metric; r[3] = "svc"
+            r[4] = ts; r[5] = mtype; r[6] = 0; r[7] = False; r[8] = value
+            r[17] = {}
+            return tuple(r)
+
+        rows = [
+            row(1),                                        # valid
+            row(2, metric=""),                             # empty name
+            row(3, ts=dt.datetime(1970, 1, 1, 0, 0)),      # epoch ts
+            row(4, ts=dt.datetime(2026, 8, 16, 0, 0)),     # too new
+            row(5, ts=dt.datetime(2026, 8, 1, 0, 0)),      # too old
+            row(6, mtype=9),                               # unknown type
+            row(7, value=None),                            # missing fields
+            # empty name AND epoch ts -> FIRST failing check wins
+            row(8, metric="", ts=dt.datetime(1970, 1, 1, 0, 0)),
+        ]
+        df = spark.createDataFrame(rows, METRICS_RAW_SCHEMA)
+        valid, dropped = split_valid_invalid(df, now=now)
+        assert [r.series_hash for r in valid.collect()] == [1]
+        got = {r.series_hash: r.reject_reason for r in dropped.collect()}
+        assert got == {
+            2: "empty_metric_name",
+            3: "null_or_epoch_timestamp",
+            4: "timestamp_too_new",
+            5: "timestamp_too_old",
+            6: "unknown_metric_type",
+            7: "missing_type_fields",
+            8: "empty_metric_name",
+        }
+
+    def test_dead_letter_stream_partitions_by_reason(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            dead_letter_stream,
+        )
+
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        ok_ts = now - dt.timedelta(minutes=5)
+
+        def row(rid, metric="m", ts=ok_ts, value=1.0):
+            r = [None] * 20
+            r[0] = "w1"; r[1] = rid; r[2] = metric; r[3] = "svc"
+            r[4] = ts; r[5] = 1; r[6] = 0; r[7] = False; r[8] = value
+            r[17] = {}
+            return tuple(r)
+
+        rows = [
+            row(1),                 # valid -> NOT in DLQ
+            row(2, metric=""),      # empty name
+            row(3, value=None),     # missing fields
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(
+            1
+        ).write.parquet(src)
+        dlq, ckpt = str(tmp_path / "dlq"), str(tmp_path / "ck")
+        q = dead_letter_stream(
+            spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(src),
+            dlq,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        out = spark.read.parquet(dlq)
+        got = {r.series_hash: r.reject_reason for r in out.collect()}
+        assert got == {2: "empty_metric_name", 3: "missing_type_fields"}
+        # reason is a partition directory (prunable diagnostics)
+        date_dirs = [d for d in os.listdir(dlq) if d.startswith("date=")]
+        assert date_dirs
+        reasons = {
+            d
+            for dd in date_dirs
+            for d in os.listdir(os.path.join(dlq, dd))
+            if d.startswith("reject_reason=")
+        }
+        assert reasons == {
+            "reject_reason=empty_metric_name",
+            "reject_reason=missing_type_fields",
+        }
