@@ -103,6 +103,10 @@ HEADLINE += [
     "docs_kmv_source_overlap",
     "events_rate_5m",
     "docs_incremental_pairs",
+    "emb_neardup_clusters",
+    "events_anomaly_zscore",
+    "docs_bpe_top_merges",
+    "docs_mixture_sample",
 ]
 
 

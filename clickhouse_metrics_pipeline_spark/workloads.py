@@ -1479,6 +1479,16 @@ from clickhouse_metrics_pipeline_spark.workloads_ext2 import (  # noqa: E402
 QUERIES.update(EXTRA2_QUERIES)
 ORACLE_SQL.update(EXTRA2_ORACLE)
 
+# third extension: embedding-cluster dedup, rolling z-score anomaly
+# detection, BPE merge induction, deterministic mixture sampling
+from clickhouse_metrics_pipeline_spark.workloads_ext3 import (  # noqa: E402
+    EXTRA3_ORACLE,
+    EXTRA3_QUERIES,
+)
+
+QUERIES.update(EXTRA3_QUERIES)
+ORACLE_SQL.update(EXTRA3_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 4)
 # --------------------------------------------------------------------------
@@ -1490,6 +1500,10 @@ ORACLE_SQL.update(EXTRA2_ORACLE)
 # changes, so round-over-round comparisons by name are unaffected.
 _ROTATION_FIRST: list[str] = [
     # new round-4 queries first, then the 32 absent from r01..r03
+    "emb_neardup_clusters",
+    "events_anomaly_zscore",
+    "docs_bpe_top_merges",
+    "docs_mixture_sample",
     "events_rate_5m",
     "docs_incremental_pairs",
     "events_kmv_users",

@@ -1443,10 +1443,13 @@ def events_exemplar_trace_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: (1) roll raw points to (event_type, 1h bucket) carrying the
     capped exemplar array (top-3 by value, F4 policy, each with a
     deterministic md5-derived trace id standing in for the OTLP trace
-    id); (2) flag spike buckets — bucket avg > 2x the event type's
+    id); (2) flag spike buckets — bucket avg > 1.5x the event type's
     overall avg, compared in EXACT integer-cents cross-multiplied form
-    (sum_c * g_n > 2 * g_sum_c * n) so neither engine faces a float
-    boundary; (3) explode ONLY spike buckets' exemplars to
+    (2 * sum_c * g_n > 3 * g_sum_c * n) so neither engine faces a float
+    boundary (1.5x, not 2x: the hourly/global ratio tightens as the
+    bucket sample count grows, and at sf0.1 no bucket exceeds 2x — the
+    threshold must flag spikes at every scale factor, not only small
+    ones); (3) explode ONLY spike buckets' exemplars to
     (bucket, rank, trace_id, value) rows.
 
     Scale: one shuffle to the bucket grain; the per-type global avg is
@@ -1472,7 +1475,7 @@ def events_exemplar_trace_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("gn"),
     )
     spikes = buckets.join(F.broadcast(overall), "event_type").where(
-        F.col("c") * F.col("gn") > 2 * F.col("gc") * F.col("n")
+        2 * F.col("c") * F.col("gn") > 3 * F.col("gc") * F.col("n")
     )
     e = F.posexplode("exemplars")
     return spikes.select(
@@ -1497,7 +1500,7 @@ WITH b AS (
 ), spikes AS (
   SELECT b.event_type, b.bucket_ts
   FROM b JOIN g USING (event_type)
-  WHERE b.c * g.gn > 2 * g.gc * b.n
+  WHERE 2 * b.c * g.gn > 3 * g.gc * b.n
 ), ranked AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts, event_id, value,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)

@@ -1,0 +1,344 @@
+"""Third extended catalog (round 4, second batch): embedding-cluster
+dedup, per-series anomaly detection over rolling count statistics, BPE
+merge-candidate induction, and deterministic mixture sampling toward a
+target source distribution.
+
+Reference anchors: none of these exist in the reference (its engine
+stops at pairwise SQL joins and fixed-grain rollups); they extend the
+LLM-data-pipeline suite (embedding clusters, BPE merges, mixture
+sampling) and the metrics-alerting surface (anomaly z-score) with the
+same oracle-checked contract as the rest of the catalog.
+
+Scale notes inline per query; common themes:
+- anomaly z-score: one shuffle to the (series, hour) grain, then a
+  bounded 24-row window — no self-join, exact DECIMAL arithmetic so
+  the flag can't flip between engines or under combine reordering;
+- embedding clusters: reuses the adaptive connected-components kernel
+  (driver union-find under 1M edges, distributed min-label propagation
+  above) over the exact pair baseline;
+- BPE merges: pairs are built row-locally (zip of two shifted slices,
+  no explode of raw text), one count shuffle on the pair key;
+- mixture sample: the only full-corpus aggregate is one 1-row total
+  that broadcasts; quota assignment and the keep decision are exact
+  integer arithmetic over a per-source running window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_metrics_pipeline_spark.functions.hashing import portable_hash60
+from clickhouse_metrics_pipeline_spark.functions.text import (
+    BPE_TOKEN_RE,
+    token_count,
+)
+from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+    portable_hash60_sql,
+    sql_tokens,
+)
+from clickhouse_metrics_pipeline_spark.tables import _events, _t
+
+_EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
+
+
+# --------------------------------------------------------------------------
+# Embedding-cluster dedup
+# --------------------------------------------------------------------------
+
+
+def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level embedding dedup: connected components over the
+    exact cosine>=0.45 pair graph (the same edges emb_neardup_pairs
+    emits), labeling every involved vector with its component's min
+    vec_id and the component size — the embedding-space twin of
+    docs_neardup_clusters. Pairwise drop-the-higher-id over-deletes on
+    similarity chains; component keepers are what semantic dedup ships.
+
+    Scale: edges come from the bounded exact baseline here; in
+    production they come from the SRP-LSH candidate path
+    (operators.similarity.lsh_neardup_pairs) — the clustering kernel is
+    identical either way (adaptive: driver union-find under 1M edges,
+    O(log diameter) min-label propagation rounds above, per-round eager
+    localCheckpoint keeping lineage O(1))."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads import emb_neardup_pairs
+
+    pairs = emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = neardup_components(pairs)
+    w = Window.partitionBy("keeper_id")
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "keeper_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+EMB_CLUSTERS_SQL = """
+WITH RECURSIVE pj AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pj
+  UNION
+  SELECT id_b, id_a FROM pj
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+), labels AS (
+  SELECT id AS vec_id, min(r) AS keeper_id FROM reach GROUP BY id
+)
+SELECT vec_id, keeper_id,
+       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+FROM labels
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection (exact integer form)
+# --------------------------------------------------------------------------
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series event-rate anomaly detection: hourly event counts per
+    event_type, each bucket compared against the trailing 24 buckets'
+    sample mean/stddev; flag |z| > 2. The alerting query a metrics
+    store exists to serve, over the same rollup grain as the 1h MV.
+
+    EXACT arithmetic: with k = trailing bucket count, S = sum of
+    trailing counts, SS = sum of squares, sample variance is
+    (k*SS - S^2) / (k*(k-1)) and z^2 > 4 rearranges to the all-integer
+    comparison  (k*n - S)^2 * (k-1) > 4 * k * (k*SS - S^2)  — no
+    division, no sqrt, no float at any point, so the flag is
+    bit-identical across engines and combine orders. Everything is
+    computed in DECIMAL(38,0) (DuckDB: HUGEINT): with per-bucket counts
+    up to ~1e9 (100 TB scale) the cross-multiplied terms reach ~1e21,
+    past int64 — decimal keeps the comparison exact instead of silently
+    wrapping. A zero-variance history (k*SS = S^2) flags ANY deviation
+    (z is infinite); buckets with fewer than 12 trailing buckets are
+    never flagged (cold-start guard).
+
+    Scale: one shuffle to the (event_type, hour) grain — the rollup
+    cardinality, not the raw one — then a bounded ROWS window per
+    series. No self-join, no explosion; identical shape at 1000x."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-24, -1)
+    b = b.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("trail_k"),
+        F.sum(dec(F.col("n_events"))).over(w).alias("_s"),
+        F.sum(dec(F.col("n_events")) * dec(F.col("n_events")))
+        .over(w)
+        .alias("_ss"),
+    )
+    k, n = dec(F.col("trail_k")), dec(F.col("n_events"))
+    s, ss = F.col("_s"), F.col("_ss")
+    dev = k * n - s
+    lhs = dev * dev * (k - F.lit(1))
+    rhs = F.lit(4) * k * (k * ss - s * s)
+    return b.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.col("trail_k").cast("bigint").alias("trail_k"),
+        ((F.col("trail_k") >= 12) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         count(*)::HUGEINT AS n
+  FROM {_EV_SQL} GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bucket_ts, n,
+         count(*) OVER w AS k,
+         coalesce(sum(n) OVER w, 0::HUGEINT) AS s,
+         coalesce(sum(n * n) OVER w, 0::HUGEINT) AS ss
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ts, n::BIGINT AS n_events, k::BIGINT AS trail_k,
+       (k >= 12 AND
+        (k * n - s) * (k * n - s) * (k - 1) > 4 * k * (k * ss - s * s))
+         AS is_anomaly
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate induction
+# --------------------------------------------------------------------------
+
+
+def docs_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the 20 most frequent adjacent pretoken
+    bigrams over the corpus — the first merge step of BPE training
+    applied at pretoken granularity (letter runs / digit runs / single
+    punctuation, the same BPE_TOKEN_RE pretokenizer bpe_token_count
+    uses). Ties broken by pair text so the cut at rank 20 is total.
+
+    Scale: pairs are built ROW-LOCALLY as zip_with over two shifted
+    slices of the pretoken array (no explode of anything bigger than
+    the document's own pairs), then one count shuffle on the pair key
+    with map-side partial aggregation; the top-20 is a 20-row
+    TakeOrdered on already-aggregated counts. At 100 TB the pair-key
+    space is vocabulary-bounded (~1e6 distinct), so the final
+    aggregate is tiny regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0))
+    m = F.size(pre) - 1
+    pairs = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(pre, 1, m),
+            F.slice(pre, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(20)
+    )
+
+
+DOCS_BPE_MERGES_SQL = """
+WITH pre AS (
+  SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS p
+  FROM documents
+), pairs AS (
+  SELECT unnest(CASE WHEN len(p) >= 2
+                     THEN [p[i] || ' ' || p[i+1] for i in range(1, len(p))]
+                     ELSE [] END) AS pair
+  FROM pre
+)
+SELECT pair, count(*)::BIGINT AS n_pair
+FROM pairs GROUP BY pair
+ORDER BY n_pair DESC, pair
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic mixture sampling
+# --------------------------------------------------------------------------
+
+# Target mixture over the corpus's sources, in basis points (sums to
+# 10000): a few heavy sources, a mid tier, a long tail — the shape a
+# real pretraining mixture has (cf. the published LLaMA / Pile
+# mixtures' few-heavy-many-light source weighting).
+MIXTURE_BP: dict[str, int] = {
+    **{f"src{i}": 1500 for i in range(4)},
+    **{f"src{i}": 500 for i in range(4, 10)},
+    **{f"src{i}": 100 for i in range(10, 20)},
+}
+
+# Global token budget = 40% of the corpus's total tokens; each source's
+# quota is budget * weight. Expressed as a single integer division so
+# both engines agree exactly: quota = (total_tok * w_bp) div 25000
+# (= total * 0.4 * w_bp / 10000).
+_MIX_DIV = 25000
+
+
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: select documents per source to
+    fill a token budget distributed per MIXTURE_BP — the
+    curation step that turns a raw crawl into a training mixture.
+    Within each source, documents are ordered by a portable md5-derived
+    hash (reproducible "random" order, identical in any engine and on
+    any retry — never rand()) and kept while the source's running token
+    total stays within quota.
+
+    Scale: the only global aggregate is a 1-row total that broadcasts
+    into every task; quota assignment is a map-side expression; the
+    keep decision is one running-sum window per source partition. At
+    100 TB a single source's window is the only serial segment — the
+    production form splits each source into hash shards exactly as
+    operators.packing.pack_sequences does (same quota arithmetic,
+    per-shard quotas summing to the source quota)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    tot = d.agg(F.sum("n_tok").alias("total_tok"))
+    flat: list = []
+    for src, bp in sorted(MIXTURE_BP.items()):
+        flat += [F.lit(src), F.lit(bp)]
+    d = d.crossJoin(F.broadcast(tot)).withColumn(
+        "w_bp", F.element_at(F.create_map(*flat), F.col("source"))
+    )
+    d = d.withColumn(
+        "quota_tok", F.expr(f"(total_tok * w_bp) div {_MIX_DIV}")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(portable_hash60(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") <= F.col("quota_tok"))
+        .select("doc_id", "source", "n_tok", "cum_tok", "quota_tok")
+    )
+
+
+def _mixture_sample_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', {bp})" for s, bp in sorted(MIXTURE_BP.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({sql_tokens()})::BIGINT AS n_tok
+  FROM documents
+), t AS (
+  SELECT sum(n_tok)::BIGINT AS total_tok FROM d
+), w AS (
+  SELECT * FROM (VALUES {vals}) v(source, w_bp)
+), q AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         ((t.total_tok * w.w_bp) // {_MIX_DIV})::BIGINT AS quota_tok,
+         sum(d.n_tok) OVER (
+           PARTITION BY d.source
+           ORDER BY {portable_hash60_sql("d.doc_id::VARCHAR")}, d.doc_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
+  FROM d CROSS JOIN t JOIN w ON w.source = d.source
+)
+SELECT doc_id, source, n_tok, cum_tok, quota_tok
+FROM q WHERE cum_tok <= quota_tok
+"""
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "emb_neardup_clusters": emb_neardup_clusters,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "docs_bpe_top_merges": docs_bpe_top_merges,
+    "docs_mixture_sample": docs_mixture_sample,
+}
+
+EXTRA3_ORACLE: dict[str, str] = {
+    "emb_neardup_clusters": EMB_CLUSTERS_SQL,
+    "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
+    "docs_bpe_top_merges": DOCS_BPE_MERGES_SQL,
+    "docs_mixture_sample": _mixture_sample_sql(),
+}

@@ -1,0 +1,238 @@
+"""Tests for the third extended catalog: anomaly z-score exact algebra,
+mixture-sample quota semantics, BPE merge goldens, embedding clusters."""
+
+from __future__ import annotations
+
+import datetime as dt
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_zscore
+# --------------------------------------------------------------------------
+
+
+def _expected_flags(rows):
+    """Reimplement the z-score flag with exact Fractions over the
+    (event_type, bucket_ts, n) series — an independent check of the
+    cross-multiplied integer algebra."""
+    by_type: dict = {}
+    for et, ts, n in rows:
+        by_type.setdefault(et, []).append((ts, n))
+    out = {}
+    for et, series in by_type.items():
+        series.sort()
+        for i, (ts, n) in enumerate(series):
+            trail = [x for _, x in series[max(0, i - 24) : i]]
+            k = len(trail)
+            if k < 12:
+                out[(et, ts)] = False
+                continue
+            s = sum(trail)
+            mean = Fraction(s, k)
+            ss = sum(x * x for x in trail)
+            var = Fraction(k * ss - s * s, k * (k - 1))
+            if var == 0:
+                out[(et, ts)] = Fraction(n) != mean
+            else:
+                out[(et, ts)] = (Fraction(n) - mean) ** 2 > 4 * var
+    return out
+
+
+def test_anomaly_zscore_matches_fraction_reference(spark):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_anomaly_zscore,
+    )
+
+    got = {
+        (r.event_type, r.bucket_ts): (r.n_events, r.trail_k, r.is_anomaly)
+        for r in events_anomaly_zscore(spark, SF).collect()
+    }
+    exp = _expected_flags(
+        [(et, ts, n) for (et, ts), (n, _, _) in got.items()]
+    )
+    assert got and set(got) == set(exp)
+    mismatches = {
+        key: (got[key][2], exp[key]) for key in got if got[key][2] != exp[key]
+    }
+    assert mismatches == {}
+    # the detector must actually fire somewhere and the cold-start
+    # guard must hold (trail_k < 12 is never flagged)
+    assert any(v[2] for v in got.values())
+    assert not any(v[2] for v in got.values() if v[1] < 12)
+
+
+def test_anomaly_zero_variance_flags_any_deviation(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_anomaly_zscore,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    # series "flat": 13 hourly buckets of 5 events - never anomalous.
+    # series "step": 12 buckets of 5, then one bucket of 6 - the
+    # trailing window has zero variance, so ANY deviation flags.
+    for h in range(13):
+        for series, n in (("flat", 5), ("step", 6 if h == 12 else 5)):
+            for _ in range(n):
+                rows.append(
+                    (eid, base + dt.timedelta(hours=h), 1, series, 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        (r.event_type, r.bucket_ts.hour): r.is_anomaly
+        for r in events_anomaly_zscore(spark, str(tmp_path)).collect()
+    }
+    assert out[("step", 12)] is True
+    assert not any(v for (et, h), v in out.items() if (et, h) != ("step", 12))
+
+
+# --------------------------------------------------------------------------
+# docs_mixture_sample
+# --------------------------------------------------------------------------
+
+
+def test_mixture_sample_is_maximal_greedy_prefix(spark):
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.text import token_count
+    from clickhouse_metrics_pipeline_spark.tables import _t
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        _MIX_DIV,
+        MIXTURE_BP,
+        docs_mixture_sample,
+    )
+
+    sampled = docs_mixture_sample(spark, SF).collect()
+    assert sampled
+
+    docs = (
+        _t(spark, SF, "documents")
+        .select(
+            "doc_id",
+            "source",
+            token_count("text").alias("n_tok"),
+            portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .collect()
+    )
+    total = sum(r.n_tok for r in docs)
+    expect: set = set()
+    for src in MIXTURE_BP:
+        quota = (total * MIXTURE_BP[src]) // _MIX_DIV
+        cum = 0
+        for r in sorted(
+            (r for r in docs if r.source == src), key=lambda r: (r.h, r.doc_id)
+        ):
+            if cum + r.n_tok > quota:
+                break  # greedy prefix: stop at the first overflow
+            cum += r.n_tok
+            expect.add(r.doc_id)
+        # quota respected with equality semantics (cum <= quota)
+        assert cum <= quota
+    assert {r.doc_id for r in sampled} == expect
+    for r in sampled:
+        assert r.cum_tok <= r.quota_tok
+
+
+# --------------------------------------------------------------------------
+# docs_bpe_top_merges
+# --------------------------------------------------------------------------
+
+
+def test_bpe_merges_golden(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        docs_bpe_top_merges,
+    )
+
+    rows = [
+        (1, "a b a b", "en", "src0", 7),
+        (2, "a b, c", "en", "src0", 6),
+        (3, "", "en", "src0", 0),  # empty text: no pairs, no crash
+        (4, "solo", "en", "src0", 4),  # single pretoken: no pairs
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.pair: r.n_pair
+        for r in docs_bpe_top_merges(spark, str(tmp_path)).collect()
+    }
+    # doc1 pretokens [a,b,a,b] -> pairs "a b","b a","a b";
+    # doc2 pretokens [a,b,",",c] -> "a b", "b ,", ", c"
+    assert got == {"a b": 3, "b a": 1, "b ,": 1, ", c": 1}
+
+
+# --------------------------------------------------------------------------
+# emb_neardup_clusters
+# --------------------------------------------------------------------------
+
+
+def test_emb_clusters_label_invariants(spark):
+    from clickhouse_metrics_pipeline_spark.workloads import emb_neardup_pairs
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        emb_neardup_clusters,
+    )
+
+    labels = {
+        r.vec_id: (r.keeper_id, r.cluster_size)
+        for r in emb_neardup_clusters(spark, SF).collect()
+    }
+    edges = [
+        (r.id_a, r.id_b) for r in emb_neardup_pairs(spark, SF).collect()
+    ]
+    assert labels and edges
+    # every edge endpoint is labeled, and both endpoints share a keeper
+    for a, b in edges:
+        assert labels[a][0] == labels[b][0]
+    # exactly the edge endpoints are labeled
+    assert set(labels) == {v for e in edges for v in e}
+    # keeper is the component minimum and sizes count members
+    by_keeper: dict = {}
+    for vid, (k, _) in labels.items():
+        by_keeper.setdefault(k, []).append(vid)
+    for k, members in by_keeper.items():
+        assert k == min(members)
+        assert all(labels[m][1] == len(members) for m in members)
+
+
+# --------------------------------------------------------------------------
+# determinism under shuffle parallelism (transfers to a real cluster)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "emb_neardup_clusters",
+        "events_anomaly_zscore",
+        "docs_bpe_top_merges",
+        "docs_mixture_sample",
+    ],
+)
+def test_ext3_invariant_under_shuffle_parallelism(spark, name):
+    from clickhouse_metrics_pipeline_spark.workloads import QUERIES
+
+    fn = QUERIES[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(map(tuple, fn(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = sorted(map(tuple, fn(spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
