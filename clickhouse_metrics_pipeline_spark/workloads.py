@@ -840,6 +840,7 @@ _INDEX_PARTITION: dict[str, list[str] | None] = {
     "grams8_srcsets": None,
     "pairs08": None,
     "pairs08_even": None,
+    "embpairs045": None,
     "exact_keepers": None,
     "simhash60": None,
     "kmv_src128": None,
@@ -997,6 +998,16 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         idx = ngram_jaccard_pairs(
             d, threshold=0.8, shingled=dedup_index(spark, sf_dir, "grams3")
         )
+    elif kind == "embpairs045":
+        # verified embedding near-dup PAIR table (exact cosine >= 0.45
+        # over the bounded baseline) — the embedding twin of pairs08:
+        # semantic dedup materializes verified pairs at ingest (in
+        # production from the SRP-LSH candidate path, here from the
+        # exact baseline; the stored artifact is identical either way)
+        # and every downstream job (cluster labels, drop lists) probes
+        # the tiny pair relation instead of re-running the O(n^2) /
+        # LSH similarity kernel
+        idx = emb_neardup_pairs(spark, sf_dir)
     elif kind == "kmv_src128":
         # per-source KMV sketch (k=128) over portable md5-hashed 8-gram
         # strings — the sketch-scale overlap state: one row per source,

@@ -58,8 +58,10 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_neardup_clusters. Pairwise drop-the-higher-id over-deletes on
     similarity chains; component keepers are what semantic dedup ships.
 
-    Scale: edges come from the bounded exact baseline here; in
-    production they come from the SRP-LSH candidate path
+    Scale: edges come from the stored verified-pair artifact
+    (``embpairs045``, the embedding twin of ``pairs08`` — materialized
+    once at ingest, probed by every downstream job); in production the
+    pairs come from the SRP-LSH candidate path
     (operators.similarity.lsh_neardup_pairs) — the clustering kernel is
     identical either way (adaptive: driver union-find under 1M edges,
     O(log diameter) min-label propagation rounds above, per-round eager
@@ -67,9 +69,9 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_metrics_pipeline_spark.operators.dedup import (
         neardup_components,
     )
-    from clickhouse_metrics_pipeline_spark.workloads import emb_neardup_pairs
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
 
-    pairs = emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = dedup_index(spark, sf_dir, "embpairs045").select("id_a", "id_b")
     comp = neardup_components(pairs)
     w = Window.partitionBy("keeper_id")
     return comp.select(

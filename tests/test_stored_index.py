@@ -34,27 +34,35 @@ def _clear_memos():
 def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
     try:
+        from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+            emb_neardup_clusters,
+        )
+
         # in-memory baseline (also populates the memos store_* reuse)
         base_minhash = _rows(W.docs_minhash_lsh(spark, SF))
         base_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
-        assert base_minhash and base_ivf
+        base_embclusters = _rows(emb_neardup_clusters(spark, SF))
+        assert base_minhash and base_ivf and base_embclusters
 
         # ingest-time store
         monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
         W.store_dedup_index(spark, SF, "bands64x16")
         W.store_dedup_index(spark, SF, "grams3")
+        W.store_dedup_index(spark, SF, "embpairs045")
         WE.store_ivf_index(spark, SF)
 
         # fresh "session": memos gone, only the stored tables remain
         _clear_memos()
         got_minhash = _rows(W.docs_minhash_lsh(spark, SF))
         got_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
+        got_embclusters = _rows(emb_neardup_clusters(spark, SF))
         assert got_minhash == base_minhash
         assert got_ivf == base_ivf
+        assert got_embclusters == base_embclusters
 
         # prove the queries really read the stored tables, not rebuilt
         # in-memory indexes: the memoized plans must scan the tmp root
-        for kind in ("bands64x16", "grams3"):
+        for kind in ("bands64x16", "grams3", "embpairs045"):
             files = W._DEDUP_INDEX[(SF, kind)].inputFiles()
             assert files and all(str(tmp_path) in f for f in files), kind
         ivf_files = WE._IVF_INDEX[(SF, 16, 2)].inputFiles()
