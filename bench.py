@@ -107,6 +107,7 @@ HEADLINE += [
     "events_anomaly_zscore",
     "docs_bpe_top_merges",
     "docs_mixture_sample",
+    "events_hash_sample_cascade",
 ]
 
 

@@ -98,6 +98,81 @@ def kmv_sketch_md5(sketch_col: Column | str) -> Column:
     return F.md5(F.array_join(F.transform(sk, lambda x: x.cast("string")), ","))
 
 
+# --------------------------------------------------------------------------
+# Deterministic bottom-k row sample (KMV-style uniform sample)
+# --------------------------------------------------------------------------
+#
+# The same bottom-k-by-hash idea carrying a PAYLOAD: the k rows whose
+# portable row-key hash is smallest, as sorted array<struct<h,c>>. A
+# deterministic, order-independent, *mergeable* uniform row sample —
+# the reservoir a 100 TB scan can actually take (true reservoir
+# sampling is sequential; bottom-k-by-hash is embarrassingly parallel
+# and re-aggregates minute→hour→day exactly like the KMV sketch, by
+# the identical lossless-merge argument over the total (h, c) order).
+# Served from rollup state it answers QUANTILE queries, which the
+# exact sum/count rollup columns fundamentally cannot. Payloads ride
+# as integer cents (tables.value_cents) so every comparison, cut, and
+# md5 pin is integer-exact cross-engine. Set semantics: the sample is
+# over distinct (h, c); h must derive from a unique row key.
+
+
+def hash_sample(hash_col: Column | str, cents_col: Column | str, k: int) -> Column:
+    """Aggregate: the k (h, c) pairs with lexicographically smallest
+    (hash, cents), as a sorted ``array<struct<h:bigint, c:bigint>>`` —
+    the canonical bottom-k sample state."""
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    c = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    return F.slice(
+        F.array_sort(F.collect_set(F.struct(h.alias("h"), c.alias("c")))),
+        1,
+        k,
+    )
+
+
+def hash_sample_merge(sketch_col: Column | str, k: int) -> Column:
+    """Aggregate: merge partial samples — union, dedupe, keep the k
+    smallest (h, c). Associative and lossless w.r.t. ``hash_sample``
+    over the raw rows (every global bottom-k element is inside its
+    partial's bottom-k)."""
+    sk = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sk)))), 1, k
+    )
+
+
+def hash_sample_quantile(sketch_col: Column | str, q_bp: int) -> Column:
+    """Type-1 (lower) quantile estimate from a bottom-k sample, as a
+    2-decimal double: the cents value at 1-indexed position
+    ``ceil(q·n) = (q_bp·n + 9999) div 10000`` of the value-sorted
+    sample, over 100. All-integer position arithmetic; the only float
+    step is the final cents/100.0, exact for 2-decimal data."""
+    sk = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    cs = F.array_sort(F.transform(sk, lambda s: s["c"]))
+    n = F.size(cs)
+    pos = F.greatest(
+        F.lit(1), ((F.lit(q_bp) * n + F.lit(9999)) / F.lit(10000)).cast("int")
+    )
+    return F.get(cs, pos - F.lit(1)) / F.lit(100.0)
+
+
+def hash_sample_md5(sketch_col: Column | str) -> Column:
+    """Order-sensitive md5 over the full sample (comma-joined ``h:c``
+    decimal pairs) — pins every sampled row and its payload. Twin:
+    ``hash_sample_md5_sql``."""
+    sk = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.md5(
+        F.array_join(
+            F.transform(
+                sk,
+                lambda s: F.concat_ws(
+                    ":", s["h"].cast("string"), s["c"].cast("string")
+                ),
+            ),
+            ",",
+        )
+    )
+
+
 def kmv_partial(
     df: DataFrame, group_cols: list[str], hash_col: str, k: int
 ) -> DataFrame:

@@ -210,3 +210,12 @@ def kmv_estimate_sql(sk: str, k: int) -> str:
 def kmv_sketch_md5_sql(sk: str) -> str:
     """DuckDB twin of functions.sketch.kmv_sketch_md5."""
     return f"md5(array_to_string({sk}, ','))"
+
+
+def hash_sample_quantile_sql(cs: str, n: str, q_bp: int) -> str:
+    """DuckDB twin of functions.sketch.hash_sample_quantile over a
+    value-sorted cents list ``cs`` of size ``n``: the element at the
+    all-integer type-1 position ``max(1, (q_bp·n + 9999) div 10000)``,
+    over 100. Token-for-token the same arithmetic as the Column form."""
+    pos = f"greatest(1, (({q_bp} * {n} + 9999) // 10000))::INT"
+    return f"(list_extract({cs}, {pos}) / 100.0)"

@@ -328,6 +328,161 @@ FROM q WHERE cum_tok <= quota_tok
 
 
 # --------------------------------------------------------------------------
+# Deterministic bottom-k sample quantiles (mergeable quantile state)
+# --------------------------------------------------------------------------
+
+
+def events_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantile estimates from a DETERMINISTIC bottom-k row
+    sample (k=256, smallest portable event-id hashes — the
+    embarrassingly-parallel replacement for sequential reservoir
+    sampling; see functions/sketch.py). Emits the exact row count, the
+    sample size, p50/p90/p99 type-1 quantile estimates in all-integer
+    position arithmetic over integer cents, and an order-sensitive md5
+    pinning every sampled (hash, cents) pair — the oracle match proves
+    the sample CONTENT, not just the estimates, is engine-independent.
+
+    Scale: one shuffle to the group grain; collect_set state here, the
+    kmv_partial-style Arrow map-side cut bounds shuffle rows at 100 TB
+    (same argument as the KMV sketch — any global bottom-k row survives
+    every batch's local bottom-k cut)."""
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        hash_sample,
+        hash_sample_md5,
+        hash_sample_quantile,
+    )
+    from clickhouse_metrics_pipeline_spark.tables import value_cents
+
+    k = 256
+    ev = _events(spark, sf_dir)
+    h = portable_hash60(F.col("event_id").cast("string"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        hash_sample(h, value_cents("value"), k).alias("sk"),
+    )
+    return g.select(
+        "event_type",
+        "n_rows",
+        F.size("sk").cast("bigint").alias("sample_n"),
+        hash_sample_quantile("sk", 5000).alias("p50"),
+        hash_sample_quantile("sk", 9000).alias("p90"),
+        hash_sample_quantile("sk", 9900).alias("p99"),
+        hash_sample_md5("sk").alias("sample_md5"),
+    )
+
+
+def _hash_sample_quantiles_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        hash_sample_quantile_sql,
+    )
+
+    k = 256
+    q = lambda bp: hash_sample_quantile_sql("s.cs", "s.sample_n", bp)  # noqa: E731
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {portable_hash60_sql("event_id::VARCHAR")} AS h,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM {_EV_SQL}
+), n AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows FROM {_EV_SQL} GROUP BY 1
+), r AS (
+  SELECT event_type, h, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, c) AS rn
+  FROM h
+), s AS (
+  SELECT event_type, count(*)::BIGINT AS sample_n,
+         list_sort(list(c)) AS cs,
+         md5(string_agg(h::VARCHAR || ':' || c::VARCHAR, ',' ORDER BY h, c))
+           AS sample_md5
+  FROM r WHERE rn <= {k} GROUP BY event_type
+)
+SELECT s.event_type, n.n_rows, s.sample_n,
+       {q(5000)} AS p50, {q(9000)} AS p90, {q(9900)} AS p99,
+       s.sample_md5
+FROM s JOIN n USING (event_type)
+"""
+
+
+def events_hash_sample_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served FROM STORED ROLLUP STATE: per-minute bottom-k
+    samples (k=48) merged minute→hour→day — the re-aggregation ladder
+    of the reference's MV cascade (schema.sql:146-373) with a mergeable
+    SAMPLE state in place of sum/count, answering the quantile queries
+    exact rollup columns cannot. The DuckDB oracle computes the DIRECT
+    per-day sample from raw rows, so one hash match proves cross-engine
+    determinism AND that the two-level merge is lossless (bottom-k of
+    union of partial bottom-ks ≡ global bottom-k over the total (h, c)
+    order). k=48 < per-day row counts, so the cut branch (not the
+    small-group exact branch) is what's pinned."""
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        hash_sample,
+        hash_sample_md5,
+        hash_sample_merge,
+        hash_sample_quantile,
+    )
+    from clickhouse_metrics_pipeline_spark.tables import value_cents
+
+    k = 48
+    ev = _events(spark, sf_dir)
+    h = portable_hash60(F.col("event_id").cast("string"))
+    per_min = (
+        ev.select(
+            "event_type",
+            F.date_trunc("minute", "ts").alias("m"),
+            h.alias("h"),
+            value_cents("value").alias("c"),
+        )
+        .groupBy("event_type", "m")
+        .agg(hash_sample("h", "c", k).alias("sk"))
+    )
+    per_hour = per_min.groupBy(
+        "event_type", F.date_trunc("hour", "m").alias("hr")
+    ).agg(hash_sample_merge("sk", k).alias("sk"))
+    per_day = per_hour.groupBy(
+        "event_type", F.to_date("hr").alias("day")
+    ).agg(hash_sample_merge("sk", k).alias("sk"))
+    return per_day.select(
+        "event_type",
+        "day",
+        F.size("sk").cast("bigint").alias("sample_n"),
+        hash_sample_quantile("sk", 5000).alias("p50"),
+        hash_sample_quantile("sk", 9500).alias("p95"),
+        hash_sample_md5("sk").alias("sample_md5"),
+    )
+
+
+def _hash_sample_cascade_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        hash_sample_quantile_sql,
+    )
+
+    k = 48
+    q = lambda bp: hash_sample_quantile_sql("cs", "sample_n", bp)  # noqa: E731
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, ts::DATE AS day,
+         {portable_hash60_sql("event_id::VARCHAR")} AS h,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM {_EV_SQL}
+), r AS (
+  SELECT event_type, day, h, c,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY h, c) AS rn
+  FROM h
+), s AS (
+  SELECT event_type, day, count(*)::BIGINT AS sample_n,
+         list_sort(list(c)) AS cs,
+         md5(string_agg(h::VARCHAR || ':' || c::VARCHAR, ',' ORDER BY h, c))
+           AS sample_md5
+  FROM r WHERE rn <= {k} GROUP BY event_type, day
+)
+SELECT event_type, day, sample_n,
+       {q(5000)} AS p50, {q(9500)} AS p95, sample_md5
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -336,6 +491,8 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "docs_bpe_top_merges": docs_bpe_top_merges,
     "docs_mixture_sample": docs_mixture_sample,
+    "events_hash_sample_quantiles": events_hash_sample_quantiles,
+    "events_hash_sample_cascade": events_hash_sample_cascade,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -343,4 +500,6 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
     "docs_bpe_top_merges": DOCS_BPE_MERGES_SQL,
     "docs_mixture_sample": _mixture_sample_sql(),
+    "events_hash_sample_quantiles": _hash_sample_quantiles_sql(),
+    "events_hash_sample_cascade": _hash_sample_cascade_sql(),
 }

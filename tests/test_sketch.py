@@ -196,3 +196,97 @@ def test_kmv_source_overlap_tracks_exact(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# --------------------------------------------------------------------------
+# bottom-k hash sample (mergeable quantile state)
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1 << 60),
+                st.integers(min_value=-10_000, max_value=10_000),
+            ),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_hash_sample_merge_lossless_property(parts, k):
+    """bottom-k of union-of-partial-bottom-ks == bottom-k of union,
+    under the lexicographic (h, c) order the Spark kernel sorts by."""
+    partials = [sorted(set(p))[:k] for p in parts]
+    merged = sorted(set().union(*map(set, partials)))[:k]
+    direct = sorted(set().union(*map(set, parts)))[:k]
+    assert merged == direct
+
+
+def test_hash_sample_quantile_golden(spark):
+    """Type-1 quantile positions on a known sample, including the n=1
+    clamp and the p99-rounds-up edge."""
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        hash_sample,
+        hash_sample_quantile,
+    )
+
+    # cents 100..1000 under hashes 1..10 (hash order == value order so
+    # positions are readable): p50 -> ceil(0.5*10)=5th -> 500 cents
+    rows = [(i, (i + 1) * 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "h long, c long")
+    sk = df.agg(hash_sample("h", "c", 16).alias("sk"))
+    got = sk.select(
+        hash_sample_quantile("sk", 5000).alias("p50"),
+        hash_sample_quantile("sk", 9000).alias("p90"),
+        hash_sample_quantile("sk", 9900).alias("p99"),
+        hash_sample_quantile("sk", 1).alias("pmin"),
+    ).collect()[0]
+    assert (got.p50, got.p90, got.p99, got.pmin) == (5.0, 9.0, 10.0, 1.0)
+
+    one = spark.createDataFrame([(7, 250)], "h long, c long").agg(
+        hash_sample("h", "c", 4).alias("sk")
+    )
+    got1 = one.select(
+        hash_sample_quantile("sk", 5000).alias("p50"),
+        hash_sample_quantile("sk", 9900).alias("p99"),
+    ).collect()[0]
+    assert (got1.p50, got1.p99) == (2.5, 2.5)
+
+
+def test_hash_sample_spark_cascade_equals_direct(spark):
+    """minute→hour merge of per-minute samples reproduces the direct
+    per-type sample bit-for-bit (struct arrays equal, cut branch
+    exercised: k=16 < per-type rows)."""
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        hash_sample,
+        hash_sample_merge,
+    )
+
+    k = 16
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        "ts",
+        portable_hash60(F.col("event_id").cast("string")).alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    direct = {
+        r["event_type"]: r["sk"]
+        for r in ev.groupBy("event_type")
+        .agg(hash_sample("h", "c", k).alias("sk"))
+        .collect()
+    }
+    merged = {
+        r["event_type"]: r["sk"]
+        for r in ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("m"))
+        .agg(hash_sample("h", "c", k).alias("sk"))
+        .groupBy("event_type")
+        .agg(hash_sample_merge("sk", k).alias("sk"))
+        .collect()
+    }
+    assert direct and merged == direct
+    assert all(len(sk) == k for sk in direct.values())

@@ -221,6 +221,8 @@ def test_emb_clusters_label_invariants(spark):
         "events_anomaly_zscore",
         "docs_bpe_top_merges",
         "docs_mixture_sample",
+        "events_hash_sample_quantiles",
+        "events_hash_sample_cascade",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
