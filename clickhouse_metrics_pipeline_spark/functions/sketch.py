@@ -202,3 +202,36 @@ def kmv_partial(
             )
 
     return proj.mapInPandas(gen, schema=schema)
+
+
+def hash_sample_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    cents_col: str,
+    k: int,
+) -> DataFrame:
+    """Map-side combine for the bottom-k sample: reduce each Arrow
+    batch to the ≤ k lexicographically-smallest distinct
+    ``(hash_col, cents_col)`` rows per group, with NO shuffle. Feeding
+    the result to ``hash_sample`` yields exactly the unbounded sample —
+    any global bottom-k row survives every batch's local bottom-k cut
+    (same argument as ``kmv_partial``, over the total (h, c) order).
+    The 100 TB path: the shuffle carries ≤ k rows per (group, batch)
+    instead of the group's full row set."""
+    cols = list(group_cols) + [hash_col, cents_col]
+    proj = df.select(*cols)
+    schema = proj.schema
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dedup = pdf.drop_duplicates(subset=cols)
+            yield (
+                dedup.sort_values([hash_col, cents_col])
+                .groupby(list(group_cols), sort=False)
+                .head(k)[cols]
+            )
+
+    return proj.mapInPandas(gen, schema=schema)

@@ -290,3 +290,36 @@ def test_hash_sample_spark_cascade_equals_direct(spark):
     }
     assert direct and merged == direct
     assert all(len(sk) == k for sk in direct.values())
+
+
+def test_hash_sample_partial_bounded_path_equals_unbounded(spark):
+    """The Arrow map-side bottom-k cut feeds the reducer to the
+    identical sample (and md5) as the unbounded collect_set path."""
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        hash_sample,
+        hash_sample_md5,
+        hash_sample_partial,
+    )
+
+    k = 16
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        portable_hash60(F.col("event_id").cast("string")).alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    plain = {
+        r["event_type"]: (r["sk"], r["m"])
+        for r in ev.groupBy("event_type")
+        .agg(hash_sample("h", "c", k).alias("sk"))
+        .select("event_type", "sk", hash_sample_md5("sk").alias("m"))
+        .collect()
+    }
+    cut = hash_sample_partial(ev.repartition(8), ["event_type"], "h", "c", k)
+    bounded = {
+        r["event_type"]: (r["sk"], r["m"])
+        for r in cut.groupBy("event_type")
+        .agg(hash_sample("h", "c", k).alias("sk"))
+        .select("event_type", "sk", hash_sample_md5("sk").alias("m"))
+        .collect()
+    }
+    assert plain and bounded == plain
