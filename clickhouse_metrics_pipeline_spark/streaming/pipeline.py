@@ -339,6 +339,61 @@ def kmv_distinct_stream(
     )
 
 
+def hash_sample_stream(
+    df: DataFrame,
+    k: int = 64,
+    grain: str = "1 minute",
+    watermark: str = "10 minutes",
+    key_cols: tuple[str, ...] = ("workspaceId", "metric"),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    row_key_cols: tuple[str, ...] = ("series_hash", "timestamp"),
+) -> DataFrame:
+    """Streaming per-window bottom-k value sample — the mergeable
+    quantile state (functions/sketch.py hash_sample) maintained
+    continuously: each closed window emits the k rows with smallest
+    portable row-key hash as sorted (hash, cents) structs plus
+    p50/p95 type-1 estimates. Because the sample is a mergeable VALUE
+    (same lossless bottom-k-of-union argument as the KMV sketch),
+    downstream jobs re-aggregate window samples to coarser grains and
+    serve quantile queries from stored state — the capability the
+    reference's exact sum/count MV cascade (schema.sql:146-373)
+    fundamentally lacks. Pinned against the batch kernel in
+    tests/test_streaming.py.
+
+    State per open (window, keys) group is ≤ the group's distinct row
+    set pre-cut (the same bound as any streaming collect_set agg); the
+    watermark expires it; map-side partial aggregation reduces each
+    task's contribution before the shuffle."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        hash_sample,
+        hash_sample_quantile,
+    )
+    from clickhouse_metrics_pipeline_spark.tables import value_cents
+
+    h = portable_hash60(
+        F.concat_ws(":", *[F.col(c).cast("string") for c in row_key_cols])
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, grain).alias("w"), *key_cols)
+        .agg(hash_sample(h, value_cents(value_col), k).alias("sk"))
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            *key_cols,
+            "sk",
+            F.size("sk").cast("bigint").alias("sample_n"),
+            hash_sample_quantile("sk", 5000).alias("p50"),
+            hash_sample_quantile("sk", 9500).alias("p95"),
+        )
+    )
+
+
 def session_stream(
     df: DataFrame,
     gap: str = "30 minutes",

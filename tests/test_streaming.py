@@ -633,3 +633,114 @@ class TestStreamingCompaction:
         back = spark.read.parquet(out)
         assert back.count() == 2 * n_batches  # replayed, not duplicated
         assert back.select("series_hash").distinct().count() == n_batches
+
+
+class TestStreamingHashSample:
+    """hash_sample_stream emits per-window bottom-k value samples that
+    match the batch kernel exactly, and the emitted window samples
+    re-aggregate (hash_sample_merge) to the direct global sample — the
+    mergeable quantile-state contract carried into the streaming path."""
+
+    def test_stream_sample_matches_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.functions.hashing import (
+            portable_hash60,
+        )
+        from clickhouse_metrics_pipeline_spark.functions.sketch import (
+            hash_sample,
+            hash_sample_merge,
+            hash_sample_quantile,
+        )
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            hash_sample_stream,
+        )
+        from clickhouse_metrics_pipeline_spark.tables import value_cents
+
+        k = 8
+        base = _NOW.replace(second=0, minute=0) - dt.timedelta(hours=3)
+        rows = []
+        # 20 rows in each of two 1m windows (> k), distinct values so
+        # the quantile cut is meaningful; driver row closes both
+        for s in range(20):
+            r = list(_gauge_row(100 + s, 0, float(s) + 0.25))
+            r[4] = base + dt.timedelta(seconds=3 * s)
+            rows.append(tuple(r))
+            r2 = list(_gauge_row(100 + s, 0, float((s * 7) % 15) + 0.5))
+            r2[4] = base + dt.timedelta(seconds=60 + 3 * s)
+            rows.append(tuple(r2))
+        drv = list(_gauge_row(999, 0, 1.0))
+        drv[4] = base + dt.timedelta(seconds=3600)
+        rows.append(tuple(drv))
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b0")
+        )
+
+        out, ck = str(tmp_path / "hs_out"), str(tmp_path / "hs_ck")
+        stream = hash_sample_stream(
+            spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(str(src / "*")),
+            k=k,
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        cutoff = base + dt.timedelta(seconds=3000)
+        got = spark.read.parquet(out).where(F.col("bucket_ts") < cutoff)
+        batch = spark.createDataFrame(rows, METRICS_RAW_SCHEMA)
+        h = portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col("series_hash").cast("string"),
+                F.col("timestamp").cast("string"),
+            )
+        )
+        want = (
+            batch.groupBy(
+                F.window("timestamp", "1 minute").alias("w"),
+                "workspaceId",
+                "metric",
+            )
+            .agg(hash_sample(h, value_cents("value"), k).alias("sk"))
+            .select(
+                F.col("w.start").alias("bucket_ts"),
+                "workspaceId",
+                "metric",
+                "sk",
+                F.size("sk").cast("bigint").alias("sample_n"),
+                hash_sample_quantile("sk", 5000).alias("p50"),
+                hash_sample_quantile("sk", 9500).alias("p95"),
+            )
+            .where(F.col("bucket_ts") < cutoff)
+        )
+        key = lambda r: (r.bucket_ts, r.metric)  # noqa: E731
+        g = {key(r): (list(map(tuple, r.sk)), r.sample_n, r.p50, r.p95)
+             for r in got.collect()}
+        w = {key(r): (list(map(tuple, r.sk)), r.sample_n, r.p50, r.p95)
+             for r in want.collect()}
+        assert g == w
+        assert len(g) == 2  # both real windows closed and emitted
+        assert all(v[1] == k for v in g.values())  # cut branch exercised
+
+        # merge the emitted window samples -> equals the direct global
+        merged = (
+            got.groupBy("metric")
+            .agg(hash_sample_merge("sk", k).alias("sk"))
+            .collect()
+        )
+        direct = (
+            batch.where(F.col("timestamp") < cutoff)
+            .groupBy("metric")
+            .agg(hash_sample(h, value_cents("value"), k).alias("sk"))
+            .collect()
+        )
+        assert {r.metric: list(map(tuple, r.sk)) for r in merged} == {
+            r.metric: list(map(tuple, r.sk)) for r in direct
+        }
