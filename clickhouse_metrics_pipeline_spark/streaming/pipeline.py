@@ -339,6 +339,112 @@ def kmv_distinct_stream(
     )
 
 
+def anomaly_zscore_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    key_ddl: str = "event_type string",
+    ts_col: str = "ts",
+    grain_seconds: int = 3600,
+    trail_max: int = 24,
+    min_trail: int = 12,
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 48,
+) -> DataFrame:
+    """Continuous per-series rolling z-score anomaly flags — the
+    streaming twin of the batch ``events_anomaly_zscore`` catalog query
+    (workloads_ext3.py), sharing its EXACT integer algebra: a closed
+    bucket's count n is flagged when, with k trailing closed buckets
+    summing to S with square-sum SS,
+    ``(k·n − S)² · (k−1) > 4 · k · (k·SS − S²)`` and ``k ≥ min_trail``
+    — z² > 4 rearranged division/sqrt/float-free (Python integers are
+    arbitrary-precision, so the ~1e21 cross-terms of 100 TB-scale
+    bucket counts cannot wrap).
+
+    Stateful shape: per key, the open bucket's (start, count) plus a
+    deque of the last ``trail_max`` closed-bucket counts. A bucket
+    CLOSES when a later-bucket row for the same key arrives (event-time
+    progress, the same bucket sequence the batch window sees), emitting
+    its flag; rows older than the open bucket are dropped (the
+    watermark bounds how late they can be). Equality with the batch
+    query over every closeable bucket is pinned in
+    tests/test_streaming.py. State is O(trail_max) per live series and
+    TTL-evicted — the alerting loop a metrics store runs continuously,
+    which the reference can only approximate with repeated full-table
+    queries."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ siblings)
+
+    out_schema = (
+        f"{key_ddl}, bucket_ts timestamp, n_events bigint, "
+        "trail_k bigint, is_anomaly boolean"
+    )
+    state_schema = "open_ts bigint, open_n bigint, trail array<bigint>"
+    names = list(key_cols)
+
+    def convert(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            open_ts, open_n, trail = state.get
+            trail = list(trail) if trail is not None else []
+        else:
+            open_ts, open_n, trail = None, 0, []
+
+        def close_row():
+            k, n = len(trail), open_n
+            s = sum(trail)
+            ss = sum(x * x for x in trail)
+            dev = k * n - s
+            flag = k >= min_trail and dev * dev * (k - 1) > 4 * k * (
+                k * ss - s * s
+            )
+            row = dict(zip(names, key))
+            row.update(
+                bucket_ts=pd.Timestamp(open_ts, unit="s"),
+                n_events=n,
+                trail_k=k,
+                is_anomaly=bool(flag),
+            )
+            return row
+
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # floor to epoch seconds regardless of the column's
+            # datetime64 unit (ns under Arrow today, us tomorrow)
+            secs = pdf[ts_col].values.astype("datetime64[s]").astype("int64")
+            for t in sorted(secs):
+                b = int(t) // grain_seconds * grain_seconds
+                if open_ts is None:
+                    open_ts, open_n = b, 1
+                elif b == open_ts:
+                    open_n += 1
+                elif b < open_ts:
+                    continue  # late beyond the open bucket: dropped
+                else:
+                    out.append(close_row())
+                    trail.append(open_n)
+                    del trail[:-trail_max]
+                    open_ts, open_n = b, 1
+        state.update((open_ts, open_n, trail))
+        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            convert,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def hash_sample_stream(
     df: DataFrame,
     k: int = 64,

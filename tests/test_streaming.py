@@ -744,3 +744,61 @@ class TestStreamingHashSample:
         assert {r.metric: list(map(tuple, r.sk)) for r in merged} == {
             r.metric: list(map(tuple, r.sk)) for r in direct
         }
+
+
+class TestStreamingAnomaly:
+    """anomaly_zscore_stream shares the batch query's exact integer
+    algebra; streamed flags over the real events fixture must equal
+    events_anomaly_zscore on every CLOSEABLE bucket (all but each
+    series' final bucket, which stays open awaiting event-time
+    progress)."""
+
+    def test_stream_flags_match_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            anomaly_zscore_stream,
+        )
+        from clickhouse_metrics_pipeline_spark.tables import _events
+        from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+            events_anomaly_zscore,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        src = tmp_path / "src"
+        src.mkdir()
+        ev = _events(spark, sf).select("event_type", "ts")
+        ev.coalesce(1).write.parquet(str(src / "b0"))
+
+        out, ck = str(tmp_path / "an_out"), str(tmp_path / "an_ck")
+        stream = anomaly_zscore_stream(
+            spark.readStream.schema("event_type string, ts timestamp").parquet(
+                str(src / "*")
+            ),
+            watermark="0 seconds",
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        got = {
+            (r.event_type, r.bucket_ts): (r.n_events, r.trail_k, r.is_anomaly)
+            for r in spark.read.parquet(out).collect()
+        }
+        batch = events_anomaly_zscore(spark, sf).collect()
+        last = {}
+        for r in batch:
+            cur = last.get(r.event_type)
+            if cur is None or r.bucket_ts > cur:
+                last[r.event_type] = r.bucket_ts
+        want = {
+            (r.event_type, r.bucket_ts): (r.n_events, r.trail_k, r.is_anomaly)
+            for r in batch
+            if r.bucket_ts != last[r.event_type]
+        }
+        assert got and got == want
+        assert any(v[2] for v in got.values())  # detector fires somewhere
