@@ -271,34 +271,25 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only global aggregate is a 1-row total that broadcasts
     into every task; quota assignment is a map-side expression; the
-    keep decision is one running-sum window per source partition. At
-    100 TB a single source's window is the only serial segment — the
-    production form splits each source into hash shards exactly as
-    operators.packing.pack_sequences does (same quota arithmetic,
-    per-shard quotas summing to the source quota)."""
+    keep decision is one running-sum window per (source, shard)
+    partition. This pinned query runs the operator
+    (operators/mixture.py) at num_shards=1 so the DuckDB oracle is a
+    single per-source window; production passes a cluster-proportional
+    shard count — the exact quota split keeps per-source totals within
+    quota at any shard count (tests/test_mixture.py)."""
+    from clickhouse_metrics_pipeline_spark.operators.mixture import (
+        mixture_sample,
+    )
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count("text").alias("n_tok")
     )
-    tot = d.agg(F.sum("n_tok").alias("total_tok"))
-    flat: list = []
-    for src, bp in sorted(MIXTURE_BP.items()):
-        flat += [F.lit(src), F.lit(bp)]
-    d = d.crossJoin(F.broadcast(tot)).withColumn(
-        "w_bp", F.element_at(F.create_map(*flat), F.col("source"))
-    )
-    d = d.withColumn(
-        "quota_tok", F.expr(f"(total_tok * w_bp) div {_MIX_DIV}")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(portable_hash60(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        d.withColumn("cum_tok", F.sum("n_tok").over(w))
-        .where(F.col("cum_tok") <= F.col("quota_tok"))
-        .select("doc_id", "source", "n_tok", "cum_tok", "quota_tok")
-    )
+    return mixture_sample(
+        d,
+        weights_bp=MIXTURE_BP,
+        budget_divisor=_MIX_DIV,
+        num_shards=1,
+    ).select("doc_id", "source", "n_tok", "cum_tok", "quota_tok")
 
 
 def _mixture_sample_sql() -> str:

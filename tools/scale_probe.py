@@ -194,6 +194,47 @@ def op_kmv_sketch(ev: DataFrame) -> int:
     )
 
 
+def op_hash_sample(ev: DataFrame) -> int:
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.sketch import (
+        hash_sample,
+        hash_sample_quantile,
+    )
+    from clickhouse_metrics_pipeline_spark.tables import value_cents
+
+    h = portable_hash60(F.col("event_id").cast("string"))
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(hash_sample(h, value_cents("value"), 64).alias("sk"))
+        .select(hash_sample_quantile("sk", 9500).alias("p95"))
+        .count()
+    )
+
+
+def op_anomaly_zscore(ev: DataFrame) -> int:
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-24, -1)
+    b = b.select(
+        "n",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum(dec(F.col("n"))).over(w).alias("s"),
+        F.sum(dec(F.col("n")) * dec(F.col("n"))).over(w).alias("ss"),
+    )
+    k, n = dec(F.col("k")), dec(F.col("n"))
+    dev = k * n - F.col("s")
+    flag = dev * dev * (k - F.lit(1)) > F.lit(4) * k * (
+        k * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return b.where((F.col("k") >= 12) & flag).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "window_delta": ("events", op_window_delta),
@@ -204,6 +245,8 @@ OPS = {
     "fused_topk": ("embeddings", op_fused_topk),
     "int8_quantize": ("embeddings", op_int8_quantize),
     "kmv_sketch": ("events", op_kmv_sketch),
+    "hash_sample": ("events", op_hash_sample),
+    "anomaly_zscore": ("events", op_anomaly_zscore),
 }
 
 
