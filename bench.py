@@ -108,6 +108,7 @@ HEADLINE += [
     "docs_bpe_top_merges",
     "docs_mixture_sample",
     "events_hash_sample_cascade",
+    "events_slo_burn_rate",
 ]
 
 

@@ -474,6 +474,103 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# SLO multi-window burn-rate alerting
+# --------------------------------------------------------------------------
+
+# SLI: share of "bad" events (value >= _SLO_BAD_MIN) per service (event
+# type). Error budget in basis points; the page policy is the Google
+# SRE-workbook two-window AND: short AND long burn both above 14.4x.
+_SLO_BAD_MIN = 95.0
+_SLO_BUDGET_BP = 100  # 1% error budget
+_SLO_THRESH_X10 = 144  # 14.4x, in tenths
+
+
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting: per service (event_type)
+    and 1h bucket, the error-budget burn rate over the bucket itself
+    (short window) and over the trailing 6 hours (long window, a RANGE
+    window on the epoch-hour index so calendar gaps count as empty —
+    true time semantics, not row counts), with the two-window page
+    condition burn_1h > 14.4x AND burn_6h > 14.4x evaluated in
+    cross-multiplied integer form
+    ``bad · 10000 · 10 > thresh_x10 · total · budget_bp`` — no float
+    in the flag, so it cannot flip between engines. The reported burn
+    values are one single IEEE division each (bad·10000 /
+    (total·budget_bp)), rounded to 4 — deterministic cross-engine.
+
+    Scale: one shuffle to the (service, hour) grain — rollup
+    cardinality — then a bounded RANGE window per service; the shape
+    the 1h rollup MV serves directly at 100 TB."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("total_1h"),
+        F.sum(
+            F.when(F.col("value") >= _SLO_BAD_MIN, 1).otherwise(0)
+        ).alias("bad_1h"),
+    )
+    hr = (F.unix_timestamp("bucket_ts") / 3600).cast("long")
+    w6 = (
+        Window.partitionBy("event_type")
+        .orderBy(hr)
+        .rangeBetween(-5, Window.currentRow)
+    )
+    b = hourly.select(
+        "event_type",
+        "bucket_ts",
+        "total_1h",
+        "bad_1h",
+        F.sum("total_1h").over(w6).alias("total_6h"),
+        F.sum("bad_1h").over(w6).alias("bad_6h"),
+    )
+    burn = lambda bad, tot: F.round(  # noqa: E731
+        bad * F.lit(10000.0) / (tot * F.lit(_SLO_BUDGET_BP)), 4
+    )
+    page = lambda bad, tot: (  # noqa: E731
+        bad * F.lit(10000 * 10) > F.lit(_SLO_THRESH_X10 * _SLO_BUDGET_BP) * tot
+    )
+    return b.select(
+        "event_type",
+        "bucket_ts",
+        "total_1h",
+        "bad_1h",
+        burn(F.col("bad_1h"), F.col("total_1h")).alias("burn_1h"),
+        burn(F.col("bad_6h"), F.col("total_6h")).alias("burn_6h"),
+        (
+            page(F.col("bad_1h"), F.col("total_1h"))
+            & page(F.col("bad_6h"), F.col("total_6h"))
+        ).alias("page_alert"),
+    )
+
+
+EVENTS_SLO_BURN_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         count(*)::BIGINT AS total_1h,
+         sum(CASE WHEN value >= {_SLO_BAD_MIN} THEN 1 ELSE 0 END)::BIGINT
+           AS bad_1h
+  FROM {_EV_SQL} GROUP BY 1, 2
+), b AS (
+  SELECT event_type, bucket_ts, total_1h, bad_1h,
+         sum(total_1h) OVER w6 AS total_6h,
+         sum(bad_1h) OVER w6 AS bad_6h
+  FROM hourly
+  WINDOW w6 AS (PARTITION BY event_type
+                ORDER BY (epoch(bucket_ts)::BIGINT // 3600)
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_ts, total_1h, bad_1h,
+       round(bad_1h * 10000.0 / (total_1h * {_SLO_BUDGET_BP}), 4) AS burn_1h,
+       round(bad_6h * 10000.0 / (total_6h * {_SLO_BUDGET_BP}), 4) AS burn_6h,
+       (bad_1h * {10000 * 10} > {_SLO_THRESH_X10 * _SLO_BUDGET_BP} * total_1h
+        AND bad_6h * {10000 * 10} > {_SLO_THRESH_X10 * _SLO_BUDGET_BP} * total_6h)
+         AS page_alert
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -484,6 +581,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_mixture_sample": docs_mixture_sample,
     "events_hash_sample_quantiles": events_hash_sample_quantiles,
     "events_hash_sample_cascade": events_hash_sample_cascade,
+    "events_slo_burn_rate": events_slo_burn_rate,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -493,4 +591,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "docs_mixture_sample": _mixture_sample_sql(),
     "events_hash_sample_quantiles": _hash_sample_quantiles_sql(),
     "events_hash_sample_cascade": _hash_sample_cascade_sql(),
+    "events_slo_burn_rate": EVENTS_SLO_BURN_SQL,
 }

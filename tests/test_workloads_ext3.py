@@ -238,3 +238,60 @@ def test_ext3_invariant_under_shuffle_parallelism(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# events_slo_burn_rate
+# --------------------------------------------------------------------------
+
+
+def test_slo_burn_rate_gap_and_two_window_semantics(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_slo_burn_rate,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+
+    def add(hour, n_good, n_bad, et="svc"):
+        nonlocal eid
+        for i in range(n_good):
+            rows.append((eid, base + dt.timedelta(hours=hour, seconds=i), 1, et, 10.0, "{}"))
+            eid += 1
+        for i in range(n_bad):
+            rows.append((eid, base + dt.timedelta(hours=hour, seconds=60 + i), 1, et, 99.0, "{}"))
+            eid += 1
+
+    # hour 0: clean. hour 1: 20% bad (burn 20x > 14.4 short) but the
+    # 6h window dilutes to 10/110 ~ 9.1x -> NO page (two-window AND).
+    add(0, 100, 0)
+    add(1, 40, 10)
+    # hours 2-7 empty (calendar gap). hour 8: 50% bad; 6h RANGE window
+    # covers hours 3-8 = only hour 8 itself -> both windows 50x -> page.
+    add(8, 5, 5)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r.bucket_ts.hour: (r.burn_1h, r.burn_6h, r.page_alert)
+        for r in events_slo_burn_rate(spark, str(tmp_path)).collect()
+    }
+    assert out[0] == (0.0, 0.0, False)
+    assert out[1][0] == 20.0 and out[1][2] is False
+    assert round(out[1][1], 4) == round(10 * 10000.0 / (150 * 100), 4)
+    # the gap matters: hour 8's long window must NOT reach back to hour 1
+    assert out[8] == (50.0, 50.0, True)
+
+
+def test_slo_burn_rate_fires_on_fixture(spark):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_slo_burn_rate,
+    )
+
+    got = events_slo_burn_rate(spark, SF).collect()
+    assert got
+    assert any(r.page_alert for r in got)
+    assert any(not r.page_alert for r in got)
