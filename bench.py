@@ -109,6 +109,7 @@ HEADLINE += [
     "docs_mixture_sample",
     "events_hash_sample_cascade",
     "events_slo_burn_rate",
+    "events_lttb_downsample",
 ]
 
 

@@ -571,6 +571,85 @@ FROM b
 
 
 # --------------------------------------------------------------------------
+# LTTB chart downsampling
+# --------------------------------------------------------------------------
+
+_LTTB_N_OUT = 150
+
+
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each event-type value series to 150 chart points with
+    exact-integer LTTB (operators/downsample.py — ClickHouse ships this
+    as ``largestTriangleThreeBuckets``, so it is reference-ecosystem
+    surface). The DuckDB oracle replays the identical selection as a
+    HUGEINT recursive CTE (one recursion step per bucket, argmax via a
+    correlated max_by with the same area·C − j tie-break key), so the
+    hash pins the full selected point set, indices included — a
+    sequential chart algorithm cross-engine-verified end to end."""
+    from clickhouse_metrics_pipeline_spark.operators.downsample import (
+        lttb_downsample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return lttb_downsample(ev, n_out=_LTTB_N_OUT)
+
+
+def _lttb_sql() -> str:
+    nb = _LTTB_N_OUT - 2
+    # tie-break constant: must exceed any point index; series here are
+    # <= ~1e6 points, C = 1e9 with HUGEINT arithmetic never overflows
+    key = (
+        "abs((s.x::HUGEINT * t.nn - t.sx) * (m.y - s.y)"
+        " - (s.x - m.x)::HUGEINT * (t.sy - t.nn * s.y))"
+        " * 1000000000::HUGEINT - m.j"
+    )
+    sub = (
+        "(SELECT max_by(m.{col}, " + key + ") FROM mid m"
+        " WHERE m.event_type = s.event_type AND m.b = s.b + 1)"
+    )
+    return f"""
+WITH RECURSIVE
+pts AS (
+  SELECT event_type, ts, value, epoch_us(ts) AS x,
+         CAST(round(value * 100) AS HUGEINT) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) - 1 AS j,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM {_EV_SQL}
+),
+mid AS (
+  SELECT *, ((j - 1) * {nb}) // (n - 2) AS b
+  FROM pts WHERE j BETWEEN 1 AND n - 2
+),
+nstats AS (
+  SELECT event_type, b, sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         count(*)::HUGEINT AS nn
+  FROM mid GROUP BY 1, 2
+),
+targets AS (
+  SELECT event_type, b - 1 AS b, sx, sy, nn FROM nstats WHERE b >= 1
+  UNION ALL
+  SELECT event_type, {nb} - 1, x::HUGEINT, y, 1::HUGEINT
+  FROM pts WHERE j = n - 1
+),
+sel(event_type, b, x, y, j) AS (
+  SELECT event_type, -1, x, y, j FROM pts WHERE j = 0
+  UNION ALL
+  SELECT s.event_type, s.b + 1,
+         {sub.format(col="x")},
+         {sub.format(col="y")},
+         {sub.format(col="j")}
+  FROM sel s JOIN targets t
+    ON t.event_type = s.event_type AND t.b = s.b + 1
+)
+SELECT p.event_type, p.ts, p.value, p.j::BIGINT AS j
+FROM pts p JOIN sel s ON s.event_type = p.event_type AND s.j = p.j
+UNION ALL
+SELECT event_type, ts, value, j::BIGINT FROM pts WHERE j = n - 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -582,6 +661,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hash_sample_quantiles": events_hash_sample_quantiles,
     "events_hash_sample_cascade": events_hash_sample_cascade,
     "events_slo_burn_rate": events_slo_burn_rate,
+    "events_lttb_downsample": events_lttb_downsample,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -592,4 +672,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_hash_sample_quantiles": _hash_sample_quantiles_sql(),
     "events_hash_sample_cascade": _hash_sample_cascade_sql(),
     "events_slo_burn_rate": EVENTS_SLO_BURN_SQL,
+    "events_lttb_downsample": _lttb_sql(),
 }

@@ -223,6 +223,8 @@ def test_emb_clusters_label_invariants(spark):
         "docs_mixture_sample",
         "events_hash_sample_quantiles",
         "events_hash_sample_cascade",
+        "events_slo_burn_rate",
+        "events_lttb_downsample",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
@@ -295,3 +297,42 @@ def test_slo_burn_rate_fires_on_fixture(spark):
     assert got
     assert any(r.page_alert for r in got)
     assert any(not r.page_alert for r in got)
+
+
+# --------------------------------------------------------------------------
+# events_lttb_downsample
+# --------------------------------------------------------------------------
+
+
+def test_lttb_kernel_golden():
+    from clickhouse_metrics_pipeline_spark.operators.downsample import (
+        lttb_select_indices,
+    )
+
+    ys = [0, 5, 1, 8, 2, 9, 3, 7, 4, 6]
+    xs = list(range(10))
+    # hand-replayed: first/last fixed; bucket picks 3, 4, 7
+    assert lttb_select_indices(xs, ys, 5) == [0, 3, 4, 7, 9]
+    # n <= n_out: identity
+    assert lttb_select_indices(xs, ys, 10) == list(range(10))
+    assert lttb_select_indices(xs, ys, 12) == list(range(10))
+    with pytest.raises(ValueError):
+        lttb_select_indices(xs, ys, 2)
+
+
+def test_lttb_endpoints_and_counts(spark):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        _LTTB_N_OUT,
+        events_lttb_downsample,
+    )
+
+    rows = events_lttb_downsample(spark, SF).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for et, pts in by_type.items():
+        assert len(pts) == _LTTB_N_OUT  # sf0.001 series are ~200 > 150
+        js = sorted(p.j for p in pts)
+        assert js[0] == 0  # first point kept
+        assert len(set(js)) == len(js)  # no duplicate picks
