@@ -336,3 +336,35 @@ def test_lttb_endpoints_and_counts(spark):
         js = sorted(p.j for p in pts)
         assert js[0] == 0  # first point kept
         assert len(set(js)) == len(js)  # no duplicate picks
+
+
+def test_lttb_structural_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_metrics_pipeline_spark.operators.downsample import (
+        lttb_select_indices,
+    )
+
+    @given(
+        st.lists(st.integers(min_value=-(10**6), max_value=10**6),
+                 min_size=3, max_size=60),
+        st.integers(min_value=3, max_value=20),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(ys, n_out):
+        n = len(ys)
+        xs = list(range(0, 2 * n, 2))
+        sel = lttb_select_indices(xs, ys, n_out)
+        if n <= n_out:
+            assert sel == list(range(n))
+            return
+        assert len(sel) == n_out
+        assert sel[0] == 0 and sel[-1] == n - 1
+        assert sel == sorted(set(sel))  # strictly increasing, no dups
+        # exactly one pick per middle bucket, inside its bucket range
+        m, nb = n - 2, n_out - 2
+        for b, j in enumerate(sel[1:-1]):
+            assert ((j - 1) * nb) // m == b
+
+    check()
