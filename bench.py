@@ -110,6 +110,7 @@ HEADLINE += [
     "events_hash_sample_cascade",
     "events_slo_burn_rate",
     "events_lttb_downsample",
+    "events_funnel_levels",
 ]
 
 

@@ -650,6 +650,130 @@ SELECT event_type, ts, value, j::BIGINT FROM pts WHERE j = n - 1
 
 
 # --------------------------------------------------------------------------
+# windowFunnel (ordered event chains within a time window)
+# --------------------------------------------------------------------------
+
+# funnel steps and window (6h), ClickHouse-windowFunnel-style semantics:
+# a user reaches level k when SOME chain event_1 <= ... <= event_k of
+# the first k steps exists with every event inside `window` of the
+# chain's first event, ordered by (ts, event_id) so ties cannot flip
+# the level between engines. 6h (not 1h) so the driver corpus's event
+# density exercises every level including full conversions.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_S = 6 * 3600
+
+
+def events_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (the ClickHouse ``windowFunnel``
+    aggregate — reference-ecosystem surface): how many users progressed
+    view → click → purchase with the whole chain inside six hours.
+    Emits one row per funnel level 0..3 with its user count.
+
+    Level logic is EXISTS over per-user event chains, expressed as
+    nested array higher-order functions over each user's collected
+    (step, ts-micros, event_id) triples — row-local JVM lambdas, no
+    Python; the DuckDB oracle evaluates the same nested list lambdas.
+    Per-user arrays are bounded (a user's own events), the only shuffle
+    is the per-user collect, and the nested scan is cubic only in the
+    per-user STEP-event counts — the windowFunnel state machine's cost
+    shape, not a corpus blowup."""
+    ev = _events(spark, sf_dir)
+    s1, s2, s3 = _FUNNEL_STEPS
+    per_user = (
+        ev.where(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .select(
+            "user_id",
+            F.struct(
+                F.col("event_type").alias("et"),
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_list("e").alias("es"))
+    )
+    win = _FUNNEL_WINDOW_S * 1_000_000
+
+    def later(a, b):  # strict (ts, event_id) order: b after a
+        return (b["us"] > a["us"]) | (
+            (b["us"] == a["us"]) & (b["eid"] > a["eid"])
+        )
+
+    def step(arr, et):
+        return F.filter(arr, lambda e: e["et"] == et)
+
+    es = F.col("es")
+    has1 = F.exists(step(es, s1), lambda v: F.lit(True))
+    has2 = F.exists(
+        step(es, s1),
+        lambda v: F.exists(
+            step(es, s2),
+            lambda c: later(v, c) & (c["us"] - v["us"] <= win),
+        ),
+    )
+    has3 = F.exists(
+        step(es, s1),
+        lambda v: F.exists(
+            step(es, s2),
+            lambda c: later(v, c)
+            & F.exists(
+                step(es, s3),
+                lambda p: later(c, p) & (p["us"] - v["us"] <= win),
+            ),
+        ),
+    )
+    lvl = (
+        F.when(has3, 3).when(has2, 2).when(has1, 1).otherwise(0)
+    ).alias("funnel_level")
+    return (
+        per_user.select(lvl)
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _funnel_sql() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    win = _FUNNEL_WINDOW_S * 1_000_000
+    later = (
+        "({b}.us > {a}.us OR ({b}.us = {a}.us AND {b}.eid > {a}.eid))"
+    )
+    return f"""
+WITH eu AS (
+  SELECT user_id,
+         list(struct_pack(et := event_type,
+                          us := epoch_us(ts),
+                          eid := event_id)) AS es
+  FROM {_EV_SQL}
+  WHERE event_type IN ('{s1}', '{s2}', '{s3}')
+  GROUP BY user_id
+), lv AS (
+  SELECT user_id,
+    list_filter(es, e -> e.et = '{s1}') AS l1,
+    list_filter(es, e -> e.et = '{s2}') AS l2,
+    list_filter(es, e -> e.et = '{s3}') AS l3
+  FROM eu
+), lvl AS (
+  SELECT user_id,
+    CASE
+      WHEN len(list_filter(l1, v ->
+             len(list_filter(l2, c -> {later.format(a="v", b="c")}
+               AND len(list_filter(l3, p -> {later.format(a="c", b="p")}
+                 AND p.us - v.us <= {win})) > 0)) > 0)) > 0 THEN 3
+      WHEN len(list_filter(l1, v ->
+             len(list_filter(l2, c -> {later.format(a="v", b="c")}
+               AND c.us - v.us <= {win})) > 0)) > 0 THEN 2
+      WHEN len(l1) > 0 THEN 1
+      ELSE 0
+    END AS funnel_level
+  FROM lv
+)
+SELECT funnel_level, count(*)::BIGINT AS n_users
+FROM lvl GROUP BY funnel_level
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -662,6 +786,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hash_sample_cascade": events_hash_sample_cascade,
     "events_slo_burn_rate": events_slo_burn_rate,
     "events_lttb_downsample": events_lttb_downsample,
+    "events_funnel_levels": events_funnel_levels,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -673,4 +798,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_hash_sample_cascade": _hash_sample_cascade_sql(),
     "events_slo_burn_rate": EVENTS_SLO_BURN_SQL,
     "events_lttb_downsample": _lttb_sql(),
+    "events_funnel_levels": _funnel_sql(),
 }

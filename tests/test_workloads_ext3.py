@@ -225,6 +225,7 @@ def test_emb_clusters_label_invariants(spark):
         "events_hash_sample_cascade",
         "events_slo_burn_rate",
         "events_lttb_downsample",
+        "events_funnel_levels",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
@@ -368,3 +369,53 @@ def test_lttb_structural_properties():
             assert ((j - 1) * nb) // m == b
 
     check()
+
+
+# --------------------------------------------------------------------------
+# events_funnel_levels
+# --------------------------------------------------------------------------
+
+
+def test_funnel_levels_golden(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_funnel_levels,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        # u1: full chain inside 6h -> level 3
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + H, 1, "click", 1.0, "{}"),
+        (3, base + 5 * H, 1, "purchase", 1.0, "{}"),
+        # u2: purchase BEFORE click -> order broken -> level 2 only
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base + 2 * H, 2, "purchase", 1.0, "{}"),
+        (6, base + 3 * H, 2, "click", 1.0, "{}"),
+        # u3: chain exceeds the 6h window (purchase at +7h) -> level 2
+        (7, base, 3, "view", 1.0, "{}"),
+        (8, base + H, 3, "click", 1.0, "{}"),
+        (9, base + 7 * H, 3, "purchase", 1.0, "{}"),
+        # u4: only a click (no view) -> windowFunnel gives level 0
+        (10, base, 4, "click", 1.0, "{}"),
+        # u5: window-boundary EXACTLY 6h (inclusive <=) -> level 3
+        (11, base, 5, "view", 1.0, "{}"),
+        (12, base + 3 * H, 5, "click", 1.0, "{}"),
+        (13, base + 6 * H, 5, "purchase", 1.0, "{}"),
+        # u6: same-timestamp view->click tie broken by event_id -> level 2
+        (14, base, 6, "view", 1.0, "{}"),
+        (15, base, 6, "click", 1.0, "{}"),
+        # u7: non-step events only -> excluded entirely (no row)
+        (16, base, 7, "error", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.funnel_level: r.n_users
+        for r in events_funnel_levels(spark, str(tmp_path)).collect()
+    }
+    # u1, u5 -> 3; u2, u3, u6 -> 2; u4 -> 0; u7 absent
+    assert got == {3: 2, 2: 3, 0: 1}
