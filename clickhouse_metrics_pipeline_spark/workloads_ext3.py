@@ -669,61 +669,66 @@ def events_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     view → click → purchase with the whole chain inside six hours.
     Emits one row per funnel level 0..3 with its user count.
 
-    Level logic is EXISTS over per-user event chains, expressed as
-    nested array higher-order functions over each user's collected
-    (step, ts-micros, event_id) triples — row-local JVM lambdas, no
-    Python; the DuckDB oracle evaluates the same nested list lambdas.
-    Per-user arrays are bounded (a user's own events), the only shuffle
-    is the per-user collect, and the nested scan is cubic only in the
-    per-user STEP-event counts — the windowFunnel state machine's cost
-    shape, not a corpus blowup."""
+    Spark side is the LINEAR windowFunnel state machine as one
+    ``F.aggregate`` walk over each user's (ts, id)-sorted events —
+    accumulator carries (best level-1 chain start, best completed
+    level-2 chain start, level-3 reached). Greedy max-chain-start is
+    complete: extending from the latest admissible chain start
+    maximizes remaining window slack, so if ANY chain reaches level k,
+    so does the tracked one. The DuckDB oracle deliberately keeps the
+    independent CUBIC nested-EXISTS formulation, so the hash match
+    also proves the linear state machine ≡ the declarative spec.
+    Per-user cost is linear in that user's events — no hot-user blowup
+    at 100 TB; the only shuffle is the per-user collect."""
     ev = _events(spark, sf_dir)
     s1, s2, s3 = _FUNNEL_STEPS
+    # (us, eid, et): array_sort orders lexicographically, giving the
+    # strict (ts, event_id) processing order the semantics require
     per_user = (
         ev.where(F.col("event_type").isin(*_FUNNEL_STEPS))
         .select(
             "user_id",
             F.struct(
-                F.col("event_type").alias("et"),
                 F.unix_micros("ts").alias("us"),
                 F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
             ).alias("e"),
         )
         .groupBy("user_id")
-        .agg(F.collect_list("e").alias("es"))
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
     )
     win = _FUNNEL_WINDOW_S * 1_000_000
+    neg = F.lit(-1).cast("long")
+    init = F.named_struct(
+        F.lit("c1"), neg, F.lit("c2"), neg, F.lit("l3"), F.lit(False)
+    )
 
-    def later(a, b):  # strict (ts, event_id) order: b after a
-        return (b["us"] > a["us"]) | (
-            (b["us"] == a["us"]) & (b["eid"] > a["eid"])
+    def stepper(acc, e):
+        # pre-update state = strict predecessors of e in sort order
+        c1 = F.when(
+            e["et"] == s1, F.greatest(acc["c1"], e["us"])
+        ).otherwise(acc["c1"])
+        c2 = F.when(
+            (e["et"] == s2)
+            & (acc["c1"] >= 0)
+            & (e["us"] - acc["c1"] <= win),
+            F.greatest(acc["c2"], acc["c1"]),
+        ).otherwise(acc["c2"])
+        l3 = acc["l3"] | (
+            (e["et"] == s3)
+            & (acc["c2"] >= 0)
+            & (e["us"] - acc["c2"] <= win)
+        )
+        return F.named_struct(
+            F.lit("c1"), c1, F.lit("c2"), c2, F.lit("l3"), l3
         )
 
-    def step(arr, et):
-        return F.filter(arr, lambda e: e["et"] == et)
-
-    es = F.col("es")
-    has1 = F.exists(step(es, s1), lambda v: F.lit(True))
-    has2 = F.exists(
-        step(es, s1),
-        lambda v: F.exists(
-            step(es, s2),
-            lambda c: later(v, c) & (c["us"] - v["us"] <= win),
-        ),
-    )
-    has3 = F.exists(
-        step(es, s1),
-        lambda v: F.exists(
-            step(es, s2),
-            lambda c: later(v, c)
-            & F.exists(
-                step(es, s3),
-                lambda p: later(c, p) & (p["us"] - v["us"] <= win),
-            ),
-        ),
-    )
+    fin = F.aggregate(F.col("es"), init, stepper)
     lvl = (
-        F.when(has3, 3).when(has2, 2).when(has1, 1).otherwise(0)
+        F.when(fin["l3"], 3)
+        .when(fin["c2"] >= 0, 2)
+        .when(fin["c1"] >= 0, 1)
+        .otherwise(0)
     ).alias("funnel_level")
     return (
         per_user.select(lvl)
@@ -774,6 +779,77 @@ FROM lvl GROUP BY funnel_level
 
 
 # --------------------------------------------------------------------------
+# Cohort retention (ClickHouse retention() surface)
+# --------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-retention cohorts — the ClickHouse ``retention()``
+    aggregate's product-analytics shape: users are cohorted by their
+    FIRST purchase's epoch day; for each (cohort day, day offset 0..6)
+    emit how many cohort members purchased again that day and the
+    retention rate in basis points (integer-exact:
+    ``active · 10000 div cohort_size`` — no float division anywhere).
+    Purchase events (not all activity) so the corpus's density still
+    yields a discriminating matrix rather than a wall of 100%.
+
+    Shape: two shuffles at user grain (first-day min, then distinct
+    user-days), one broadcast cohort-size relation; the output is a
+    (cohorts × 7) matrix. Day buckets are unix_timestamp div 86400 —
+    pure integer arithmetic, identical in both engines."""
+    ev = _events(spark, sf_dir)
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("unix_timestamp(ts) div 86400").alias("w"))
+        .distinct()
+    )
+    first = u.groupBy("user_id").agg(F.min("w").alias("w0"))
+    sizes = first.groupBy("w0").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    act = (
+        u.join(first, "user_id")
+        .select("user_id", "w0", (F.col("w") - F.col("w0")).alias("off"))
+        .where(F.col("off") <= 6)
+        .groupBy("w0", "off")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "w0")
+        .select(
+            F.col("w0").alias("cohort_day"),
+            F.col("off").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 10000) div cohort_size").alias(
+                "retention_bp"
+            ),
+        )
+    )
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch(ts)::BIGINT // 86400 AS w
+  FROM {_EV_SQL} WHERE event_type = 'purchase'
+), first AS (
+  SELECT user_id, min(w) AS w0 FROM uw GROUP BY user_id
+), sizes AS (
+  SELECT w0, count(DISTINCT user_id) AS cohort_size FROM first GROUP BY w0
+), act AS (
+  SELECT f.w0, uw.w - f.w0 AS off, count(DISTINCT uw.user_id) AS n_active
+  FROM uw JOIN first f USING (user_id)
+  WHERE uw.w - f.w0 <= 6
+  GROUP BY 1, 2
+)
+SELECT a.w0 AS cohort_day, a.off AS day_offset,
+       a.n_active::BIGINT AS n_active, s.cohort_size::BIGINT AS cohort_size,
+       ((a.n_active * 10000) // s.cohort_size)::BIGINT AS retention_bp
+FROM act a JOIN sizes s USING (w0)
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -787,6 +863,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_slo_burn_rate": events_slo_burn_rate,
     "events_lttb_downsample": events_lttb_downsample,
     "events_funnel_levels": events_funnel_levels,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -799,4 +876,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_slo_burn_rate": EVENTS_SLO_BURN_SQL,
     "events_lttb_downsample": _lttb_sql(),
     "events_funnel_levels": _funnel_sql(),
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
 }

@@ -419,3 +419,64 @@ def test_funnel_levels_golden(spark, tmp_path):
     }
     # u1, u5 -> 3; u2, u3, u6 -> 2; u4 -> 0; u7 absent
     assert got == {3: 2, 2: 3, 0: 1}
+
+
+# --------------------------------------------------------------------------
+# events_retention_cohorts
+# --------------------------------------------------------------------------
+
+
+def test_retention_cohorts_golden(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_retention_cohorts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    D = dt.timedelta(days=1)
+    rows, eid = [], 0
+
+    def buy(user, day):
+        nonlocal eid
+        rows.append((eid, base + day * D, user, "purchase", 1.0, "{}"))
+        eid += 1
+
+    # cohort day0: u1 buys d0,d1,d3; u2 buys d0 only; u3 buys d0,d1
+    for u, days in ((1, [0, 1, 3]), (2, [0]), (3, [0, 1])):
+        for d in days:
+            buy(u, d)
+    # cohort day2: u4 buys d2,d9 (offset 7 > 6: outside the matrix)
+    buy(4, 2)
+    buy(4, 9)
+    # non-purchase activity never counts
+    rows.append((eid, base, 1, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r.cohort_day, r.day_offset): (r.n_active, r.cohort_size, r.retention_bp)
+        for r in events_retention_cohorts(spark, str(tmp_path)).collect()
+    }
+    d0 = 19723  # 2024-01-01 in epoch days
+    assert got == {
+        (d0, 0): (3, 3, 10000),
+        (d0, 1): (2, 3, 6666),
+        (d0, 3): (1, 3, 3333),
+        (d0 + 2, 0): (1, 1, 10000),
+    }
+
+
+def test_retention_cohorts_discriminates(spark):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_retention_cohorts,
+    )
+
+    rows = events_retention_cohorts(spark, SF).collect()
+    assert rows
+    assert len({r.retention_bp for r in rows}) > 3  # not a wall of 100%
+    for r in rows:
+        assert 0 <= r.retention_bp <= 10000
+        assert r.day_offset == 0 or r.n_active <= r.cohort_size
+        if r.day_offset == 0:
+            assert r.retention_bp == 10000  # cohort day is full by def
