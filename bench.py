@@ -111,6 +111,7 @@ HEADLINE += [
     "events_slo_burn_rate",
     "events_lttb_downsample",
     "events_funnel_levels",
+    "events_retention_cohorts",
 ]
 
 

@@ -226,6 +226,7 @@ def test_emb_clusters_label_invariants(spark):
         "events_slo_burn_rate",
         "events_lttb_downsample",
         "events_funnel_levels",
+        "events_retention_cohorts",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
