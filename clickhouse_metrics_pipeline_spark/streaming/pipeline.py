@@ -445,6 +445,93 @@ def anomaly_zscore_stream(
     )
 
 
+def funnel_stream(
+    df: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_s: int = 6 * 3600,
+    key_col: str = "user_id",
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 48,
+) -> DataFrame:
+    """Continuous windowFunnel: the SAME linear state machine the batch
+    ``events_funnel_levels`` query runs as an ``F.aggregate`` walk
+    (workloads_ext3.py), here maintained as keyed streaming state —
+    per user, (best level-1 chain start, best completed level-2 chain
+    start, level-3 reached). Each micro-batch emits the users whose
+    funnel level CHANGED, with the new level — the live conversion
+    feed a product-analytics pipeline tails. Greedy max-chain-start is
+    complete (see the batch docstring), so the streamed level equals
+    the batch level over the same ordered events — pinned in
+    tests/test_streaming.py. State is three scalars per live user,
+    TTL-evicted. Rows arriving out of (ts, id) order across batches
+    beyond the watermark are processed in arrival-batch order (the
+    same ordering caveat as every keyed state machine here)."""
+    from pyspark.sql import functions as F
+
+    s1, s2, s3 = steps
+    win = window_s * 1_000_000
+    out_schema = f"{key_col} long, funnel_level int, bucket_ts timestamp"
+    state_schema = "c1 bigint, c2 bigint, l3 boolean"
+
+    def convert(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            c1, c2, l3 = state.get
+        else:
+            c1, c2, l3 = -1, -1, False
+
+        def level():
+            return 3 if l3 else (2 if c2 >= 0 else (1 if c1 >= 0 else 0))
+
+        before = level()
+        last_ts = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            for t, et in zip(us, pdf[step_col]):
+                t = int(t)
+                if et == s1:
+                    c1 = max(c1, t)
+                elif et == s2 and c1 >= 0 and t - c1 <= win:
+                    c2 = max(c2, c1)
+                elif et == s3 and c2 >= 0 and t - c2 <= win:
+                    l3 = True
+                last_ts = t
+        state.update((c1, c2, bool(l3)))
+        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+        after = level()
+        if after != before and last_ts is not None:
+            yield pd.DataFrame(
+                [
+                    {
+                        key_col: key[0],
+                        "funnel_level": after,
+                        "bucket_ts": pd.Timestamp(last_ts, unit="us"),
+                    }
+                ]
+            )
+
+    return (
+        df.where(F.col(step_col).isin(*steps))
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            convert,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def hash_sample_stream(
     df: DataFrame,
     k: int = 64,

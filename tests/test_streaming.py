@@ -802,3 +802,62 @@ class TestStreamingAnomaly:
         }
         assert got and got == want
         assert any(v[2] for v in got.values())  # detector fires somewhere
+
+
+class TestStreamingFunnel:
+    """funnel_stream runs the batch query's linear windowFunnel state
+    machine as keyed streaming state; the last emitted level per user
+    must equal the batch events_funnel_levels per-user level over the
+    same events."""
+
+    def test_stream_levels_match_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            funnel_stream,
+        )
+        from clickhouse_metrics_pipeline_spark.tables import _events
+        from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+            events_funnel_levels,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        src = tmp_path / "src"
+        src.mkdir()
+        ev = _events(spark, sf).select("user_id", "event_type", "ts", "event_id")
+        ev.coalesce(1).write.parquet(str(src / "b0"))
+
+        out, ck = str(tmp_path / "fn_out"), str(tmp_path / "fn_ck")
+        stream = funnel_stream(
+            spark.readStream.schema(
+                "user_id long, event_type string, ts timestamp, event_id long"
+            ).parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        # one batch -> at most one transition row per user: final level
+        emitted = {
+            r.user_id: r.funnel_level
+            for r in spark.read.parquet(out).collect()
+        }
+        assert emitted
+        # batch per-user levels: histogram back to levels via recompute
+        batch_hist = {
+            r.funnel_level: r.n_users
+            for r in events_funnel_levels(spark, sf).collect()
+        }
+        # users with level 0 emit nothing (level never changed from 0)
+        stream_hist: dict = {}
+        for lvl in emitted.values():
+            stream_hist[lvl] = stream_hist.get(lvl, 0) + 1
+        for lvl, n in batch_hist.items():
+            if lvl == 0:
+                continue
+            assert stream_hist.get(lvl, 0) == n, (lvl, stream_hist, batch_hist)
+        assert set(stream_hist) <= {1, 2, 3}
