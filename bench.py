@@ -112,6 +112,7 @@ HEADLINE += [
     "events_lttb_downsample",
     "events_funnel_levels",
     "events_retention_cohorts",
+    "events_coverage_uptime",
 ]
 
 

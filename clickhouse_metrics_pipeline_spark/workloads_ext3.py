@@ -850,6 +850,76 @@ FROM act a JOIN sizes s USING (w0)
 
 
 # --------------------------------------------------------------------------
+# Interval-union coverage (ClickHouse intervalLengthSum surface)
+# --------------------------------------------------------------------------
+
+_COVERAGE_HOLD_S = 300  # each event "covers" [ts, ts + 5m)
+
+
+def events_coverage_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage — the ClickHouse ``intervalLengthSum``
+    aggregate's shape, as the uptime/SLA question: treating each event
+    as covering [ts, ts+5m), how many seconds of each (event_type,
+    day) were covered at least once? Overlaps must not double-count,
+    so this is a sweep line: order intervals by start, carry the
+    running max end over PRIOR intervals, and each interval contributes
+    ``max(0, end − max(start, prior_max_end))``. All epoch-microsecond
+    integer arithmetic; an interval belongs to its start's day (a tail
+    crossing midnight counts toward the start day — documented
+    grouping, identical in both engines).
+
+    Shape: one shuffle to (type, day), then one ordered window per
+    group carrying a single running max — the sweep line is linear and
+    never materializes the O(n²) overlap pairs."""
+    ev = _events(spark, sf_dir)
+    hold = _COVERAGE_HOLD_S * 1_000_000
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(hold)).alias("e"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.lit(0))),
+    )
+    return (
+        base.select("event_type", "day", contrib.alias("c"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("sum(c) div 1000000").alias("covered_s"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+EVENTS_COVERAGE_SQL = f"""
+WITH iv AS (
+  SELECT event_type, ts::DATE AS day, epoch_us(ts) AS s,
+         epoch_us(ts) + {_COVERAGE_HOLD_S * 1_000_000} AS e, event_id
+  FROM {_EV_SQL}
+), sw AS (
+  SELECT event_type, day,
+         greatest(0, e - greatest(s, coalesce(
+           max(e) OVER (PARTITION BY event_type, day ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0))) AS c
+  FROM iv
+)
+SELECT event_type, day, (sum(c) // 1000000)::BIGINT AS covered_s,
+       count(*)::BIGINT AS n_intervals
+FROM sw GROUP BY event_type, day
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -864,6 +934,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lttb_downsample": events_lttb_downsample,
     "events_funnel_levels": events_funnel_levels,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_coverage_uptime": events_coverage_uptime,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -877,4 +948,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_lttb_downsample": _lttb_sql(),
     "events_funnel_levels": _funnel_sql(),
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
+    "events_coverage_uptime": EVENTS_COVERAGE_SQL,
 }

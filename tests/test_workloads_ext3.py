@@ -227,6 +227,7 @@ def test_emb_clusters_label_invariants(spark):
         "events_lttb_downsample",
         "events_funnel_levels",
         "events_retention_cohorts",
+        "events_coverage_uptime",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
@@ -481,3 +482,39 @@ def test_retention_cohorts_discriminates(spark):
         assert r.day_offset == 0 or r.n_active <= r.cohort_size
         if r.day_offset == 0:
             assert r.retention_bp == 10000  # cohort day is full by def
+
+
+# --------------------------------------------------------------------------
+# events_coverage_uptime
+# --------------------------------------------------------------------------
+
+
+def test_coverage_uptime_golden(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        events_coverage_uptime,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    M = dt.timedelta(minutes=1)
+    rows = [
+        # svc a: events at 0m and 2m -> intervals overlap (5m hold):
+        # union = [0, 7m) = 420s, not 600
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + 2 * M, 1, "a", 1.0, "{}"),
+        # svc b: events at 0m and 10m -> disjoint: 2 * 300 = 600s
+        (3, base, 1, "b", 1.0, "{}"),
+        (4, base + 10 * M, 1, "b", 1.0, "{}"),
+        # svc c: duplicate timestamps -> identical intervals: 300s
+        (5, base, 1, "c", 1.0, "{}"),
+        (6, base, 1, "c", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.event_type: (r.covered_s, r.n_intervals)
+        for r in events_coverage_uptime(spark, str(tmp_path)).collect()
+    }
+    assert got == {"a": (420, 2), "b": (600, 2), "c": (300, 2)}
