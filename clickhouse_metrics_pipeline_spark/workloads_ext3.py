@@ -1,26 +1,31 @@
-"""Third extended catalog (round 4, second batch): embedding-cluster
-dedup, per-series anomaly detection over rolling count statistics, BPE
-merge-candidate induction, and deterministic mixture sampling toward a
-target source distribution.
+"""Third extended catalog (round 4): alerting, product analytics,
+sketch-served quantiles, chart downsampling, and curation extensions.
+
+Metrics/observability: rolling z-score anomaly flags (exact integer
+DECIMAL algebra), two-window SLO error-budget burn rate (integer
+cross-multiplied page condition), interval-union uptime coverage
+(sweep line, the ClickHouse intervalLengthSum shape).
+
+Product analytics (ClickHouse-aggregate parity): windowFunnel ordered
+chains (linear per-user state machine, cubic declarative oracle),
+retention() daily cohort matrices, largestTriangleThreeBuckets chart
+downsampling (exact-integer LTTB, recursive-CTE oracle).
+
+Sketch-served quantiles: deterministic bottom-k-by-hash row samples
+(functions/sketch.py) — per-group estimates and a minute→hour→day
+cascade whose oracle computes the DIRECT sample, pinning merge
+losslessness.
+
+LLM-data curation: embedding-space cluster dedup over the stored pair
+index, BPE merge-candidate induction (row-local zip_with pairs), and
+deterministic token-budget mixture sampling (operators/mixture.py).
 
 Reference anchors: none of these exist in the reference (its engine
-stops at pairwise SQL joins and fixed-grain rollups); they extend the
-LLM-data-pipeline suite (embedding clusters, BPE merges, mixture
-sampling) and the metrics-alerting surface (anomaly z-score) with the
-same oracle-checked contract as the rest of the catalog.
-
-Scale notes inline per query; common themes:
-- anomaly z-score: one shuffle to the (series, hour) grain, then a
-  bounded 24-row window — no self-join, exact DECIMAL arithmetic so
-  the flag can't flip between engines or under combine reordering;
-- embedding clusters: reuses the adaptive connected-components kernel
-  (driver union-find under 1M edges, distributed min-label propagation
-  above) over the exact pair baseline;
-- BPE merges: pairs are built row-locally (zip of two shifted slices,
-  no explode of raw text), one count shuffle on the pair key;
-- mixture sample: the only full-corpus aggregate is one 1-row total
-  that broadcasts; quota assignment and the keep decision are exact
-  integer arithmetic over a per-source running window.
+stops at pairwise SQL joins and fixed-grain rollups); several are
+surface-parity with ClickHouse aggregates its users would reach for.
+Every query keeps the catalog contract: exact cross-engine-stable
+arithmetic (integer cents / epoch micros / DECIMAL(38,0) / HUGEINT),
+a DuckDB oracle twin, and an inline 100 TB scale note.
 """
 
 from __future__ import annotations
