@@ -280,6 +280,30 @@ def _functions() -> list[str]:
         """CREATE OR REPLACE TEMPORARY FUNCTION kmv_sketch_md5(
               sk ARRAY<BIGINT>) RETURNS STRING RETURN
             md5(array_join(transform(sk, x -> CAST(x AS STRING)), ','))""",
+        # --- bottom-k sample kernels (functions/sketch.py) ---
+        """CREATE OR REPLACE TEMPORARY FUNCTION hash_sample_quantile(
+              sk ARRAY<STRUCT<h: BIGINT, c: BIGINT>>, q_bp INT)
+            RETURNS DOUBLE RETURN
+            element_at(array_sort(transform(sk, s -> s.c)),
+              greatest(1, CAST((q_bp * size(sk) + 9999) / 10000 AS INT)))
+            / 100.0""",
+        """CREATE OR REPLACE TEMPORARY FUNCTION hash_sample_merge2(
+              a ARRAY<STRUCT<h: BIGINT, c: BIGINT>>,
+              b ARRAY<STRUCT<h: BIGINT, c: BIGINT>>, k INT)
+            RETURNS ARRAY<STRUCT<h: BIGINT, c: BIGINT>> RETURN
+            slice(array_sort(array_distinct(concat(
+              IF(a IS NULL, array(), a), IF(b IS NULL, array(), b)))), 1, k)""",
+        """CREATE OR REPLACE TEMPORARY FUNCTION hash_sample_md5(
+              sk ARRAY<STRUCT<h: BIGINT, c: BIGINT>>) RETURNS STRING RETURN
+            md5(array_join(transform(sk,
+              s -> concat(CAST(s.h AS STRING), ':', CAST(s.c AS STRING))), ','))""",
+        # --- Z-order layout kernel (sources/writer.py) ---
+        """CREATE OR REPLACE TEMPORARY FUNCTION zorder_val(
+              a BIGINT, b BIGINT, bits INT) RETURNS BIGINT RETURN
+            aggregate(sequence(0, bits - 1), CAST(0 AS BIGINT),
+              (acc, i) -> acc
+                | shiftleft(shiftright(a, i) & CAST(1 AS BIGINT), 2 * i)
+                | shiftleft(shiftright(b, i) & CAST(1 AS BIGINT), 2 * i + 1))""",
         """CREATE OR REPLACE TEMPORARY FUNCTION vec_quantize_int8(
               v ARRAY<FLOAT>) RETURNS STRUCT<scale: DOUBLE, q: ARRAY<TINYINT>>
             RETURN named_struct(

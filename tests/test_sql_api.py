@@ -285,3 +285,83 @@ class TestKmvSqlUdfs:
             assert r["est"] == w["est"]
             assert r["md5"] == w["md5"]
             assert list(r["merged"]) == list(w["merged"])
+
+
+class TestSampleAndZorderUdfs:
+    """SQL twins of the bottom-k sample kernels and the Z-order Morton
+    code equal their Column builders (§2.8 contract for round-4
+    kernels)."""
+
+    def test_hash_sample_udfs_equal_column_builders(self, sql_spark):
+        from clickhouse_metrics_pipeline_spark.functions.hashing import (
+            portable_hash60,
+        )
+        from clickhouse_metrics_pipeline_spark.functions.sketch import (
+            hash_sample,
+            hash_sample_md5,
+            hash_sample_quantile,
+        )
+        from clickhouse_metrics_pipeline_spark.tables import value_cents
+
+        k = 8
+        sk = (
+            sql_spark.table("events")
+            .groupBy("event_type")
+            .agg(
+                hash_sample(
+                    portable_hash60(F.col("event_id").cast("string")),
+                    value_cents("value"),
+                    k,
+                ).alias("sk")
+            )
+        )
+        sk.createOrReplaceTempView("hs_t")
+        got = {
+            r["event_type"]: r
+            for r in sql_spark.sql(
+                """SELECT event_type,
+                          hash_sample_quantile(sk, 5000) AS p50,
+                          hash_sample_quantile(sk, 9900) AS p99,
+                          hash_sample_md5(sk) AS m,
+                          hash_sample_merge2(sk, sk, 8) AS merged
+                   FROM hs_t"""
+            ).collect()
+        }
+        want = {
+            r["event_type"]: r
+            for r in sk.select(
+                "event_type",
+                hash_sample_quantile("sk", 5000).alias("p50"),
+                hash_sample_quantile("sk", 9900).alias("p99"),
+                hash_sample_md5("sk").alias("m"),
+                F.col("sk").alias("merged"),  # self-merge is identity
+            ).collect()
+        }
+        assert got
+        for et, r in got.items():
+            w = want[et]
+            assert (r["p50"], r["p99"], r["m"]) == (w["p50"], w["p99"], w["m"])
+            assert r["merged"] == w["merged"]
+
+    def test_zorder_udf_equals_column_builder(self, sql_spark):
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            zorder_value,
+        )
+
+        df = sql_spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535)], "a long, b long"
+        )
+        df.createOrReplaceTempView("z_t")
+        got = [
+            r["z"]
+            for r in sql_spark.sql(
+                "SELECT zorder_val(a, b, 16) AS z FROM z_t ORDER BY a, b"
+            ).collect()
+        ]
+        want = [
+            r["z"]
+            for r in df.select(zorder_value("a", "b", 16).alias("z"))
+            .orderBy("a", "b")
+            .collect()
+        ]
+        assert got == want and len(set(got)) == len(got)
