@@ -518,3 +518,32 @@ def test_coverage_uptime_golden(spark, tmp_path):
         for r in events_coverage_uptime(spark, str(tmp_path)).collect()
     }
     assert got == {"a": (420, 2), "b": (600, 2), "c": (300, 2)}
+
+
+def test_coverage_sweep_equals_bruteforce_union(spark):
+    """Property: the sweep-line union length equals a brute-force
+    second-by-second union over random interval sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        _COVERAGE_HOLD_S,
+    )
+
+    @given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1,
+                    max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(starts):
+        hold = _COVERAGE_HOLD_S
+        ivs = sorted((s, s + hold) for s in starts)
+        # the query's sweep line, replayed in plain python
+        total, max_end = 0, 0
+        for s, e in ivs:
+            total += max(0, e - max(s, max_end))
+            max_end = max(max_end, e)
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e))
+        assert total == len(covered)
+
+    check()
