@@ -113,6 +113,7 @@ HEADLINE += [
     "events_funnel_levels",
     "events_retention_cohorts",
     "events_coverage_uptime",
+    "events_funnel_conversions",
 ]
 
 

@@ -1511,6 +1511,7 @@ ORACLE_SQL.update(EXTRA3_ORACLE)
 # changes, so round-over-round comparisons by name are unaffected.
 _ROTATION_FIRST: list[str] = [
     # new round-4 queries first, then the 32 absent from r01..r03
+    "events_funnel_conversions",
     "events_coverage_uptime",
     "events_retention_cohorts",
     "events_funnel_levels",

@@ -855,6 +855,112 @@ FROM act a JOIN sizes s USING (w0)
 
 
 # --------------------------------------------------------------------------
+# sequenceCount (repeated non-overlapping funnel conversions)
+# --------------------------------------------------------------------------
+
+
+def events_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-conversion counting — the ClickHouse ``sequenceCount``
+    surface: how many DISJOINT view→click→purchase chains (6h window,
+    the same steps/window as events_funnel_levels) each user completed,
+    as a (n_conversions → n_users) histogram. Semantics are the greedy
+    reset-on-complete machine (complete a chain as early as possible,
+    then reset — the exchange-argument-optimal schedule for disjoint
+    subsequences): the funnel accumulator gains a counter, and a
+    completing purchase increments it and clears both chain starts.
+
+    The Spark side runs the machine as one F.aggregate walk per user
+    (linear); the DuckDB oracle replays the IDENTICAL machine as a
+    per-event recursive CTE (one recursion step per event index), so
+    the hash pins cross-engine machine equality; the independent
+    correctness anchor is the pytest greedy reference
+    (tests/test_workloads_ext3.py)."""
+    ev = _events(spark, sf_dir)
+    s1, s2, s3 = _FUNNEL_STEPS
+    per_user = (
+        ev.where(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+    )
+    win = _FUNNEL_WINDOW_S * 1_000_000
+    neg = F.lit(-1).cast("long")
+    init = F.named_struct(
+        F.lit("c1"), neg, F.lit("c2"), neg,
+        F.lit("cnt"), F.lit(0).cast("long"),
+    )
+
+    def stepper(acc, e):
+        complete = (
+            (e["et"] == s3) & (acc["c2"] >= 0) & (e["us"] - acc["c2"] <= win)
+        )
+        c1 = F.when(complete, neg).otherwise(
+            F.when(e["et"] == s1, F.greatest(acc["c1"], e["us"])).otherwise(
+                acc["c1"]
+            )
+        )
+        c2 = F.when(complete, neg).otherwise(
+            F.when(
+                (e["et"] == s2)
+                & (acc["c1"] >= 0)
+                & (e["us"] - acc["c1"] <= win),
+                F.greatest(acc["c2"], acc["c1"]),
+            ).otherwise(acc["c2"])
+        )
+        cnt = acc["cnt"] + complete.cast("long")
+        return F.named_struct(
+            F.lit("c1"), c1, F.lit("c2"), c2, F.lit("cnt"), cnt
+        )
+
+    fin = F.aggregate(F.col("es"), init, stepper)
+    return (
+        per_user.select(fin["cnt"].alias("n_conversions"))
+        .groupBy("n_conversions")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _funnel_conversions_sql() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    win = _FUNNEL_WINDOW_S * 1_000_000
+    complete = f"(e.et = '{s3}' AND m.c2 >= 0 AND e.us - m.c2 <= {win})"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type AS et, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS j
+  FROM {_EV_SQL}
+  WHERE event_type IN ('{s1}', '{s2}', '{s3}')
+), m(user_id, j, c1, c2, cnt) AS (
+  SELECT user_id, 0, -1::BIGINT, -1::BIGINT, 0::BIGINT
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT m.user_id, m.j + 1,
+    CASE WHEN {complete} THEN -1
+         WHEN e.et = '{s1}' THEN greatest(m.c1, e.us)
+         ELSE m.c1 END,
+    CASE WHEN {complete} THEN -1
+         WHEN e.et = '{s2}' AND m.c1 >= 0 AND e.us - m.c1 <= {win}
+           THEN greatest(m.c2, m.c1)
+         ELSE m.c2 END,
+    m.cnt + CASE WHEN {complete} THEN 1 ELSE 0 END
+  FROM m JOIN ev e ON e.user_id = m.user_id AND e.j = m.j + 1
+), fin AS (
+  SELECT user_id, max_by(cnt, j) AS n_conversions FROM m GROUP BY user_id
+)
+SELECT n_conversions, count(*)::BIGINT AS n_users
+FROM fin GROUP BY n_conversions
+"""
+
+
+# --------------------------------------------------------------------------
 # Interval-union coverage (ClickHouse intervalLengthSum surface)
 # --------------------------------------------------------------------------
 
@@ -940,6 +1046,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_levels": events_funnel_levels,
     "events_retention_cohorts": events_retention_cohorts,
     "events_coverage_uptime": events_coverage_uptime,
+    "events_funnel_conversions": events_funnel_conversions,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -954,4 +1061,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_funnel_levels": _funnel_sql(),
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_coverage_uptime": EVENTS_COVERAGE_SQL,
+    "events_funnel_conversions": _funnel_conversions_sql(),
 }

@@ -228,6 +228,7 @@ def test_emb_clusters_label_invariants(spark):
         "events_funnel_levels",
         "events_retention_cohorts",
         "events_coverage_uptime",
+        "events_funnel_conversions",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
@@ -547,3 +548,58 @@ def test_coverage_sweep_equals_bruteforce_union(spark):
         assert total == len(covered)
 
     check()
+
+
+# --------------------------------------------------------------------------
+# events_funnel_conversions
+# --------------------------------------------------------------------------
+
+
+def _greedy_conversions(events, win_us):
+    """Independent reference: greedy reset-on-complete chain counting
+    over (us, eid, et) triples."""
+    c1 = c2 = -1
+    cnt = 0
+    for us, _eid, et in sorted(events):
+        if et == "purchase" and c2 >= 0 and us - c2 <= win_us:
+            cnt += 1
+            c1 = c2 = -1
+        elif et == "view":
+            c1 = max(c1, us)
+        elif et == "click" and c1 >= 0 and us - c1 <= win_us:
+            c2 = max(c2, c1)
+    return cnt
+
+
+def test_funnel_conversions_matches_greedy_reference(spark):
+    from clickhouse_metrics_pipeline_spark.tables import _events
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        _FUNNEL_STEPS,
+        _FUNNEL_WINDOW_S,
+        events_funnel_conversions,
+    )
+
+    got = {
+        r.n_conversions: r.n_users
+        for r in events_funnel_conversions(spark, SF).collect()
+    }
+    rows = (
+        _events(spark, SF)
+        .where(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id",
+                "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.us, r.event_id, r.event_type)
+        )
+    expect: dict = {}
+    for evs in by_user.values():
+        c = _greedy_conversions(evs, _FUNNEL_WINDOW_S * 1_000_000)
+        expect[c] = expect.get(c, 0) + 1
+    assert got == expect
+    # discriminating at this sf: converters and non-converters coexist
+    # (repeated >=2 conversions appear at sf0.01, covered by the oracle)
+    assert any(k >= 1 for k in got) and 0 in got
