@@ -1531,9 +1531,6 @@ _ROTATION_FIRST: list[str] = [
     "docs_minhash_lsh_32band",
     "events_exemplar_trace_join",
     "events_workspace_isolation",
-    "exp_hist_merge",
-    "docs_rolling_fingerprint",
-    "multimodal_features",
     "multimodal_resize_chain",
     "emb_ivf_topk",
     "emb_ivf_kmeans_topk",
@@ -1563,6 +1560,10 @@ _ROTATION_FIRST: list[str] = [
     "emb_quantize_int8",
     "docs_pack_sequences",
     "docs_source_overlap",
+    # graded in earlier rounds: after every never-graded entry
+    "exp_hist_merge",
+    "docs_rolling_fingerprint",
+    "multimodal_features",
 ]
 
 
