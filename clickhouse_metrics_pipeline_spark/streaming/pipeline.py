@@ -445,6 +445,131 @@ def anomaly_zscore_stream(
     )
 
 
+def slo_burn_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    key_ddl: str = "event_type string",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bad_min: float = 95.0,
+    budget_bp: int = 100,
+    thresh_x10: int = 144,
+    grain_seconds: int = 3600,
+    long_buckets: int = 6,
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 48,
+) -> DataFrame:
+    """Continuous two-window SLO burn-rate paging — the streaming twin
+    of the batch ``events_slo_burn_rate`` query (workloads_ext3.py),
+    sharing its exact integer page condition: a closed hourly bucket
+    with (total, bad) pages when BOTH the bucket itself and the
+    trailing ``long_buckets`` hours (bucket included) burn the error
+    budget faster than thresh_x10/10, evaluated cross-multiplied
+    (``bad·10000·10 > thresh_x10·budget_bp·total``) so the flag cannot
+    flip between engines or restarts.
+
+    Stateful shape: per service, the open bucket's (start, total, bad)
+    plus a deque of the last ``long_buckets − 1`` closed (bucket_start,
+    total, bad) triples; a bucket CLOSES on event-time progress
+    (same mechanics as anomaly_zscore_stream). Calendar-gap semantics
+    match the batch RANGE window: trailing entries older than
+    ``long_buckets − 1`` grains before the closing bucket drop out even
+    when fewer than ``long_buckets`` buckets exist. Equality with the
+    batch query over every closeable bucket is pinned in
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ siblings)
+
+    out_schema = (
+        f"{key_ddl}, bucket_ts timestamp, total_1h bigint, bad_1h bigint, "
+        "burn_1h double, burn_6h double, page_alert boolean"
+    )
+    state_schema = (
+        "open_ts bigint, open_n bigint, open_bad bigint, "
+        "trail_ts array<bigint>, trail_n array<bigint>, "
+        "trail_bad array<bigint>"
+    )
+    names = list(key_cols)
+    thresh = thresh_x10 * budget_bp
+
+    def convert(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            open_ts, open_n, open_bad, t_ts, t_n, t_bad = state.get
+            trail = list(zip(t_ts or [], t_n or [], t_bad or []))
+        else:
+            open_ts, open_n, open_bad, trail = None, 0, 0, []
+
+        def close_row():
+            # long window: trailing closed buckets within range + self
+            lo = open_ts - (long_buckets - 1) * grain_seconds
+            tot6 = open_n + sum(n for ts0, n, _ in trail if ts0 >= lo)
+            bad6 = open_bad + sum(b for ts0, _, b in trail if ts0 >= lo)
+            page = (
+                open_bad * 100000 > thresh * open_n
+                and bad6 * 100000 > thresh * tot6
+            )
+            row = dict(zip(names, key))
+            row.update(
+                bucket_ts=pd.Timestamp(open_ts, unit="s"),
+                total_1h=open_n,
+                bad_1h=open_bad,
+                burn_1h=round(open_bad * 10000.0 / (open_n * budget_bp), 4),
+                burn_6h=round(bad6 * 10000.0 / (tot6 * budget_bp), 4),
+                page_alert=bool(page),
+            )
+            return row
+
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            secs = pdf[ts_col].values.astype("datetime64[s]").astype("int64")
+            order = secs.argsort(kind="mergesort")
+            vals = pdf[value_col].values
+            for i in order:
+                t, bad = int(secs[i]), bool(vals[i] >= bad_min)
+                b = t // grain_seconds * grain_seconds
+                if open_ts is None:
+                    open_ts, open_n, open_bad = b, 1, int(bad)
+                elif b == open_ts:
+                    open_n += 1
+                    open_bad += int(bad)
+                elif b < open_ts:
+                    continue  # late beyond the open bucket: dropped
+                else:
+                    out.append(close_row())
+                    trail.append((open_ts, open_n, open_bad))
+                    del trail[: -(long_buckets - 1)]
+                    open_ts, open_n, open_bad = b, 1, int(bad)
+        state.update(
+            (
+                open_ts,
+                open_n,
+                open_bad,
+                [x[0] for x in trail],
+                [x[1] for x in trail],
+                [x[2] for x in trail],
+            )
+        )
+        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            convert,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def funnel_stream(
     df: DataFrame,
     steps: tuple[str, str, str] = ("view", "click", "purchase"),

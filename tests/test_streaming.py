@@ -861,3 +861,63 @@ class TestStreamingFunnel:
                 continue
             assert stream_hist.get(lvl, 0) == n, (lvl, stream_hist, batch_hist)
         assert set(stream_hist) <= {1, 2, 3}
+
+
+class TestStreamingSloBurn:
+    """slo_burn_stream shares the batch query's exact integer page
+    condition; streamed rows over the events fixture must equal
+    events_slo_burn_rate on every CLOSEABLE bucket (all but each
+    service's final bucket)."""
+
+    def test_stream_burn_matches_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            slo_burn_stream,
+        )
+        from clickhouse_metrics_pipeline_spark.tables import _events
+        from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+            events_slo_burn_rate,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        src = tmp_path / "src"
+        src.mkdir()
+        _events(spark, sf).select("event_type", "ts", "value").coalesce(
+            1
+        ).write.parquet(str(src / "b0"))
+
+        out, ck = str(tmp_path / "sb_out"), str(tmp_path / "sb_ck")
+        stream = slo_burn_stream(
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double"
+            ).parquet(str(src / "*")),
+            watermark="0 seconds",
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        key = lambda r: (r.event_type, r.bucket_ts)  # noqa: E731
+        val = lambda r: (  # noqa: E731
+            r.total_1h, r.bad_1h, r.burn_1h, r.burn_6h, r.page_alert
+        )
+        got = {key(r): val(r) for r in spark.read.parquet(out).collect()}
+        batch = events_slo_burn_rate(spark, sf).collect()
+        last = {}
+        for r in batch:
+            cur = last.get(r.event_type)
+            if cur is None or r.bucket_ts > cur:
+                last[r.event_type] = r.bucket_ts
+        want = {
+            key(r): val(r)
+            for r in batch
+            if r.bucket_ts != last[r.event_type]
+        }
+        assert got and got == want
+        assert any(v[4] for v in got.values())  # pages somewhere
+        assert not all(v[4] for v in got.values())
