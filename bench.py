@@ -114,6 +114,7 @@ HEADLINE += [
     "events_retention_cohorts",
     "events_coverage_uptime",
     "events_funnel_conversions",
+    "events_top_movers",
 ]
 
 

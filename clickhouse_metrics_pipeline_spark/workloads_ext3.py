@@ -1031,6 +1031,63 @@ FROM sw GROUP BY event_type, day
 
 
 # --------------------------------------------------------------------------
+# Top movers (largest day-over-day rate changes)
+# --------------------------------------------------------------------------
+
+
+def events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "what changed?" dashboard: per (event_type, day) event
+    counts versus the PREVIOUS observed day, ranked by absolute
+    relative change — emit the top 10 movers. Relative change rides as
+    integer basis points (``(n - prev) · 10000 div prev``) and the rank
+    is a deterministic dense order over (|change_bp|, event_type, day)
+    so the cut at 10 cannot flip between engines.
+
+    Shape: one shuffle to the (type, day) grain, a lag-1 window per
+    type, and a 10-row TakeOrdered — rollup-cardinality work
+    throughout."""
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = d.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_n"),
+    ).where(F.col("prev_n").isNotNull())
+    chg = F.expr("((n_events - prev_n) * 10000) div prev_n")
+    return (
+        d.select(
+            "event_type", "day", "n_events", "prev_n",
+            chg.alias("change_bp"),
+        )
+        .orderBy(
+            F.abs(F.col("change_bp")).desc(), "event_type", "day"
+        )
+        .limit(10)
+    )
+
+
+EVENTS_TOP_MOVERS_SQL = f"""
+WITH d AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM {_EV_SQL} GROUP BY 1, 2
+), l AS (
+  SELECT event_type, day, n_events,
+         lag(n_events) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM d
+)
+SELECT event_type, day, n_events, prev_n,
+       (((n_events - prev_n) * 10000) // prev_n)::BIGINT AS change_bp
+FROM l WHERE prev_n IS NOT NULL
+ORDER BY abs((((n_events - prev_n) * 10000) // prev_n)) DESC, event_type, day
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -1047,6 +1104,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_coverage_uptime": events_coverage_uptime,
     "events_funnel_conversions": events_funnel_conversions,
+    "events_top_movers": events_top_movers,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -1062,4 +1120,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_coverage_uptime": EVENTS_COVERAGE_SQL,
     "events_funnel_conversions": _funnel_conversions_sql(),
+    "events_top_movers": EVENTS_TOP_MOVERS_SQL,
 }

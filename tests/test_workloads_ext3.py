@@ -229,6 +229,7 @@ def test_emb_clusters_label_invariants(spark):
         "events_retention_cohorts",
         "events_coverage_uptime",
         "events_funnel_conversions",
+        "events_top_movers",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
