@@ -115,6 +115,7 @@ HEADLINE += [
     "events_coverage_uptime",
     "events_funnel_conversions",
     "events_top_movers",
+    "emb_label_centroids",
 ]
 
 

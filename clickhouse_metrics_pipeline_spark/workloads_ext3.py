@@ -1088,6 +1088,102 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Label-centroid embedding analytics
+# --------------------------------------------------------------------------
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level embedding diagnostics: pairwise cosine similarity
+    between per-label centroid vectors — the "are my clusters/sources
+    semantically distinct?" check a curation pipeline runs before
+    trusting label- or source-conditioned sampling.
+
+    EXACT aggregation: components are scaled to integers
+    (``round(v·10⁶)``) so per-(label, dim) sums are order-independent
+    bigints; centroid dot products accumulate those sums in
+    DECIMAL(38,0)/HUGEINT (per-term ≲ 2.5e17, 64-dim totals pass
+    int64), and only the final cosine performs float math — one cast,
+    two sqrts, one divide, identical IEEE in both engines, rounded
+    to 6. (Cosine of sum-vectors equals cosine of mean-vectors — the
+    1/n factors cancel — so no division ever enters the aggregate.)
+
+    Scale: one explode to (label, dim) — 64·n rows, the standard
+    distributed shape for element-wise vector aggregation — one
+    sum-shuffle to (label, dim) cardinality (labels × 64), then a tiny
+    per-dim self-join; nothing downstream of the first aggregate
+    depends on corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label", "dim",
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("q"),
+    )
+    s = q.groupBy("label", "dim").agg(F.sum("q").alias("sq"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(dec(F.col("a.sq")) * dec(F.col("b.sq"))).alias("dot"),
+            F.sum(dec(F.col("a.sq")) * dec(F.col("a.sq"))).alias("na"),
+            F.sum(dec(F.col("b.sq")) * dec(F.col("b.sq"))).alias("nb"),
+        )
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        6,
+    )
+    return (
+        pairs.join(
+            F.broadcast(n.select(F.col("label").alias("label_a"),
+                                 F.col("n_vecs").alias("n_a"))), "label_a")
+        .join(
+            F.broadcast(n.select(F.col("label").alias("label_b"),
+                                 F.col("n_vecs").alias("n_b"))), "label_b")
+        .select("label_a", "label_b", "n_a", "n_b",
+                cos.alias("centroid_cosine"))
+    )
+
+
+EMB_CENTROIDS_SQL = """
+WITH q AS (
+  SELECT label, u['dim'] AS dim, u['q'] AS q
+  FROM (
+    SELECT label,
+           unnest([{'dim': i - 1,
+                    'q': CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)}
+                   for i in range(1, len(embedding) + 1)]) AS u
+    FROM embeddings)
+), s AS (
+  SELECT label, dim, sum(q)::BIGINT AS sq FROM q GROUP BY 1, 2
+), p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.sq::HUGEINT * b.sq::HUGEINT) AS dot,
+         sum(a.sq::HUGEINT * a.sq::HUGEINT) AS na,
+         sum(b.sq::HUGEINT * b.sq::HUGEINT) AS nb
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+), n AS (
+  SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT p.label_a, p.label_b, na2.n_vecs AS n_a, nb2.n_vecs AS n_b,
+       round(p.dot::DOUBLE / (sqrt(p.na::DOUBLE) * sqrt(p.nb::DOUBLE)), 6)
+         AS centroid_cosine
+FROM p
+JOIN n na2 ON na2.label = p.label_a
+JOIN n nb2 ON nb2.label = p.label_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -1105,6 +1201,7 @@ EXTRA3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_coverage_uptime": events_coverage_uptime,
     "events_funnel_conversions": events_funnel_conversions,
     "events_top_movers": events_top_movers,
+    "emb_label_centroids": emb_label_centroids,
 }
 
 EXTRA3_ORACLE: dict[str, str] = {
@@ -1121,4 +1218,5 @@ EXTRA3_ORACLE: dict[str, str] = {
     "events_coverage_uptime": EVENTS_COVERAGE_SQL,
     "events_funnel_conversions": _funnel_conversions_sql(),
     "events_top_movers": EVENTS_TOP_MOVERS_SQL,
+    "emb_label_centroids": EMB_CENTROIDS_SQL,
 }

@@ -230,6 +230,7 @@ def test_emb_clusters_label_invariants(spark):
         "events_coverage_uptime",
         "events_funnel_conversions",
         "events_top_movers",
+        "emb_label_centroids",
     ],
 )
 def test_ext3_invariant_under_shuffle_parallelism(spark, name):
@@ -604,3 +605,38 @@ def test_funnel_conversions_matches_greedy_reference(spark):
     # discriminating at this sf: converters and non-converters coexist
     # (repeated >=2 conversions appear at sf0.01, covered by the oracle)
     assert any(k >= 1 for k in got) and 0 in got
+
+
+# --------------------------------------------------------------------------
+# emb_label_centroids
+# --------------------------------------------------------------------------
+
+
+def test_label_centroids_golden(spark, tmp_path):
+    from clickhouse_metrics_pipeline_spark.workloads_ext3 import (
+        emb_label_centroids,
+    )
+
+    rows = [
+        # label 0 and label 1 have IDENTICAL centroids -> cosine 1.0
+        (0, [1.0, 0.0, 1.0], 0),
+        (1, [0.0, 1.0, 0.0], 0),
+        (2, [1.0, 0.0, 1.0], 1),
+        (3, [0.0, 1.0, 0.0], 1),
+        # label 2 is orthogonal to the (1,1,1)-ish centroid? build truly
+        # orthogonal: centroid of 0/1 is (0.5,0.5,0.5); use (1,-1,0)
+        (4, [1.0, -1.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        (r.label_a, r.label_b): (r.n_a, r.n_b, r.centroid_cosine)
+        for r in emb_label_centroids(spark, str(tmp_path)).collect()
+    }
+    assert got[(0, 1)] == (2, 2, 1.0)
+    # (0.5, 0.5, 0.5) . (1, -1, 0) = 0 -> orthogonal
+    assert got[(0, 2)][2] == 0.0 and got[(1, 2)][2] == 0.0
+    for (_, _), (_, _, c) in got.items():
+        assert -1.0 <= c <= 1.0
