@@ -1,0 +1,63 @@
+"""Pin the bench stdout artifact contract.
+
+The driver tail-captures the LAST 2000 BYTES of stdout (measured from
+BENCH_r03.json's "tail" field, whose head-cut JSON line is why round 3
+has no machine-readable headline). bench.compact_line must therefore
+emit a parseable JSON line that NEVER exceeds its cap, for any headline
+size — including future rounds that grow the query list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, STDOUT_LINE_CAP, compact_line
+
+
+def _parse(line: str) -> dict:
+    assert len(line) <= STDOUT_LINE_CAP < 2000
+    d = json.loads(line)
+    assert d["metric"] == "headline_suite_total"
+    assert d["unit"] == "sec"
+    assert isinstance(d["queries"], dict)
+    return d
+
+
+def test_current_headline_fits_without_truncation():
+    timings = {name: 9.999 for name in HEADLINE}
+    d = _parse(compact_line(timings, round(sum(timings.values()), 3), 0.1))
+    # the real suite must fit whole — truncation is a never-reached
+    # safety net at the current headline size, even at 4-char timings
+    assert "queries_omitted" not in d
+    assert set(d["queries"]) == set(HEADLINE)
+
+
+def test_oversized_headline_truncates_fastest_first_and_still_parses():
+    timings = {f"some_very_long_query_name_number_{i:04d}": 0.01 * (i + 1)
+               for i in range(200)}
+    timings["slowest_query_of_all"] = 99.9
+    total = round(sum(timings.values()), 3)
+    d = _parse(compact_line(timings, total, 0.1))
+    assert d["queries_omitted"] > 0
+    # the slowest entry always survives; the omitted mass is accounted
+    assert "slowest_query_of_all" in d["queries"]
+    kept = sum(d["queries"].values())
+    assert abs(kept + d["queries_omitted_sec"] - total) < 1.0
+    assert d["value"] == total
+
+
+def test_bench_details_sidecar_has_full_data_when_present():
+    # bench_details.json is written by every bench run; when it exists it
+    # must carry the fields the stdout line may omit
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_details.json",
+    )
+    if not os.path.exists(path):
+        return
+    d = json.load(open(path))
+    assert "warm_samples" in d and "cold_queries" in d
