@@ -89,6 +89,100 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))
 
 
+def ordered_word_shingles(text: Column | str, n: int = 8) -> Column:
+    """Word n-grams of the normalized text in document order, one per
+    start position (NOT distinct — positional twin of
+    :func:`word_shingles`, same zip_with construction). Element ``i``
+    (0-based) is the gram starting at token ``i``; callers that need
+    positions pair it with ``posexplode``."""
+    w = tokens(text)
+    m = F.size(w) - (n - 1)
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans: for every document, the merged
+    intervals of tokens covered by some k-gram that occurs >= min_count
+    times in the corpus (within- or cross-document). The token-level
+    twin of exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    instead of dropping whole near-duplicate documents, this localizes
+    the repeated regions so a curation pipeline can cut them.
+
+    Returns one row per maximal span: (id_col, span_start, span_tokens,
+    n_dup_grams), where span_start is the 0-based token index, two hit
+    grams merge iff their [pos, pos+k) token intervals share a token,
+    and n_dup_grams counts the duplicated k-gram starts inside the span.
+
+    Scale: positional k-grams are row-local HOFs (no Python); the only
+    shuffles are the groupBy on the 60-bit gram hash (map-side combined
+    counts) and the hash-join of hits against the repeated-gram set —
+    that set is unbounded at corpus scale, so it stays a shuffle join
+    (NOT broadcast). The island merge is a bounded per-document sort
+    window, the same sweep shape as interval-union coverage. All
+    arithmetic is integer, so results are combine-order exact."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from pyspark.sql.window import Window
+
+    pg = docs.select(
+        F.col(id_col),
+        F.posexplode(ordered_word_shingles(text_col, k)).alias("pos", "g"),
+    ).select(id_col, "pos", portable_hash60(F.col("g")).alias("h"))
+    rep = (
+        pg.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("h")
+    )
+    hits = pg.join(rep, "h").select(id_col, "pos")
+    # sweep-line island merge: a hit opens a new span iff its start is
+    # at or past every earlier hit's interval end (pos + k)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.select(
+        id_col,
+        "pos",
+        F.when(
+            F.col("pos")
+            >= F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = isl.select(id_col, "pos", F.sum("_new").over(w_run).alias("_g"))
+    return grp.groupBy(id_col, "_g").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+    ).drop("_g")
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1500,6 +1500,17 @@ from clickhouse_metrics_pipeline_spark.workloads_ext3 import (  # noqa: E402
 QUERIES.update(EXTRA3_QUERIES)
 ORACLE_SQL.update(EXTRA3_ORACLE)
 
+# fourth extension: repeated-span localization (token-level
+# exact-substring dedup) and the remaining PromQL range functions
+# (changes, deriv/predict_linear)
+from clickhouse_metrics_pipeline_spark.workloads_ext4 import (  # noqa: E402
+    EXTRA4_ORACLE,
+    EXTRA4_QUERIES,
+)
+
+QUERIES.update(EXTRA4_QUERIES)
+ORACLE_SQL.update(EXTRA4_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 4)
 # --------------------------------------------------------------------------
@@ -1560,6 +1571,15 @@ _ROTATION_FIRST: list[str] = [
     "emb_quantize_int8",
     "docs_pack_sequences",
     "docs_source_overlap",
+    # 50th slot: the round-4 second-batch query with the most new
+    # machinery behind it (operators/dedup.py repeated_spans)
+    "docs_repeated_spans",
+    # never-driver-graded yet, queued for the next rotation window
+    # (51+ this round): remaining second-batch + late-round-4 entries
+    "events_predict_linear",
+    "events_changes_1h",
+    "events_top_movers",
+    "emb_label_centroids",
     # graded in earlier rounds: after every never-graded entry
     "exp_hist_merge",
     "docs_rolling_fingerprint",

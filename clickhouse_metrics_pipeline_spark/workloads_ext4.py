@@ -1,0 +1,285 @@
+"""Fourth extended catalog (round 4, second batch): span-level dedup
+and the remaining PromQL range-vector functions.
+
+LLM-data curation: maximal repeated token spans (the token-level twin
+of exact-substring dedup, Lee et al. 2022 — localizes duplicated
+regions instead of dropping whole documents; operators/dedup.py
+``repeated_spans``).
+
+Metrics/observability: PromQL ``changes()`` at the 1h rollup grain
+(irate/rate/resets already exist), and ``deriv()``/``predict_linear()``
+— per-series least-squares slope over the trailing 7 days of minute
+buckets plus the 60-min-ahead forecast, in exact integer algebra
+(DECIMAL(38,0) / HUGEINT cross-products; the only float ops are the
+final identically-ordered divisions both engines round the same way).
+
+Reference anchors: none of these exist in the reference (its engine
+stops at fixed-grain rollups); changes/deriv/predict_linear are
+Prometheus surface its users query through Remote Read. Catalog
+contract throughout: exact cross-engine-stable arithmetic, a DuckDB
+oracle twin, an inline 100 TB scale note.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+    portable_hash60_sql,
+)
+from clickhouse_metrics_pipeline_spark.tables import _events, _t, value_cents
+
+_EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
+
+
+# --------------------------------------------------------------------------
+# Repeated-span localization (token-level exact-substring dedup)
+# --------------------------------------------------------------------------
+
+
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans over the corpus: merged intervals
+    of tokens covered by any 8-gram occurring >= 2 times (within- or
+    cross-document) — the span-level curation report exact-substring
+    dedup pipelines cut from training data (Lee et al. 2022). Document
+    near-dup queries answer "which docs"; this answers "which tokens".
+
+    Scale: see operators.dedup.repeated_spans — row-local positional
+    grams, one map-side-combined groupBy on the 60-bit gram hash, a
+    shuffle join of hits against the (unbounded, so never broadcast)
+    repeated-gram set, and a bounded per-document sweep window. All
+    integer arithmetic."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(docs, k=8, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+_H_G = portable_hash60_sql("g")
+
+DOCS_REPEATED_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]
+              ELSE [] END AS gs
+  FROM toks
+), pg AS (
+  SELECT doc_id, pos, {_H_G} AS h
+  FROM (SELECT doc_id, unnest(gs) AS g,
+               generate_subscripts(gs, 1) - 1 AS pos
+        FROM grams)
+), rep AS (
+  SELECT h FROM pg GROUP BY h HAVING count(*) >= 2
+), hits AS (
+  SELECT pg.doc_id, pg.pos FROM pg JOIN rep USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= coalesce(max(pos + 8) OVER
+              (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+), grp AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 8 - min(pos))::BIGINT AS span_tokens,
+       count(*)::BIGINT AS n_dup_grams
+FROM grp GROUP BY doc_id, g
+ORDER BY doc_id, span_start
+"""
+
+
+# --------------------------------------------------------------------------
+# PromQL changes() at the rollup grain
+# --------------------------------------------------------------------------
+
+
+def events_changes_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``changes()``: per (event_type, hour), how many times the
+    sample value changed between consecutive points — the flap-detection
+    counterpart of events_reset_detect (which counts only decreases, at
+    whole-series grain). Order within a bucket is (ts, event_id);
+    event_id is unique so the lag sequence is deterministic. Pure
+    comparisons on stored doubles — no float arithmetic anywhere.
+
+    Scale: one shuffle to the (event_type, hour) grain, then a bounded
+    per-bucket sort window — the same shape as the 1h rollup MV; no
+    self-join, no unbounded state."""
+    ev = _events(spark, sf_dir)
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "bucket_ts").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    flagged = b.select(
+        "event_type",
+        "bucket_ts",
+        F.when(prev.isNotNull() & (prev != F.col("value")), 1)
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    return flagged.groupBy("event_type", "bucket_ts").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("_chg").cast("bigint").alias("n_changes"),
+    )
+
+
+EVENTS_CHANGES_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id, value
+  FROM {_EV_SQL}
+), f AS (
+  SELECT event_type, bucket_ts,
+         CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+  FROM b
+  WINDOW w AS (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id)
+)
+SELECT event_type, bucket_ts, count(*)::BIGINT AS n_points,
+       sum(chg)::BIGINT AS n_changes
+FROM f GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# PromQL deriv() / predict_linear()
+# --------------------------------------------------------------------------
+
+
+def events_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``deriv()`` + ``predict_linear()``: per event_type, the
+    least-squares slope of the minute-bucketed value sum over the
+    trailing 7 days of the dataset, and the forecast 60 min past the end —
+    the capacity-planning query (disk-full-in-4h alerts) Prometheus
+    users run constantly.
+
+    EXACT arithmetic: x = minute index centered on the series' first
+    bucket (<= 10080), y = integer cents. n, Σx, Σy, Σxy, Σx² accumulate
+    in DECIMAL(38,0) (DuckDB: HUGEINT), so slope numerator
+    num = nΣxy − ΣxΣy and denominator den = nΣx² − (Σx)² are exact and
+    combine-order independent; the forecast numerator Σy·den + num·(n·x* − Σx)
+    (~1e21 at 100 TB magnitudes) stays exact in decimal. The ONLY float
+    ops are the final divisions, written token-identically in both
+    engines (exact-int → double conversion is nearest-even in both).
+    den = 0 (a single distinct minute) yields NULL slope/forecast.
+
+    Scale: one shuffle to the (event_type, minute) rollup grain with
+    map-side combine, a per-series min window, then a k-row aggregate —
+    series-count-sized output; no collect, no self-join."""
+    ev = _events(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 60000000").alias("minute"),
+            value_cents("value").alias("cents"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.sum("cents").alias("y"))
+    )
+    maxm = b.agg(F.max("minute").alias("_maxm"))
+    w6 = b.crossJoin(F.broadcast(maxm)).where(
+        F.col("minute") > F.col("_maxm") - 10080
+    )
+    wmin = Window.partitionBy("event_type")
+    w6 = w6.withColumn("x", F.col("minute") - F.min("minute").over(wmin))
+    a = w6.groupBy("event_type").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        dec(F.min("minute")).alias("x0"),
+        dec(F.min("_maxm")).alias("maxm"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    xp = F.col("maxm") + F.lit(60) - F.col("x0")
+    pred_num = sy * den + num * (n * xp - sx)
+    pred_den = n * den
+    return a.select(
+        "event_type",
+        n.cast("bigint").alias("n_points"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("slope_cents_per_min"),
+        F.when(
+            den != 0,
+            F.round(
+                pred_num.cast("double") / pred_den.cast("double") / F.lit(100.0),
+                4,
+            ),
+        ).alias("predict_60m_value"),
+    )
+
+
+EVENTS_PREDICT_SQL = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+         sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS y
+  FROM {_EV_SQL} GROUP BY 1, 2
+), mx AS (
+  SELECT max(minute) AS maxm FROM b
+), w6 AS (
+  SELECT b.event_type, b.minute, b.y, mx.maxm,
+         b.minute - min(b.minute) OVER (PARTITION BY b.event_type) AS x
+  FROM b, mx WHERE b.minute > mx.maxm - 10080
+), a AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x)::HUGEINT AS sxx,
+         min(minute)::HUGEINT AS x0, min(maxm)::HUGEINT AS maxm
+  FROM w6 GROUP BY event_type
+)
+SELECT event_type, n::BIGINT AS n_points,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE round((n * sxy - sx * sy)::DOUBLE
+                  / (n * sxx - sx * sx)::DOUBLE, 6) END
+    AS slope_cents_per_min,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE round((sy * (n * sxx - sx * sx)
+                   + (n * sxy - sx * sy) * (n * (maxm + 60 - x0) - sx))::DOUBLE
+                  / (n * (n * sxx - sx * sx))::DOUBLE / 100.0, 4) END
+    AS predict_60m_value
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_repeated_spans": docs_repeated_spans,
+    "events_changes_1h": events_changes_1h,
+    "events_predict_linear": events_predict_linear,
+}
+
+EXTRA4_ORACLE: dict[str, str] = {
+    "docs_repeated_spans": DOCS_REPEATED_SPANS_SQL,
+    "events_changes_1h": EVENTS_CHANGES_SQL,
+    "events_predict_linear": EVENTS_PREDICT_SQL,
+}

@@ -1,0 +1,83 @@
+"""Golden tests for the fourth catalog batch against independent
+(numpy/pandas) recomputation at sf0.001 — separate arithmetic paths
+from both the Spark queries and their DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+    events_changes_1h,
+    events_predict_linear,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pdf() -> pd.DataFrame:
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    # driver files store ns timestamps; floor to micros like _events
+    pdf["ts"] = pdf["ts"].dt.floor("us")
+    return pdf
+
+
+def test_changes_1h_matches_pandas(spark):
+    got = {
+        (r.event_type, r.bucket_ts): (r.n_points, r.n_changes)
+        for r in events_changes_1h(spark, SF).collect()
+    }
+    pdf = _events_pdf()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    want = {}
+    for (et, b), g in pdf.groupby(["event_type", "bucket"]):
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy()
+        want[(et, b.to_pydatetime())] = (
+            len(v),
+            int((v[1:] != v[:-1]).sum()),
+        )
+    assert len(got) == len(want)
+    for key, (n, c) in want.items():
+        assert got[key] == (n, c), key
+
+
+def test_predict_linear_matches_numpy_lstsq(spark):
+    rows = events_predict_linear(spark, SF).collect()
+    pdf = _events_pdf()
+    pdf["minute"] = (
+        pdf["ts"].astype("datetime64[us]").astype("int64") // 60_000_000
+    )  # us->minute
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    b = (
+        pdf.groupby(["event_type", "minute"])["cents"].sum().reset_index()
+    )
+    maxm = int(b["minute"].max())
+    b = b[b["minute"] > maxm - 10080]
+    for r in rows:
+        g = b[b["event_type"] == r.event_type]
+        assert r.n_points == len(g)
+        x = g["minute"].to_numpy(dtype=float)
+        y = g["cents"].to_numpy(dtype=float)
+        if len(np.unique(x)) < 2:
+            assert r.slope_cents_per_min is None
+            continue
+        slope, intercept = np.polyfit(x - x.min(), y, 1)
+        assert abs(r.slope_cents_per_min - slope) < 1e-4 * max(
+            1.0, abs(slope)
+        )
+        pred = (intercept + slope * (maxm + 60 - x.min())) / 100.0
+        assert abs(r.predict_60m_value - pred) < 1e-3 * max(1.0, abs(pred))
+
+
+def test_predict_linear_null_on_degenerate_series(spark):
+    # a series with one minute bucket has den == 0 -> NULL slope; build
+    # one via the operator arithmetic on a crafted frame through the
+    # same query body by checking the real output instead: every
+    # non-null slope implies >= 2 distinct minutes
+    for r in events_predict_linear(spark, SF).collect():
+        if r.slope_cents_per_min is None:
+            assert r.n_points <= 1
+        else:
+            assert r.n_points >= 2
