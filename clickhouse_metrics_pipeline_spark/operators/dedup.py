@@ -131,11 +131,14 @@ def repeated_spans(
 
     Scale: positional k-grams are row-local HOFs (no Python); the only
     shuffles are the groupBy on the 60-bit gram hash (map-side combined
-    counts) and the hash-join of hits against the repeated-gram set —
-    that set is unbounded at corpus scale, so it stays a shuffle join
-    (NOT broadcast). The island merge is a bounded per-document sort
-    window, the same sweep shape as interval-union coverage. All
-    arithmetic is integer, so results are combine-order exact."""
+    counts) and the hash-join of hits against the repeated-gram set.
+    That set's size is join-strategy-decisive but corpus-dependent, so
+    it is deliberately left to Catalyst/AQE: broadcast when its runtime
+    stats fit (the local/bench shape), degrading to a shuffled hash
+    join at corpus scale where it is unbounded. The island merge is a
+    bounded per-document sort window, the same sweep shape as
+    interval-union coverage. All arithmetic is integer, so results are
+    combine-order exact."""
     from clickhouse_metrics_pipeline_spark.functions.hashing import (
         portable_hash60,
     )

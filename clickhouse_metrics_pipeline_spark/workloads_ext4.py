@@ -49,10 +49,10 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup queries answer "which docs"; this answers "which tokens".
 
     Scale: see operators.dedup.repeated_spans — row-local positional
-    grams, one map-side-combined groupBy on the 60-bit gram hash, a
-    shuffle join of hits against the (unbounded, so never broadcast)
-    repeated-gram set, and a bounded per-document sweep window. All
-    integer arithmetic."""
+    grams, one map-side-combined groupBy on the 60-bit gram hash, an
+    AQE-decided join of hits against the repeated-gram set (broadcast
+    at bench scale, shuffled at corpus scale), and a bounded
+    per-document sweep window. All integer arithmetic."""
     from clickhouse_metrics_pipeline_spark.operators.dedup import (
         repeated_spans,
     )
@@ -186,7 +186,9 @@ def events_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle to the (event_type, minute) rollup grain with
     map-side combine, a per-series min window, then a k-row aggregate —
-    series-count-sized output; no collect, no self-join."""
+    series-count-sized output; no collect, no self-join. The plan's one
+    nested-loop join is the intentional 1-row broadcast of the global
+    max-minute scalar (the q22 scalar-subquery shape)."""
     ev = _events(spark, sf_dir)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     b = (
