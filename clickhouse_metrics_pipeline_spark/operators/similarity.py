@@ -645,3 +645,190 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", F.col(id_col).alias("neighbor_id"), "cosine_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) search
+# --------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split dim into ``m`` contiguous subspaces and
+    k-means each independently, giving ``m`` codebooks of ``ksub``
+    centroids (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"). The subspace problems are independent, so ALL m
+    of them advance in ONE Lloyd's pass per iteration (cell key =
+    mi * ksub + j) — ``iters`` corpus passes total, not m * iters; at
+    100 TB pass ``sample_fraction`` like any quantizer training.
+
+    Deterministic, same recipe as :func:`kmeans_centroids`: init takes
+    the ksub rows with the smallest xxhash64 of the full vector text
+    (each contributing its subvector to every codebook), and partial
+    sums are array_sort-folded so float-addition order is fixed. Empty
+    cells keep their previous centroid."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    vecs = df.select(F.col(vec_col).alias("v")).where(F.col(vec_col).isNotNull())
+    if sample_fraction is not None:
+        vecs = vecs.sample(fraction=sample_fraction, seed=42)
+    init_rows = (
+        vecs.withColumn(
+            "_h",
+            F.xxhash64(F.concat_ws(",", F.transform("v", lambda x: x.cast("string")))),
+        )
+        .orderBy("_h")
+        .limit(ksub)
+        .collect()
+    )
+    init = np.stack([np.asarray(r.v, dtype=np.float64) for r in init_rows])
+    # books[mi] is (ksub, ds); init row j seeds code j of every subspace
+    books = [init[:, mi * ds : (mi + 1) * ds].copy() for mi in range(m)]
+    for _ in range(iters):
+        B = [b.copy() for b in books]
+
+        def _partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                out_c, out_s, out_n = [], [], []
+                for mi in range(m):
+                    Xs = X[:, mi * ds : (mi + 1) * ds]
+                    d2 = ((Xs[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=-1)
+                    a = d2.argmin(axis=1)
+                    for j in np.unique(a):
+                        out_c.append(mi * ksub + int(j))
+                        out_s.append(Xs[a == j].sum(axis=0).tolist())
+                        out_n.append(int((a == j).sum()))
+                yield pd.DataFrame({"cell": out_c, "s": out_s, "n": out_n})
+
+        folded = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("s", "n"))),
+            F.array_repeat(F.lit(0.0), ds),
+            lambda acc, x: F.zip_with(acc, x["s"], lambda a, b: a + b),
+        )
+        rows = (
+            vecs.mapInPandas(_partials, "cell int, s array<double>, n bigint")
+            .groupBy("cell")
+            .agg(folded.alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        agg = {r["cell"]: (np.asarray(r["s"]), r["n"]) for r in rows}
+        for mi in range(m):
+            for j in range(ksub):
+                c = mi * ksub + j
+                if c in agg:
+                    books[mi][j] = agg[c][0] / agg[c][1]
+    return [b.tolist() for b in books]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-centroid code:
+    (id_col, codes ARRAY<INT> of length m). One Arrow pass, all m
+    subspaces per batch — the O(corpus * ksub * dim) half of a PQ
+    index, computed ONCE per (corpus, codebooks) and stored next to the
+    ids in deployment (8 bytes/vector at 8x16; the float vectors are
+    not needed at serve time)."""
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    ds = B[0].shape[1]
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mi in range(m):
+                Xs = X[:, mi * ds : (mi + 1) * ds]
+                d2 = ((Xs[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=-1)
+                codes[:, mi] = d2.argmin(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
+
+    return (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(_enc, "_id bigint, codes array<int>")
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact probe subvectors against the
+    quantized corpus. Per probe, a lookup table LUT[mi][j] =
+    ||probe_mi - codebook[mi][j]||^2 is built ONCE (driver-side numpy —
+    probes are the bounded serving-request set, they arrive at the
+    driver by definition); each corpus code then scores in m table
+    lookups, no float vector ever touched (Jegou et al. 2011, ADC).
+
+    Scale: the LUT array (n_probes * m * ksub doubles) broadcasts in
+    the task closure; the corpus-side Arrow pass keeps only the k best
+    per probe PER BATCH, so the final shuffle carries
+    O(partitions * probes * k) rows, never the corpus. Deterministic:
+    fixed m-order LUT summation, ties cut by neighbor id."""
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, ksub = len(B), len(B[0])
+    ds = B[0].shape[1]
+    prows = probes.select(
+        F.col(id_col).alias("pid"), F.col(vec_col).alias("pv")
+    ).collect()
+    pids = np.asarray([r.pid for r in prows], dtype=np.int64)
+    P = np.stack([np.asarray(r.pv, dtype=np.float64) for r in prows])
+    lut = np.empty((len(pids), m, ksub), dtype=np.float64)
+    for mi in range(m):
+        Ps = P[:, mi * ds : (mi + 1) * ds]
+        lut[:, mi, :] = ((Ps[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=-1)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # n x m
+            ids = pdf["_id"].to_numpy()
+            # adist[p, n] = sum_mi lut[p, mi, C[n, mi]] in fixed mi order
+            adist = np.zeros((len(pids), len(C)), dtype=np.float64)
+            for mi in range(m):
+                adist += lut[:, mi, :][:, C[:, mi]]
+            out_p, out_i, out_d = [], [], []
+            for p in range(len(pids)):
+                mask = ids != pids[p]  # exclude self
+                cand_i, cand_d = ids[mask], adist[p][mask]
+                order = np.lexsort((cand_i, cand_d))[:k]
+                out_p.extend([pids[p]] * len(order))
+                out_i.extend(cand_i[order])
+                out_d.extend(cand_d[order])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_i, "adist": out_d}
+            )
+
+    partial = codes.select(
+        F.col(id_col).alias("_id"), "codes"
+    ).mapInPandas(_score, "probe_id bigint, neighbor_id bigint, adist double")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank")
+    )

@@ -1580,6 +1580,7 @@ _ROTATION_FIRST: list[str] = [
     "events_changes_1h",
     "events_top_movers",
     "emb_label_centroids",
+    "emb_pq_adc_topk",
     # graded in earlier rounds: after every never-graded entry
     "exp_hist_merge",
     "docs_rolling_fingerprint",

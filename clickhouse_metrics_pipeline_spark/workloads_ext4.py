@@ -271,6 +271,67 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# Product-quantization ANN
+# --------------------------------------------------------------------------
+
+# PQ index memo, one per corpus: codebook training and encoding are
+# deterministic (inherited from kmeans_centroids' hash-ranked init and
+# sorted partial folds), so computing once per process and serving every
+# query from the encoded table is semantics-preserving — and is the PQ
+# deployment shape (codes are THE stored index; the float vectors are
+# not read at serve time). Same deliberate-long-lived-index pattern as
+# _IVF_INDEX in workloads_ext.py.
+_PQ_BOOKS: dict[tuple[str, int, int], list] = {}
+_PQ_CODES: dict[tuple[str, int, int], DataFrame] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str, m: int = 16, ksub: int = 64):
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    key = (sf_dir, m, ksub)
+    if key not in _PQ_BOOKS:
+        e = _t(spark, sf_dir, "embeddings")
+        books = pq_train_codebooks(e, m=m, ksub=ksub, iters=2)
+        codes = pq_encode(e, books).persist()
+        codes.count()
+        _PQ_BOOKS[key] = books
+        _PQ_CODES[key] = codes
+    return _PQ_BOOKS[key], _PQ_CODES[key]
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): 16 subspaces x 64
+    centroids encode each 64-dim vector in 12 bytes (vs 256 float
+    bytes); probes score the whole corpus via asymmetric-distance
+    lookup tables — m table adds per candidate, no float vector read at
+    serve time. The memory-bound ANN operating point (IVF trades
+    compute via cell pruning; PQ trades storage via code compression —
+    real systems compose both). recall@10 = 0.54 on this deliberately
+    unstructured corpus (see the recall-context note in
+    tests/test_training_ops.py).
+
+    Approximate by design: no oracle SQL — the driver records the
+    rows-only check, and tests/test_training_ops.py pins recall@10
+    against the exact L2 brute force plus exact-reconstruction
+    invariants.
+
+    Scale: see operators.similarity.pq_adc_topk — LUTs broadcast in the
+    task closure, per-batch partial top-k bounds the shuffle at
+    O(partitions x probes x k)."""
+    books, codes = _pq_index(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    return pq_adc_topk(codes, probes, books, k=10)
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -278,6 +339,9 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_repeated_spans": docs_repeated_spans,
     "events_changes_1h": events_changes_1h,
     "events_predict_linear": events_predict_linear,
+    # no oracle: approximate ANN (rows-only driver check; recall pinned
+    # in tests/test_training_ops.py like the other ANN variants)
+    "emb_pq_adc_topk": emb_pq_adc_topk,
 }
 
 EXTRA4_ORACLE: dict[str, str] = {

@@ -530,3 +530,99 @@ class TestPiiScrub:
         # precision: decimals / dotted versions are NOT redacted
         assert out[3].clean == "no pii here, just 3.14 and v1.2.3.4.5 noise"
         assert out[3].c.email == out[3].c.phone == out[3].c.ipv4 == 0
+
+
+class TestProductQuantization:
+    """PQ codebook training / encoding / ADC search (similarity.py).
+
+    Same recall context as the IVF tests above: the corpus is nearly
+    unstructured, so 12-byte codes (16 subspaces x 64 centroids over
+    64 dims) have a low recall ceiling - the pins are far above the
+    2% chance line and the whole pipeline is deterministic (hash-ranked
+    init, sorted partial folds, fixed LUT summation order).
+    """
+
+    def _books_codes(self, spark):
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        books = pq_train_codebooks(emb, m=16, ksub=64, iters=2)
+        return emb, books, pq_encode(emb, books)
+
+    def test_encode_matches_numpy_and_partitioning(self, spark):
+        import numpy as np
+
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            pq_encode,
+        )
+
+        emb, books, codes = self._books_codes(spark)
+        got = {r.vec_id: list(r.codes) for r in codes.collect()}
+        B = [np.asarray(b) for b in books]
+        ds = B[0].shape[1]
+        for r in emb.limit(20).collect():
+            x = np.asarray(r.embedding, dtype=np.float64)
+            want = [
+                int(((x[mi * ds : (mi + 1) * ds] - B[mi]) ** 2).sum(axis=1).argmin())
+                for mi in range(len(B))
+            ]
+            assert got[r.vec_id] == want
+        re7 = {
+            r.vec_id: list(r.codes)
+            for r in pq_encode(emb.repartition(7), books).collect()
+        }
+        assert got == re7
+
+    def test_adc_distance_is_exact_table_sum(self, spark):
+        """ADC distance == the directly-computed quantized distance
+        (sum over subspaces of ||probe_sub - centroid[code]||^2)."""
+        import numpy as np
+
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            pq_adc_topk,
+        )
+
+        emb, books, codes = self._books_codes(spark)
+        probes = emb.filter(F.col("vec_id") < 3)
+        out = pq_adc_topk(codes, probes, books, k=5).collect()
+        B = [np.asarray(b) for b in books]
+        ds = B[0].shape[1]
+        pvec = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in probes.collect()}
+        cmap = {r.vec_id: list(r.codes) for r in codes.collect()}
+        for r in out:
+            q, c = pvec[r.probe_id], cmap[r.neighbor_id]
+            want = sum(
+                float(((q[mi * ds : (mi + 1) * ds] - B[mi][c[mi]]) ** 2).sum())
+                for mi in range(len(B))
+            )
+            assert r.adist == pytest.approx(want, abs=1e-5)
+
+    def test_pq_recall_vs_exact_l2(self, spark):
+        import numpy as np
+
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            pq_adc_topk,
+        )
+
+        emb, books, codes = self._books_codes(spark)
+        probes = emb.filter(F.col("vec_id") < 20)
+        ap: dict[int, set] = {}
+        for r in pq_adc_topk(codes, probes, books, k=10).collect():
+            ap.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        rows = emb.collect()
+        ids = np.array([r.vec_id for r in rows])
+        X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        hits = tot = 0
+        for p in range(20):
+            pi = int(np.where(ids == p)[0][0])
+            d = ((X - X[pi]) ** 2).sum(axis=1)
+            d[pi] = np.inf
+            exact = set(ids[np.argsort(d, kind="stable")[:10]].tolist())
+            tot += 10
+            hits += len(exact & ap.get(p, set()))
+        # measured 0.54 on this corpus; chance would be ~0.02
+        assert hits / tot >= 0.45
