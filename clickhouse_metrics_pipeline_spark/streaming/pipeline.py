@@ -947,3 +947,47 @@ def dedup_documents_stream(
 
     with_fp = df.withColumn("fp", doc_fingerprint(F.col(text_col)))
     return dedup_stream(with_fp, ["fp"], ts_col=ts_col, watermark=watermark)
+
+
+def exemplar_trace_join_stream(
+    samples: DataFrame,
+    exemplars: DataFrame,
+    max_lag_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attach in-flight exemplar trace IDs
+    to the metric samples they were observed under — the continuous
+    form of the batch events_exemplar_trace_join query (reference
+    analog: the exemplars columns every row carries, schema.sql:55-61,
+    joined here across two live streams instead of within one stored
+    row).
+
+    ``samples`` carries (series_hash, timestamp, value); ``exemplars``
+    carries (series_hash, ex_ts, trace_id). An exemplar matches a
+    sample of the same series when it was recorded in the
+    ``max_lag_seconds`` window ending at the sample timestamp — the
+    scrape-interval attachment rule.
+
+    Scale/state: BOTH sides get event-time watermarks and the join
+    condition bounds ex_ts to a closed range around the sample time, so
+    Spark derives state-eviction thresholds for both buffers — state
+    per side is only the rows inside watermark + lag, the only
+    stream-stream-join shape that survives an infinite stream. Matches
+    emit immediately (inner join); the shuffle is on series_hash, the
+    same key the ingest path already partitions by."""
+    from pyspark.sql import functions as F
+
+    s = samples.withWatermark("timestamp", watermark)
+    e = exemplars.select(
+        F.col("series_hash").alias("ex_series_hash"),
+        "ex_ts",
+        "trace_id",
+    ).withWatermark("ex_ts", watermark)
+    cond = (
+        (s["series_hash"] == e["ex_series_hash"])
+        & (e["ex_ts"] >= s["timestamp"] - F.expr(f"INTERVAL {max_lag_seconds} SECONDS"))
+        & (e["ex_ts"] <= s["timestamp"])
+    )
+    return s.join(e, cond, "inner").select(
+        "series_hash", "timestamp", "value", "trace_id", "ex_ts"
+    )

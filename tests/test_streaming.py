@@ -921,3 +921,89 @@ class TestStreamingSloBurn:
         assert got and got == want
         assert any(v[4] for v in got.values())  # pages somewhere
         assert not all(v[4] for v in got.values())
+
+
+class TestStreamStreamExemplarJoin:
+    """Stream-stream interval join (exemplar_trace_join_stream): the
+    continuous twin of the batch exemplar-trace join. Pins (a) the
+    streaming result equals the identical batch interval join, (b) the
+    lag window is closed on both ends and excludes exemplars after the
+    sample or older than max_lag."""
+
+    def test_stream_join_matches_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            exemplar_trace_join_stream,
+        )
+
+        base = dt.datetime(2024, 3, 1, 12, 0, 0)
+        t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+        s_schema = "series_hash bigint, timestamp timestamp, value double"
+        e_schema = "series_hash bigint, ex_ts timestamp, trace_id string"
+        samples = [
+            (1, t(300), 10.0),
+            (1, t(600), 11.0),
+            (2, t(300), 20.0),
+        ]
+        exemplars = [
+            (1, t(299), "tr-a"),   # in [0,300] window of sample@300
+            (1, t(300), "tr-b"),   # boundary: ex_ts == sample ts -> in
+            (1, t(301), "tr-c"),   # after sample@300, in window of @600
+            (1, t(0), "tr-old"),   # exactly max_lag before @300 -> in
+            (2, t(601), "tr-d"),   # after series 2's only sample -> out
+            (3, t(300), "tr-e"),   # no samples for series 3 -> out
+        ]
+        src_s, src_e = str(tmp_path / "s"), str(tmp_path / "e")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        sdf = spark.createDataFrame(samples, s_schema)
+        edf = spark.createDataFrame(exemplars, e_schema)
+        sdf.coalesce(1).write.parquet(src_s)
+        edf.coalesce(1).write.parquet(src_e)
+
+        joined = exemplar_trace_join_stream(
+            spark.readStream.schema(s_schema).parquet(src_s),
+            spark.readStream.schema(e_schema).parquet(src_e),
+            max_lag_seconds=300,
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+        try:
+            _wait_for_parquet(q, out)
+        finally:
+            q.stop()
+        got = sorted(
+            (r.series_hash, r.timestamp, r.trace_id)
+            for r in spark.read.parquet(out).collect()
+        )
+        # batch twin: identical condition on the static frames
+        from pyspark.sql import functions as F
+
+        e2 = edf.select(
+            F.col("series_hash").alias("ex_series_hash"), "ex_ts", "trace_id"
+        )
+        cond = (
+            (sdf["series_hash"] == e2["ex_series_hash"])
+            & (e2["ex_ts"] >= sdf["timestamp"] - F.expr("INTERVAL 300 SECONDS"))
+            & (e2["ex_ts"] <= sdf["timestamp"])
+        )
+        want = sorted(
+            (r.series_hash, r.timestamp, r.trace_id)
+            for r in sdf.join(e2, cond).select(
+                "series_hash", "timestamp", "trace_id"
+            ).collect()
+        )
+        assert got == want
+        traces = {tr for _, _, tr in got}
+        assert {"tr-a", "tr-b", "tr-c", "tr-old"} <= traces
+        assert "tr-d" not in traces and "tr-e" not in traces
+        # sample@300 matches tr-a/tr-b/tr-old; sample@600's [300,600]
+        # window matches tr-b (300, boundary) and tr-c (301) but NOT
+        # tr-a (299, one second too old): exactly 5 pairs
+        assert len(got) == 5
