@@ -129,16 +129,15 @@ def repeated_spans(
     grams merge iff their [pos, pos+k) token intervals share a token,
     and n_dup_grams counts the duplicated k-gram starts inside the span.
 
-    Scale: positional k-grams are row-local HOFs (no Python); the only
-    shuffles are the groupBy on the 60-bit gram hash (map-side combined
-    counts) and the hash-join of hits against the repeated-gram set.
-    That set's size is join-strategy-decisive but corpus-dependent, so
-    it is deliberately left to Catalyst/AQE: broadcast when its runtime
-    stats fit (the local/bench shape), degrading to a shuffled hash
-    join at corpus scale where it is unbounded. The island merge is a
-    bounded per-document sort window, the same sweep shape as
-    interval-union coverage. All arithmetic is integer, so results are
-    combine-order exact."""
+    Scale: positional k-grams are row-local HOFs (no Python, ONE
+    kernel pass — repeat counting is a count-over-window on the 60-bit
+    gram hash, so the gram construction is never recomputed for a
+    second join input and the only shuffles are by gram hash then by
+    document). A gram's window partition is its posting list — bounded
+    by that gram's corpus frequency, the same distribution the gram
+    groupBy would shuffle. The island merge is a bounded per-document
+    sort window, the same sweep shape as interval-union coverage. All
+    arithmetic is integer, so results are combine-order exact."""
     from clickhouse_metrics_pipeline_spark.functions.hashing import (
         portable_hash60,
     )
@@ -148,13 +147,13 @@ def repeated_spans(
         F.col(id_col),
         F.posexplode(ordered_word_shingles(text_col, k)).alias("pos", "g"),
     ).select(id_col, "pos", portable_hash60(F.col("g")).alias("h"))
-    rep = (
-        pg.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    hits = (
+        pg.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .where(F.col("_n") >= min_count)
-        .select("h")
+        .select(id_col, "pos")
     )
-    hits = pg.join(rep, "h").select(id_col, "pos")
     # sweep-line island merge: a hit opens a new span iff its start is
     # at or past every earlier hit's interval end (pos + k)
     w_prev = (
