@@ -116,6 +116,11 @@ HEADLINE += [
     "events_funnel_conversions",
     "events_top_movers",
     "emb_label_centroids",
+    # round-4 second batch
+    "docs_repeated_spans",
+    "events_changes_1h",
+    "events_predict_linear",
+    "emb_pq_adc_topk",
 ]
 
 

@@ -285,6 +285,79 @@ _PQ_BOOKS: dict[tuple[str, int, int], list] = {}
 _PQ_CODES: dict[tuple[str, int, int], DataFrame] = {}
 
 
+def _pq_paths(root: str, sf_dir: str, m: int, ksub: int) -> tuple[str, str]:
+    import os
+
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{root}/{corpus}/pq{m}x{ksub}"
+    return f"{base}/codebooks", f"{base}/codes"
+
+
+def store_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 16,
+    ksub: int = 64,
+    root: str | None = None,
+) -> tuple[str, str]:
+    """Materialize the PQ index — the (subspace, code) -> centroid
+    codebook table and the encoded-corpus codes table — as parquet.
+    The ingest-time half of :func:`emb_pq_adc_topk`: codes ARE the
+    stored serving index (12 bytes/vector; the float vectors are never
+    read at serve time), so any later session with
+    ``$SPARK_GRAFT_INDEX_DIR`` set loads these instead of
+    re-training/re-encoding. Same contract as store_ivf_index /
+    store_dedup_index (reference analog: precomputed MV tables,
+    schema.sql:146-192)."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from clickhouse_metrics_pipeline_spark.sources.writer import write_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = root or index_root()
+    if root is None:
+        raise ValueError("no index root: pass root= or set SPARK_GRAFT_INDEX_DIR")
+    book_path, code_path = _pq_paths(root, sf_dir, m, ksub)
+    key = (sf_dir, m, ksub)
+    e = _t(spark, sf_dir, "embeddings")
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = pq_train_codebooks(e, m=m, ksub=ksub, iters=2)
+    books = _PQ_BOOKS[key]
+    book_df = spark.createDataFrame(
+        [
+            (mi, j, [float(x) for x in c])
+            for mi, b in enumerate(books)
+            for j, c in enumerate(b)
+        ],
+        "subspace INT, code INT, centroid ARRAY<DOUBLE>",
+    )
+    write_index(book_df, book_path)
+    codes = _PQ_CODES[key] if key in _PQ_CODES else pq_encode(e, books)
+    write_index(codes, code_path)
+    return book_path, code_path
+
+
+def _load_stored_pq(spark: SparkSession, sf_dir: str, m: int, ksub: int):
+    from clickhouse_metrics_pipeline_spark.sources.writer import load_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = index_root()
+    if root is None:
+        return None
+    book_path, code_path = _pq_paths(root, sf_dir, m, ksub)
+    book_df = load_index(spark, book_path)
+    codes = load_index(spark, code_path)
+    if book_df is None or codes is None:
+        return None
+    books: list[list[list[float]] | None] = [None] * m
+    rows = sorted(book_df.collect(), key=lambda r: (r.subspace, r.code))
+    for mi in range(m):
+        books[mi] = [list(r.centroid) for r in rows if r.subspace == mi]
+    return books, codes
+
+
 def _pq_index(spark: SparkSession, sf_dir: str, m: int = 16, ksub: int = 64):
     from clickhouse_metrics_pipeline_spark.operators.similarity import (
         pq_encode,
@@ -293,10 +366,17 @@ def _pq_index(spark: SparkSession, sf_dir: str, m: int = 16, ksub: int = 64):
 
     key = (sf_dir, m, ksub)
     if key not in _PQ_BOOKS:
-        e = _t(spark, sf_dir, "embeddings")
-        books = pq_train_codebooks(e, m=m, ksub=ksub, iters=2)
-        codes = pq_encode(e, books).persist()
-        codes.count()
+        stored = _load_stored_pq(spark, sf_dir, m, ksub)
+        if stored is not None:
+            # the on-disk table IS the materialization: a narrow
+            # columnar scan per query, no persist needed (and leaving
+            # the FileScan visible keeps index provenance checkable)
+            books, codes = stored
+        else:
+            e = _t(spark, sf_dir, "embeddings")
+            books = pq_train_codebooks(e, m=m, ksub=ksub, iters=2)
+            codes = pq_encode(e, books).persist()
+            codes.count()
         _PQ_BOOKS[key] = books
         _PQ_CODES[key] = codes
     return _PQ_BOOKS[key], _PQ_CODES[key]

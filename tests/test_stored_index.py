@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import clickhouse_metrics_pipeline_spark.workloads as W
 import clickhouse_metrics_pipeline_spark.workloads_ext as WE
+import clickhouse_metrics_pipeline_spark.workloads_ext4 as WE4
 
 SF = "/root/testdata/sf0.001"
 
@@ -21,7 +22,7 @@ def _rows(df):
 
 
 def _clear_memos():
-    for d in (W._DEDUP_INDEX, WE._IVF_INDEX):
+    for d in (W._DEDUP_INDEX, WE._IVF_INDEX, WE4._PQ_CODES):
         for v in d.values():
             try:
                 v.unpersist()
@@ -29,6 +30,7 @@ def _clear_memos():
                 pass
         d.clear()
     WE._IVF_CENTROIDS.clear()
+    WE4._PQ_BOOKS.clear()
 
 
 def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
@@ -42,7 +44,8 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
         base_minhash = _rows(W.docs_minhash_lsh(spark, SF))
         base_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
         base_embclusters = _rows(emb_neardup_clusters(spark, SF))
-        assert base_minhash and base_ivf and base_embclusters
+        base_pq = _rows(WE4.emb_pq_adc_topk(spark, SF))
+        assert base_minhash and base_ivf and base_embclusters and base_pq
 
         # ingest-time store
         monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
@@ -50,15 +53,18 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
         W.store_dedup_index(spark, SF, "grams3")
         W.store_dedup_index(spark, SF, "embpairs045")
         WE.store_ivf_index(spark, SF)
+        WE4.store_pq_index(spark, SF)
 
         # fresh "session": memos gone, only the stored tables remain
         _clear_memos()
         got_minhash = _rows(W.docs_minhash_lsh(spark, SF))
         got_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
         got_embclusters = _rows(emb_neardup_clusters(spark, SF))
+        got_pq = _rows(WE4.emb_pq_adc_topk(spark, SF))
         assert got_minhash == base_minhash
         assert got_ivf == base_ivf
         assert got_embclusters == base_embclusters
+        assert got_pq == base_pq
 
         # prove the queries really read the stored tables, not rebuilt
         # in-memory indexes: the memoized plans must scan the tmp root
@@ -67,6 +73,8 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
             assert files and all(str(tmp_path) in f for f in files), kind
         ivf_files = WE._IVF_INDEX[(SF, 16, 2)].inputFiles()
         assert ivf_files and all(str(tmp_path) in f for f in ivf_files)
+        pq_files = WE4._PQ_CODES[(SF, 16, 64)].inputFiles()
+        assert pq_files and all(str(tmp_path) in f for f in pq_files)
 
         # the band table is stored partitioned by band (probe pruning);
         # the IVF assignment by cell
