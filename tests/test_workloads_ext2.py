@@ -228,6 +228,10 @@ class TestPartitionCountDeterminism:
         "docs_minhash_lsh",
         "hist_percentile_prom_events",
         "q1_pricing_summary",
+        # round-4 second batch: integer least-squares + span sweep
+        "events_predict_linear",
+        "events_changes_1h",
+        "docs_repeated_spans",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)
