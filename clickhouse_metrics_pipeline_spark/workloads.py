@@ -926,6 +926,18 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         idx = d.select(
             F.col("doc_id"), gram_hashes_from_text("text", shingle_n=8).alias("sh")
         )
+    elif kind == "md5grams8":
+        # portable-hash twin of grams8: 8-gram 60-bit md5 hashes
+        # (functions.hashing.portable_hash60 over the same normalized
+        # shingles) — the cross-engine-reproducible decontamination
+        # index the Bloom pre-filter derives its bit positions from;
+        # crc32-based grams8 is faster to build but engine-local
+        idx = d.select(
+            F.col("doc_id"),
+            F.transform(
+                word_shingles("text", 8), portable_hash60
+            ).alias("sh"),
+        )
     elif kind == "grams3_df50":
         # probe first: when no shingle exceeds the cap, the capped index
         # is provably the raw index — skip the rebuild shuffle entirely

@@ -412,6 +412,148 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination pre-filter
+# --------------------------------------------------------------------------
+
+# 2^20-bit Bloom filter over the eval split's 8-gram hashes: 16384
+# 32-bit words packed into BIGINTs (32 bits/word keeps every shift and
+# bit_or inside signed-64 range in both engines), k=3 probe positions
+# taken as disjoint 20-bit slices of the portable 60-bit md5 hash.
+_BLOOM_MASK = (1 << 20) - 1  # 1048575
+
+
+def _bloom_positions(h) -> list:
+    """k=3 bit positions (20-bit slices) of a 60-bit gram hash."""
+    return [
+        F.shiftright(h, s).bitwiseAND(F.lit(_BLOOM_MASK))
+        for s in (0, 20, 40)
+    ]
+
+
+def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-Bloom decontamination pre-filter: build a 2^20-bit
+    Bloom filter over the eval split's 8-gram hashes, probe every
+    train-split gram against it map-side, and run the exact
+    shared-gram join ONLY on the surviving candidates. Emits, per
+    flagged train doc, the candidate-gram count, the exactly-verified
+    shared count, and the contamination verdict — Bloom false
+    positives are visible as ``n_true_shared = 0`` rows, and the
+    filter's no-false-negative guarantee means every truly
+    contaminated train doc appears (pinned in
+    tests/test_workloads_ext4.py against docs_decontaminate's exact
+    gram sets).
+
+    This is the shape a 100 TB decontamination run takes: the eval
+    benchmark is small (here the doc_id%50 split), so its Bloom is
+    ~128 KB — broadcast into every task — and the 100 TB train side
+    is probed with THREE BROADCAST HASH JOINS (map-only, zero train
+    shuffle); only the ~0.1% candidate stream reaches the exact
+    verification join and the per-doc aggregate. The exact-only twin
+    (docs_decontaminate) shuffles every train gram into the
+    inverted-index join; at 100 TB that difference is the job.
+
+    Exact cross-engine arithmetic: grams are md5-60 hashed
+    (portable), bit positions are integer slices, the filter is a
+    bit_or aggregate of 1<<(p%32) over 32-bit words — DuckDB builds
+    the identical filter, so even the false-positive set matches
+    hash-for-hash. The gram hashes come from the stored
+    ``md5grams8`` index (computed once per corpus at ingest, like
+    every other dedup index here), so the per-query cost is the
+    probe, not the text kernel."""
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
+
+    g = dedup_index(spark, sf_dir, "md5grams8").select(
+        "doc_id", F.explode("sh").alias("h")
+    )
+    ev = g.where(F.col("doc_id") % 50 == 0).select("h").distinct()
+    bloom = (
+        ev.select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
+        .select(
+            F.shiftright("p", 5).alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    cand = g.where(F.col("doc_id") % 50 != 0)
+    for i, pos in enumerate(_bloom_positions(F.col("h"))):
+        cand = (
+            cand.withColumn("_p", pos)
+            .withColumn("_w", F.shiftright("_p", 5))
+            .withColumn(
+                "_bv",
+                F.expr("shiftleft(cast(1 as bigint), cast(_p % 32 as int))"),
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("w").alias("_w"),
+                        F.col("bits").alias(f"_bits{i}"),
+                    )
+                ),
+                "_w",
+            )
+            .where(F.col(f"_bits{i}").bitwiseAND(F.col("_bv")) != 0)
+            .drop("_p", "_w", "_bv", f"_bits{i}")
+        )
+    truth = ev.withColumn("_hit", F.lit(1))
+    return (
+        cand.join(F.broadcast(truth), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_true_shared"),
+        )
+        .withColumn("contaminated", F.col("n_true_shared") > 0)
+    )
+
+
+def _bloom_pos_sql(col: str, shift: int) -> str:
+    return f"(({col} >> {shift}) & {_BLOOM_MASK})"
+
+
+def _bloom_decontaminate_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.workloads_ext2 import (
+        _EIGHT_GRAM_SQL,
+    )
+
+    probe_joins = "\n".join(
+        f"""  JOIN bloom b{i} ON b{i}.w = {_bloom_pos_sql('tr.h', s)} >> 5
+    AND (b{i}.bits & (1::BIGINT << CAST({_bloom_pos_sql('tr.h', s)} % 32 AS INT))) != 0"""
+        for i, s in enumerate((0, 20, 40))
+    )
+    return (
+        _EIGHT_GRAM_SQL
+        + f""", h AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(grams) AS s FROM g)
+), evh AS (
+  SELECT DISTINCT h FROM h WHERE doc_id % 50 = 0
+), bloom AS (
+  SELECT p >> 5 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM (SELECT unnest([{', '.join(_bloom_pos_sql('h', s) for s in (0, 20, 40))}]) AS p
+        FROM evh)
+  GROUP BY 1
+), cand AS (
+  SELECT tr.doc_id, tr.h
+  FROM (SELECT doc_id, h FROM h WHERE doc_id % 50 != 0) tr
+{probe_joins}
+)
+SELECT cand.doc_id,
+       count(*)::BIGINT AS n_candidate_grams,
+       count(evh.h)::BIGINT AS n_true_shared,
+       count(evh.h) > 0 AS contaminated
+FROM cand LEFT JOIN evh ON evh.h = cand.h
+GROUP BY cand.doc_id
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -419,6 +561,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_repeated_spans": docs_repeated_spans,
     "events_changes_1h": events_changes_1h,
     "events_predict_linear": events_predict_linear,
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -428,4 +571,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "docs_repeated_spans": DOCS_REPEATED_SPANS_SQL,
     "events_changes_1h": EVENTS_CHANGES_SQL,
     "events_predict_linear": EVENTS_PREDICT_SQL,
+    "docs_bloom_decontaminate": _bloom_decontaminate_sql(),
 }

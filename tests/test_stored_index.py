@@ -45,13 +45,16 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
         base_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
         base_embclusters = _rows(emb_neardup_clusters(spark, SF))
         base_pq = _rows(WE4.emb_pq_adc_topk(spark, SF))
+        base_bloom = _rows(WE4.docs_bloom_decontaminate(spark, SF))
         assert base_minhash and base_ivf and base_embclusters and base_pq
+        assert base_bloom
 
         # ingest-time store
         monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
         W.store_dedup_index(spark, SF, "bands64x16")
         W.store_dedup_index(spark, SF, "grams3")
         W.store_dedup_index(spark, SF, "embpairs045")
+        W.store_dedup_index(spark, SF, "md5grams8")
         WE.store_ivf_index(spark, SF)
         WE4.store_pq_index(spark, SF)
 
@@ -61,6 +64,8 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
         got_ivf = _rows(WE.emb_ivf_kmeans_topk(spark, SF))
         got_embclusters = _rows(emb_neardup_clusters(spark, SF))
         got_pq = _rows(WE4.emb_pq_adc_topk(spark, SF))
+        got_bloom = _rows(WE4.docs_bloom_decontaminate(spark, SF))
+        assert got_bloom == base_bloom
         assert got_minhash == base_minhash
         assert got_ivf == base_ivf
         assert got_embclusters == base_embclusters
@@ -68,7 +73,7 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
 
         # prove the queries really read the stored tables, not rebuilt
         # in-memory indexes: the memoized plans must scan the tmp root
-        for kind in ("bands64x16", "grams3", "embpairs045"):
+        for kind in ("bands64x16", "grams3", "embpairs045", "md5grams8"):
             files = W._DEDUP_INDEX[(SF, kind)].inputFiles()
             assert files and all(str(tmp_path) in f for f in files), kind
         ivf_files = WE._IVF_INDEX[(SF, 16, 2)].inputFiles()

@@ -81,3 +81,69 @@ def test_predict_linear_null_on_degenerate_series(spark):
             assert r.n_points <= 1
         else:
             assert r.n_points >= 2
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination
+# --------------------------------------------------------------------------
+
+
+def _gram8_set(t: str) -> set[str]:
+    import re
+
+    w = re.sub(r"\s+", " ", t).strip().lower().split(" ")
+    if len(w) < 8:
+        return set()
+    return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+
+
+def test_bloom_decontaminate_matches_exact_sharing(spark):
+    """No false negatives (every truly contaminated train doc appears
+    with its exact shared-gram count) and every flagged-but-clean row
+    is an explicit Bloom false positive, against an independent pandas
+    8-gram recomputation."""
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        docs_bloom_decontaminate,
+    )
+
+    rows = {
+        r.doc_id: r for r in docs_bloom_decontaminate(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    ev_sets = [_gram8_set(t) for t in pdf[pdf.doc_id % 50 == 0].text]
+    ev = set().union(*ev_sets) if ev_sets else set()
+    want = {}
+    for r in pdf[pdf.doc_id % 50 != 0].itertuples():
+        shared = len(_gram8_set(r.text) & ev)
+        if shared:
+            want[r.doc_id] = shared
+    assert want, "fixture must contain real contamination"
+    for doc_id, n_shared in want.items():
+        got = rows[doc_id]
+        assert got.contaminated
+        assert got.n_true_shared == n_shared
+        # the Bloom candidate set is a superset of the true hits
+        assert got.n_candidate_grams >= n_shared
+    for doc_id, r in rows.items():
+        assert r.contaminated == (doc_id in want)
+
+
+def test_bloom_filter_bits_are_portable(spark):
+    """The filter's word/bit layout is pure integer arithmetic on the
+    portable 60-bit hash — recompute three inserted positions by hand
+    and assert each probe slice of a known hash tests positive."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        _BLOOM_MASK,
+        _bloom_positions,
+    )
+
+    h = 0x0123456789ABCDE  # 60-bit value
+    df = spark.range(1).select(F.lit(h).alias("h"))
+    got = df.select(*[p.alias(f"p{i}") for i, p in enumerate(_bloom_positions(F.col("h")))]).collect()[0]
+    assert got.p0 == h & _BLOOM_MASK
+    assert got.p1 == (h >> 20) & _BLOOM_MASK
+    assert got.p2 == (h >> 40) & _BLOOM_MASK
+    for p in (got.p0, got.p1, got.p2):
+        assert 0 <= p <= _BLOOM_MASK
