@@ -1075,3 +1075,72 @@ def _components_driver(edges: DataFrame) -> DataFrame:
 
     pdf = pd.DataFrame(out, columns=["doc_id", "keeper_id"])
     return edges.sparkSession.createDataFrame(pdf, schema)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership kernel (streaming decontamination)
+# --------------------------------------------------------------------------
+
+BLOOM_MASK = (1 << 20) - 1  # 2^20-bit filter, 20-bit probe slices
+BLOOM_WORDS = 1 << 15  # 32768 slots of 32 bits... (2^20 / 32 = 32768)
+
+
+def bloom_decontaminate_kernel(
+    bloom_bits, eval_hashes
+):  # type: (object, object) -> Column
+    """Row-local Bloom + exact decontamination scorer.
+
+    ``bloom_bits`` is the dense 32-bit-word Bloom filter (numpy array of
+    length 2^20/32 = 32768, dtype uint64, values < 2^32) built over the
+    eval set's 8-gram md5-60 hashes with k=3 disjoint 20-bit probe
+    slices — the same layout workloads_ext4.docs_bloom_decontaminate
+    aggregates with bit_or, exported by
+    workloads_ext4.bloom_filter_arrays. ``eval_hashes`` is the sorted
+    exact eval gram-hash set (numpy int64).
+
+    Returns a pandas UDF over the document's gram-hash array column
+    (``array<bigint>``, the md5grams8 index shape) yielding
+    ``struct<n_candidate_grams, n_true_shared>``. Everything is a
+    closure over two broadcast-size numpy arrays (128 KB filter + the
+    eval set), so the operator is STATELESS and map-only — the shape an
+    at-ingest streaming decontamination filter must have: no state
+    store, no join, unbounded stream, each Arrow batch scored
+    vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    words = np.ascontiguousarray(bloom_bits, dtype=np.uint64)
+    if words.shape != (BLOOM_WORDS,):
+        raise ValueError(
+            f"bloom_bits must be the dense word table of shape ({BLOOM_WORDS},)"
+        )
+    truth = np.sort(np.asarray(eval_hashes, dtype=np.int64))
+
+    @pandas_udf("struct<n_candidate_grams: bigint, n_true_shared: bigint>")
+    def _score(sh: pd.Series) -> pd.DataFrame:
+        n_cand = np.zeros(len(sh), dtype=np.int64)
+        n_true = np.zeros(len(sh), dtype=np.int64)
+        for i, arr in enumerate(sh):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            ok = np.ones(len(h), dtype=bool)
+            for shift in (0, 20, 40):
+                p = (h >> np.uint64(shift)) & np.uint64(BLOOM_MASK)
+                bits = words[(p >> np.uint64(5)).astype(np.intp)]
+                ok &= ((bits >> (p & np.uint64(31))) & np.uint64(1)) != 0
+            cand = h[ok].view(np.int64)
+            n_cand[i] = len(cand)
+            if len(cand) and len(truth):
+                pos = np.searchsorted(truth, cand)
+                valid = pos < len(truth)
+                n_true[i] = int(
+                    (truth[pos[valid]] == cand[valid]).sum()
+                )
+        return pd.DataFrame(
+            {"n_candidate_grams": n_cand, "n_true_shared": n_true}
+        )
+
+    return _score

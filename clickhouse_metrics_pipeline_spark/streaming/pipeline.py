@@ -991,3 +991,48 @@ def exemplar_trace_join_stream(
     return s.join(e, cond, "inner").select(
         "series_hash", "timestamp", "value", "trace_id", "ex_ts"
     )
+
+
+def decontaminate_documents_stream(
+    df: DataFrame,
+    bloom_bits,
+    eval_hashes,
+    text_col: str = "text",
+) -> DataFrame:
+    """At-ingest decontamination for a streaming document feed: score
+    every incoming document against the eval benchmark set's Bloom
+    filter (built offline by workloads_ext4.docs_bloom_decontaminate /
+    exported by bloom_filter_arrays), resolving Bloom candidates
+    against the exact eval hash set in the same row-local pass. Emits
+    the input plus ``n_candidate_grams`` / ``n_true_shared`` /
+    ``contaminated`` — the upstream filter a training pipeline applies
+    while data lands, so contaminated documents never reach storage.
+
+    Scale/state: the gram hashes are the same JVM shingle+md5 kernel
+    the batch md5grams8 index uses; the scorer is a STATELESS Arrow
+    pandas UDF over two closure-broadcast numpy arrays (128 KB filter
+    + the eval gram set). No state store, no join, no watermark
+    needed: each micro-batch is map-only, so the operator survives an
+    unbounded stream at any rate and batch/stream verdicts agree
+    hash-for-hash (pinned in tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        bloom_decontaminate_kernel,
+        word_shingles,
+    )
+
+    score = bloom_decontaminate_kernel(bloom_bits, eval_hashes)
+    hashes = F.transform(
+        word_shingles(F.col(text_col), 8), portable_hash60
+    )
+    return (
+        df.withColumn("_score", score(hashes))
+        .withColumn("n_candidate_grams", F.col("_score.n_candidate_grams"))
+        .withColumn("n_true_shared", F.col("_score.n_true_shared"))
+        .withColumn("contaminated", F.col("n_true_shared") > 0)
+        .drop("_score")
+    )

@@ -512,6 +512,44 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_filter_arrays(spark: SparkSession, sf_dir: str):
+    """Export the eval-split Bloom filter and exact hash set as numpy
+    arrays for the streaming kernel
+    (operators.dedup.bloom_decontaminate_kernel): the offline artifact
+    an at-ingest decontamination filter loads at startup. ~128 KB
+    filter + the eval gram set — both closure-broadcastable."""
+    import numpy as np
+
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        BLOOM_WORDS,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
+
+    g = dedup_index(spark, sf_dir, "md5grams8").select(
+        "doc_id", F.explode("sh").alias("h")
+    )
+    ev = g.where(F.col("doc_id") % 50 == 0).select("h").distinct()
+    rows = (
+        ev.select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
+        .select(
+            F.shiftright("p", 5).alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+    for r in rows:
+        words[r.w] = np.uint64(r.bits)
+    eval_hashes = np.sort(
+        np.array([r.h for r in ev.collect()], dtype=np.int64)
+    )
+    return words, eval_hashes
+
+
 def _bloom_pos_sql(col: str, shift: int) -> str:
     return f"(({col} >> {shift}) & {_BLOOM_MASK})"
 

@@ -1007,3 +1007,81 @@ class TestStreamStreamExemplarJoin:
         # window matches tr-b (300, boundary) and tr-c (301) but NOT
         # tr-a (299, one second too old): exactly 5 pairs
         assert len(got) == 5
+
+
+class TestStreamingDecontamination:
+    """decontaminate_documents_stream: stateless at-ingest Bloom+exact
+    scoring must agree with the batch docs_bloom_decontaminate verdicts
+    doc-for-doc."""
+
+    def test_stream_verdicts_match_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            decontaminate_documents_stream,
+        )
+        from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+            bloom_filter_arrays,
+            docs_bloom_decontaminate,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        words, eval_hashes = bloom_filter_arrays(spark, sf)
+        # the batch truth: per-train-doc candidate + exact counts
+        batch = {
+            r.doc_id: (r.n_candidate_grams, r.n_true_shared)
+            for r in docs_bloom_decontaminate(spark, sf).collect()
+        }
+        assert batch, "fixture must contain contamination"
+
+        # stream the train split through in two micro-batch files
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .where("doc_id % 50 != 0")
+            .select("doc_id", "text")
+            .collect()
+        )
+        src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        schema = "doc_id BIGINT, text STRING"
+        half = len(docs) // 2
+        for i, chunk in enumerate((docs[:half], docs[half:])):
+            spark.createDataFrame(
+                [(r.doc_id, r.text) for r in chunk], schema
+            ).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        scored = decontaminate_documents_stream(stream, words, eval_hashes)
+        q = (
+            scored.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(out))
+        flagged = {
+            r.doc_id: (r.n_candidate_grams, r.n_true_shared)
+            for r in got.where("n_candidate_grams > 0").collect()
+        }
+        assert flagged == batch
+        # every contaminated verdict is exact-verified, none invented
+        for r in got.collect():
+            assert r.contaminated == (r.n_true_shared > 0)
+            assert r.n_candidate_grams >= r.n_true_shared
+
+    def test_kernel_rejects_wrong_filter_shape(self, spark):
+        import numpy as np
+        import pytest
+
+        from clickhouse_metrics_pipeline_spark.operators.dedup import (
+            bloom_decontaminate_kernel,
+        )
+
+        with pytest.raises(ValueError):
+            bloom_decontaminate_kernel(
+                np.zeros(7, dtype=np.uint64), np.array([], dtype=np.int64)
+            )
