@@ -121,6 +121,9 @@ HEADLINE += [
     "events_changes_1h",
     "events_predict_linear",
     "emb_pq_adc_topk",
+    # round-4 third batch
+    "docs_bloom_decontaminate",
+    "docs_quality_classifier",
 ]
 
 

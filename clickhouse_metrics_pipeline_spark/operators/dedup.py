@@ -1144,3 +1144,35 @@ def bloom_decontaminate_kernel(
         )
 
     return _score
+
+
+def bloom_positions(h) -> list:
+    """k=3 bit positions (disjoint 20-bit slices) of a 60-bit portable
+    gram hash — the single definition both the batch filter build
+    (workloads.dedup_index kind ``bloom20eval``), the batch probe
+    (workloads_ext4.docs_bloom_decontaminate), and the DuckDB oracle
+    layout mirror."""
+    return [
+        F.shiftright(h, s).bitwiseAND(F.lit(BLOOM_MASK))
+        for s in (0, 20, 40)
+    ]
+
+
+def bloom_word_table(hashes: DataFrame, hash_col: str = "h") -> DataFrame:
+    """Aggregate a hash relation into the 2^20-bit Bloom filter's
+    sparse word table: (w, bits) rows over 32-bit words packed into
+    BIGINTs, built with one bit_or groupBy. At most 32768 rows
+    regardless of input size — the broadcastable artifact."""
+    return (
+        hashes.select(
+            F.explode(F.array(*bloom_positions(F.col(hash_col)))).alias("p")
+        )
+        .select(
+            F.shiftright("p", 5).alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )

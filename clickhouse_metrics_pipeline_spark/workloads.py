@@ -938,6 +938,24 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                 word_shingles("text", 8), portable_hash60
             ).alias("sh"),
         )
+    elif kind == "bloom20eval":
+        # the eval split's 2^20-bit Bloom filter as its sparse word
+        # table (<= 32768 rows of (w, bits)) — the broadcast artifact
+        # docs_bloom_decontaminate probes; derived from md5grams8 once
+        # per corpus (in production: once per eval-benchmark release,
+        # merged across shards by bitwise OR — see
+        # tests/test_workloads_ext4.py::test_bloom_filters_merge_by_bitwise_or)
+        from clickhouse_metrics_pipeline_spark.operators.dedup import (
+            bloom_word_table,
+        )
+
+        evh = (
+            dedup_index(spark, sf_dir, "md5grams8")
+            .where(F.col("doc_id") % 50 == 0)
+            .select(F.explode("sh").alias("h"))
+            .distinct()
+        )
+        idx = bloom_word_table(evh)
     elif kind == "grams3_df50":
         # probe first: when no shingle exceeds the cap, the capped index
         # is provably the raw index — skip the rebuild shuffle entirely

@@ -415,19 +415,17 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-filter decontamination pre-filter
 # --------------------------------------------------------------------------
 
-# 2^20-bit Bloom filter over the eval split's 8-gram hashes: 16384
+# 2^20-bit Bloom filter over the eval split's 8-gram hashes: 32768
 # 32-bit words packed into BIGINTs (32 bits/word keeps every shift and
 # bit_or inside signed-64 range in both engines), k=3 probe positions
 # taken as disjoint 20-bit slices of the portable 60-bit md5 hash.
-_BLOOM_MASK = (1 << 20) - 1  # 1048575
-
-
-def _bloom_positions(h) -> list:
-    """k=3 bit positions (20-bit slices) of a 60-bit gram hash."""
-    return [
-        F.shiftright(h, s).bitwiseAND(F.lit(_BLOOM_MASK))
-        for s in (0, 20, 40)
-    ]
+# Single definition in operators.dedup; re-exported for the tests.
+from clickhouse_metrics_pipeline_spark.operators.dedup import (  # noqa: E402
+    BLOOM_MASK as _BLOOM_MASK,
+)
+from clickhouse_metrics_pipeline_spark.operators.dedup import (  # noqa: E402
+    bloom_positions as _bloom_positions,
+)
 
 
 def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,17 +464,9 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("sh").alias("h")
     )
     ev = g.where(F.col("doc_id") % 50 == 0).select("h").distinct()
-    bloom = (
-        ev.select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
-        .select(
-            F.shiftright("p", 5).alias("w"),
-            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
-                "b"
-            ),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-    )
+    # the filter itself is a stored index (built from md5grams8 once
+    # per corpus / eval release), so the per-query cost is the probe
+    bloom = dedup_index(spark, sf_dir, "bloom20eval")
     cand = g.where(F.col("doc_id") % 50 != 0)
     for i, pos in enumerate(_bloom_positions(F.col("h"))):
         cand = (
@@ -529,18 +519,7 @@ def bloom_filter_arrays(spark: SparkSession, sf_dir: str):
         "doc_id", F.explode("sh").alias("h")
     )
     ev = g.where(F.col("doc_id") % 50 == 0).select("h").distinct()
-    rows = (
-        ev.select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
-        .select(
-            F.shiftright("p", 5).alias("w"),
-            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
-                "b"
-            ),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-        .collect()
-    )
+    rows = dedup_index(spark, sf_dir, "bloom20eval").collect()
     words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
     for r in rows:
         words[r.w] = np.uint64(r.bits)
@@ -592,6 +571,90 @@ GROUP BY cand.doc_id
 
 
 # --------------------------------------------------------------------------
+# Hash-bucketed linear quality classifier
+# --------------------------------------------------------------------------
+
+# fastText-shaped scorer: tokens hash into D weight buckets, the doc
+# score is the sum of bucket weights over its tokens (with repeats —
+# a linear bag-of-words model). Weights here are a deterministic
+# closed form of the bucket id (a stand-in for trained parameters:
+# the golden-ratio multiply is a fixed "model", not data-derived), so
+# both engines recompute the identical model with no artifact to ship.
+# A trained deployment swaps the closed form for a broadcast
+# bucket->weight table; every other part of the plan is unchanged.
+_CLS_BUCKETS = 4096
+_CLS_MULT = 2654435761  # Knuth multiplicative constant
+_CLS_RANGE = 1001  # weights in [-500, 500]
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the curation stage between the
+    heuristic gates (docs_text_stats / repetition) and human review:
+    score every document with a hash-bucketed linear classifier
+    (fastText's architecture: token -> bucket -> weight, summed) and
+    keep docs whose mean token weight clears a margin.
+
+    Integer-exact end to end: the token hash is the portable md5-60
+    kernel, bucket = h % 4096, weight = (bucket * 2654435761) % 1001
+    - 500 (max product ~1.1e13, inside BIGINT in both engines), the
+    doc score an integer sum. keep = score * 100 >= n_tok * margin
+    stays in integers (no division).
+
+    Scale: ZERO-SHUFFLE map-only scoring — tokens never explode; the
+    per-doc sum is a row-local ``aggregate`` over the token array, so
+    a 100 TB corpus scores in one embarrassingly parallel scan (the
+    final output is row-per-doc, written where it stands). This is
+    the plan shape model-based filtering must have at scale: any form
+    that explodes tokens into a join pays a corpus-sized shuffle for
+    what is per-row arithmetic."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from clickhouse_metrics_pipeline_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    weight = (
+        lambda t: (portable_hash60(t) % _CLS_BUCKETS) * _CLS_MULT
+        % _CLS_RANGE
+        - (_CLS_RANGE - 1) // 2
+    )
+    score = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + w,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        score.alias("score"),
+    ).withColumn(
+        # keep when the mean token weight >= 5/100: score/n_tok >= 0.05
+        # without division
+        "keep",
+        F.col("score") * 100 >= F.col("n_tok") * 5,
+    )
+
+
+DOCS_QUALITY_CLS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tok,
+         coalesce(list_sum(
+           [(({portable_hash60_sql('t')} % {_CLS_BUCKETS}) * {_CLS_MULT})
+             % {_CLS_RANGE} - {(_CLS_RANGE - 1) // 2} for t in w]
+         ), 0)::BIGINT AS score
+  FROM d
+)
+SELECT doc_id, n_tok, score, score * 100 >= n_tok * 5 AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -600,6 +663,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changes_1h": events_changes_1h,
     "events_predict_linear": events_predict_linear,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
+    "docs_quality_classifier": docs_quality_classifier,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -610,4 +674,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "events_changes_1h": EVENTS_CHANGES_SQL,
     "events_predict_linear": EVENTS_PREDICT_SQL,
     "docs_bloom_decontaminate": _bloom_decontaminate_sql(),
+    "docs_quality_classifier": DOCS_QUALITY_CLS_SQL,
 }

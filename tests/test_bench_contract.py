@@ -27,13 +27,25 @@ def _parse(line: str) -> dict:
     return d
 
 
-def test_current_headline_fits_without_truncation():
+def test_current_headline_line_always_parses_under_cap():
+    # the headline outgrew the fits-whole guarantee at 66 queries; the
+    # contract is now: the line ALWAYS parses under the driver's
+    # 2000-byte tail capture, "value" covers the full suite, and any
+    # trimming drops only the FASTEST entries with the omitted mass
+    # accounted (full precision always in bench_details.json + stderr)
     timings = {name: 9.999 for name in HEADLINE}
-    d = _parse(compact_line(timings, round(sum(timings.values()), 3), 0.1))
-    # the real suite must fit whole — truncation is a never-reached
-    # safety net at the current headline size, even at 4-char timings
-    assert "queries_omitted" not in d
-    assert set(d["queries"]) == set(HEADLINE)
+    timings[HEADLINE[0]] = 99.9  # a slowest entry that must survive
+    total = round(sum(timings.values()), 3)
+    line = compact_line(timings, total, 0.1)
+    assert len(line) <= 1900
+    d = _parse(line)
+    assert d["value"] == total
+    assert HEADLINE[0] in d["queries"]
+    omitted_sec = d.get("queries_omitted_sec", 0.0)
+    kept = sum(d["queries"].values())
+    assert abs(kept + omitted_sec - total) < 1.0
+    # the bulk of the suite stays visible on stdout
+    assert len(d["queries"]) >= len(HEADLINE) * 3 // 4
 
 
 def test_oversized_headline_truncates_fastest_first_and_still_parses():

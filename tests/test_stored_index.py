@@ -55,6 +55,7 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
         W.store_dedup_index(spark, SF, "grams3")
         W.store_dedup_index(spark, SF, "embpairs045")
         W.store_dedup_index(spark, SF, "md5grams8")
+        W.store_dedup_index(spark, SF, "bloom20eval")
         WE.store_ivf_index(spark, SF)
         WE4.store_pq_index(spark, SF)
 
@@ -73,7 +74,7 @@ def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
 
         # prove the queries really read the stored tables, not rebuilt
         # in-memory indexes: the memoized plans must scan the tmp root
-        for kind in ("bands64x16", "grams3", "embpairs045", "md5grams8"):
+        for kind in ("bands64x16", "grams3", "embpairs045", "md5grams8", "bloom20eval"):
             files = W._DEDUP_INDEX[(SF, kind)].inputFiles()
             assert files and all(str(tmp_path) in f for f in files), kind
         ivf_files = WE._IVF_INDEX[(SF, 16, 2)].inputFiles()

@@ -232,6 +232,9 @@ class TestPartitionCountDeterminism:
         "events_predict_linear",
         "events_changes_1h",
         "docs_repeated_spans",
+        # round-4 third batch: bloom pre-filter + linear classifier
+        "docs_bloom_decontaminate",
+        "docs_quality_classifier",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)

@@ -147,3 +147,92 @@ def test_bloom_filter_bits_are_portable(spark):
     assert got.p2 == (h >> 40) & _BLOOM_MASK
     for p in (got.p0, got.p1, got.p2):
         assert 0 <= p <= _BLOOM_MASK
+
+
+# --------------------------------------------------------------------------
+# Hash-bucketed linear quality classifier
+# --------------------------------------------------------------------------
+
+
+def test_quality_classifier_matches_python_model(spark):
+    """Independent recomputation of the hash-bucket linear model in
+    plain python (hashlib md5, int arithmetic) — third implementation
+    alongside the Spark expressions and the DuckDB oracle."""
+    import hashlib
+    import re
+
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        _CLS_BUCKETS,
+        _CLS_MULT,
+        _CLS_RANGE,
+        docs_quality_classifier,
+    )
+
+    got = {
+        r.doc_id: (r.n_tok, r.score, r.keep)
+        for r in docs_quality_classifier(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    for r in pdf.itertuples():
+        toks = re.sub(r"\s+", " ", r.text).strip().lower().split(" ")
+        score = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            score += (h % _CLS_BUCKETS) * _CLS_MULT % _CLS_RANGE - (
+                _CLS_RANGE - 1
+            ) // 2
+        assert got[r.doc_id] == (len(toks), score, score * 100 >= len(toks) * 5)
+
+
+def test_quality_classifier_weights_are_bounded(spark):
+    """Every bucket weight lies in [-500, 500] and both signs occur
+    (the closed-form 'model' is not degenerate)."""
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        _CLS_BUCKETS,
+        _CLS_MULT,
+        _CLS_RANGE,
+    )
+
+    ws = {
+        b * _CLS_MULT % _CLS_RANGE - (_CLS_RANGE - 1) // 2
+        for b in range(_CLS_BUCKETS)
+    }
+    assert min(ws) >= -500 and max(ws) <= 500
+    assert any(w < 0 for w in ws) and any(w > 0 for w in ws)
+
+
+# --------------------------------------------------------------------------
+# Bloom filter mergeability
+# --------------------------------------------------------------------------
+
+
+def test_bloom_filters_merge_by_bitwise_or(spark):
+    """filter(A ∪ B) == filter(A) | filter(B) word-for-word — the
+    property that lets a 100 TB deployment build per-shard filters in
+    parallel and OR them, and maintain the artifact incrementally as
+    new eval sets arrive."""
+    import numpy as np
+
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        BLOOM_MASK,
+        BLOOM_WORDS,
+    )
+
+    rng = np.random.RandomState(7)
+    ha = rng.randint(0, 1 << 60, 500, dtype=np.int64)
+    hb = rng.randint(0, 1 << 60, 500, dtype=np.int64)
+
+    def build(hashes):
+        words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+        h = hashes.view(np.uint64)
+        for shift in (0, 20, 40):
+            p = (h >> np.uint64(shift)) & np.uint64(BLOOM_MASK)
+            np.bitwise_or.at(
+                words,
+                (p >> np.uint64(5)).astype(np.intp),
+                np.uint64(1) << (p & np.uint64(31)),
+            )
+        return words
+
+    merged = build(np.concatenate([ha, hb]))
+    assert np.array_equal(merged, build(ha) | build(hb))
