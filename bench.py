@@ -124,6 +124,7 @@ HEADLINE += [
     # round-4 third batch
     "docs_bloom_decontaminate",
     "docs_quality_classifier",
+    "emb_srp_int8_pairs",
 ]
 
 

@@ -832,3 +832,159 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Integer SRP-LSH semantic near-dup over int8-quantized embeddings
+# --------------------------------------------------------------------------
+
+SRP_WEIGHT_RANGE = 1001  # hyperplane components in [-500, 500]
+
+
+def srp_plane_expr(n_planes: int, dim: int) -> Column:
+    """The banked SRP hyperplanes as one nested array expression:
+    ``planes[p][d] = portable_hash60('srp:p:d') % 1001 - 500``.
+
+    Derived entirely from md5 of the (plane, dim) coordinates, so any
+    engine regenerates the identical integer hyperplane bank — the
+    property that makes the whole SRP pipeline value-hash checkable
+    against DuckDB, unlike float-Gaussian SRP whose planes live in a
+    numpy seed."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: portable_hash60(
+                F.concat(
+                    F.lit("srp:"),
+                    p.cast("string"),
+                    F.lit(":"),
+                    d.cast("string"),
+                )
+            )
+            % SRP_WEIGHT_RANGE
+            - (SRP_WEIGHT_RANGE - 1) // 2,
+        ),
+    )
+
+
+def srp_int8_pairs(
+    emb: DataFrame,
+    n_bands: int = 8,
+    rows_per_band: int = 6,
+    dim: int = 64,
+    tau_num: int = 9,
+    tau_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded signed-random-projection near-dup pairs over the
+    int8-quantized corpus, verified by integer cosine — SemDeDup's
+    scalable shape (bucket, then verify within buckets) made
+    cross-engine EXACT: quantization is the deterministic
+    :func:`int8_quantize`, hyperplanes are md5-derived integers
+    (:func:`srp_plane_expr`), the bucket id is sign-bit arithmetic, and
+    the cosine >= tau_num/tau_den acceptance is the cross-multiplied
+    integer test ``dot > 0 AND (tau_den*dot)^2 >= tau_num^2 * |a|^2 *
+    |b|^2`` — no float anywhere after quantization, so a DuckDB twin
+    reproduces the full approximate result hash-for-hash (the one
+    ANN-family operator here with a value-hash oracle instead of a
+    rows-only check; recall-vs-exact is pinned separately in pytest).
+
+    Magnitudes stay in BIGINT: |dot| <= 64*127^2 ~ 1.0e6, so
+    (20*dot)^2 ~ 4.3e14 and 81*|a|^2*|b|^2 ~ 8.6e13.
+
+    Scale: per-vector work is n_bands*rows_per_band integer dot
+    products (row-local HOFs, map-only); the only shuffles are the
+    band-bucket self-join (the LSH candidate generation — bounded by
+    bucket occupancy, never all-pairs) and the candidate dedup.
+    Banding tradeoff as usual: recall rises with similarity
+    (sign-agreement probability 1 - theta/pi per plane), so
+    high-similarity semantic dups are caught with high probability
+    while the exact baseline (emb_neardup_pairs) remains the
+    verification oracle."""
+    n_planes = n_bands * rows_per_band
+    spark = emb.sparkSession
+    planes = spark.range(1).select(
+        srp_plane_expr(n_planes, dim).alias("_pl")
+    )
+    q = int8_quantize(F.col(vec_col))["q"]
+    base = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.transform(q, lambda x: x.cast("bigint")).alias("q"),
+        )
+        .crossJoin(F.broadcast(planes))
+        .withColumn(
+            "_dots",
+            F.transform(
+                F.col("_pl"),
+                lambda w: F.aggregate(
+                    F.zip_with(F.col("q"), w, lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
+    )
+    band_structs = []
+    for b in range(n_bands):
+        bucket = F.lit(0)
+        for j in range(rows_per_band):
+            bit = (
+                F.when(
+                    F.element_at("_dots", b * rows_per_band + j + 1) >= 0, 1
+                )
+                .otherwise(0)
+            )
+            bucket = bucket * 2 + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    bkt = base.select(
+        "vid", "q", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select("vid", "q", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    a, b = bkt.alias("a"), bkt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.q").alias("qa"),
+            F.col("b.q").alias("qb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "vec_a",
+        "vec_b",
+        dot.alias("dot_q"),
+        norm(F.col("qa")).alias("_na"),
+        norm(F.col("qb")).alias("_nb"),
+    )
+    return scored.where(
+        (F.col("dot_q") > 0)
+        & (
+            F.lit(tau_den * tau_den) * F.col("dot_q") * F.col("dot_q")
+            >= F.lit(tau_num * tau_num) * F.col("_na") * F.col("_nb")
+        )
+    ).select("vec_a", "vec_b", "dot_q")

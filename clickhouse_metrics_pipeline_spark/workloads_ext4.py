@@ -571,6 +571,72 @@ GROUP BY cand.doc_id
 
 
 # --------------------------------------------------------------------------
+# Integer SRP-LSH semantic near-dup (hash-exact approximate ANN)
+# --------------------------------------------------------------------------
+
+
+def emb_srp_int8_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs via banded signed-random-projection over
+    the int8-quantized corpus (SemDeDup's bucket-then-verify shape),
+    with integer-exact cosine acceptance at 0.45 — the one ANN-family
+    query with a full value-hash DuckDB oracle: quantization, the
+    md5-derived integer hyperplane bank, sign-bit bucketing, and the
+    cross-multiplied acceptance are all deterministic integer
+    arithmetic, so the twin reproduces the approximate result
+    hash-for-hash (operators/similarity.py srp_int8_pairs; recall vs
+    the exact float baseline pinned in
+    tests/test_training_ops.py-style goldens in
+    tests/test_workloads_ext4.py).
+
+    Scale: map-only signature computation (48 integer dot products per
+    vector, row-local HOFs); candidate generation is the banded bucket
+    self-join (8 bands x 6 bits — bounded by bucket occupancy, never
+    all-pairs); verification touches candidates only."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        srp_int8_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return srp_int8_pairs(e)
+
+
+EMB_SRP_PAIRS_SQL = """
+WITH pl AS (
+  SELECT [[ (('0x'||substr(md5('srp:'||p::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 1001 - 500)
+            for d in range(0,64)] for p in range(0,48)] AS planes
+), qv AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(embedding, x -> round(x::DOUBLE / s)::BIGINT)
+              ELSE list_transform(embedding, x -> 0::BIGINT) END AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))/127.0 AS s
+        FROM embeddings)
+), bk AS (
+  SELECT vec_id, q, b AS band,
+         list_sum([CASE WHEN list_sum([q[i+1]*planes[b*6+j+1][i+1] for i in range(0,64)]) >= 0
+                        THEN (1<<(5-j))::BIGINT ELSE 0 END
+                   for j in range(0,6)])::BIGINT AS bucket
+  FROM qv CROSS JOIN pl CROSS JOIN (SELECT unnest(range(0,8)) AS b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), v AS (
+  SELECT c.vec_a, c.vec_b,
+         list_sum([qa.q[i+1]*qb.q[i+1] for i in range(0,64)])::BIGINT AS dot_q,
+         list_sum([qa.q[i+1]*qa.q[i+1] for i in range(0,64)])::BIGINT AS na,
+         list_sum([qb.q[i+1]*qb.q[i+1] for i in range(0,64)])::BIGINT AS nb
+  FROM cand c
+  JOIN qv qa ON qa.vec_id = c.vec_a
+  JOIN qv qb ON qb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, dot_q
+FROM v
+WHERE dot_q > 0 AND 400*dot_q*dot_q >= 81*na*nb
+"""
+
+
+# --------------------------------------------------------------------------
 # Hash-bucketed linear quality classifier
 # --------------------------------------------------------------------------
 
@@ -664,6 +730,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_predict_linear": events_predict_linear,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_quality_classifier": docs_quality_classifier,
+    "emb_srp_int8_pairs": emb_srp_int8_pairs,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -675,4 +742,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "events_predict_linear": EVENTS_PREDICT_SQL,
     "docs_bloom_decontaminate": _bloom_decontaminate_sql(),
     "docs_quality_classifier": DOCS_QUALITY_CLS_SQL,
+    "emb_srp_int8_pairs": EMB_SRP_PAIRS_SQL,
 }

@@ -235,6 +235,7 @@ class TestPartitionCountDeterminism:
         # round-4 third batch: bloom pre-filter + linear classifier
         "docs_bloom_decontaminate",
         "docs_quality_classifier",
+        "emb_srp_int8_pairs",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)

@@ -236,3 +236,81 @@ def test_bloom_filters_merge_by_bitwise_or(spark):
 
     merged = build(np.concatenate([ha, hb]))
     assert np.array_equal(merged, build(ha) | build(hb))
+
+
+# --------------------------------------------------------------------------
+# Integer SRP-LSH semantic near-dup
+# --------------------------------------------------------------------------
+
+
+def _int8_quantized(V: "np.ndarray") -> "np.ndarray":
+    s = np.abs(V).max(axis=1, keepdims=True) / 127.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = np.where(s > 0, np.round(V / s), 0.0)
+    return q.astype(np.int64)
+
+
+def test_srp_pairs_subset_of_integer_ceiling_with_recall(spark):
+    """Emitted pairs must be exactly the LSH-candidate subset of the
+    brute-force integer-criterion pair set (precision 1.0 by
+    construction, verified independently in numpy), with recall
+    bounded below — and the whole result deterministic, since planes
+    derive from md5, not a seed."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        srp_int8_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        (r.vec_a, r.vec_b): r.dot_q
+        for r in srp_int8_pairs(e).collect()
+    }
+    pdf = e.toPandas()
+    V = np.vstack(pdf["embedding"].values).astype(np.float64)
+    q = _int8_quantized(V)
+    ids = pdf["vec_id"].to_numpy()
+    G = q @ q.T
+    n2 = np.diag(G)
+    ceiling = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = int(G[i, j])
+            if d > 0 and 400 * d * d >= 81 * int(n2[i]) * int(n2[j]):
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                ceiling[(a, b)] = d
+    # every emitted pair is a true integer-criterion pair with the
+    # exact integer dot (precision 1.0)
+    for pair, dot in got.items():
+        assert ceiling[pair] == dot
+    # banded SRP recall floor at this operating point (deterministic)
+    assert ceiling, "fixture must contain qualifying pairs"
+    assert len(got) / len(ceiling) >= 0.2
+
+    # determinism: a second run returns the identical pair set
+    again = {
+        (r.vec_a, r.vec_b): r.dot_q
+        for r in srp_int8_pairs(e).collect()
+    }
+    assert again == got
+
+
+def test_srp_planes_are_md5_derived(spark):
+    """The hyperplane bank regenerates from md5 coordinates — spot
+    check plane[3][17] against hashlib."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        SRP_WEIGHT_RANGE,
+        srp_plane_expr,
+    )
+
+    got = (
+        spark.range(1)
+        .select(F.element_at(F.element_at(srp_plane_expr(48, 64), 4), 18))
+        .collect()[0][0]
+    )
+    h = int(hashlib.md5(b"srp:3:17").hexdigest()[:15], 16)
+    assert got == h % SRP_WEIGHT_RANGE - (SRP_WEIGHT_RANGE - 1) // 2
