@@ -1588,16 +1588,18 @@ _ROTATION_FIRST: list[str] = [
     "events_resolution_route",
     "docs_language_id",
     "docs_chunking",
-    "docs_token_topk",
+    # third-batch round-4 flagships take three window slots (the
+    # demoted simpler extensions join the 51+ queue below)
+    "docs_bloom_decontaminate",
     "events_irate_5m",
-    "events_rolling_mean",
+    "emb_srp_int8_pairs",
     "events_topk_series",
     "hist_quantile_over_time",
     "docs_training_pipeline",
     "docs_decontaminate",
     "docs_stratified_sample",
     "events_gap_fill_locf",
-    "events_pivot_daily",
+    "docs_quality_classifier",
     "emb_quantize_int8",
     "docs_pack_sequences",
     "docs_source_overlap",
@@ -1606,6 +1608,9 @@ _ROTATION_FIRST: list[str] = [
     "docs_repeated_spans",
     # never-driver-graded yet, queued for the next rotation window
     # (51+ this round): remaining second-batch + late-round-4 entries
+    "docs_token_topk",
+    "events_rolling_mean",
+    "events_pivot_daily",
     "events_predict_linear",
     "events_changes_1h",
     "events_top_movers",
