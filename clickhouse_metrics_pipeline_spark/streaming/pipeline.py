@@ -1036,3 +1036,124 @@ def decontaminate_documents_stream(
         .withColumn("contaminated", F.col("n_true_shared") > 0)
         .drop("_score")
     )
+
+
+def simhash_neardup_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    max_hamming: int = 6,
+    watermark: str = "30 minutes",
+    state_ttl_hours: int = 3,
+) -> DataFrame:
+    """Continuous SimHash near-dup detection at ingest — the streaming
+    twin of the batch ``docs_simhash_pairs`` query, sharing its exact
+    kernel and pigeonhole banding: each document's portable 60-bit
+    signature splits into ``max_hamming + 1`` bit chunks, and per
+    (chunk, key) bucket the operator keeps the (doc_id, signature)
+    pairs seen so far; a new arrival emits one row per earlier
+    bucket-mate within Hamming distance ``max_hamming``
+    (``id_a`` = the earlier doc, ``id_b`` = the arrival, plus the
+    exact distance). Pigeonhole guarantees every qualifying pair
+    shares at least one chunk, so the emitted pair set equals the
+    batch query's — pinned in tests/test_streaming.py.
+
+    At-least-once per pair: a pair agreeing on several chunks emits
+    from each, so consumers key on (id_a, id_b) (idempotent upsert /
+    dropDuplicates), the same contract as every retried streaming
+    sink write.
+
+    Scale/state: state per bucket is the bucket's occupants — in
+    aggregate one (id, int64) pair per document per chunk, the same
+    footprint as the batch signatures index, TTL-evicted so an
+    unbounded stream holds only the trailing dedup horizon (a
+    production deployment seeds state from the stored ``simhash60``
+    index instead of an empty store). The shuffle is on (chunk, key)
+    — the LSH bucket key, never all-pairs."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        PORTABLE_SIMHASH_BITS,
+        simhash60_portable_kernel,
+    )
+
+    n_chunks = max_hamming + 1
+    width = -(-PORTABLE_SIMHASH_BITS // n_chunks)
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        simhash60_portable_kernel(text_col).alias("sim"),
+    )
+    chunks = sig.select(
+        "_id",
+        "_ts",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_ck"),
+    ).select("_id", "_ts", "sim", F.col("_ck.chunk").alias("chunk"), F.col("_ck.key").alias("key"))
+
+    out_schema = "id_a bigint, id_b bigint, hamming int, ts timestamp"
+    state_schema = "ids array<bigint>, sims array<bigint>"
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, sims = state.get
+            ids = list(ids) if ids is not None else []
+            sims = list(sims) if sims is not None else []
+        else:
+            ids, sims = [], []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["_ts", "_id"])
+            for _id, _ts, sim in zip(
+                pdf["_id"], pdf["_ts"], pdf["sim"]
+            ):
+                _id, sim = int(_id), int(sim)
+                if _id in ids:
+                    continue  # replayed doc: state already has it
+                for pid, psim in zip(ids, sims):
+                    h = bin(sim ^ psim).count("1")
+                    if h <= max_hamming:
+                        out.append(
+                            {
+                                "id_a": pid,
+                                "id_b": _id,
+                                "hamming": h,
+                                "ts": _ts,
+                            }
+                        )
+                ids.append(_id)
+                sims.append(sim)
+        state.update((ids, sims))
+        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        chunks.withWatermark("_ts", watermark)
+        .groupBy("chunk", "key")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1085,3 +1085,70 @@ class TestStreamingDecontamination:
             bloom_decontaminate_kernel(
                 np.zeros(7, dtype=np.uint64), np.array([], dtype=np.int64)
             )
+
+
+class TestStreamingSimhashNearDup:
+    """simhash_neardup_stream: the emitted (deduped) pair set must
+    equal the batch docs_simhash_pairs result, hamming values
+    included."""
+
+    def test_stream_pairs_match_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            simhash_neardup_stream,
+        )
+        from clickhouse_metrics_pipeline_spark.workloads import (
+            docs_simhash_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        batch = {
+            (r.id_a, r.id_b): r.hamming
+            for r in docs_simhash_pairs(spark, sf).collect()
+        }
+        assert batch, "fixture must contain near-dup pairs"
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        schema = "doc_id BIGINT, text STRING, ingest_ts TIMESTAMP"
+        # ingest in doc_id order (ts follows id) across two files so
+        # pairs span micro-batches; "earlier" then means smaller id,
+        # the batch orientation
+        half = len(docs) // 2
+        for i, chunk in enumerate((docs[:half], docs[half:])):
+            spark.createDataFrame(
+                [
+                    (r.doc_id, r.text, _ts(int(r.doc_id)))
+                    for r in chunk
+                ],
+                schema,
+            ).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        pairs = simhash_neardup_stream(stream)
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got_rows = spark.read.parquet(str(out)).collect()
+        assert got_rows, "stream must emit pairs"
+        got = {}
+        for r in got_rows:
+            a, b = sorted((r.id_a, r.id_b))
+            # at-least-once across chunks: same pair, same hamming
+            prev = got.setdefault((a, b), r.hamming)
+            assert prev == r.hamming
+        assert got == batch
