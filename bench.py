@@ -125,6 +125,7 @@ HEADLINE += [
     "docs_bloom_decontaminate",
     "docs_quality_classifier",
     "emb_srp_int8_pairs",
+    "emb_srp_semantic_dedup",
 ]
 
 

@@ -600,8 +600,10 @@ def emb_srp_int8_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_int8_pairs(e)
 
 
-EMB_SRP_PAIRS_SQL = """
-WITH pl AS (
+# shared CTE chain (planes -> quantized vectors -> band buckets ->
+# candidates -> verified scores); the pairs query selects from it, the
+# semantic-dedup query appends the recursive component labeling
+_SRP_CTE = """pl AS (
   SELECT [[ (('0x'||substr(md5('srp:'||p::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 1001 - 500)
             for d in range(0,64)] for p in range(0,48)] AS planes
 ), qv AS (
@@ -629,11 +631,62 @@ WITH pl AS (
   FROM cand c
   JOIN qv qa ON qa.vec_id = c.vec_a
   JOIN qv qb ON qb.vec_id = c.vec_b
-)
-SELECT vec_a, vec_b, dot_q
-FROM v
-WHERE dot_q > 0 AND 400*dot_q*dot_q >= 81*na*nb
+), pj AS (
+  SELECT vec_a, vec_b, dot_q
+  FROM v
+  WHERE dot_q > 0 AND 400*dot_q*dot_q >= 81*na*nb
+)"""
+
+EMB_SRP_PAIRS_SQL = f"""
+WITH {_SRP_CTE}
+SELECT vec_a, vec_b, dot_q FROM pj
 """
+
+EMB_SRP_DEDUP_SQL = f"""
+WITH RECURSIVE {_SRP_CTE}, edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pj
+  UNION
+  SELECT vec_b, vec_a FROM pj
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+), labels AS (
+  SELECT id AS vec_id, min(r) AS keeper_id FROM reach GROUP BY id
+)
+SELECT vec_id, keeper_id,
+       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+FROM labels
+"""
+
+
+def emb_srp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup pipeline (Abbas et al. 2023) end to end:
+    integer-SRP candidate buckets over the int8-quantized corpus ->
+    exact integer cosine verification -> connected components ->
+    one keeper per semantic cluster (min vec_id, with the cluster
+    size). Composes emb_srp_int8_pairs with
+    operators.dedup.neardup_components (the same clustering kernel the
+    text and exact-embedding dedup paths use), and stays value-hash
+    checkable end to end — the DuckDB twin rebuilds the bit-identical
+    pair graph and labels it with a recursive CTE.
+
+    Scale: pair generation as in emb_srp_int8_pairs; component
+    labeling is O(log diameter) min-label-propagation rounds (driver
+    union-find below 1M edges), output one row per vector involved in
+    any semantic cluster."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    pairs = emb_srp_int8_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    comp = neardup_components(pairs, id_a="vec_a", id_b="vec_b")
+    w = Window.partitionBy("keeper_id")
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "keeper_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -731,6 +784,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_quality_classifier": docs_quality_classifier,
     "emb_srp_int8_pairs": emb_srp_int8_pairs,
+    "emb_srp_semantic_dedup": emb_srp_semantic_dedup,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -743,4 +797,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "docs_bloom_decontaminate": _bloom_decontaminate_sql(),
     "docs_quality_classifier": DOCS_QUALITY_CLS_SQL,
     "emb_srp_int8_pairs": EMB_SRP_PAIRS_SQL,
+    "emb_srp_semantic_dedup": EMB_SRP_DEDUP_SQL,
 }

@@ -236,6 +236,7 @@ class TestPartitionCountDeterminism:
         "docs_bloom_decontaminate",
         "docs_quality_classifier",
         "emb_srp_int8_pairs",
+        "emb_srp_semantic_dedup",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)
