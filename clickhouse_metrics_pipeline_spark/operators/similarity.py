@@ -908,46 +908,59 @@ def srp_int8_pairs(
     while the exact baseline (emb_neardup_pairs) remains the
     verification oracle."""
     n_planes = n_bands * rows_per_band
-    spark = emb.sparkSession
-    planes = spark.range(1).select(
-        srp_plane_expr(n_planes, dim).alias("_pl")
-    )
-    q = int8_quantize(F.col(vec_col))["q"]
-    base = (
-        emb.select(
-            F.col(id_col).alias("vid"),
-            F.transform(q, lambda x: x.cast("bigint")).alias("q"),
-        )
-        .crossJoin(F.broadcast(planes))
-        .withColumn(
-            "_dots",
-            F.transform(
-                F.col("_pl"),
-                lambda w: F.aggregate(
-                    F.zip_with(F.col("q"), w, lambda a, b: a * b),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                ),
-            ),
-        )
-    )
-    band_structs = []
-    for b in range(n_bands):
-        bucket = F.lit(0)
-        for j in range(rows_per_band):
-            bit = (
-                F.when(
-                    F.element_at("_dots", b * rows_per_band + j + 1) >= 0, 1
+    # Arrow signature kernel: quantize + all 48 plane dots as ONE
+    # numpy matmul per batch, emitting the band buckets directly. The
+    # hyperplane bank is the same md5 closed form as srp_plane_expr
+    # (spot-pinned in tests), and rounding emulates Spark/DuckDB
+    # round-half-away-from-zero, so the kernel's buckets match what
+    # the pure-expression form computes. (The expression form — 48
+    # zip_with/aggregate folds per row — measured interpreted-HOF
+    # slow: ~16 s for 2000 vectors at sf0.1; the matmul is
+    # milliseconds. Verification below stays in JVM expressions —
+    # candidates are few.)
+    import hashlib
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    W = np.array(
+        [
+            [
+                int(
+                    hashlib.md5(f"srp:{p}:{d}".encode()).hexdigest()[:15],
+                    16,
                 )
-                .otherwise(0)
-            )
-            bucket = bucket * 2 + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-        )
-    bkt = base.select(
-        "vid", "q", F.explode(F.array(*band_structs)).alias("_bb")
-    ).select("vid", "q", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+                % SRP_WEIGHT_RANGE
+                - (SRP_WEIGHT_RANGE - 1) // 2
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+    pow2 = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        s = np.abs(V).max(axis=1, keepdims=True) / 127.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            x = np.where(s > 0, V / s, 0.0)
+        q = np.sign(x) * np.floor(np.abs(x) + 0.5)  # half-away, like round()
+        bits = (q @ W.T) >= 0
+        bks = (
+            bits.reshape(len(V), n_bands, rows_per_band) * pow2
+        ).sum(axis=2)
+        return pd.Series(list(bks.astype(np.int64)))
+
+    q = int8_quantize(F.col(vec_col))["q"]
+    sh = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(q, lambda x: x.cast("bigint")).alias("q"),
+        _buckets(F.col(vec_col)).alias("_bks"),
+    ).cache()  # consumed by both sides of the bucket self-join
+    bkt = sh.select(
+        "vid", "q", F.posexplode("_bks").alias("band", "bucket")
+    )
     a, b = bkt.alias("a"), bkt.alias("b")
     cand = (
         a.join(
@@ -981,10 +994,15 @@ def srp_int8_pairs(
         norm(F.col("qa")).alias("_na"),
         norm(F.col("qb")).alias("_nb"),
     )
-    return scored.where(
+    out = scored.where(
         (F.col("dot_q") > 0)
         & (
             F.lit(tau_den * tau_den) * F.col("dot_q") * F.col("dot_q")
             >= F.lit(tau_num * tau_num) * F.col("_na") * F.col("_nb")
         )
     ).select("vec_a", "vec_b", "dot_q")
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        _materialize_release,
+    )
+
+    return _materialize_release(out, sh)

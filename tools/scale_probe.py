@@ -15,6 +15,8 @@ each core operator family:
 - session windows       (30m-gap sessions over events)
 - fused ANN probe       (probe-matrix cosine top-k over embeddings)
 - int8 quantization     (map-only JVM HOF compression over embeddings)
+- model scoring         (hash-bucketed linear classifier over documents)
+- banded SRP pairs      (integer-SRP bucket self-join over embeddings)
 
 A distributed-friendly operator keeps rows/sec roughly flat as m grows
 (until cores saturate); an operator hiding a driver-side loop or an
@@ -235,6 +237,41 @@ def op_anomaly_zscore(ev: DataFrame) -> int:
     return b.where((F.col("k") >= 12) & flag).count()
 
 
+def op_quality_classifier(docs: DataFrame) -> int:
+    """Hash-bucketed linear model scoring (workloads_ext4): zero-shuffle
+    row-local token->bucket->weight sum; the map-only model-scoring
+    shape must scale perfectly."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+
+    toks = dedup.tokens(F.col("text"))
+    weight = (
+        lambda t: (portable_hash60(t) % 4096) * 2654435761 % 1001 - 500
+    )
+    score = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + w,
+    )
+    return (
+        docs.select((score * 100 >= F.size(toks) * 5).alias("keep"))
+        .where(F.col("keep"))
+        .count()
+    )
+
+
+def op_srp_pairs(emb: DataFrame) -> int:
+    """Banded integer-SRP near-dup pairs (operators/similarity.py):
+    map-only signatures + bucket self-join; the LSH candidate path must
+    stay bucket-bounded, never all-pairs."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        srp_int8_pairs,
+    )
+
+    return srp_int8_pairs(emb).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "window_delta": ("events", op_window_delta),
@@ -247,6 +284,8 @@ OPS = {
     "kmv_sketch": ("events", op_kmv_sketch),
     "hash_sample": ("events", op_hash_sample),
     "anomaly_zscore": ("events", op_anomaly_zscore),
+    "quality_classifier": ("documents", op_quality_classifier),
+    "srp_pairs": ("embeddings", op_srp_pairs),
 }
 
 
