@@ -126,6 +126,7 @@ HEADLINE += [
     "docs_quality_classifier",
     "emb_srp_int8_pairs",
     "emb_srp_semantic_dedup",
+    "docs_training_pipeline_v2",
 ]
 
 

@@ -774,6 +774,112 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Modern curation pipeline (v2): the round-4 operators composed
+# --------------------------------------------------------------------------
+
+
+def docs_training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation pipeline as ONE plan, composing this round's
+    operators with the stored artifacts: (1) exact dedup keeps the
+    min-id doc per fingerprint (stored ``exact_keepers``); (2) verified
+    near-dup drop removes the higher id of every stored Jaccard>=0.8
+    pair (``pairs08``); (3) MODEL-BASED quality filtering keeps docs
+    the hash-bucket linear classifier scores >= 0.05 mean token weight
+    (docs_quality_classifier's arithmetic); (4) Bloom decontamination
+    drops every train doc exactly verified to share an 8-gram with the
+    eval split (docs_bloom_decontaminate's verdicts; the eval split
+    itself never enters the training corpus); (5) survivors are
+    accounted per source (doc and token totals — the mixture input).
+
+    The FineWeb/Dolma-style stage order (dedup -> model filter ->
+    decontaminate -> mixture accounting), every stage an
+    already-verified operator — what is pinned HERE is the composed
+    survivor set. Scale shape: one corpus scan against four
+    broadcast-able side relations (keepers semi, pair-drops anti,
+    contaminated anti — each tiny next to the corpus), classifier
+    scoring row-local, final aggregate one small shuffle on source."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import tokens
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
+
+    d = _t(spark, sf_dir, "documents")
+    keepers = dedup_index(spark, sf_dir, "exact_keepers")
+    drops = (
+        dedup_index(spark, sf_dir, "pairs08")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    contaminated = (
+        docs_bloom_decontaminate(spark, sf_dir)
+        .where("contaminated")
+        .select("doc_id")
+    )
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+
+    toks = tokens(F.col("text"))
+    weight = (
+        lambda t: (portable_hash60(t) % _CLS_BUCKETS) * _CLS_MULT
+        % _CLS_RANGE
+        - (_CLS_RANGE - 1) // 2
+    )
+    score = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + w,
+    )
+    survivors = (
+        d.where(F.col("doc_id") % 50 != 0)  # eval split never trains
+        .join(keepers, "doc_id", "left_semi")
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tok"),
+            score.alias("score"),
+        )
+        .where(F.col("score") * 100 >= F.col("n_tok") * 5)
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+def _training_pipeline_v2_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+    )
+
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+), drops AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({_JACCARD_PAIRS_SQL}) p
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM ({_bloom_decontaminate_sql()}) b
+  WHERE b.contaminated
+), cls AS (
+  SELECT doc_id, n_tok, score FROM ({DOCS_QUALITY_CLS_SQL}) c
+)
+SELECT d.source, count(*)::BIGINT AS n_docs, sum(cls.n_tok)::BIGINT AS n_tokens
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN cls USING (doc_id)
+LEFT JOIN drops USING (doc_id)
+LEFT JOIN contaminated USING (doc_id)
+WHERE d.doc_id % 50 != 0
+  AND drops.doc_id IS NULL
+  AND contaminated.doc_id IS NULL
+  AND cls.score * 100 >= cls.n_tok * 5
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -785,6 +891,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_classifier": docs_quality_classifier,
     "emb_srp_int8_pairs": emb_srp_int8_pairs,
     "emb_srp_semantic_dedup": emb_srp_semantic_dedup,
+    "docs_training_pipeline_v2": docs_training_pipeline_v2,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -798,4 +905,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "docs_quality_classifier": DOCS_QUALITY_CLS_SQL,
     "emb_srp_int8_pairs": EMB_SRP_PAIRS_SQL,
     "emb_srp_semantic_dedup": EMB_SRP_DEDUP_SQL,
+    "docs_training_pipeline_v2": _training_pipeline_v2_sql(),
 }

@@ -237,6 +237,7 @@ class TestPartitionCountDeterminism:
         "docs_quality_classifier",
         "emb_srp_int8_pairs",
         "emb_srp_semantic_dedup",
+        "docs_training_pipeline_v2",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)
