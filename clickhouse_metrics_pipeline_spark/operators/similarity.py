@@ -881,6 +881,7 @@ def srp_int8_pairs(
     tau_den: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded signed-random-projection near-dup pairs over the
     int8-quantized corpus, verified by integer cosine — SemDeDup's
@@ -898,15 +899,24 @@ def srp_int8_pairs(
     Magnitudes stay in BIGINT: |dot| <= 64*127^2 ~ 1.0e6, so
     (20*dot)^2 ~ 4.3e14 and 81*|a|^2*|b|^2 ~ 8.6e13.
 
-    Scale: per-vector work is n_bands*rows_per_band integer dot
-    products (row-local HOFs, map-only); the only shuffles are the
-    band-bucket self-join (the LSH candidate generation — bounded by
-    bucket occupancy, never all-pairs) and the candidate dedup.
-    Banding tradeoff as usual: recall rises with similarity
-    (sign-agreement probability 1 - theta/pi per plane), so
-    high-similarity semantic dups are caught with high probability
-    while the exact baseline (emb_neardup_pairs) remains the
-    verification oracle."""
+    Scale: signatures are one Arrow matmul per batch (map-only); the
+    shuffles are the band-bucket self-join and a 3-int-column pair
+    dedup AFTER verification (the filter commutes with distinct, so
+    the q arrays never enter the distinct shuffle). Candidate volume
+    is ~ n_bands * n^2 / 2^rows_per_band: SIZE THE BAND WIDTH so
+    n / 2^rows_per_band stays O(1) — at 100M vectors that means
+    >= 24-bit bands, while the 6-bit default is a small-corpus /
+    low-threshold demonstration point (the scale probe runs the wide
+    configuration; tools/scale_probe.py). ``max_bucket`` applies the
+    standard occupancy cap: buckets holding more members are dropped
+    from candidate generation (hot buckets are low-information — the
+    LSH twin of the n-gram df-cap), hard-bounding per-band work at
+    n * max_bucket; the cap is deterministic (a groupBy count), so a
+    capped run still has an exact SQL twin. Banding tradeoff as
+    usual: recall rises with similarity (sign-agreement probability
+    1 - theta/pi per plane), so high-similarity semantic dups are
+    caught with high probability while the exact baseline
+    (emb_neardup_pairs) remains the verification oracle."""
     n_planes = n_bands * rows_per_band
     # Arrow signature kernel: quantize + all 48 plane dots as ONE
     # numpy matmul per batch, emitting the band buckets directly. The
@@ -961,8 +971,30 @@ def srp_int8_pairs(
     bkt = sh.select(
         "vid", "q", F.posexplode("_bks").alias("band", "bucket")
     )
+    if max_bucket is not None:
+        hot = (
+            bkt.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "bucket")
+        )
+        bkt = bkt.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = bkt.alias("a"), bkt.alias("b")
-    cand = (
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # verify BEFORE the pair dedup: the integer test commutes with
+    # distinct, runs on columns already in hand at the join output,
+    # and leaves only (vec_a, vec_b, dot_q) ints for the distinct
+    # shuffle — the q arrays never leave the join stage
+    scored = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -975,32 +1007,25 @@ def srp_int8_pairs(
             F.col("a.q").alias("qa"),
             F.col("b.q").alias("qb"),
         )
+        .select(
+            "vec_a",
+            "vec_b",
+            dot.alias("dot_q"),
+            norm(F.col("qa")).alias("_na"),
+            norm(F.col("qb")).alias("_nb"),
+        )
+    )
+    out = (
+        scored.where(
+            (F.col("dot_q") > 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("dot_q") * F.col("dot_q")
+                >= F.lit(tau_num * tau_num) * F.col("_na") * F.col("_nb")
+            )
+        )
+        .select("vec_a", "vec_b", "dot_q")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = cand.select(
-        "vec_a",
-        "vec_b",
-        dot.alias("dot_q"),
-        norm(F.col("qa")).alias("_na"),
-        norm(F.col("qb")).alias("_nb"),
-    )
-    out = scored.where(
-        (F.col("dot_q") > 0)
-        & (
-            F.lit(tau_den * tau_den) * F.col("dot_q") * F.col("dot_q")
-            >= F.lit(tau_num * tau_num) * F.col("_na") * F.col("_nb")
-        )
-    ).select("vec_a", "vec_b", "dot_q")
     from clickhouse_metrics_pipeline_spark.operators.dedup import (
         _materialize_release,
     )

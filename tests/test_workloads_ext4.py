@@ -314,3 +314,40 @@ def test_srp_planes_are_md5_derived(spark):
     )
     h = int(hashlib.md5(b"srp:3:17").hexdigest()[:15], 16)
     assert got == h % SRP_WEIGHT_RANGE - (SRP_WEIGHT_RANGE - 1) // 2
+
+
+def test_srp_bucket_cap_is_sound(spark):
+    """A capped run emits a subset of the uncapped pair set (hot
+    buckets only ever REMOVE candidates), every survivor keeps its
+    exact integer dot, and the wide scale configuration agrees with
+    the brute-force integer criterion on everything it emits."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        srp_int8_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = {
+        (r.vec_a, r.vec_b): r.dot_q for r in srp_int8_pairs(e).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b): r.dot_q
+        for r in srp_int8_pairs(e, max_bucket=8).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, dot in capped.items():
+        assert full[pair] == dot
+    wide = {
+        (r.vec_a, r.vec_b): r.dot_q
+        for r in srp_int8_pairs(
+            e, n_bands=8, rows_per_band=12, max_bucket=64
+        ).collect()
+    }
+    pdf = e.toPandas()
+    V = np.vstack(pdf["embedding"].values).astype(np.float64)
+    q = _int8_quantized(V)
+    ids = {int(v): i for i, v in enumerate(pdf["vec_id"])}
+    for (a, b), dot in wide.items():
+        qa, qb = q[ids[a]], q[ids[b]]
+        d = int(qa @ qb)
+        assert d == dot and d > 0
+        assert 400 * d * d >= 81 * int(qa @ qa) * int(qb @ qb)

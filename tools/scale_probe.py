@@ -262,14 +262,19 @@ def op_quality_classifier(docs: DataFrame) -> int:
 
 
 def op_srp_pairs(emb: DataFrame) -> int:
-    """Banded integer-SRP near-dup pairs (operators/similarity.py):
-    map-only signatures + bucket self-join; the LSH candidate path must
-    stay bucket-bounded, never all-pairs."""
+    """Banded integer-SRP near-dup pairs (operators/similarity.py) at
+    the SCALE operating point: 12-bit bands keep expected bucket
+    occupancy O(1) as the corpus grows, and the occupancy cap bounds
+    any hot bucket — candidate volume stays ~linear in rows. (The
+    catalog query's 6-bit demo point is n^2/64 by design and collapses
+    here — the probe measures the configuration a 100 TB run uses.)"""
     from clickhouse_metrics_pipeline_spark.operators.similarity import (
         srp_int8_pairs,
     )
 
-    return srp_int8_pairs(emb).count()
+    return srp_int8_pairs(
+        emb, n_bands=8, rows_per_band=12, max_bucket=64
+    ).count()
 
 
 OPS = {
