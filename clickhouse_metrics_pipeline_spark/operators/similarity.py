@@ -963,13 +963,20 @@ def srp_int8_pairs(
         return pd.Series(list(bks.astype(np.int64)))
 
     q = int8_quantize(F.col(vec_col))["q"]
+    qb = F.transform(q, lambda x: x.cast("bigint"))
     sh = emb.select(
         F.col(id_col).alias("vid"),
-        F.transform(q, lambda x: x.cast("bigint")).alias("q"),
+        qb.alias("q"),
+        # squared norm ONCE per vector, not once per candidate pair
+        F.aggregate(
+            qb,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        ).alias("n2"),
         _buckets(F.col(vec_col)).alias("_bks"),
     ).cache()  # consumed by both sides of the bucket self-join
     bkt = sh.select(
-        "vid", "q", F.posexplode("_bks").alias("band", "bucket")
+        "vid", "q", "n2", F.posexplode("_bks").alias("band", "bucket")
     )
     if max_bucket is not None:
         hot = (
@@ -980,16 +987,20 @@ def srp_int8_pairs(
         )
         bkt = bkt.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = bkt.alias("a"), bkt.alias("b")
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+
+    # Arrow pair scorer: one einsum per batch over the collision
+    # stream. Per-pair interpreted HOF dots measured ~8 s at sf0.1 on
+    # the 6-bit demo banding (~n^2/64 collisions); the batched integer
+    # matmul is milliseconds and numerically identical (int8 codes,
+    # |dot| <= 1e6 — exact in int64 and in float64 alike).
+    @pandas_udf("bigint")
+    def _pair_dot(qa: pd.Series, qb: pd.Series) -> pd.Series:
+        if len(qa) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.vstack(qa.to_numpy()).astype(np.int64)
+        B = np.vstack(qb.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
     # verify BEFORE the pair dedup: the integer test commutes with
     # distinct, runs on columns already in hand at the join output,
     # and leaves only (vec_a, vec_b, dot_q) ints for the distinct
@@ -1004,15 +1015,9 @@ def srp_int8_pairs(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.col("a.q").alias("qa"),
-            F.col("b.q").alias("qb"),
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            dot.alias("dot_q"),
-            norm(F.col("qa")).alias("_na"),
-            norm(F.col("qb")).alias("_nb"),
+            F.col("a.n2").alias("_na"),
+            F.col("b.n2").alias("_nb"),
+            _pair_dot(F.col("a.q"), F.col("b.q")).alias("dot_q"),
         )
     )
     out = (
