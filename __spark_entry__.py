@@ -55,11 +55,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same aliases, same rounding).
 
-    Intentionally absent: ``emb_ann_lsh``, ``emb_ivf_topk``, and
-    ``emb_ivf_kmeans_topk`` - approximate/iterative ANN by design
-    (xxhash64-derived SRP planes / trained k-means quantizer aren't
+    Intentionally absent: ``emb_ann_lsh``, ``emb_ivf_topk``,
+    ``emb_ivf_kmeans_topk``, and ``emb_pq_adc_topk`` - approximate/
+    iterative ANN by design (xxhash64-derived SRP planes / trained
+    k-means quantizer / trained PQ codebooks aren't
     ANSI-SQL-expressible); the driver records rows-only checks and
-    pytest pins their recall against the exact brute-force baseline."""
+    pytest pins their recall against the exact brute-force baseline.
+    (``emb_srp_int8_pairs`` / ``emb_srp_semantic_dedup`` are the
+    exception that proves the rule: their md5-derived integer SRP is
+    SQL-expressible, so those approximate queries DO have value-hash
+    oracles.)"""
     from clickhouse_metrics_pipeline_spark.workloads import ORACLE_SQL
 
     return dict(ORACLE_SQL)
