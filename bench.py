@@ -127,6 +127,7 @@ HEADLINE += [
     "emb_srp_int8_pairs",
     "emb_srp_semantic_dedup",
     "docs_training_pipeline_v2",
+    "events_holt_winters",
 ]
 
 

@@ -774,6 +774,125 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# PromQL holt_winters() in exact fixed-point
+# --------------------------------------------------------------------------
+
+# smoothing factors in thousandths: sf = 0.3, tf = 0.1
+_HW_SCALE = 1000
+_HW_SF = 300
+_HW_TF = 100
+
+
+def _hw_fd(x):
+    """floor(x / 1000) as identically-ordered arithmetic in both
+    engines: positive remainder via double-mod, then an exact-multiple
+    double division cast to bigint (the predict_linear precedent —
+    token-identical float ops round the same way everywhere; exact
+    while |x| < 2^53, far above the catalog's cents magnitudes)."""
+    r = ((x % _HW_SCALE) + _HW_SCALE) % _HW_SCALE
+    return ((x - r) / F.lit(float(_HW_SCALE))).cast("bigint")
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``holt_winters()`` (double exponential smoothing,
+    sf=0.3, tf=0.1) per event_type over hour buckets of the value
+    sum — the trend-aware smoothing Prometheus users run on noisy
+    counters. Prometheus semantics: s0 = y0, b0 = y1 - y0, then
+    s_t = sf*y_t + (1-sf)*(s_{t-1}+b_{t-1}),
+    b_t = tf*(s_t - s_{t-1}) + (1-tf)*b_{t-1}. Emits the final
+    smoothed level and trend per series, in integer cents.
+
+    EXACT fixed-point: inputs are integer cents, the factors are
+    thousandths, and every step floors the /1000 rescale with the
+    same remainder arithmetic in both engines — the recursion is
+    integer-deterministic, so the DuckDB twin (a recursive CTE
+    replaying the per-series fold, the LTTB oracle pattern)
+    hash-matches every step.
+
+    Scale: one shuffle to the (event_type, hour) rollup grain with
+    map-side combine, then the fold is ROW-LOCAL (collect_list +
+    array_sort + aggregate HOF per series) — state per series is two
+    bigints regardless of range length; series-count-sized output. A
+    sequential recurrence cannot parallelize within a series in any
+    engine; keeping it an in-row fold avoids the self-join/iteration
+    driver loops a naive port would use."""
+    ev = _events(spark, sf_dir)
+    b = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("m"),
+            value_cents("value").alias("cents"),
+        )
+        .groupBy("event_type", "m")
+        .agg(F.sum("cents").alias("y"))
+    )
+    arr = F.array_sort(F.collect_list(F.struct("m", "y")))
+    g = b.groupBy("event_type").agg(arr.alias("a"))
+    n = F.size("a")
+    y0 = F.element_at("a", 1)["y"]
+    y1 = F.element_at("a", 2)["y"]
+    init = F.struct(
+        y0.alias("s"), F.coalesce(y1 - y0, F.lit(0)).alias("b")
+    )
+    sf_, tf_, sc = _HW_SF, _HW_TF, _HW_SCALE
+
+    def step(acc, e):
+        s2 = _hw_fd(
+            F.lit(sf_) * e["y"] + F.lit(sc - sf_) * (acc["s"] + acc["b"])
+        )
+        return F.struct(
+            s2.alias("s"),
+            _hw_fd(
+                F.lit(tf_) * (s2 - acc["s"]) + F.lit(sc - tf_) * acc["b"]
+            ).alias("b"),
+        )
+
+    folded = F.when(n >= 2, F.aggregate(F.slice("a", 2, n - 1), init, step)).otherwise(init)
+    return g.select(
+        "event_type",
+        n.cast("bigint").alias("n_buckets"),
+        folded["s"].alias("smooth_cents"),
+        folded["b"].alias("trend_cents"),
+    )
+
+
+def _hw_fd_sql(x: str) -> str:
+    return (
+        f"(({x}) - ((({x}) % {_HW_SCALE} + {_HW_SCALE}) % {_HW_SCALE}))"
+        f" / {_HW_SCALE}.0"
+    )
+
+
+EVENTS_HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT event_type, date_trunc('hour', ts) AS m,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+  FROM {_EV_SQL} GROUP BY 1, 2
+), o AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY m) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+), hw(event_type, i, n, s, b) AS (
+  SELECT o1.event_type, 1::BIGINT, o1.n, o1.y,
+         coalesce(o2.y - o1.y, 0::BIGINT)
+  FROM o o1 LEFT JOIN o o2 ON o2.event_type = o1.event_type AND o2.i = 2
+  WHERE o1.i = 1
+  UNION ALL
+  SELECT event_type, i, n, s2,
+         CAST({_hw_fd_sql(f"{_HW_TF}*(s2 - s) + {_HW_SCALE - _HW_TF}*b")} AS BIGINT)
+  FROM (
+    SELECT o.event_type, o.i, o.n, hw.s, hw.b,
+           CAST({_hw_fd_sql(f"{_HW_SF}*o.y + {_HW_SCALE - _HW_SF}*(hw.s + hw.b)")} AS BIGINT) AS s2
+    FROM hw JOIN o ON o.event_type = hw.event_type AND o.i = hw.i + 1
+  )
+)
+SELECT event_type, n::BIGINT AS n_buckets, s AS smooth_cents, b AS trend_cents
+FROM hw WHERE i = n
+"""
+
+
+# --------------------------------------------------------------------------
 # Modern curation pipeline (v2): the round-4 operators composed
 # --------------------------------------------------------------------------
 
@@ -892,6 +1011,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_srp_int8_pairs": emb_srp_int8_pairs,
     "emb_srp_semantic_dedup": emb_srp_semantic_dedup,
     "docs_training_pipeline_v2": docs_training_pipeline_v2,
+    "events_holt_winters": events_holt_winters,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -906,4 +1026,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "emb_srp_int8_pairs": EMB_SRP_PAIRS_SQL,
     "emb_srp_semantic_dedup": EMB_SRP_DEDUP_SQL,
     "docs_training_pipeline_v2": _training_pipeline_v2_sql(),
+    "events_holt_winters": EVENTS_HOLT_WINTERS_SQL,
 }

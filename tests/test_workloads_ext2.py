@@ -238,6 +238,7 @@ class TestPartitionCountDeterminism:
         "emb_srp_int8_pairs",
         "emb_srp_semantic_dedup",
         "docs_training_pipeline_v2",
+        "events_holt_winters",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)

@@ -351,3 +351,53 @@ def test_srp_bucket_cap_is_sound(spark):
         d = int(qa @ qb)
         assert d == dot and d > 0
         assert 400 * d * d >= 81 * int(qa @ qa) * int(qb @ qb)
+
+
+# --------------------------------------------------------------------------
+# PromQL holt_winters (fixed-point double exponential smoothing)
+# --------------------------------------------------------------------------
+
+
+def test_holt_winters_matches_python_replay(spark):
+    """Independent python replay of the fixed-point recursion at
+    sf0.001 — third implementation alongside the Spark fold and the
+    recursive-CTE oracle."""
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        _HW_SCALE,
+        _HW_SF,
+        _HW_TF,
+        events_holt_winters,
+    )
+
+    got = {
+        r.event_type: (r.n_buckets, r.smooth_cents, r.trend_cents)
+        for r in events_holt_winters(spark, SF).collect()
+    }
+    pdf = _events_pdf()
+    pdf["m"] = pdf["ts"].dt.floor("h")
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+
+    def fd(x: int) -> int:
+        return x // _HW_SCALE  # python // is floor division
+
+    for et, g in pdf.groupby("event_type"):
+        ys = g.groupby("m")["cents"].sum().sort_index().to_list()
+        s, b = ys[0], (ys[1] - ys[0] if len(ys) >= 2 else 0)
+        for y in ys[1:]:
+            s2 = fd(_HW_SF * y + (_HW_SCALE - _HW_SF) * (s + b))
+            b = fd(_HW_TF * (s2 - s) + (_HW_SCALE - _HW_TF) * b)
+            s = s2
+        assert got[et] == (len(ys), s, b)
+
+
+def test_holt_winters_floor_div_matches_python(spark):
+    """_hw_fd == python floor division for both signs (the remainder
+    trick must floor, not truncate)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import _hw_fd
+
+    vals = [-2001, -2000, -1999, -1, 0, 1, 999, 1000, 1001, 12_345_678]
+    df = spark.createDataFrame([(v,) for v in vals], "x BIGINT")
+    got = [r.fd for r in df.select(_hw_fd(F.col("x")).alias("fd")).collect()]
+    assert got == [v // 1000 for v in vals]
