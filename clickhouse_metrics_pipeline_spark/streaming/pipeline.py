@@ -1157,3 +1157,117 @@ def simhash_neardup_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def holt_winters_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    key_ddl: str = "event_type string",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain_seconds: int = 3600,
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 48,
+) -> DataFrame:
+    """Continuous PromQL ``holt_winters()`` — the streaming twin of the
+    batch ``events_holt_winters`` catalog query, sharing its EXACT
+    fixed-point recursion (sf=0.3, tf=0.1 in thousandths; every step
+    floors the /1000 rescale; python ``//`` IS that floor). A bucket
+    closes when a later-bucket row arrives for the same key
+    (event-time progress, the same bucket sequence the batch fold
+    sees); each close emits the smoothed level and trend over all
+    closed buckets so far — equal, bucket for bucket, to the batch
+    query run over that closed prefix (pinned in
+    tests/test_streaming.py).
+
+    Stateful shape: per series just (first-bucket cents, s, b,
+    closed-bucket count) plus the open bucket's (start, cents sum) —
+    O(1) state per live series regardless of range length, the
+    defining advantage of the recurrence over windowed smoothing;
+    TTL-evicted. Prometheus init (s0 = y0, b0 = y1 - y0) means the
+    first close emits (y0, 0) and the recursion proper starts at the
+    second close."""
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        _HW_SCALE,
+        _HW_SF,
+        _HW_TF,
+    )
+
+    out_schema = (
+        f"{key_ddl}, bucket_ts timestamp, n_buckets bigint, "
+        "smooth_cents bigint, trend_cents bigint"
+    )
+    state_schema = (
+        "open_ts bigint, open_y bigint, y0 bigint, s bigint, b bigint, "
+        "n_closed bigint"
+    )
+    names = list(key_cols)
+
+    def smooth(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            open_ts, open_y, y0, s, b, n_closed = state.get
+        else:
+            open_ts, open_y, y0, s, b, n_closed = None, 0, None, None, None, 0
+
+        out = []
+
+        def close_bucket():
+            nonlocal y0, s, b, n_closed
+            y = open_y
+            n_closed += 1
+            if n_closed == 1:
+                y0, s, b = y, y, 0
+            else:
+                if n_closed == 2:
+                    b = y - y0  # Prometheus b0 = y1 - y0
+                s2 = (_HW_SF * y + (_HW_SCALE - _HW_SF) * (s + b)) // _HW_SCALE
+                b = (_HW_TF * (s2 - s) + (_HW_SCALE - _HW_TF) * b) // _HW_SCALE
+                s = s2
+            row = dict(zip(names, key))
+            row.update(
+                bucket_ts=pd.Timestamp(open_ts, unit="s"),
+                n_buckets=n_closed,
+                smooth_cents=s,
+                trend_cents=b,
+            )
+            out.append(row)
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            secs = pdf[ts_col].values.astype("datetime64[s]").astype("int64")
+            cents = (
+                (pdf[value_col].to_numpy(dtype="float64") * 100)
+                .round()
+                .astype("int64")
+            )
+            for t, c in sorted(zip(secs, cents)):
+                bk = int(t) // grain_seconds * grain_seconds
+                if open_ts is None:
+                    open_ts, open_y = bk, int(c)
+                elif bk == open_ts:
+                    open_y += int(c)
+                elif bk < open_ts:
+                    continue  # late beyond the open bucket: dropped
+                else:
+                    close_bucket()
+                    open_ts, open_y = bk, int(c)
+        state.update((open_ts, open_y, y0, s, b, n_closed))
+        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            smooth,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1152,3 +1152,76 @@ class TestStreamingSimhashNearDup:
             prev = got.setdefault((a, b), r.hamming)
             assert prev == r.hamming
         assert got == batch
+
+
+class TestStreamingHoltWinters:
+    """holt_winters_stream: the last emission per series must equal the
+    batch events_holt_winters fold over the closed-bucket prefix."""
+
+    def test_stream_matches_batch_over_closed_prefix(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            holt_winters_stream,
+        )
+        from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+            events_holt_winters,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "ts", "event_type", "value"
+        )
+        batch = {
+            r.event_type: (r.n_buckets, r.smooth_cents, r.trend_cents)
+            for r in events_holt_winters(spark, sf).collect()
+        }
+
+        # append one sentinel event per series two hours past the end,
+        # so every real bucket CLOSES in the stream; the batch result
+        # over the real events is then the stream's closed-prefix state
+        import datetime as dt
+
+        rows = ev.collect()
+        max_ts = max(r.ts for r in rows)
+        sentinel_ts = (max_ts + dt.timedelta(hours=2)).replace(
+            minute=0, second=0, microsecond=0
+        )
+        types = sorted({r.event_type for r in rows})
+        sentinels = [(sentinel_ts, t, 0.0) for t in types]
+
+        src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+        half = len(rows) // 2
+        spark.createDataFrame(
+            [(r.ts, r.event_type, r.value) for r in rows[:half]], schema
+        ).coalesce(1).write.parquet(str(src / "f0"))
+        spark.createDataFrame(
+            [(r.ts, r.event_type, r.value) for r in rows[half:]] + sentinels,
+            schema,
+        ).coalesce(1).write.parquet(str(src / "f1"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        hw = holt_winters_stream(stream)
+        q = (
+            hw.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got_rows = spark.read.parquet(str(out)).collect()
+        assert got_rows
+        last = {}
+        for r in got_rows:
+            cur = last.get(r.event_type)
+            if cur is None or r.n_buckets > cur.n_buckets:
+                last[r.event_type] = r
+        assert set(last) == set(batch)
+        for et, want in batch.items():
+            got = last[et]
+            assert (got.n_buckets, got.smooth_cents, got.trend_cents) == want
