@@ -1,23 +1,27 @@
-"""Fourth extended catalog (round 4, second batch): span-level dedup
-and the remaining PromQL range-vector functions.
+"""Fourth extended catalog (round 4, batches two and three).
 
-LLM-data curation: maximal repeated token spans (the token-level twin
-of exact-substring dedup, Lee et al. 2022 — localizes duplicated
-regions instead of dropping whole documents; operators/dedup.py
-``repeated_spans``).
+LLM-data curation: maximal repeated token spans (token-level
+exact-substring dedup, Lee et al. 2022); the broadcast-Bloom
+decontamination pre-filter over the portable ``md5grams8`` /
+``bloom20eval`` stored indexes; the hash-bucketed linear quality
+classifier (fastText architecture, zero-shuffle integer scoring);
+integer-SRP semantic near-dup over the int8-quantized embedding
+corpus plus the full SemDeDup composition (components + keepers) —
+the ANN-family queries with full value-hash oracles; and the modern
+curation pipeline v2 (dedup -> near-dup -> classifier -> Bloom
+decontamination -> per-source mixture accounting) as one plan.
 
-Metrics/observability: PromQL ``changes()`` at the 1h rollup grain
-(irate/rate/resets already exist), and ``deriv()``/``predict_linear()``
-— per-series least-squares slope over the trailing 7 days of minute
-buckets plus the 60-min-ahead forecast, in exact integer algebra
-(DECIMAL(38,0) / HUGEINT cross-products; the only float ops are the
-final identically-ordered divisions both engines round the same way).
+Metrics/observability: PromQL ``changes()`` at the 1h rollup grain,
+``deriv()``/``predict_linear()`` (exact integer least-squares +
+forecast), ``holt_winters()`` (fixed-point double exponential
+smoothing, integer-deterministic recursion, recursive-CTE oracle),
+and product-quantization ANN (rows-only by design).
 
 Reference anchors: none of these exist in the reference (its engine
-stops at fixed-grain rollups); changes/deriv/predict_linear are
-Prometheus surface its users query through Remote Read. Catalog
-contract throughout: exact cross-engine-stable arithmetic, a DuckDB
-oracle twin, an inline 100 TB scale note.
+stops at fixed-grain rollups); the PromQL functions are surface its
+users query through Remote Read. Catalog contract throughout: exact
+cross-engine-stable arithmetic, a DuckDB oracle twin, an inline
+100 TB scale note.
 """
 
 from __future__ import annotations
