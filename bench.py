@@ -128,6 +128,7 @@ HEADLINE += [
     "emb_srp_semantic_dedup",
     "docs_training_pipeline_v2",
     "events_holt_winters",
+    "events_alert_for",
 ]
 
 

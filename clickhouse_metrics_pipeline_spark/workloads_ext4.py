@@ -897,6 +897,79 @@ FROM hw WHERE i = n
 
 
 # --------------------------------------------------------------------------
+# Alerting rule debounce (Prometheus `for:` semantics)
+# --------------------------------------------------------------------------
+
+_ALERT_THRESHOLD = 4  # events/hour
+_ALERT_FOR = 3  # consecutive hourly evaluations before firing
+
+
+def events_alert_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus alert-rule ``for:`` debounce: the rule
+    ``rate > threshold`` becomes PENDING when its condition first
+    holds and FIRING only once it has held for 3 consecutive hourly
+    evaluations — the inactive/pending/firing lifecycle every
+    Prometheus alert walks through, discretized to the 1h rollup
+    grain. A missing bucket (no samples that hour) resets the streak,
+    exactly as an alert whose expr returns no sample goes back to
+    inactive.
+
+    Pure integer comparisons: the condition is a count threshold and
+    the debounce a trailing RANGE window on the epoch-hour index (the
+    slo_burn pattern — calendar gaps count as missing because absent
+    buckets contribute no rows to the range frame). At most 3 rows in
+    a 3-hour range frame, so ``n_true = 3`` is exactly "present and
+    true for all of the trailing 3 hours".
+
+    Scale: one shuffle to the rollup grain, one bounded range window —
+    the evaluation loop an alerting engine runs continuously, here as
+    the batch/backfill form over stored rollups."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    em = (F.unix_timestamp("bucket_ts") / 3600).cast("bigint")
+    cond = F.col("n_events") >= _ALERT_THRESHOLD
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(em)
+        .rangeBetween(-(_ALERT_FOR - 1), 0)
+    )
+    n_true = F.sum(cond.cast("int")).over(w)
+    return b.select(
+        "event_type",
+        "bucket_ts",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.when(~cond, F.lit("inactive"))
+        .when(n_true >= _ALERT_FOR, F.lit("firing"))
+        .otherwise(F.lit("pending"))
+        .alias("state"),
+    )
+
+
+EVENTS_ALERT_FOR_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         count(*)::BIGINT AS n_events
+  FROM {_EV_SQL} GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bucket_ts, n_events,
+         (n_events >= {_ALERT_THRESHOLD}) AS cond,
+         epoch(bucket_ts)::BIGINT // 3600 AS em
+  FROM b
+)
+SELECT event_type, bucket_ts, n_events,
+       CASE WHEN NOT cond THEN 'inactive'
+            WHEN sum(CASE WHEN cond THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY event_type ORDER BY em
+                   RANGE BETWEEN {_ALERT_FOR - 1} PRECEDING AND CURRENT ROW
+                 ) >= {_ALERT_FOR} THEN 'firing'
+            ELSE 'pending' END AS state
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # Modern curation pipeline (v2): the round-4 operators composed
 # --------------------------------------------------------------------------
 
@@ -1016,6 +1089,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_srp_semantic_dedup": emb_srp_semantic_dedup,
     "docs_training_pipeline_v2": docs_training_pipeline_v2,
     "events_holt_winters": events_holt_winters,
+    "events_alert_for": events_alert_for,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -1031,4 +1105,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "emb_srp_semantic_dedup": EMB_SRP_DEDUP_SQL,
     "docs_training_pipeline_v2": _training_pipeline_v2_sql(),
     "events_holt_winters": EVENTS_HOLT_WINTERS_SQL,
+    "events_alert_for": EVENTS_ALERT_FOR_SQL,
 }

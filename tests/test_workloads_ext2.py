@@ -239,6 +239,7 @@ class TestPartitionCountDeterminism:
         "emb_srp_semantic_dedup",
         "docs_training_pipeline_v2",
         "events_holt_winters",
+        "events_alert_for",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)

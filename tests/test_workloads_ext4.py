@@ -401,3 +401,55 @@ def test_holt_winters_floor_div_matches_python(spark):
     df = spark.createDataFrame([(v,) for v in vals], "x BIGINT")
     got = [r.fd for r in df.select(_hw_fd(F.col("x")).alias("fd")).collect()]
     assert got == [v // 1000 for v in vals]
+
+
+# --------------------------------------------------------------------------
+# Alert `for:` debounce lifecycle
+# --------------------------------------------------------------------------
+
+
+def test_alert_for_lifecycle_on_crafted_series(spark, tmp_path):
+    """inactive -> pending (1-2 true evals) -> firing (3rd consecutive)
+    -> a missing bucket resets the streak back to pending."""
+    import datetime as dt
+
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        events_alert_for,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def hour(h: int, n: int):
+        nonlocal eid
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, minutes=i), 1, "err", 1.0)
+            )
+
+    hour(0, 2)   # inactive (below threshold 4)
+    hour(1, 5)   # pending (true #1)
+    hour(2, 5)   # pending (true #2)
+    hour(3, 5)   # firing  (true #3, consecutive)
+    hour(4, 5)   # firing
+    # hour 5 missing entirely -> streak broken
+    hour(6, 5)   # pending again (gap reset)
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.bucket_ts.hour: r.state
+        for r in events_alert_for(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: "inactive",
+        1: "pending",
+        2: "pending",
+        3: "firing",
+        4: "firing",
+        6: "pending",
+    }
