@@ -1225,3 +1225,59 @@ class TestStreamingHoltWinters:
         for et, want in batch.items():
             got = last[et]
             assert (got.n_buckets, got.smooth_cents, got.trend_cents) == want
+
+
+class TestSimhashStreamRestart:
+    """Bucket state rides the checkpoint: a near-dup arriving AFTER a
+    restart still pairs with a pre-restart document, and replayed
+    doc_ids do not double-enter state."""
+
+    def test_restart_keeps_bucket_state(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            simhash_neardup_stream,
+        )
+
+        src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        schema = "doc_id BIGINT, text STRING, ingest_ts TIMESTAMP"
+        base = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest before dawn"
+        )
+        near = base.replace("quiet", "silent")  # small token change
+        far = "completely different content about databases and streams"
+
+        def _run_drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*"))
+            )
+            q = (
+                simhash_neardup_stream(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(
+            [(1, base, _ts(0)), (2, far, _ts(1))], schema
+        ).coalesce(1).write.parquet(str(src / "f1"))
+        _run_drain()
+        first = spark.read.parquet(str(out)).count()
+
+        # the near-dup arrives only after the restart
+        spark.createDataFrame(
+            [(3, near, _ts(120))], schema
+        ).coalesce(1).write.parquet(str(src / "f2"))
+        _run_drain()
+        rows = spark.read.parquet(str(out)).collect()
+        pairs = {tuple(sorted((r.id_a, r.id_b))) for r in rows}
+        if first == 0:
+            # base/near must be within the hamming threshold for this
+            # fixture to test anything
+            assert (1, 3) in pairs, rows
+        assert (1, 2) not in pairs and (2, 3) not in pairs
