@@ -83,13 +83,27 @@ def scaled_docs(spark, sf_dir: str, m: int) -> DataFrame:
 
 
 def scaled_embeddings(spark, sf_dir: str, m: int) -> DataFrame:
-    """m copies of embeddings with fresh vec_ids (vector values reused —
-    throughput, not recall, is what's probed here)."""
+    """m copies of embeddings with fresh vec_ids. Each copy's vectors
+    are dimension-ROTATED by the copy index: norms and within-copy
+    geometry are preserved (comparable per-row work), but copies are
+    not near-duplicates of each other — plain value reuse made every
+    vector gain m-1 exact twins, so pair-emitting probes (srp_pairs)
+    saw a legitimately quadratic OUTPUT and measured the data, not the
+    plan."""
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(base.select("embedding").first()[0])
+
+    def rot(i: int):
+        if i == 0:
+            return F.col("embedding")
+        return F.concat(
+            F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
+        )
+
     parts = [
         base.select(
             (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-            "embedding",
+            rot(i % dim).alias("embedding"),
         )
         for i in range(m)
     ]
