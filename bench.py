@@ -129,6 +129,7 @@ HEADLINE += [
     "docs_training_pipeline_v2",
     "events_holt_winters",
     "events_alert_for",
+    "events_absent_series",
 ]
 
 

@@ -970,6 +970,85 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# Gone-silent detector (PromQL absent() over time)
+# --------------------------------------------------------------------------
+
+
+def events_absent_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``absent()`` as a range report: every hour in a series'
+    lifetime where the series produced NO samples while having been
+    seen within the trailing 24 h — the gone-silent alert
+    (scrape-target-down / pipeline-stalled) that threshold rules can't
+    express because there is no row to evaluate. Emits one row per
+    silent hour with the staleness (hours since last sample).
+
+    Shape: per-series dense hour grid (sequence + explode, the
+    gap-fill-LOCF pattern) left-joined to the hourly rollup; the
+    last-seen hour is a running max over present buckets (epoch-hour
+    integers — pure integer comparisons throughout).
+
+    Scale: the grid is series x range-hours (rollup-sized, not
+    raw-sized); one join on the rollup grain and one bounded running
+    window per series."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = b.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(b, ["event_type", "h"], "left")
+    em = (F.unix_timestamp("h") / 3600).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(em)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_seen = F.max(F.when(F.col("n").isNotNull(), em)).over(w)
+    flagged = j.select(
+        "event_type",
+        F.col("h").alias("bucket_ts"),
+        F.col("n").isNull().alias("_absent"),
+        (em - last_seen).alias("hours_silent"),
+    )
+    return flagged.where(
+        F.col("_absent") & (F.col("hours_silent") <= 24)
+    ).select("event_type", "bucket_ts", "hours_silent")
+
+
+EVENTS_ABSENT_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM {_EV_SQL} GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), j AS (
+  SELECT g.event_type, g.h, b.n,
+         epoch(g.h)::BIGINT // 3600 AS em
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
+), f AS (
+  SELECT event_type, h, n, em,
+         em - max(CASE WHEN n IS NOT NULL THEN em END) OVER (
+           PARTITION BY event_type ORDER BY em
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS hours_silent
+  FROM j
+)
+SELECT event_type, h AS bucket_ts, hours_silent
+FROM f WHERE n IS NULL AND hours_silent <= 24
+"""
+
+
+# --------------------------------------------------------------------------
 # Modern curation pipeline (v2): the round-4 operators composed
 # --------------------------------------------------------------------------
 
@@ -1090,6 +1169,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_training_pipeline_v2": docs_training_pipeline_v2,
     "events_holt_winters": events_holt_winters,
     "events_alert_for": events_alert_for,
+    "events_absent_series": events_absent_series,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -1106,4 +1186,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "docs_training_pipeline_v2": _training_pipeline_v2_sql(),
     "events_holt_winters": EVENTS_HOLT_WINTERS_SQL,
     "events_alert_for": EVENTS_ALERT_FOR_SQL,
+    "events_absent_series": EVENTS_ABSENT_SQL,
 }

@@ -240,6 +240,7 @@ class TestPartitionCountDeterminism:
         "docs_training_pipeline_v2",
         "events_holt_winters",
         "events_alert_for",
+        "events_absent_series",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)

@@ -453,3 +453,33 @@ def test_alert_for_lifecycle_on_crafted_series(spark, tmp_path):
         4: "firing",
         6: "pending",
     }
+
+
+def test_absent_series_flags_gaps_within_staleness(spark, tmp_path):
+    """A one-hour gap is flagged with staleness 1; hours inside a gap
+    longer than 24h stop being flagged once staleness exceeds 24; the
+    series' own first hour is never flagged (no last-seen yet)."""
+    import datetime as dt
+
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        events_absent_series,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i, h in enumerate([0, 1, 3] + list(range(30, 60))):
+        rows.append((i + 1, t0 + dt.timedelta(hours=h), 1, "err", 1.0))
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.bucket_ts - t0).total_seconds() // 3600: r.hours_silent
+        for r in events_absent_series(spark, str(tmp_path)).collect()
+    }
+    # hour 2 silent (staleness 1); hours 4..27 silent with staleness
+    # 1..24; hours 28-29 exceed the 24h staleness bound -> unflagged
+    want = {2.0: 1}
+    want.update({float(h): h - 3 for h in range(4, 28)})
+    assert got == want
