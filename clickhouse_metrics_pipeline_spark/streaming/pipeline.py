@@ -1271,3 +1271,102 @@ def holt_winters_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def alert_for_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    key_ddl: str = "event_type string",
+    ts_col: str = "ts",
+    threshold: int = 4,
+    for_buckets: int = 3,
+    grain_seconds: int = 3600,
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 48,
+) -> DataFrame:
+    """Continuous Prometheus alert-rule ``for:`` debounce — the
+    streaming twin of the batch ``events_alert_for`` catalog query
+    with identical lifecycle semantics: a rule is PENDING while its
+    condition (bucket count >= threshold) has held for fewer than
+    ``for_buckets`` consecutive present buckets, FIRING once it has,
+    INACTIVE when the condition fails; a missing bucket (calendar gap)
+    resets the streak, exactly as an expr returning no sample resets
+    the alert. Emits one row per closed bucket with the state — equal,
+    bucket for bucket, to the batch query over the closed prefix
+    (pinned in tests/test_streaming.py).
+
+    This IS the evaluation loop an alerting engine runs: the batch
+    query is the backfill/audit form over stored rollups, this is the
+    live form. State per series: the open bucket's (start, count) and
+    the current streak — O(1), TTL-evicted."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ siblings)
+
+    out_schema = (
+        f"{key_ddl}, bucket_ts timestamp, n_events bigint, state string"
+    )
+    state_schema = "open_ts bigint, open_n bigint, streak bigint"
+    names = list(key_cols)
+
+    def evaluate(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            open_ts, open_n, streak = state.get
+        else:
+            open_ts, open_n, streak = None, 0, 0
+
+        out = []
+
+        def close_bucket(next_ts: int | None):
+            nonlocal streak
+            cond = open_n >= threshold
+            if not cond:
+                streak = 0
+                st = "inactive"
+            else:
+                streak += 1
+                st = "firing" if streak >= for_buckets else "pending"
+            row = dict(zip(names, key))
+            row.update(
+                bucket_ts=pd.Timestamp(open_ts, unit="s"),
+                n_events=open_n,
+                state=st,
+            )
+            out.append(row)
+            # a calendar gap to the next bucket resets the streak (the
+            # batch RANGE frame sees no rows for missing hours)
+            if next_ts is not None and next_ts > open_ts + grain_seconds:
+                streak = 0
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            secs = pdf[ts_col].values.astype("datetime64[s]").astype("int64")
+            for t in sorted(secs):
+                b = int(t) // grain_seconds * grain_seconds
+                if open_ts is None:
+                    open_ts, open_n = b, 1
+                elif b == open_ts:
+                    open_n += 1
+                elif b < open_ts:
+                    continue  # late beyond the open bucket: dropped
+                else:
+                    close_bucket(b)
+                    open_ts, open_n = b, 1
+        state.update((open_ts, open_n, streak))
+        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            evaluate,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1281,3 +1281,89 @@ class TestSimhashStreamRestart:
             # fixture to test anything
             assert (1, 3) in pairs, rows
         assert (1, 2) not in pairs and (2, 3) not in pairs
+
+
+class TestStreamingAlertFor:
+    """alert_for_stream: per-closed-bucket states must equal an
+    independent pandas replay of the batch lifecycle (threshold 2,
+    for 2 — the sparse sf0.001 fixture's densest runs)."""
+
+    def test_stream_states_match_pandas_lifecycle(self, spark, tmp_path):
+        import datetime as dt
+
+        import pandas as pd
+
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            alert_for_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "ts", "event_type"
+        )
+        rows = ev.collect()
+
+        # independent lifecycle replay (threshold 2, for 3)
+        pdf = pd.DataFrame(
+            [(r.event_type, r.ts) for r in rows], columns=["et", "ts"]
+        )
+        pdf["h"] = pdf["ts"].dt.floor("h")
+        counts = pdf.groupby(["et", "h"]).size()
+        want = {}
+        for et, g in counts.groupby(level=0):
+            streak = 0
+            prev_h = None
+            for (_, h), n in g.sort_index().items():
+                if prev_h is not None and h > prev_h + pd.Timedelta(hours=1):
+                    streak = 0  # calendar gap resets
+                if n < 2:
+                    streak = 0
+                    st = "inactive"
+                else:
+                    streak += 1
+                    st = "firing" if streak >= 2 else "pending"
+                want[(et, h.to_pydatetime())] = (int(n), st)
+                prev_h = h
+        assert any(s == "firing" for _, s in want.values())
+        assert any(s == "pending" for _, s in want.values())
+        assert any(s == "inactive" for _, s in want.values())
+
+        max_ts = max(r.ts for r in rows)
+        sentinel_ts = (max_ts + dt.timedelta(hours=2)).replace(
+            minute=0, second=0, microsecond=0
+        )
+        types = sorted({r.event_type for r in rows})
+        src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        schema = "ts TIMESTAMP, event_type STRING"
+        half = len(rows) // 2
+        spark.createDataFrame(
+            [(r.ts, r.event_type) for r in rows[:half]], schema
+        ).coalesce(1).write.parquet(str(src / "f0"))
+        spark.createDataFrame(
+            [(r.ts, r.event_type) for r in rows[half:]]
+            + [(sentinel_ts, t) for t in types],
+            schema,
+        ).coalesce(1).write.parquet(str(src / "f1"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            alert_for_stream(stream, threshold=2, for_buckets=2)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.event_type, r.bucket_ts): (r.n_events, r.state)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        # every real bucket closed (the sentinel stays open and is
+        # absent from the pandas expectation keys)
+        assert got == want
