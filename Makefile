@@ -2,7 +2,7 @@
 # ships (reference Makefile:23-40 / scripts/run_tests.sh), minus the
 # docker/ClickHouse targets Spark makes unnecessary.
 
-.PHONY: help test test-unit test-oracle test-streaming bench scale-probe demo-ingest serve clean
+.PHONY: help test test-unit test-oracle test-streaming bench scale-probe build-indexes demo-ingest serve clean
 
 SF_DIR ?= /root/testdata/sf0.01
 
@@ -28,6 +28,9 @@ bench: ## Headline benchmark at sf0.1 (one JSON line on stdout)
 
 scale-probe: ## Throughput scaling at 1x/4x/16x sf0.1 (JSON lines)
 	python tools/scale_probe.py
+
+build-indexes: ## Materialize every stored index (ingest-time job) to $$SPARK_GRAFT_INDEX_DIR
+	python tools/build_indexes.py
 
 demo-ingest: ## OTLP-JSON drop-dir -> parquet demo (drains /tmp/otlp-drop)
 	python scripts/otlp_json_ingest.py /tmp/otlp-drop /tmp/otlp-out /tmp/otlp-ckpt --drain

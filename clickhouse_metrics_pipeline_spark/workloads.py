@@ -844,6 +844,8 @@ _INDEX_PARTITION: dict[str, list[str] | None] = {
     "exact_keepers": None,
     "simhash60": None,
     "kmv_src128": None,
+    "md5grams8": None,
+    "bloom20eval": None,
 }
 
 
