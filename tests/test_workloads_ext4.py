@@ -483,3 +483,56 @@ def test_absent_series_flags_gaps_within_staleness(spark, tmp_path):
     want = {2.0: 1}
     want.update({float(h): h - 3 for h in range(4, 28)})
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Bloom kernel property: no false negatives, candidates bound truth
+# --------------------------------------------------------------------------
+
+
+def test_bloom_kernel_never_misses_a_true_member(spark):
+    """Property (hypothesis): for arbitrary eval/doc hash sets, the
+    streaming kernel's n_true_shared equals the exact intersection
+    size and n_candidate_grams >= n_true_shared — a Bloom filter can
+    only add candidates, never lose a member."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        BLOOM_MASK,
+        BLOOM_WORDS,
+        bloom_decontaminate_kernel,
+    )
+
+    h60 = st.integers(min_value=0, max_value=(1 << 60) - 1)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        ev=st.lists(h60, min_size=0, max_size=200, unique=True),
+        doc=st.lists(h60, min_size=0, max_size=100, unique=True),
+        overlap=st.integers(min_value=0, max_value=50),
+    )
+    def check(ev, doc, overlap):
+        # force a known overlap: splice eval members into the doc
+        doc = list(dict.fromkeys(doc + ev[:overlap]))
+        eva = np.array(sorted(ev), dtype=np.int64)
+        words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+        h = eva.view(np.uint64)
+        for shift in (0, 20, 40):
+            p = (h >> np.uint64(shift)) & np.uint64(BLOOM_MASK)
+            np.bitwise_or.at(
+                words,
+                (p >> np.uint64(5)).astype(np.intp),
+                np.uint64(1) << (p & np.uint64(31)),
+            )
+        udf = bloom_decontaminate_kernel(words, eva)
+        score = udf.func  # the inner pandas function
+        res = score(pd.Series([doc]))
+        n_cand, n_true = int(res.iloc[0, 0]), int(res.iloc[0, 1])
+        exact = len(set(doc) & set(ev))
+        assert n_true == exact
+        assert n_cand >= n_true
+
+    check()
