@@ -130,6 +130,7 @@ HEADLINE += [
     "events_holt_winters",
     "events_alert_for",
     "events_absent_series",
+    "docs_rare_bigram_rate",
 ]
 
 

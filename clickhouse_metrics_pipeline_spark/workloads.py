@@ -844,6 +844,7 @@ _INDEX_PARTITION: dict[str, list[str] | None] = {
     "exact_keepers": None,
     "simhash60": None,
     "kmv_src128": None,
+    "md5grams2": None,
     "md5grams8": None,
     "bloom20eval": None,
 }
@@ -927,6 +928,17 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         # n-gram index every leakage check probes)
         idx = d.select(
             F.col("doc_id"), gram_hashes_from_text("text", shingle_n=8).alias("sh")
+        )
+    elif kind == "md5grams2":
+        # portable distinct-bigram hashes per document — the base
+        # relation of corpus-statistics quality scoring
+        # (docs_rare_bigram_rate): per-gram document frequency derives
+        # from it with one groupBy
+        idx = d.select(
+            F.col("doc_id"),
+            F.transform(
+                word_shingles("text", 2), portable_hash60
+            ).alias("sh"),
         )
     elif kind == "md5grams8":
         # portable-hash twin of grams8: 8-gram 60-bit md5 hashes

@@ -970,6 +970,78 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# Corpus-statistics quality scoring (rare-bigram rate)
+# --------------------------------------------------------------------------
+
+
+def docs_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring against LEARNED corpus statistics — the
+    KenLM-perplexity-shaped filter in exact integer form: per
+    document, the fraction (basis points) of its distinct bigrams
+    whose corpus document frequency is <= 2. A high rare-bigram rate
+    marks garbled or off-distribution text the row-local heuristics
+    (docs_text_stats) can't see, because the signal lives in the
+    corpus, not the row.
+
+    Shape: distinct per-doc bigram hashes come from the stored
+    ``md5grams2`` index; document frequency is one groupBy over the
+    exploded index; scoring joins each doc's bigrams back to the df
+    table — the inverted-index join every corpus-statistics filter
+    runs. Integer arithmetic throughout (floor 10000*n_rare/n_bi).
+
+    Scale: df-table construction and the scoring join both shuffle on
+    the bigram key (the posting-list distribution the n-gram suite
+    already handles; AQE skew-splits hot bigrams); the df table is an
+    ingest-time artifact in production, rebuilt here from the stored
+    index at rollup cost, never from raw text."""
+    from clickhouse_metrics_pipeline_spark.workloads import dedup_index
+
+    g = dedup_index(spark, sf_dir, "md5grams2").select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    df_tab = g.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        g.join(df_tab, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("_df") <= 2).cast("int")).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("n_rare").cast("bigint").alias("n_rare"),
+            F.floor(F.lit(10000) * F.col("n_rare") / F.col("n_bigrams"))
+            .cast("bigint")
+            .alias("rare_bp"),
+        )
+    )
+
+
+DOCS_RARE_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 2
+                THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                ELSE [] END)) AS s
+  FROM toks
+), dfs AS (
+  SELECT s, count(*) AS df FROM g GROUP BY s
+)
+SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN dfs.df <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+       floor(10000 * sum(CASE WHEN dfs.df <= 2 THEN 1 ELSE 0 END)
+             / count(*))::BIGINT AS rare_bp
+FROM g JOIN dfs USING (s)
+GROUP BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Gone-silent detector (PromQL absent() over time)
 # --------------------------------------------------------------------------
 
@@ -1170,6 +1242,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_holt_winters": events_holt_winters,
     "events_alert_for": events_alert_for,
     "events_absent_series": events_absent_series,
+    "docs_rare_bigram_rate": docs_rare_bigram_rate,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -1187,4 +1260,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "events_holt_winters": EVENTS_HOLT_WINTERS_SQL,
     "events_alert_for": EVENTS_ALERT_FOR_SQL,
     "events_absent_series": EVENTS_ABSENT_SQL,
+    "docs_rare_bigram_rate": DOCS_RARE_BIGRAM_SQL,
 }

@@ -241,6 +241,7 @@ class TestPartitionCountDeterminism:
         "events_holt_winters",
         "events_alert_for",
         "events_absent_series",
+        "docs_rare_bigram_rate",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)

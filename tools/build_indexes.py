@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEDUP_KINDS = [
     "grams3",
     "grams8",
+    "md5grams2",
     "md5grams8",
     "grams3_df50",
     "bands64x16",
