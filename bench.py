@@ -131,6 +131,7 @@ HEADLINE += [
     "events_alert_for",
     "events_absent_series",
     "docs_rare_bigram_rate",
+    "events_series_correlation",
 ]
 
 

@@ -1042,6 +1042,90 @@ GROUP BY g.doc_id
 
 
 # --------------------------------------------------------------------------
+# Pairwise series correlation (co-movement diagnostics)
+# --------------------------------------------------------------------------
+
+
+def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type series at the
+    hourly grain — the "which metrics move together" diagnostic an
+    incident review runs before trusting a correlated-anomaly
+    hypothesis. Series align on SHARED hours (inner join on the
+    bucket), so availability gaps don't fabricate correlation.
+
+    Exact integer algebra (the predict_linear discipline): per pair,
+    n, Σx, Σy, Σxy, Σx², Σy² accumulate in DECIMAL(38,0)/HUGEINT from
+    integer counts, making num = nΣxy − ΣxΣy and the two deviation
+    terms exact and combine-order independent; the ONLY float ops are
+    the final sqrt+division, written token-identically in both engines
+    (IEEE sqrt/division are correctly rounded, so even the float tail
+    matches bit for bit; rounded to 6 dp). Degenerate pairs (either
+    variance zero) yield NULL.
+
+    Scale: one shuffle to the rollup grain, one self-join on the hour
+    bucket (k² pair growth bounded by the series-type cardinality, not
+    the data volume), then a k²-row aggregate."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, c = b.alias("a"), b.alias("c")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    j = a.join(c, "h").where(F.col("a.event_type") < F.col("c.event_type"))
+    x, y = dec(F.col("a.n")), dec(F.col("c.n"))
+    agg = j.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("c.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("k").cast("bigint").alias("n_shared_hours"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        ).alias("corr_r"),
+    )
+
+
+EVENTS_SERIES_CORR_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::HUGEINT AS n
+  FROM {_EV_SQL} GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b, a.n AS x, c.n AS y
+  FROM b a JOIN b c ON a.h = c.h AND a.event_type < c.event_type
+), agg AS (
+  SELECT type_a, type_b,
+         count(*)::HUGEINT AS k,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT type_a, type_b, k::BIGINT AS n_shared_hours,
+       CASE WHEN k*sxx - sx*sx > 0 AND k*syy - sy*sy > 0
+            THEN round((k*sxy - sx*sy)::DOUBLE
+                       / sqrt((k*sxx - sx*sx)::DOUBLE * (k*syy - sy*sy)::DOUBLE), 6)
+            END AS corr_r
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Gone-silent detector (PromQL absent() over time)
 # --------------------------------------------------------------------------
 
@@ -1243,6 +1327,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_alert_for": events_alert_for,
     "events_absent_series": events_absent_series,
     "docs_rare_bigram_rate": docs_rare_bigram_rate,
+    "events_series_correlation": events_series_correlation,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -1261,4 +1346,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "events_alert_for": EVENTS_ALERT_FOR_SQL,
     "events_absent_series": EVENTS_ABSENT_SQL,
     "docs_rare_bigram_rate": DOCS_RARE_BIGRAM_SQL,
+    "events_series_correlation": EVENTS_SERIES_CORR_SQL,
 }

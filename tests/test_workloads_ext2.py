@@ -242,6 +242,7 @@ class TestPartitionCountDeterminism:
         "events_alert_for",
         "events_absent_series",
         "docs_rare_bigram_rate",
+        "events_series_correlation",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)
