@@ -132,6 +132,7 @@ HEADLINE += [
     "events_absent_series",
     "docs_rare_bigram_rate",
     "events_series_correlation",
+    "events_seasonal_profile",
 ]
 
 

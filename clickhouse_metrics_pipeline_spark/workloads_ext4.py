@@ -1126,6 +1126,73 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Seasonal baseline profile (hour-of-day seasonality)
+# --------------------------------------------------------------------------
+
+
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per series: for each (event_type,
+    hour-of-day) cohort, the bucket count, total events, and the PEAK
+    deviation from the cohort mean in basis points — the seasonality
+    profile an alerting pipeline learns so a 9am traffic spike isn't
+    paged like a 3am one (the seasonality-aware twin of the flat
+    z-score query).
+
+    Exact integers: per bucket, deviation-from-mean cross-multiplies
+    to n*k - S (bucket count n, cohort size k, cohort sum S), so the
+    peak_dev_bp = floor(10000 * max(n*k - S) / S) computation has one
+    exact-magnitude double division at the end, identical in both
+    engines.
+
+    Scale: one shuffle to the rollup grain, one bounded window per
+    (series, hour-of-day) cohort, then a 24*series-row aggregate."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    b = b.withColumn("how", F.hour("h"))
+    w = Window.partitionBy("event_type", "how")
+    k = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    d = b.select(
+        "event_type",
+        "how",
+        k.alias("k"),
+        s.alias("s"),
+        (F.col("n") * k - s).alias("dev"),
+    )
+    return (
+        d.groupBy("event_type", F.col("how").alias("hour_of_day"))
+        .agg(
+            F.first("k").cast("bigint").alias("n_buckets"),
+            F.first("s").cast("bigint").alias("total_events"),
+            F.floor(
+                F.lit(10000) * F.max("dev") / F.first("s")
+            ).cast("bigint").alias("peak_dev_bp"),
+        )
+    )
+
+
+EVENTS_SEASONAL_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+  FROM {_EV_SQL} GROUP BY 1, 2
+), d AS (
+  SELECT event_type, hour(h) AS how, n,
+         count(*) OVER w AS k,
+         sum(n) OVER w AS s
+  FROM b
+  WINDOW w AS (PARTITION BY event_type, hour(h))
+)
+SELECT event_type, how AS hour_of_day,
+       any_value(k)::BIGINT AS n_buckets,
+       any_value(s)::BIGINT AS total_events,
+       floor(10000 * max(n*k - s) / any_value(s))::BIGINT AS peak_dev_bp
+FROM d GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Gone-silent detector (PromQL absent() over time)
 # --------------------------------------------------------------------------
 
@@ -1328,6 +1395,7 @@ EXTRA4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_absent_series": events_absent_series,
     "docs_rare_bigram_rate": docs_rare_bigram_rate,
     "events_series_correlation": events_series_correlation,
+    "events_seasonal_profile": events_seasonal_profile,
     # no oracle: approximate ANN (rows-only driver check; recall pinned
     # in tests/test_training_ops.py like the other ANN variants)
     "emb_pq_adc_topk": emb_pq_adc_topk,
@@ -1347,4 +1415,5 @@ EXTRA4_ORACLE: dict[str, str] = {
     "events_absent_series": EVENTS_ABSENT_SQL,
     "docs_rare_bigram_rate": DOCS_RARE_BIGRAM_SQL,
     "events_series_correlation": EVENTS_SERIES_CORR_SQL,
+    "events_seasonal_profile": EVENTS_SEASONAL_SQL,
 }

@@ -243,6 +243,7 @@ class TestPartitionCountDeterminism:
         "events_absent_series",
         "docs_rare_bigram_rate",
         "events_series_correlation",
+        "events_seasonal_profile",
     ]
 
     @pytest.mark.parametrize("name", QUERIES)

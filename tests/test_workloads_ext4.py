@@ -536,3 +536,33 @@ def test_bloom_kernel_never_misses_a_true_member(spark):
         assert n_cand >= n_true
 
     check()
+
+
+def test_series_correlation_matches_numpy(spark):
+    """np.corrcoef over the shared-hour-aligned count vectors must
+    match to 6 dp (the query's rounding)."""
+    from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+        events_series_correlation,
+    )
+
+    got = {
+        (r.type_a, r.type_b): (r.n_shared_hours, r.corr_r)
+        for r in events_series_correlation(spark, SF).collect()
+    }
+    pdf = _events_pdf()
+    pdf["h"] = pdf["ts"].dt.floor("h")
+    counts = (
+        pdf.groupby(["event_type", "h"]).size().unstack(0)
+    )  # hours x types, NaN where absent
+    types = sorted(counts.columns)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            sub = counts[[a, b]].dropna()
+            want_n = len(sub)
+            x, y = sub[a].to_numpy(float), sub[b].to_numpy(float)
+            n, r = got[(a, b)]
+            assert n == want_n
+            if x.std() == 0 or y.std() == 0:
+                assert r is None
+            else:
+                assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-6
