@@ -133,6 +133,105 @@ def bucket_percentiles(
     )
 
 
+def _floordiv_exact(num: Column, den: Column) -> Column:
+    """Floor division of non-negative integer-valued columns, exact at
+    any magnitude.
+
+    Routed through DECIMAL(38,0): subtracting the remainder first makes
+    the decimal division exactly divisible, so Spark's scale-6 decimal
+    quotient carries no rounding and the result is engine-invariant vs
+    DuckDB's HUGEINT ``//``. Plain BIGINT ``/`` would detour through
+    DOUBLE and lose ULPs past 2^53; this never does.
+    """
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return ((n - n % d) / d).cast("bigint")
+
+
+def bucket_percentile_scaled(
+    buckets: Column | str,
+    percentile: int,
+    scale: int = 10000,
+    interpolation: str = "golden",
+) -> Column:
+    """Exact-integer percentile walk -> BIGINT of ``value * scale``.
+
+    Same walk and edge cases as :func:`bucket_percentile`
+    (percentile.go:17-67 semantics), but every arithmetic step is
+    integer/DECIMAL(38,0), so the result hashes identically on any
+    engine - no float tail, no rounding-boundary flips (the
+    hist_quantile_over_time driver mismatch of round 4). Requires
+    integer-valued finite bounds (ours are 10..500) and
+    ``scale % 100 == 0`` so ``le * scale / 100`` stays integral.
+
+    Derivation (golden mode): frac * le
+      = (total*p/100 - cum_before) / count * le
+      = (total*p - 100*cum_before) * le * (scale//100) / count   [scaled]
+    floor-divided exactly; prometheus mode adds ``prev*scale`` and
+    interpolates over ``le - prev`` instead of ``0 -> le``.
+    """
+    if interpolation not in ("golden", "prometheus"):
+        raise ValueError(f"unknown interpolation mode: {interpolation}")
+    if scale % 100 != 0:
+        raise ValueError("scale must be a multiple of 100")
+    factor = scale // 100
+    b = _sorted_buckets(buckets)
+    total = bucket_total(b)
+    p = int(percentile)
+
+    def step(acc: Column, x: Column) -> Column:
+        le_int = x["le"].cast("bigint")
+        hit = (acc["cum"] + x["count"]) * F.lit(100) >= total * F.lit(p)
+        # numerator of the in-bucket fraction, scaled by 100 (exact)
+        num_frac = (total.cast("decimal(38,0)") * F.lit(p)) - (
+            F.lit(100).cast("decimal(38,0)") * acc["cum"]
+        )
+        if interpolation == "golden":
+            in_bucket = _floordiv_exact(
+                num_frac * le_int * F.lit(factor), x["count"]
+            )
+        else:
+            in_bucket = acc["prev"] * F.lit(scale) + _floordiv_exact(
+                num_frac * (le_int - acc["prev"]) * F.lit(factor), x["count"]
+            )
+        interp = (
+            F.when(x["count"] == 0, le_int * F.lit(scale))
+            .when(x["le"] == F.lit(_INF), acc["prev"] * F.lit(scale))
+            .otherwise(in_bucket)
+        )
+        return F.when(acc["res"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + x["count"]).alias("cum"),
+                F.when(x["le"] == F.lit(_INF), acc["prev"])
+                .otherwise(le_int)
+                .alias("prev"),
+                F.when(hit, interp)
+                .otherwise(F.lit(None).cast("bigint"))
+                .alias("res"),
+            )
+        )
+
+    last_le = F.element_at(b, -1)["le"]
+    walk = F.aggregate(
+        b,
+        F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(0).cast("bigint").alias("prev"),
+            F.lit(None).cast("bigint").alias("res"),
+        ),
+        step,
+        lambda acc: F.coalesce(
+            acc["res"],
+            F.when(
+                last_le != F.lit(_INF), last_le.cast("bigint") * F.lit(scale)
+            ).otherwise(acc["prev"] * F.lit(scale)),
+        ),
+    )
+    return F.when((total > 0) & (F.size(b) > 0), walk).otherwise(
+        F.lit(None).cast("bigint")
+    )
+
+
 def delta_to_cumulative_buckets(buckets: Column | str) -> Column:
     """Running-sum over le-sorted buckets (H4, percentile.go:107-128)."""
     b = _sorted_buckets(buckets)

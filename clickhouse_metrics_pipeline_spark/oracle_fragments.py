@@ -37,6 +37,36 @@ def hist_walk_sql(p: int) -> str:
                   le) FILTER (WHERE cum >= total * {p} / 100.0), 4)"""
 
 
+def hist_walk_scaled_sql(p: int, scale: int = 10000) -> str:
+    """Exact-integer SQL percentile walk -> BIGINT value*scale; twin of
+    functions.histogram.bucket_percentile_scaled (golden mode). HUGEINT
+    products + ``//`` mirror the Spark side's DECIMAL(38,0) exact floor
+    division term-for-term, so the hash is engine-invariant (no float
+    tail - the round-4 hist_quantile_over_time driver mismatch)."""
+    assert scale % 100 == 0
+    f = scale // 100
+    return f"""
+    arg_min(CASE WHEN cnt = 0 THEN le::BIGINT * {scale}
+                 WHEN isinf(le) THEN coalesce(prev, 0.0)::BIGINT * {scale}
+                 ELSE (((total::HUGEINT * {p} - 100 * (cum - cnt))
+                        * le::BIGINT * {f}) // cnt)::BIGINT END,
+            le) FILTER (WHERE cum * 100 >= total * {p})"""
+
+
+def hist_walk_prom_scaled_sql(p: int, scale: int = 10000) -> str:
+    """Exact-integer walk, Prometheus interpolation (prev + frac*(le-prev));
+    twin of bucket_percentile_scaled(interpolation="prometheus")."""
+    assert scale % 100 == 0
+    f = scale // 100
+    return f"""
+    arg_min(CASE WHEN cnt = 0 THEN le::BIGINT * {scale}
+                 WHEN isinf(le) THEN coalesce(prev, 0.0)::BIGINT * {scale}
+                 ELSE coalesce(prev, 0.0)::BIGINT * {scale}
+                      + (((total::HUGEINT * {p} - 100 * (cum - cnt))
+                          * (le - coalesce(prev, 0.0))::BIGINT * {f}) // cnt)::BIGINT END,
+            le) FILTER (WHERE cum * 100 >= total * {p})"""
+
+
 def hist_walk_prom_sql(p: int) -> str:
     """SQL cumulative-walk percentile, Prometheus interpolation
     (prev + frac * (le - prev)); same walk/edge cases as

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from clickhouse_metrics_pipeline_spark.functions.histogram import (
     bucket_percentile,
+    bucket_percentile_scaled,
     cumulative_to_delta_buckets,
     delta_to_cumulative_buckets,
     exp_histogram_percentile,
@@ -621,6 +622,8 @@ from clickhouse_metrics_pipeline_spark.oracle_fragments import (  # noqa: E402
     docs_text_stats_sql as _docs_text_stats_sql,
     hist_walk_sql as _hist_walk_sql,
     hist_walk_prom_sql as _hist_walk_prom_sql,
+    hist_walk_scaled_sql as _hist_walk_scaled_sql,
+    hist_walk_prom_scaled_sql as _hist_walk_prom_scaled_sql,
 )
 
 
@@ -645,13 +648,19 @@ def _event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hist_percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1/H2: golden-mode bucket percentiles of per-event-type histograms
-    built from `value` with fixed bounds."""
+    built from `value` with fixed bounds. Emitted as BIGINT value*10000
+    (exact integer walk, bucket_percentile_scaled) - the round(double,4)
+    form survived four rounds only because 5-row outputs rarely land on
+    a rounding boundary; hist_quantile_over_time proved the fragility
+    at 3385 rows, so the whole family moved to the scaled kernel.
+    bucket_percentile (the double kernel) stays pinned by its golden
+    pytest cases."""
     b = _event_buckets(spark, sf_dir)
     return b.select(
         "event_type",
-        F.round(bucket_percentile("buckets", 50.0), 4).alias("p50"),
-        F.round(bucket_percentile("buckets", 95.0), 4).alias("p95"),
-        F.round(bucket_percentile("buckets", 99.0), 4).alias("p99"),
+        bucket_percentile_scaled("buckets", 50).alias("p50_scaled"),
+        bucket_percentile_scaled("buckets", 95).alias("p95_scaled"),
+        bucket_percentile_scaled("buckets", 99).alias("p99_scaled"),
     )
 
 
@@ -667,9 +676,9 @@ WITH b AS (
   FROM b
 )
 SELECT event_type,
-       {_hist_walk_sql(50)} AS p50,
-       {_hist_walk_sql(95)} AS p95,
-       {_hist_walk_sql(99)} AS p99
+       {_hist_walk_scaled_sql(50)} AS p50_scaled,
+       {_hist_walk_scaled_sql(95)} AS p95_scaled,
+       {_hist_walk_scaled_sql(99)} AS p99_scaled
 FROM w GROUP BY event_type
 """
 
@@ -682,15 +691,15 @@ def hist_percentile_prom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _event_buckets(spark, sf_dir)
     return b.select(
         "event_type",
-        F.round(
-            bucket_percentile("buckets", 50.0, interpolation="prometheus"), 4
-        ).alias("p50"),
-        F.round(
-            bucket_percentile("buckets", 95.0, interpolation="prometheus"), 4
-        ).alias("p95"),
-        F.round(
-            bucket_percentile("buckets", 99.0, interpolation="prometheus"), 4
-        ).alias("p99"),
+        bucket_percentile_scaled(
+            "buckets", 50, interpolation="prometheus"
+        ).alias("p50_scaled"),
+        bucket_percentile_scaled(
+            "buckets", 95, interpolation="prometheus"
+        ).alias("p95_scaled"),
+        bucket_percentile_scaled(
+            "buckets", 99, interpolation="prometheus"
+        ).alias("p99_scaled"),
     )
 
 
@@ -706,9 +715,9 @@ WITH b AS (
   FROM b
 )
 SELECT event_type,
-       {_hist_walk_prom_sql(50)} AS p50,
-       {_hist_walk_prom_sql(95)} AS p95,
-       {_hist_walk_prom_sql(99)} AS p99
+       {_hist_walk_prom_scaled_sql(50)} AS p50_scaled,
+       {_hist_walk_prom_scaled_sql(95)} AS p95_scaled,
+       {_hist_walk_prom_scaled_sql(99)} AS p99_scaled
 FROM w GROUP BY event_type
 """
 

@@ -505,30 +505,72 @@ GROUP BY user_id, event_type, bucket_ts
 # --------------------------------------------------------------------------
 
 
+def _exact_quantile_scaled(arr, n, p_pct: int):
+    """Linear-interpolated quantile over a sorted BIGINT-cents array,
+    emitted as BIGINT value*10000 in exact integer arithmetic.
+
+    pos = (n-1)*p/100 splits into k = pos div 100 hundredths and
+    remainder r; result*10000 = cents[k]*(100-r) + cents[k+1]*r - the
+    same (1-g)*a + g*b as percentile()/quantile_cont(), but with no
+    float anywhere, so the hash is engine-invariant (the same
+    round-4 fragility fix as bucket_percentile_scaled)."""
+    pos = (n - F.lit(1)).cast("bigint") * F.lit(p_pct)
+    # (pos - pos%100)/100 is exactly divisible, so the double division
+    # is exact for any realistic group size (pos < 2^53)
+    k = ((pos - pos % F.lit(100)) / F.lit(100)).cast("bigint")
+    r = pos % F.lit(100)
+    lo = F.element_at(arr, (k + F.lit(1)).cast("int"))
+    hi = F.element_at(arr, F.least(k + F.lit(2), n.cast("bigint")).cast("int"))
+    return lo * (F.lit(100) - r) + hi * r
+
+
 def events_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary metric shape (count/sum/quantiles) per event_type using
     EXACT percentiles (linear interpolation) - the oracle comparison
     A13 prescribes exact percentile for. percentile_approx is the
-    at-scale variant (pytest-checked within tolerance, not hashed)."""
+    at-scale variant (pytest-checked within tolerance, not hashed).
+    Quantiles ride on sorted integer cents and come out as BIGINT
+    value*10000: F.percentile/quantile_cont interpolate in doubles,
+    whose last-ulp disagreement across engines flipped a driver hash
+    in round 4 (hist_quantile_over_time); this shape cannot."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         sum_value("value").alias("sum_value"),
-        F.round(F.percentile("value", 0.5), 4).alias("p50"),
-        F.round(F.percentile("value", 0.9), 4).alias("p90"),
-        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        F.array_sort(F.collect_list(value_cents("value"))).alias("arr"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "sum_value",
+        _exact_quantile_scaled(F.col("arr"), F.col("n"), 50).alias("p50_scaled"),
+        _exact_quantile_scaled(F.col("arr"), F.col("n"), 90).alias("p90_scaled"),
+        _exact_quantile_scaled(F.col("arr"), F.col("n"), 99).alias("p99_scaled"),
+    )
+
+
+def _summary_q_sql(p_pct: int) -> str:
+    pos = f"((n - 1) * {p_pct})"
+    return (
+        f"arr[({pos} // 100 + 1)::BIGINT] * (100 - {pos} % 100)"
+        f" + arr[least({pos} // 100 + 2, n)::BIGINT] * ({pos} % 100)"
     )
 
 
 EVENTS_SUMMARY_SQL = f"""
-SELECT event_type,
-       count(*) AS n,
-       {_SUMV} AS sum_value,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.9), 4) AS p90,
-       round(quantile_cont(value, 0.99), 4) AS p99
-FROM {_EV_SQL}
-GROUP BY event_type
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         {_SUMV} AS sum_value,
+         list_sort(list(round(value * 100)::BIGINT)) AS arr
+  FROM {_EV_SQL}
+  GROUP BY event_type
+)
+SELECT event_type, n, sum_value,
+       {_summary_q_sql(50)} AS p50_scaled,
+       {_summary_q_sql(90)} AS p90_scaled,
+       {_summary_q_sql(99)} AS p99_scaled
+FROM g
 """
 
 
@@ -639,9 +681,13 @@ def hist_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel query. Buckets aggregate map-side per (type, window, le)
     before the array kernel (H1) runs row-local on the tiny per-window
     arrays: at 100 TB the shuffle carries one row per bucket per
-    window, never raw samples."""
+    window, never raw samples. p95 is emitted as BIGINT value*10000
+    (bucket_percentile_scaled): round 4's driver run proved the
+    round(double,4) tail can flip a hash across environments when one
+    of 3385 values lands on a 4-digit rounding boundary; the scaled
+    walk is exact integer arithmetic end-to-end."""
     from clickhouse_metrics_pipeline_spark.functions.histogram import (
-        bucket_percentile,
+        bucket_percentile_scaled,
     )
     from clickhouse_metrics_pipeline_spark.workloads import _le_expr
 
@@ -661,7 +707,7 @@ def hist_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hists.select(
         "event_type",
         "bucket_ts",
-        F.round(bucket_percentile("buckets", 95.0), 4).alias("p95"),
+        bucket_percentile_scaled("buckets", 95).alias("p95_scaled"),
         F.aggregate(
             "buckets", F.lit(0).cast("bigint"), lambda a, b: a + b["count"]
         ).alias("n_samples"),
@@ -671,7 +717,7 @@ def hist_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quantile_over_time_sql() -> str:
     from clickhouse_metrics_pipeline_spark.oracle_fragments import (
         LE_SQL as _LE_SQL,
-        hist_walk_sql as _hist_walk_sql,
+        hist_walk_scaled_sql as _hist_walk_scaled_sql,
     )
 
     return f"""
@@ -687,7 +733,7 @@ WITH b AS (
   FROM b
 )
 SELECT event_type, bucket_ts,
-       {_hist_walk_sql(95)} AS p95,
+       {_hist_walk_scaled_sql(95)} AS p95_scaled,
        sum(cnt) AS n_samples
 FROM w GROUP BY event_type, bucket_ts
 """

@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 from clickhouse_metrics_pipeline_spark.schema import BUCKET_TYPE
 from clickhouse_metrics_pipeline_spark.functions.histogram import (
     bucket_percentile,
+    bucket_percentile_scaled,
     bucket_percentiles,
     bucket_total,
     cumulative_to_delta_buckets,
@@ -93,6 +94,62 @@ class TestBucketPercentile:
     def test_total(self, spark):
         df = _bucket_df(spark, [GOLDEN_BUCKETS])
         assert _one(df, bucket_total("buckets")) == 1000
+
+
+# integer-bound fixtures for the exact-integer walk (catalog BOUNDS shape)
+INT_BUCKETS = [
+    [(10.0, 7), (25.0, 13), (50.0, 5), (100.0, 2), (200.0, 1), (500.0, 3), (INF, 2)],
+    [(10.0, 1), (INF, 0)],
+    [(10.0, 0), (25.0, 4), (INF, 9)],  # zero-count bucket + inf hit
+    [(10.0, 3), (25.0, 0), (50.0, 3)],  # no inf bucket (tail = last bound)
+]
+
+
+class TestBucketPercentileScaled:
+    """The exact-integer walk must agree with the double kernel to the
+    floor at every integer-bound case and percentile - it IS the same
+    walk, just with the float tail removed (the round-4 driver-hash
+    fragility fix)."""
+
+    @pytest.mark.parametrize("mode", ["golden", "prometheus"])
+    @pytest.mark.parametrize("p", [1, 25, 50, 75, 90, 95, 99, 100])
+    def test_matches_double_kernel(self, spark, mode, p):
+        df = _bucket_df(spark, INT_BUCKETS)
+        rows = df.select(
+            bucket_percentile("buckets", float(p), mode).alias("d"),
+            bucket_percentile_scaled("buckets", p, 10000, mode).alias("s"),
+        ).collect()
+        for r in rows:
+            assert r["s"] is not None and r["d"] is not None
+            # scaled = floor(double * 10000) up to the double's own ulp
+            assert abs(r["s"] - r["d"] * 10000) <= 1, (mode, p, r)
+
+    def test_empty_and_zero_total_return_null(self, spark):
+        df = _bucket_df(spark, [[], [(10.0, 0), (25.0, 0)]])
+        vals = df.select(
+            bucket_percentile_scaled("buckets", 50).alias("v")
+        ).collect()
+        assert vals[0]["v"] is None and vals[1]["v"] is None
+
+    def test_inf_hit_returns_previous_bound_scaled(self, spark):
+        df = _bucket_df(spark, [[(10.0, 10), (INF, 90)]])
+        assert _one(df, bucket_percentile_scaled("buckets", 99)) == 100000
+
+    def test_exact_interpolation_value(self, spark):
+        # 4 in first bucket, 4 in second; p50 target=4 -> frac=4/4=1.0
+        # golden: 1.0 * 10 = 10; p75 target=6 -> frac=(6-4)/4=0.5 in
+        # (10,25] -> golden 12.5, prometheus 10 + 0.5*15 = 17.5
+        df = _bucket_df(spark, [[(10.0, 4), (25.0, 4)]])
+        assert _one(df, bucket_percentile_scaled("buckets", 50)) == 100000
+        assert _one(df, bucket_percentile_scaled("buckets", 75)) == 125000
+        assert (
+            _one(df, bucket_percentile_scaled("buckets", 75, 10000, "prometheus"))
+            == 175000
+        )
+
+    def test_scale_must_be_multiple_of_100(self):
+        with pytest.raises(ValueError):
+            bucket_percentile_scaled("buckets", 50, scale=123)
 
 
 class TestBucketConversions:
