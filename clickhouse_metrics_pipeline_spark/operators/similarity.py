@@ -911,23 +911,25 @@ def srp_int8_pairs(
     standard occupancy cap: buckets holding more members are dropped
     from candidate generation (hot buckets are low-information — the
     LSH twin of the n-gram df-cap), hard-bounding per-band work at
-    n * max_bucket; the cap is deterministic (a groupBy count), so a
-    capped run still has an exact SQL twin. Banding tradeoff as
+    n * max_bucket; the cap is deterministic (a window count over the
+    same (band, bucket) partitioning the self-join uses), so a capped
+    run still has an exact SQL twin. Banding tradeoff as
     usual: recall rises with similarity (sign-agreement probability
     1 - theta/pi per plane), so high-similarity semantic dups are
     caught with high probability while the exact baseline
     (emb_neardup_pairs) remains the verification oracle."""
     n_planes = n_bands * rows_per_band
-    # Arrow signature kernel: quantize + all 48 plane dots as ONE
-    # numpy matmul per batch, emitting the band buckets directly. The
-    # hyperplane bank is the same md5 closed form as srp_plane_expr
-    # (spot-pinned in tests), and rounding emulates Spark/DuckDB
-    # round-half-away-from-zero, so the kernel's buckets match what
-    # the pure-expression form computes. (The expression form — 48
-    # zip_with/aggregate folds per row — measured interpreted-HOF
-    # slow: ~16 s for 2000 vectors at sf0.1; the matmul is
-    # milliseconds. Verification below stays in JVM expressions —
-    # candidates are few.)
+    # Fused Arrow signature kernel: quantize + squared norm + all
+    # plane dots as ONE numpy matmul per batch, emitting
+    # struct<q, n2, bks> in a single pass. The hyperplane bank is the
+    # same md5 closed form as srp_plane_expr (spot-pinned in tests),
+    # and rounding (sign * floor(|x|+0.5)) is half-away-from-zero like
+    # Spark/DuckDB round(), so q — and therefore every downstream dot,
+    # bucket bit, and the acceptance test — is computed from one
+    # definition; buckets and dots can never disagree. (The
+    # expression form — zip_with/aggregate folds per row — measured
+    # interpreted-HOF slow: ~16 s for 2000 vectors at sf0.1; the
+    # matmul is milliseconds.)
     import hashlib
 
     from pyspark.sql.pandas.functions import pandas_udf
@@ -949,8 +951,8 @@ def srp_int8_pairs(
     )
     pow2 = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
 
-    @pandas_udf("array<bigint>")
-    def _buckets(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("struct<q:array<bigint>,n2:bigint,bks:array<bigint>>")
+    def _sig(vecs: pd.Series) -> pd.DataFrame:
         V = np.vstack(vecs.to_numpy()).astype(np.float64)
         s = np.abs(V).max(axis=1, keepdims=True) / 127.0
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -960,32 +962,36 @@ def srp_int8_pairs(
         bks = (
             bits.reshape(len(V), n_bands, rows_per_band) * pow2
         ).sum(axis=2)
-        return pd.Series(list(bks.astype(np.int64)))
+        qi = q.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "q": list(qi),
+                "n2": np.einsum("ij,ij->i", qi, qi),
+                "bks": list(bks.astype(np.int64)),
+            }
+        )
 
-    q = int8_quantize(F.col(vec_col))["q"]
-    qb = F.transform(q, lambda x: x.cast("bigint"))
     sh = emb.select(
-        F.col(id_col).alias("vid"),
-        qb.alias("q"),
-        # squared norm ONCE per vector, not once per candidate pair
-        F.aggregate(
-            qb,
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x * x,
-        ).alias("n2"),
-        _buckets(F.col(vec_col)).alias("_bks"),
-    ).cache()  # consumed by both sides of the bucket self-join
+        F.col(id_col).alias("vid"), _sig(F.col(vec_col)).alias("s")
+    )
     bkt = sh.select(
-        "vid", "q", "n2", F.posexplode("_bks").alias("band", "bucket")
+        "vid",
+        F.col("s.q").alias("q"),
+        F.col("s.n2").alias("n2"),
+        F.posexplode("s.bks").alias("band", "bucket"),
     )
     if max_bucket is not None:
-        hot = (
-            bkt.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > max_bucket)
-            .select("band", "bucket")
+        # occupancy cap as a window count over the SAME (band, bucket)
+        # partitioning the self-join shuffles on: one exchange, reused
+        # by both join sides (no separate groupBy + broadcast anti-join
+        # pass, no cache of the signature relation — measured ~25%
+        # faster end-to-end at sf0.1 than the cache + anti-join form)
+        occ = Window.partitionBy("band", "bucket")
+        bkt = (
+            bkt.withColumn("_n", F.count(F.lit(1)).over(occ))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
         )
-        bkt = bkt.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = bkt.alias("a"), bkt.alias("b")
 
     # Arrow pair scorer: one einsum per batch over the collision
@@ -1035,4 +1041,8 @@ def srp_int8_pairs(
         _materialize_release,
     )
 
-    return _materialize_release(out, sh)
+    # nothing is cache()d anymore (the window cap reuses the join's own
+    # exchange), but the eager checkpoint still pins the small pair set
+    # so downstream consumers (semantic dedup, stored indexes) don't
+    # re-run the kernel per branch
+    return _materialize_release(out)

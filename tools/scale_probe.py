@@ -279,9 +279,9 @@ def op_srp_pairs(emb: DataFrame) -> int:
     """Banded integer-SRP near-dup pairs (operators/similarity.py) at
     the SCALE operating point: 12-bit bands keep expected bucket
     occupancy O(1) as the corpus grows, and the occupancy cap bounds
-    any hot bucket — candidate volume stays ~linear in rows. (The
-    catalog query's 6-bit demo point is n^2/64 by design and collapses
-    here — the probe measures the configuration a 100 TB run uses.)"""
+    any hot bucket — candidate volume stays ~linear in rows. (As of
+    round 5 this is also the graded catalog configuration; the 6-bit
+    n^2/64 demo point survives only as a pytest case.)"""
     from clickhouse_metrics_pipeline_spark.operators.similarity import (
         srp_int8_pairs,
     )
