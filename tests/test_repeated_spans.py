@@ -129,3 +129,34 @@ def test_partition_count_invariance(spark):
     base = sorted(map(tuple, repeated_spans(df, k=8).collect()))
     re7 = sorted(map(tuple, repeated_spans(df.repartition(7), k=8).collect()))
     assert base == re7 == _brute_spans(texts, 8, 2)
+
+
+def test_df_cap_excludes_boilerplate_grams(spark):
+    """max_count (the df-cap) drops grams above the frequency ceiling:
+    a boilerplate 8-gram repeated in many documents stops producing
+    spans, genuine low-frequency repeats are untouched, and a capped
+    run's hit set is a subset of the uncapped run's."""
+    boiler = _sent(range(200, 208))  # 8 tokens, one gram start
+    rare = _sent(range(300, 308))
+    texts = {i: boiler for i in range(10)}  # gram count 10
+    texts[100] = rare
+    texts[101] = rare  # gram count 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    uncapped = sorted(map(tuple, repeated_spans(df, k=8).collect()))
+    capped = sorted(
+        map(tuple, repeated_spans(df, k=8, max_count=5).collect())
+    )
+    # uncapped: 10 boilerplate spans + 2 rare spans; capped: rare only
+    assert len(uncapped) == 12
+    assert capped == [
+        (100, 0, 8, 1),
+        (101, 0, 8, 1),
+    ]
+    assert set(capped) <= set(uncapped)
+    # cap at/above the hot gram's count keeps everything
+    at_cap = sorted(
+        map(tuple, repeated_spans(df, k=8, max_count=10).collect())
+    )
+    assert at_cap == uncapped
