@@ -1588,6 +1588,18 @@ from clickhouse_metrics_pipeline_spark.workloads_ext4 import (  # noqa: E402
 QUERIES.update(EXTRA4_QUERIES)
 ORACLE_SQL.update(EXTRA4_ORACLE)
 
+# fifth extension: PromQL range-function completions (stddev/delta/
+# resets/fraction/offset/churn/staleness/heatmap/group_left), corpus
+# curation panels, and the deterministic-integer IVF ANN (the trained
+# quantizer family's first value-hash oracle)
+from clickhouse_metrics_pipeline_spark.workloads_ext5 import (  # noqa: E402
+    EXTRA5_ORACLE,
+    EXTRA5_QUERIES,
+)
+
+QUERIES.update(EXTRA5_QUERIES)
+ORACLE_SQL.update(EXTRA5_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 4)
 # --------------------------------------------------------------------------
