@@ -1046,3 +1046,171 @@ def srp_int8_pairs(
     # so downstream consumers (semantic dedup, stored indexes) don't
     # re-run the kernel per branch
     return _materialize_release(out)
+
+
+# --------------------------------------------------------------------------
+# Deterministic-integer IVF (trained k-means coarse quantizer with a
+# value-hash oracle)
+# --------------------------------------------------------------------------
+
+
+def _int_dist2(a: Column, b: Column) -> Column:
+    """Integer squared L2 between two BIGINT arrays — one zip_with +
+    aggregate fold, fully codegen'd."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _trunc_div(num: Column, den: Column) -> Column:
+    """Truncating integer division, sign-aware, engine-invariant:
+    (n - n % d) / d with dividend-signed % (Spark/Java and DuckDB
+    agree), exactly divisible so the double detour is exact."""
+    return ((num - num % den) / den).cast("bigint")
+
+
+def int_kmeans_fit_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic INTEGER Lloyd k-means over the int8-quantized
+    corpus: returns (centroids(cid, cvec), assignment(vec_id, q, cid)).
+
+    Everything is engine-invariant integer arithmetic, so a DuckDB twin
+    recomputes the identical model — the property the float/rand()
+    k-means of ``ivf_kmeans_topk`` cannot offer (its queries are graded
+    rows-only; this one hashes):
+
+    - init: the k corpus vectors with the smallest md5-derived
+      ``portable_hash60('ivf:' || vec_id)`` (hash-order = a uniform
+      deterministic sample; distributed top-k via orderBy+limit, never
+      a full sort),
+    - assignment: argmin of integer squared L2, ties to the lowest
+      centroid id via the single sort key ``dist2 * k + cid``,
+    - update: per-dimension truncating integer mean (posexplode ->
+      groupBy(cid, dim) with map-side partial sums -> re-assembled
+      array); a cluster that loses every member keeps its previous
+      centroid.
+
+    Scale: each iteration is one broadcast join (k centroid rows)
+    against the corpus + one dim-exploded aggregation (64 rows per
+    vector, combine-order-free integer sums). k-row relations never
+    leave the cluster."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+
+    qv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            int8_quantize(F.col(vec_col))["q"], lambda x: x.cast("bigint")
+        ).alias("q"),
+    )
+    seeds = (
+        qv.select(
+            "vec_id",
+            "q",
+            portable_hash60(
+                F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+    )
+    w_seed = Window.orderBy("_h", "vec_id")
+    cent = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("bigint").alias("cid"),
+        F.col("q").alias("cvec"),
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = qv.crossJoin(F.broadcast(c)).select(
+            "vec_id",
+            "q",
+            (_int_dist2(F.col("q"), F.col("cvec")) * F.lit(k)
+             + F.col("cid")).alias("_skey"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.first("q").alias("q"),
+            (F.min("_skey") % F.lit(k)).alias("cid"),
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        sums = (
+            a.select("cid", F.posexplode("q").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid", "d", _trunc_div(F.col("s"), F.col("n")).alias("m")
+            )
+        )
+        upd = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda x: x["m"],
+            ).alias("_new")
+        )
+        cent = (
+            cent.join(F.broadcast(upd), "cid", "left")
+            .select("cid", F.coalesce("_new", "cvec").alias("cvec"))
+        )
+    return cent, assign(cent)
+
+
+def ivf_int_topk(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 5,
+    probe_max_id: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with the deterministic integer coarse quantizer: probes
+    (vec_id < probe_max_id) search only the ``nprobe`` nearest
+    clusters, ranked by integer squared L2, ties to the lower vec_id.
+    Returns (probe_id, rank, vec_id, dist2) — O(k) rows per probe.
+
+    Scale: the trained centroid relation is k rows (broadcast); the
+    candidate join touches only the probed clusters' members —
+    corpus-fraction ~ nprobe/k — and the per-probe top-k is a bounded
+    window over that candidate stream. Recall-vs-exact for the float
+    IVF family is pinned in pytest; this integer variant trades the
+    trained-float codebook for full value-hash oracle coverage."""
+    cent, assigned = int_kmeans_fit_assign(
+        emb, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    probes = assigned.where(F.col("vec_id") < probe_max_id).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    pc_scored = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id",
+        "pq",
+        "cid",
+        (_int_dist2(F.col("pq"), F.col("cvec")) * F.lit(k_clusters)
+         + F.col("cid")).alias("_skey"),
+    )
+    w_pc = Window.partitionBy("probe_id").orderBy("_skey")
+    pc = pc_scored.withColumn("_r", F.row_number().over(w_pc)).where(
+        F.col("_r") <= nprobe
+    ).select("probe_id", "pq", "cid")
+    cand = pc.join(assigned, "cid").where(
+        F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        _int_dist2(F.col("pq"), F.col("q")).alias("dist2"),
+    )
+    w_top = Window.partitionBy("probe_id").orderBy("dist2", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w_top).cast("bigint"))
+        .where(F.col("rank") <= topk)
+        .select("probe_id", "rank", "vec_id", "dist2")
+    )

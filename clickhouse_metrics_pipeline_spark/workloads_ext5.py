@@ -718,3 +718,133 @@ EXTRA5_ORACLE = {
     "docs_dup_inflation": _dup_inflation_sql(),
     "emb_norm_stats": EMB_NORM_STATS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Round-5 flagship: deterministic-integer IVF ANN with a value-hash
+# oracle (operators/similarity.py int_kmeans_fit_assign / ivf_int_topk)
+# --------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+_IVF_PROBE_MAX = 10
+
+
+def emb_ivf_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED k-means coarse quantizer in deterministic
+    integer arithmetic — the first trained-ANN catalog query with a
+    full value-hash oracle (the float/rand() IVF pair could only be
+    graded rows-only; this derives every model parameter from md5 +
+    integer Lloyd steps, so the DuckDB twin rebuilds the identical
+    model, assignment, and probe results).
+
+    Model: 8 centroids, md5-hash-order seeds, 2 unrolled Lloyd
+    iterations over the int8-quantized corpus, truncating-division
+    centroid updates. Probes (vec_id < 10) search the nprobe=2 nearest
+    clusters and rank candidates by integer squared L2 (ties to the
+    lower vec_id) — top-5 each.
+
+    Scale: see the operator docstring — k-row centroid broadcasts,
+    dim-exploded integer sums (map-side combinable), candidate join
+    bounded to the probed clusters (~nprobe/k of the corpus), O(k)
+    output."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        ivf_int_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_int_topk(
+        e,
+        k_clusters=_IVF_K,
+        iters=_IVF_ITERS,
+        nprobe=_IVF_NPROBE,
+        topk=_IVF_TOPK,
+        probe_max_id=_IVF_PROBE_MAX,
+    )
+
+
+def _ivf_dist2_sql(qa: str, qb: str) -> str:
+    return (
+        f"list_sum([({qa}[i+1]-{qb}[i+1])*({qa}[i+1]-{qb}[i+1]) "
+        f"for i in range(0,64)])::BIGINT"
+    )
+
+
+def _ivf_assign_cte(cent: str, name: str, k: int) -> str:
+    d2 = _ivf_dist2_sql("qv.q", f"{cent}.cvec")
+    return f"""{name} AS (
+  SELECT vec_id, min(skey) % {k} AS cid FROM (
+    SELECT qv.vec_id, {d2} * {k} + {cent}.cid AS skey
+    FROM qv CROSS JOIN {cent})
+  GROUP BY vec_id
+)"""
+
+
+def _ivf_update_cte(assign: str, cent_in: str, cent_out: str) -> str:
+    # truncating per-dimension integer mean; empty clusters keep the
+    # previous centroid (coalesce)
+    return f"""{cent_out} AS (
+  SELECT {cent_in}.cid, coalesce(u.cvec, {cent_in}.cvec) AS cvec
+  FROM {cent_in} LEFT JOIN (
+    SELECT cid, list(m ORDER BY d) AS cvec FROM (
+      SELECT cid, d, CAST((s - s % n) / n AS BIGINT) AS m FROM (
+        SELECT cid, d, sum(v)::BIGINT AS s, count(*) AS n FROM (
+          SELECT a.cid, unnest(qv.q) AS v,
+                 generate_subscripts(qv.q, 1) AS d
+          FROM {assign} a JOIN qv USING (vec_id))
+        GROUP BY 1, 2))
+    GROUP BY cid) u ON u.cid = {cent_in}.cid
+)"""
+
+
+def _ivf_sql() -> str:
+    k, nprobe, topk, pmax = _IVF_K, _IVF_NPROBE, _IVF_TOPK, _IVF_PROBE_MAX
+    d2p = _ivf_dist2_sql("p.pq", "c2.cvec")
+    d2c = _ivf_dist2_sql("p.pq", "qv.q")
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(embedding, x -> round(x::DOUBLE / s)::BIGINT)
+              ELSE list_transform(embedding, x -> 0::BIGINT) END AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))/127.0 AS s
+        FROM embeddings)
+), c0 AS (
+  SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::BIGINT AS cid,
+         q AS cvec
+  FROM (SELECT vec_id, q,
+               ('0x'||substr(md5('ivf:'||vec_id::VARCHAR),1,15))::BIGINT AS h
+        FROM qv ORDER BY h, vec_id LIMIT {k})
+), {_ivf_assign_cte("c0", "a1", k)},
+{_ivf_update_cte("a1", "c0", "c1")},
+{_ivf_assign_cte("c1", "a2", k)},
+{_ivf_update_cte("a2", "c1", "c2")},
+{_ivf_assign_cte("c2", "a3", k)},
+probes AS (
+  SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < {pmax}
+), pc AS (
+  SELECT probe_id, pq, cid FROM (
+    SELECT p.probe_id, p.pq, c2.cid,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY {d2p} * {k} + c2.cid) AS r
+    FROM probes p CROSS JOIN c2)
+  WHERE r <= {nprobe}
+), cand AS (
+  SELECT p.probe_id, qv.vec_id, {d2c} AS dist2
+  FROM pc p JOIN a3 ON a3.cid = p.cid JOIN qv ON qv.vec_id = a3.vec_id
+  WHERE qv.vec_id != p.probe_id
+)
+SELECT probe_id, rank, vec_id, dist2 FROM (
+  SELECT probe_id, vec_id, dist2,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dist2, vec_id)::BIGINT AS rank
+  FROM cand)
+WHERE rank <= {topk}
+"""
+
+
+EXTRA5_QUERIES["emb_ivf_int_topk"] = emb_ivf_int_topk
+EXTRA5_ORACLE["emb_ivf_int_topk"] = _ivf_sql()
