@@ -2,7 +2,7 @@
 # ships (reference Makefile:23-40 / scripts/run_tests.sh), minus the
 # docker/ClickHouse targets Spark makes unnecessary.
 
-.PHONY: help test test-unit test-oracle test-streaming bench scale-probe build-indexes demo-ingest serve clean
+.PHONY: help test test-unit test-full test-oracle test-streaming bench scale-probe build-indexes demo-ingest serve clean
 
 SF_DIR ?= /root/testdata/sf0.01
 
@@ -12,15 +12,18 @@ help: ## Show this help message
 	@echo 'Targets:'
 	@awk 'BEGIN {FS = ":.*?## "} /^[a-zA-Z_-]+:.*?## / {printf "  %-15s %s\n", $$1, $$2}' $(MAKEFILE_LIST)
 
-test: test-unit test-oracle ## Run all tests (unit + oracle parity)
+test: test-unit test-oracle ## Default gate: fast pytest tier + oracle parity (~25 min)
 
-test-unit: ## Run the pytest suite
+test-unit: ## Fast pytest tier (excludes @slow streaming e2e; ~15 min)
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-full: ## FULL pytest suite incl. @slow streaming e2e (nightly / pre-artifact)
 	python -m pytest tests/ -x -q
 
 test-oracle: ## DuckDB oracle parity for every catalog query (sf0.01)
 	python tools/check_oracle.py $(SF_DIR)
 
-test-streaming: ## Streaming pipeline + OTLP ingest e2e only
+test-streaming: ## Streaming pipeline + OTLP ingest e2e only (the @slow tier)
 	python -m pytest tests/test_streaming.py tests/test_otlp_ingest_e2e.py tests/test_pipeline_e2e.py -x -q
 
 bench: ## Headline benchmark at sf0.1 (one JSON line on stdout)

@@ -58,13 +58,14 @@ def oracle_sql() -> dict[str, str]:
     Intentionally absent: ``emb_ann_lsh``, ``emb_ivf_topk``,
     ``emb_ivf_kmeans_topk``, and ``emb_pq_adc_topk`` - approximate/
     iterative ANN by design (xxhash64-derived SRP planes / trained
-    k-means quantizer / trained PQ codebooks aren't
-    ANSI-SQL-expressible); the driver records rows-only checks and
-    pytest pins their recall against the exact brute-force baseline.
-    (``emb_srp_int8_pairs`` / ``emb_srp_semantic_dedup`` are the
-    exception that proves the rule: their md5-derived integer SRP is
-    SQL-expressible, so those approximate queries DO have value-hash
-    oracles.)"""
+    float k-means quantizer / trained PQ codebooks aren't
+    ANSI-SQL-expressible); pytest pins their recall against the exact
+    brute-force baseline, and per the round-4 verdict they are kept
+    OUT of the driver's graded window (rows-only rows burn slots).
+    Their value-hash-checkable successors stand in the window
+    instead: ``emb_srp_int8_pairs`` / ``emb_srp_semantic_dedup``
+    (md5-derived integer SRP) and ``emb_ivf_int_topk`` (deterministic
+    integer Lloyd k-means, the trained-quantizer family's oracle)."""
     from clickhouse_metrics_pipeline_spark.workloads import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -215,3 +215,37 @@ class TestMalformedHeaders:
             conn.close()
         finally:
             srv.shutdown()
+
+
+    def test_negative_content_length_is_400_not_hang(
+        self, read_server, tmp_path
+    ):
+        """A negative Content-Length must 400 immediately — the naive
+        int() parse would pass -1 to rfile.read() (read-to-EOF) and
+        hang a keep-alive connection (round-4 ADVICE low)."""
+        import http.client
+
+        host = read_server.split("//")[1]
+        conn = http.client.HTTPConnection(host, timeout=30)
+        conn.putrequest("POST", "/api/v1/read", skip_accept_encoding=True)
+        conn.putheader("Content-Length", "-7")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+
+        srv = make_otlp_http_server(str(tmp_path / "neg"))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            conn = http.client.HTTPConnection(
+                f"127.0.0.1:{srv.server_address[1]}", timeout=30
+            )
+            conn.putrequest("POST", "/v1/metrics", skip_accept_encoding=True)
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", "-7")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            conn.close()
+        finally:
+            srv.shutdown()

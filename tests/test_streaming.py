@@ -22,6 +22,13 @@ from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
     session_stream,
 )
 
+# Every test here drives a real micro-batch query (file source, trigger
+# loop, checkpoint dirs) — 30-90 s each, >10 min for the module. The
+# default gate (make test-unit, -m "not slow") skips them; streaming
+# coverage there comes from test_pipeline_e2e.py / test_otlp_ingest_e2e.py.
+# make test-full (nightly / pre-artifact) runs everything.
+pytestmark = pytest.mark.slow
+
 _NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None, microsecond=0)
 
 
