@@ -135,6 +135,28 @@ HEADLINE += [
     "events_seasonal_profile",
 ]
 
+# the exact headline set round 4 ran (r3's 39 + the 36 above) — the
+# shared-subset baseline for round-5-vs-round-4 comparisons.
+R4_HEADLINE = list(HEADLINE)
+
+HEADLINE += [
+    # round-5 batch: PromQL completions, curation panels, integer IVF
+    "emb_ivf_int_topk",
+    "events_stddev_over_time",
+    "events_delta_1h",
+    "events_resets_1h",
+    "events_histogram_fraction",
+    "events_active_series_churn",
+    "events_staleness_report",
+    "events_wow_ratio",
+    "events_user_enrich_topk",
+    "events_heatmap_grid",
+    "docs_length_histogram",
+    "docs_stopword_profile",
+    "docs_dup_inflation",
+    "emb_norm_stats",
+]
+
 
 # stdout-line cap: the driver tail-captures the LAST 2000 BYTES of
 # stdout (measured from BENCH_r03.json's "tail" field, whose head-cut
@@ -244,11 +266,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # round-over-round comparable subtotal: warm sum over the queries
-    # shared with the PREVIOUS round's headline (r3 ran exactly these 39;
-    # any queries added later this round are excluded from the subtotal)
+    # round-over-round comparable subtotals: warm sums over the queries
+    # shared with each prior round's exact headline set (queries added
+    # later are excluded from each subtotal)
     shared_prev = round(
         sum(timings[q] for q in R3_HEADLINE if q in timings), 3
+    )
+    shared_r4 = round(
+        sum(timings[q] for q in R4_HEADLINE if q in timings), 3
     )
 
     # Artifact contract (round-4 fix): the driver tail-captures the LAST
@@ -266,6 +291,7 @@ def main() -> None:
         "host_floor_samples": floor_samples,
         "host_floor_sec": host_floor,
         "shared_prev_round_warm": shared_prev,
+        "shared_r4_warm": shared_r4,
     }
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
