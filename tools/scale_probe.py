@@ -291,6 +291,28 @@ def op_srp_pairs(emb: DataFrame) -> int:
     ).count()
 
 
+def op_ivf_int(emb: DataFrame) -> int:
+    """Integer IVF end to end — fit (2 treeAggregate iterations) +
+    probe. Fit cost is ~linear map passes; probe touches ~nprobe/k of
+    the corpus. Probes the round-5 flagship at its catalog config."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        ivf_int_topk,
+    )
+
+    return ivf_int_topk(emb).count()
+
+
+def op_repeated_spans(docs: DataFrame) -> int:
+    """Repeated-span localization at the catalog df-cap: positional
+    gram kernel (row-local), posting-list-bounded repeat counting,
+    per-document sweep. Output rows scale with true duplication."""
+    from clickhouse_metrics_pipeline_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    return repeated_spans(docs, k=8, min_count=2, max_count=1000).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "window_delta": ("events", op_window_delta),
@@ -305,6 +327,8 @@ OPS = {
     "anomaly_zscore": ("events", op_anomaly_zscore),
     "quality_classifier": ("documents", op_quality_classifier),
     "srp_pairs": ("embeddings", op_srp_pairs),
+    "ivf_int": ("embeddings", op_ivf_int),
+    "repeated_spans": ("documents", op_repeated_spans),
 }
 
 
