@@ -140,8 +140,9 @@ HEADLINE += [
 R4_HEADLINE = list(HEADLINE)
 
 HEADLINE += [
-    # round-5 batch: PromQL completions, curation panels, integer IVF
+    # round-5 batch: PromQL completions, curation panels, integer ANN
     "emb_ivf_int_topk",
+    "emb_pq_int_adc_topk",
     "events_stddev_over_time",
     "events_delta_1h",
     "events_resets_1h",

@@ -1271,3 +1271,189 @@ def ivf_int_probe(
         .where(F.col("rank") <= topk)
         .select("probe_id", "rank", "vec_id", "dist2")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic-integer product quantization with ADC search
+# --------------------------------------------------------------------------
+
+
+def int_pq_fit_encode(
+    emb: DataFrame,
+    m_subs: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """Deterministic INTEGER product quantization (Jegou et al. 2011)
+    over the int8-quantized corpus: the 64-dim code space splits into
+    ``m_subs`` subspaces, each with its own ``k_codes``-centroid
+    integer k-means codebook. Returns (codebooks[m, k, dim/m] int64,
+    encoded(vec_id, q, codes)).
+
+    Same engine-invariant recipe as :func:`int_kmeans_fit_assign`, run
+    for ALL subspaces in one pass per iteration (the subspace id is a
+    group key, not a loop): md5-hash-order seeds (the k_codes
+    hash-smallest vectors donate their sub-vectors to every subspace's
+    initial codebook), argmin on the ``dist2 * k + cid`` sort key,
+    truncating-division centroid updates, empty cells keep their
+    centroid. Every quantity is integer, so a DuckDB twin rebuilds the
+    identical codebooks and codes — the float PQ (``pq_adc_topk``)
+    stays rows-only; this one hashes.
+
+    Scale: iters+1 map-only corpus passes; driver traffic is
+    (batches x m x k) integer partials per iteration and the m*k*sub
+    codebook array."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    qv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            int8_quantize(F.col(vec_col))["q"], lambda x: x.cast("bigint")
+        ).alias("q"),
+    )
+    seed_rows = (
+        qv.select(
+            "vec_id",
+            "q",
+            portable_hash60(
+                F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k_codes)
+        .collect()
+    )
+    dim = len(seed_rows[0].q)
+    sub = dim // m_subs
+    # B[s, j] = sub-vector s of the j-th hash-ranked seed
+    B = np.asarray(
+        [
+            [list(r.q[s * sub : (s + 1) * sub]) for r in seed_rows]
+            for s in range(m_subs)
+        ],
+        dtype=np.int64,
+    )  # m x k x sub
+
+    for _ in range(iters):
+        Bc = B.copy()
+
+        def _partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+                X = Q.reshape(len(Q), m_subs, sub)
+                out_cid, out_s, out_n, out_sub = [], [], [], []
+                for s_i in range(m_subs):
+                    d2 = (
+                        (X[:, s_i, None, :] - Bc[s_i][None, :, :]) ** 2
+                    ).sum(axis=-1)
+                    skey = d2 * k_codes + np.arange(k_codes, dtype=np.int64)
+                    a = skey.argmin(axis=1)
+                    for c in np.unique(a):
+                        out_sub.append(s_i)
+                        out_cid.append(int(c))
+                        out_s.append(X[a == c, s_i].sum(axis=0).tolist())
+                        out_n.append(int((a == c).sum()))
+                yield pd.DataFrame(
+                    {"sub": out_sub, "cid": out_cid, "s": out_s, "n": out_n}
+                )
+
+        parts = qv.mapInPandas(
+            _partials, "sub bigint, cid bigint, s array<bigint>, n bigint"
+        ).collect()
+        sums = np.zeros_like(B)
+        cnts = np.zeros((m_subs, k_codes), dtype=np.int64)
+        for r in parts:
+            sums[r.sub, r.cid] += np.asarray(r.s, dtype=np.int64)
+            cnts[r.sub, r.cid] += r.n
+        for s_i in range(m_subs):
+            for c in range(k_codes):
+                if cnts[s_i, c] > 0:
+                    v = sums[s_i, c]
+                    B[s_i, c] = np.sign(v) * (np.abs(v) // cnts[s_i, c])
+
+    Bf = B.copy()
+
+    @pandas_udf("array<bigint>")
+    def _encode(qs: pd.Series) -> pd.Series:
+        Q = np.vstack(qs.to_numpy()).astype(np.int64)
+        X = Q.reshape(len(Q), m_subs, sub)
+        codes = np.empty((len(Q), m_subs), dtype=np.int64)
+        for s_i in range(m_subs):
+            d2 = ((X[:, s_i, None, :] - Bf[s_i][None, :, :]) ** 2).sum(
+                axis=-1
+            )
+            skey = d2 * k_codes + np.arange(k_codes, dtype=np.int64)
+            codes[:, s_i] = skey.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    encoded = qv.select(
+        "vec_id", "q", _encode(F.col("q")).alias("codes")
+    ).localCheckpoint(eager=False)
+    return B, encoded
+
+
+def pq_int_adc_topk(
+    codebooks: np.ndarray,
+    encoded: DataFrame,
+    topk: int = 5,
+    probe_max_id: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the integer PQ codes:
+    each probe (vec_id < probe_max_id) builds its integer lookup table
+    LUT[sub][code] = dist2(probe sub-vector, codebook centroid) —
+    m x k small ints — and every corpus vector scores as the SUM of m
+    table lookups on its stored codes. Returns (probe_id, rank,
+    vec_id, adc_dist2); ties to the lower vec_id; self excluded.
+
+    Scale: the scan is the point of ADC — one map-only pass over the
+    code table (m bigints per vector, 5x smaller than the int8
+    vectors) with per-row cost m lookups; the LUTs ride a broadcast
+    probe relation; per-probe top-k is a bounded window."""
+    m_subs, k_codes, sub = codebooks.shape
+    spark = encoded.sparkSession
+    probes = encoded.where(F.col("vec_id") < probe_max_id).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    # LUTs are exact integers; build them driver-side from the k-row
+    # probe collect (bounded like the centroid collects)
+    rows = probes.collect()
+    lut_rows = []
+    for r in rows:
+        X = np.asarray(r.pq, dtype=np.int64).reshape(m_subs, sub)
+        lut = [
+            [
+                int(((X[s_i] - codebooks[s_i, c]) ** 2).sum())
+                for c in range(k_codes)
+            ]
+            for s_i in range(m_subs)
+        ]
+        lut_rows.append((int(r.probe_id), lut))
+    lut_df = spark.createDataFrame(
+        lut_rows, "probe_id bigint, lut array<array<bigint>>"
+    )
+    scored = encoded.crossJoin(F.broadcast(lut_df)).where(
+        F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, row: F.element_at(row, (c + 1).cast("int"))
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist2"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= topk)
+        .select("probe_id", "rank", "vec_id", "adc_dist2")
+    )

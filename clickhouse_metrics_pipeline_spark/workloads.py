@@ -1619,6 +1619,7 @@ ORACLE_SQL.update(EXTRA5_ORACLE)
 _ROTATION_FIRST: list[str] = [
     # (a) new round-5 queries
     "emb_ivf_int_topk",
+    "emb_pq_int_adc_topk",
     "events_stddev_over_time",
     "events_delta_1h",
     "events_resets_1h",
@@ -1670,7 +1671,6 @@ _ROTATION_FIRST: list[str] = [
     "q19_discounted_revenue",
     "q20_potential_part_promotion",
     "q22_global_sales",
-    "docs_rolling_fingerprint",
 ]
 
 

@@ -864,3 +864,135 @@ WHERE rank <= {topk}
 
 EXTRA5_QUERIES["emb_ivf_int_topk"] = emb_ivf_int_topk
 EXTRA5_ORACLE["emb_ivf_int_topk"] = _ivf_sql()
+
+
+# --------------------------------------------------------------------------
+# Deterministic-integer product quantization with ADC search
+# --------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_K = 16  # codes per subspace
+_PQ_SUB = 16  # dims per subspace (64 / m)
+_PQ_ITERS = 2
+_PQ_TOPK = 5
+_PQ_PROBE_MAX = 10
+
+# memoized trained codebooks + encoded corpus per sf_dir (train-once /
+# probe-per-query, like _IVF_INT_MODEL)
+_PQ_INT_MODEL: dict[str, tuple] = {}
+
+
+def emb_pq_int_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC lookup-table search, in
+    deterministic integer arithmetic end to end — the PQ counterpart
+    of emb_ivf_int_topk, giving the second trained-ANN family a full
+    value-hash oracle (the float-codebook emb_pq_adc_topk stays
+    rows-only/pytest): md5-hash-order seeds donate their sub-vectors
+    to every subspace's initial codebook, integer Lloyd per subspace
+    (all subspaces in one pass per iteration), truncating-division
+    updates, 4x16 codebooks over 16-dim subspaces, exact integer
+    ADC distances summed over 4 table lookups per corpus vector.
+
+    Scale: fit is iters+1 map-only passes; the probe scan reads the
+    code table (4 bigints/vector) with m lookups per row — ADC's
+    memory-bound operating point next to IVF's compute-bound one.
+    Model memoized per corpus."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        int_pq_fit_encode,
+        pq_int_adc_topk,
+    )
+
+    if sf_dir not in _PQ_INT_MODEL:
+        e = _t(spark, sf_dir, "embeddings")
+        _PQ_INT_MODEL[sf_dir] = int_pq_fit_encode(
+            e, m_subs=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        )
+    books, encoded = _PQ_INT_MODEL[sf_dir]
+    return pq_int_adc_topk(
+        books, encoded, topk=_PQ_TOPK, probe_max_id=_PQ_PROBE_MAX
+    )
+
+
+def _pq_dist2_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"list_sum([({a}[i+1]-{b}[i+1])*({a}[i+1]-{b}[i+1]) "
+        f"for i in range(0,{n})])::BIGINT"
+    )
+
+
+def _pq_assign_cte(books: str, name: str) -> str:
+    d2 = _pq_dist2_sql("sv.subvec", f"{books}.cvec", _PQ_SUB)
+    return f"""{name} AS (
+  SELECT vec_id, sub, min(skey) % {_PQ_K} AS cid FROM (
+    SELECT sv.vec_id, sv.sub, {d2} * {_PQ_K} + {books}.cid AS skey
+    FROM sv JOIN {books} ON {books}.sub = sv.sub)
+  GROUP BY vec_id, sub
+)"""
+
+
+def _pq_update_cte(assign: str, books_in: str, books_out: str) -> str:
+    return f"""{books_out} AS (
+  SELECT {books_in}.sub, {books_in}.cid,
+         coalesce(u.cvec, {books_in}.cvec) AS cvec
+  FROM {books_in} LEFT JOIN (
+    SELECT sub, cid, list(m ORDER BY d) AS cvec FROM (
+      SELECT sub, cid, d, CAST((s - s % n) / n AS BIGINT) AS m FROM (
+        SELECT sub, cid, d, sum(v)::BIGINT AS s, count(*) AS n FROM (
+          SELECT a.sub, a.cid, unnest(sv.subvec) AS v,
+                 generate_subscripts(sv.subvec, 1) AS d
+          FROM {assign} a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub)
+        GROUP BY 1, 2, 3))
+    GROUP BY sub, cid) u
+    ON u.sub = {books_in}.sub AND u.cid = {books_in}.cid
+)"""
+
+
+def _pq_sql() -> str:
+    d2lut = _pq_dist2_sql("p.subvec", "b2.cvec", _PQ_SUB)
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(embedding, x -> round(x::DOUBLE / s)::BIGINT)
+              ELSE list_transform(embedding, x -> 0::BIGINT) END AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))/127.0 AS s
+        FROM embeddings)
+), sv AS (
+  SELECT vec_id, sub, q[sub*{_PQ_SUB}+1 : (sub+1)*{_PQ_SUB}] AS subvec
+  FROM qv CROSS JOIN (SELECT unnest(range(0,{_PQ_M})) AS sub)
+), seeds AS (
+  SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::BIGINT AS cid, q
+  FROM (SELECT vec_id, q,
+               ('0x'||substr(md5('pq:'||vec_id::VARCHAR),1,15))::BIGINT AS h
+        FROM qv ORDER BY h, vec_id LIMIT {_PQ_K})
+), b0 AS (
+  SELECT sub, cid, q[sub*{_PQ_SUB}+1 : (sub+1)*{_PQ_SUB}] AS cvec
+  FROM seeds CROSS JOIN (SELECT unnest(range(0,{_PQ_M})) AS sub)
+), {_pq_assign_cte("b0", "a1")},
+{_pq_update_cte("a1", "b0", "b1")},
+{_pq_assign_cte("b1", "a2")},
+{_pq_update_cte("a2", "b1", "b2")},
+{_pq_assign_cte("b2", "codes")},
+probes AS (
+  SELECT vec_id AS probe_id, sub, subvec FROM sv WHERE vec_id < {_PQ_PROBE_MAX}
+), lut AS (
+  SELECT p.probe_id, p.sub, b2.cid, {d2lut} AS d2
+  FROM probes p JOIN b2 ON b2.sub = p.sub
+), scored AS (
+  SELECT l.probe_id, c.vec_id, sum(l.d2)::BIGINT AS adc_dist2
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+  WHERE c.vec_id != l.probe_id
+  GROUP BY l.probe_id, c.vec_id
+)
+SELECT probe_id, rank, vec_id, adc_dist2 FROM (
+  SELECT probe_id, vec_id, adc_dist2,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist2, vec_id)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {_PQ_TOPK}
+"""
+
+
+EXTRA5_QUERIES["emb_pq_int_adc_topk"] = emb_pq_int_adc_topk
+EXTRA5_ORACLE["emb_pq_int_adc_topk"] = _pq_sql()

@@ -149,3 +149,74 @@ def test_stddev_state_matches_numpy(spark):
         assert (r.n_samples, r.sum_cents, r.var_num) == (n, s, v)
         # sanity: var_num is n^2 * variance
         assert r.var_num >= 0
+
+
+def test_pq_int_adc_matches_numpy_replay(spark):
+    """Independent numpy replay of the full integer PQ pipeline —
+    seeds, two Lloyd iterations per subspace, encode, ADC tables,
+    top-5 — must reproduce every emitted (probe, rank, vec, dist)."""
+    import hashlib
+
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        int_pq_fit_encode,
+        pq_int_adc_topk,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books, encoded = int_pq_fit_encode(e)
+    got = sorted(
+        (r.probe_id, r.rank, r.vec_id, r.adc_dist2)
+        for r in pq_int_adc_topk(books, encoded).collect()
+    )
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.vstack(pdf["embedding"].values).astype(np.float64)
+    Q = _int8_quantized(V)
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    m, k, sub = 4, 16, 16
+    X = Q.reshape(len(Q), m, sub)
+    hs = np.array(
+        [
+            int(hashlib.md5(f"pq:{v}".encode()).hexdigest()[:15], 16)
+            for v in ids
+        ]
+    )
+    order = np.lexsort((ids, hs))[:k]
+    B = np.stack([X[order, s] for s in range(m)])  # m x k x sub
+    for _ in range(2):
+        newB = B.copy()
+        for s in range(m):
+            d2 = ((X[:, s, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+            a = (d2 * k + np.arange(k)).argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    v = X[mask, s].sum(axis=0)
+                    newB[s, c] = np.sign(v) * (np.abs(v) // mask.sum())
+        B = newB
+    assert np.array_equal(B, books)
+    codes = np.stack(
+        [
+            (((X[:, s, None, :] - B[s][None, :, :]) ** 2).sum(-1) * k
+             + np.arange(k)).argmin(axis=1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    ref = []
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for pid in [int(v) for v in ids if v < 10]:
+        lut = np.stack(
+            [((X[idx[pid], s][None, :] - B[s]) ** 2).sum(-1) for s in range(m)]
+        )  # m x k
+        scores = sorted(
+            (int(lut[np.arange(m), codes[i]].sum()), int(v))
+            for i, v in enumerate(ids)
+            if int(v) != pid
+        )
+        ref.extend(
+            (pid, r + 1, v, d) for r, (d, v) in enumerate(scores[:5])
+        )
+    assert got == sorted(ref)
