@@ -339,6 +339,45 @@ def kmv_distinct_stream(
     )
 
 
+def stddev_state_stream(
+    df: DataFrame,
+    grain: str = "1 hour",
+    watermark: str = "10 minutes",
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous twin of workloads_ext5.events_stddev_over_time: per
+    closed (window, keys) group, the EXACT integer moment state
+    (n, sum_cents, var_num = n*Σc² − (Σc)²). The state is three
+    integer counters — map-side combinable, watermark-bounded, and
+    mergeable to coarser grains losslessly (the same sum+count
+    contract the rollup cascade rides); pinned state-equal to the
+    batch fold in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    c = F.round(F.col(value_col) * 100).cast("bigint")
+    g = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, grain).alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(c).alias("sum_cents"),
+            F.sum(c * c).alias("sumsq_cents"),
+        )
+    )
+    return g.select(
+        F.col("w.start").alias("bucket_ts"),
+        *key_cols,
+        "n_samples",
+        "sum_cents",
+        (
+            F.col("n_samples") * F.col("sumsq_cents")
+            - F.col("sum_cents") * F.col("sum_cents")
+        ).alias("var_num"),
+    )
+
+
 def anomaly_zscore_stream(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("event_type",),

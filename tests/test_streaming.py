@@ -1374,3 +1374,129 @@ class TestStreamingAlertFor:
         # every real bucket closed (the sentinel stays open and is
         # absent from the pandas expectation keys)
         assert got == want
+
+
+class TestStddevStateStream:
+    """Continuous exact-integer moment state (round-5
+    events_stddev_over_time twin): closed windows must carry the SAME
+    (n, sum_cents, var_num) integers the batch fold computes, and the
+    state must merge losslessly to coarser grains."""
+
+    def test_stream_state_matches_batch(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            stddev_state_stream,
+        )
+
+        base = _NOW.replace(second=0, minute=0) - dt.timedelta(hours=3)
+        rows = []
+        for s in range(30):
+            r = list(_gauge_row(100 + s, 0, float(s) + 0.25 * (s % 3)))
+            r[4] = base + dt.timedelta(seconds=2 * s)
+            rows.append(tuple(r))
+        drv = list(_gauge_row(999, 0, 1.0))
+        drv[4] = base + dt.timedelta(seconds=7200)
+        rows.append(tuple(drv))
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b0")
+        )
+        out, ck = str(tmp_path / "sd_out"), str(tmp_path / "sd_ck")
+        stream = stddev_state_stream(
+            spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(str(src / "*")),
+            grain="1 minute",
+            key_cols=("metric",),
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        cutoff = base + dt.timedelta(seconds=3000)
+        got = {
+            (r.bucket_ts, r.metric): (r.n_samples, r.sum_cents, r.var_num)
+            for r in spark.read.parquet(out)
+            .where(F.col("bucket_ts") < cutoff)
+            .collect()
+        }
+        batch = spark.createDataFrame(rows, METRICS_RAW_SCHEMA)
+        c = F.round(F.col("value") * 100).cast("bigint")
+        want = {
+            (r.bucket_ts, r.metric): (r.n_samples, r.sum_cents, r.var_num)
+            for r in batch.groupBy(
+                F.window("timestamp", "1 minute").alias("w"), "metric"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.sum(c).alias("sum_cents"),
+                F.sum(c * c).alias("sumsq_cents"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_ts"),
+                "metric",
+                "n_samples",
+                "sum_cents",
+                (
+                    F.col("n_samples") * F.col("sumsq_cents")
+                    - F.col("sum_cents") * F.col("sum_cents")
+                ).alias("var_num"),
+            )
+            .where(F.col("bucket_ts") < cutoff)
+            .collect()
+        }
+        assert got == want and got
+        # lossless merge to the hour grain: recompute var_num from the
+        # merged counters == direct hour-grain fold
+        emitted = spark.read.parquet(out).where(F.col("bucket_ts") < cutoff)
+        merged = (
+            emitted.select(
+                "metric",
+                "n_samples",
+                "sum_cents",
+                # recover sumsq from (n, sum, var_num)
+                (
+                    (F.col("var_num") + F.col("sum_cents") * F.col("sum_cents"))
+                    / F.col("n_samples")
+                )
+                .cast("bigint")
+                .alias("sumsq_cents"),
+            )
+            .groupBy("metric")
+            .agg(
+                F.sum("n_samples").alias("n"),
+                F.sum("sum_cents").alias("s"),
+                F.sum("sumsq_cents").alias("ss"),
+            )
+            .select(
+                "metric",
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias(
+                    "var_num"
+                ),
+            )
+            .collect()
+        )
+        direct = (
+            batch.where(F.col("timestamp") < cutoff)
+            .groupBy("metric")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(c).alias("s"),
+                F.sum(c * c).alias("ss"),
+            )
+            .select(
+                "metric",
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias(
+                    "var_num"
+                ),
+            )
+            .collect()
+        )
+        assert {r.metric: r.var_num for r in merged} == {
+            r.metric: r.var_num for r in direct
+        }
