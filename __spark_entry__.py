@@ -64,8 +64,10 @@ def oracle_sql() -> dict[str, str]:
     OUT of the driver's graded window (rows-only rows burn slots).
     Their value-hash-checkable successors stand in the window
     instead: ``emb_srp_int8_pairs`` / ``emb_srp_semantic_dedup``
-    (md5-derived integer SRP) and ``emb_ivf_int_topk`` (deterministic
-    integer Lloyd k-means, the trained-quantizer family's oracle)."""
+    (md5-derived integer SRP), ``emb_ivf_int_topk`` (deterministic
+    integer Lloyd k-means) and ``emb_pq_int_adc_topk`` (deterministic
+    integer product quantization with ADC search) — every ANN family
+    now has a value-hash-graded representative."""
     from clickhouse_metrics_pipeline_spark.workloads import ORACLE_SQL
 
     return dict(ORACLE_SQL)
