@@ -44,8 +44,12 @@ def test_current_headline_line_always_parses_under_cap():
     omitted_sec = d.get("queries_omitted_sec", 0.0)
     kept = sum(d["queries"].values())
     assert abs(kept + omitted_sec - total) < 1.0
-    # the bulk of the suite stays visible on stdout
-    assert len(d["queries"]) >= len(HEADLINE) * 3 // 4
+    # as much of the suite as the byte budget allows stays visible on
+    # stdout: ~30 bytes per entry means the 1900-byte cap tops out
+    # around 60 entries — a 90-query headline physically cannot show
+    # 3/4 of itself, so the floor is min(3/4, what fits). Everything
+    # trimmed is still in bench_details.json at full precision.
+    assert len(d["queries"]) >= min(len(HEADLINE) * 3 // 4, 55)
 
 
 def test_oversized_headline_truncates_fastest_first_and_still_parses():
