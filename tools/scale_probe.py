@@ -211,19 +211,33 @@ def op_kmv_sketch(ev: DataFrame) -> int:
 
 
 def op_hash_sample(ev: DataFrame) -> int:
+    """Bottom-k sample THROUGH the map-side bounded combine
+    (hash_sample_partial) — the 100 TB path: each Arrow batch cuts to
+    <= k rows per group before the shuffle, so agg state never grows
+    with input rows. The raw collect_set form measured efficiency 1.5
+    at 16x (its per-group state is the full distinct (h, c) set);
+    the partial composition is pinned lossless in tests/test_sketch.py."""
     from clickhouse_metrics_pipeline_spark.functions.hashing import (
         portable_hash60,
     )
     from clickhouse_metrics_pipeline_spark.functions.sketch import (
         hash_sample,
+        hash_sample_partial,
         hash_sample_quantile,
     )
     from clickhouse_metrics_pipeline_spark.tables import value_cents
 
     h = portable_hash60(F.col("event_id").cast("string"))
+    pre = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("ws"),
+        h.alias("h"),
+        value_cents("value").alias("c"),
+    )
+    part = hash_sample_partial(pre, ["event_type", "ws"], "h", "c", 64)
     return (
-        ev.groupBy("event_type", F.window("ts", "1 hour"))
-        .agg(hash_sample(h, value_cents("value"), 64).alias("sk"))
+        part.groupBy("event_type", "ws")
+        .agg(hash_sample(F.col("h"), F.col("c"), 64).alias("sk"))
         .select(hash_sample_quantile("sk", 9500).alias("p95"))
         .count()
     )
@@ -286,8 +300,17 @@ def op_srp_pairs(emb: DataFrame) -> int:
         srp_int8_pairs,
     )
 
+    import math
+
+    # the documented sizing rule applied dynamically: keep expected
+    # bucket occupancy O(1) as the corpus grows (n / 2^bits ~ const).
+    # A FIXED band width at growing n measures the quadratic candidate
+    # blowup of a misconfigured run, not the plan (12 bits at 16x
+    # measured efficiency 2.9; sized bands, ~linear).
+    n = emb.count()
+    bits = max(12, math.ceil(math.log2(max(n, 2))))
     return srp_int8_pairs(
-        emb, n_bands=8, rows_per_band=12, max_bucket=64
+        emb, n_bands=8, rows_per_band=bits, max_bucket=64
     ).count()
 
 
@@ -335,11 +358,19 @@ OPS = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--multiples", default="1,4,16")
+    ap.add_argument("--ops", default=None, help="comma list; default all")
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     args = ap.parse_args()
     multiples = [int(x) for x in args.multiples.split(",")]
+    if args.ops:
+        wanted = args.ops.split(",")
+        unknown = set(wanted) - set(OPS)
+        assert not unknown, f"unknown ops: {unknown}"
+        for name in list(OPS):
+            if name not in wanted:
+                del OPS[name]
 
     spark = get_spark(app_name="cmp-spark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
