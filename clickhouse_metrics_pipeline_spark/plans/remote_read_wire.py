@@ -320,3 +320,60 @@ def handle_remote_read(
         series.sort(key=lambda s: sorted(s["labels"].items()))
         results.append(series)
     return snappy_compress(encode_read_response(results))
+
+
+# --------------------------------------------------------------------------
+# prompb.WriteRequest (Prometheus Remote Write v1) — same dependency-free
+# codec; WriteRequest.timeseries shares the TimeSeries message shape the
+# ReadResponse codec above already speaks (labels=1, samples=2)
+# --------------------------------------------------------------------------
+
+
+def decode_write_request(data: bytes) -> list[dict]:
+    """prompb.WriteRequest -> [{labels: dict, samples: [(value, ts_ms)]}].
+
+    Field 1 is the repeated TimeSeries; metadata (field 3, RW 1.1) and
+    exemplars are ignored — the same subset the reference's ingest
+    consumes. Unknown fields skip per proto3 rules (_iter_fields)."""
+    series = []
+    for field, _, value in _iter_fields(data):
+        if field != 1:
+            continue
+        labels: dict[str, str] = {}
+        samples: list[tuple[float, int]] = []
+        for tf, _, tv in _iter_fields(value):
+            if tf == 1:
+                name = val = ""
+                for lf, _, lv in _iter_fields(tv):
+                    if lf == 1:
+                        name = lv.decode()
+                    elif lf == 2:
+                        val = lv.decode()
+                labels[name] = val
+            elif tf == 2:
+                v, t = 0.0, 0
+                for sf, _, sv in _iter_fields(tv):
+                    if sf == 1:
+                        v = struct.unpack("<d", sv)[0]
+                    elif sf == 2:
+                        t = _int64(sv)
+                samples.append((v, t))
+        series.append({"labels": labels, "samples": samples})
+    return series
+
+
+def encode_write_request(series: list[dict]) -> bytes:
+    """Inverse of :func:`decode_write_request` (test/client side)."""
+    out = b""
+    for ts in series:
+        tsb = b""
+        for name in sorted(ts["labels"]):
+            tsb += _ld(
+                1, _ld(1, name.encode()) + _ld(2, ts["labels"][name].encode())
+            )
+        for value, ts_ms in ts["samples"]:
+            sb = _key(1, 1) + struct.pack("<d", float(value))
+            sb += _varint_field(2, int(ts_ms))
+            tsb += _ld(2, sb)
+        out += _ld(1, tsb)
+    return out

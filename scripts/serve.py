@@ -1,20 +1,22 @@
 """Run the whole engine as one process — the reference's ``cmd/main.go``
 shape (gRPC receiver + writer + Remote Read handler in one binary),
-re-expressed: OTLP/HTTP JSON receiver -> drop dir -> Structured
-Streaming ingest (validate -> delta-convert -> date-partitioned
-parquet) -> Prometheus Remote Read HTTP endpoint over the stored table.
+re-expressed: OTLP/HTTP JSON receiver + Prometheus Remote Write
+receiver -> shared drop dir -> Structured Streaming ingest (validate ->
+delta-convert -> date-partitioned parquet) -> Prometheus Remote Read
+HTTP endpoint over the stored table.
 
 Usage:
     python scripts/serve.py [--data-dir /tmp/cmp-data] \
-        [--otlp-port 4318] [--read-port 9201] \
+        [--otlp-port 4318] [--read-port 9201] [--write-port 9202] \
         [--workspace default] [--trigger-seconds 10]
 
 Then:
     curl -X POST localhost:4318/v1/metrics -H 'Content-Type: application/json' \
          -d @export.json           # push OTLP metrics
-    # point prometheus remote_read.url at localhost:9201/api/v1/read
+    # point prometheus remote_write.url at localhost:9202/api/v1/write
+    # point prometheus remote_read.url  at localhost:9201/api/v1/read
 
-Ctrl-C stops all three components.
+Ctrl-C stops all four components.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def main() -> None:
     ap.add_argument("--data-dir", default="/tmp/cmp-data")
     ap.add_argument("--otlp-port", type=int, default=4318)  # OTLP/HTTP default
     ap.add_argument("--read-port", type=int, default=9201)
+    ap.add_argument("--write-port", type=int, default=9202)
     ap.add_argument("--workspace", default="default")
     ap.add_argument("--trigger-seconds", type=int, default=10)
     args = ap.parse_args()
@@ -115,6 +118,15 @@ def main() -> None:
     threading.Thread(target=receiver.serve_forever, daemon=True).start()
     print(f"OTLP/HTTP receiver:  POST localhost:{args.otlp_port}/v1/metrics")
 
+    from clickhouse_metrics_pipeline_spark.plans.remote_write_http import (
+        make_remote_write_server,
+    )
+
+    # Remote Write shares the drop dir: both protocols feed ONE ingest
+    writer = make_remote_write_server(drop, port=args.write_port)
+    threading.Thread(target=writer.serve_forever, daemon=True).start()
+    print(f"Remote Write:        POST localhost:{args.write_port}/api/v1/write")
+
     reader = make_remote_read_server(
         FreshCatalog(), port=args.read_port, workspace_id=args.workspace
     )
@@ -134,6 +146,7 @@ def main() -> None:
     except KeyboardInterrupt:
         q.stop()
         receiver.shutdown()
+        writer.shutdown()
         reader.shutdown()
 
 
