@@ -737,6 +737,59 @@ _IVF_PROBE_MAX = 10
 _IVF_INT_MODEL: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
+def _ivf_int_paths(root: str, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{root}/{corpus}/ivfint{_IVF_K}x{_IVF_ITERS}"
+    return f"{base}/centroids", f"{base}/assigned"
+
+
+def _load_ivf_int(spark: SparkSession, sf_dir: str):
+    """Stored-index path for the integer IVF model: when
+    $SPARK_GRAFT_INDEX_DIR holds a persisted (centroids, assigned)
+    pair (store_ivf_int_index / tools/build_indexes.py), probe queries
+    read the parquet tables instead of retraining — the same contract
+    as the float IVF's stored index. Returns None when absent."""
+    from clickhouse_metrics_pipeline_spark.sources.writer import load_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = index_root()
+    if root is None:
+        return None
+    cp, ap = _ivf_int_paths(root, sf_dir)
+    cent, assigned = load_index(spark, cp), load_index(spark, ap)
+    if cent is None or assigned is None:
+        return None
+    return cent, assigned
+
+
+def store_ivf_int_index(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> tuple[str, str]:
+    """Materialize the trained integer-IVF model (k-row centroid table
+    + cluster-assigned corpus, partitioned by cid so probes prune to
+    their nprobe partitions) — the ingest-time job; deterministic
+    training makes stored == retrained exactly (pinned in
+    tests/test_stored_index.py)."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        int_kmeans_fit_assign,
+    )
+    from clickhouse_metrics_pipeline_spark.sources.writer import write_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = root or index_root()
+    if root is None:
+        raise ValueError("no index root: pass root= or set SPARK_GRAFT_INDEX_DIR")
+    cent, assigned = int_kmeans_fit_assign(
+        _t(spark, sf_dir, "embeddings"), k=_IVF_K, iters=_IVF_ITERS
+    )
+    cp, ap = _ivf_int_paths(root, sf_dir)
+    write_index(cent, cp)
+    write_index(assigned, ap, partition_by=["cid"])
+    return cp, ap
+
+
 def emb_ivf_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED k-means coarse quantizer in deterministic
     integer arithmetic — the first trained-ANN catalog query with a
@@ -766,10 +819,9 @@ def emb_ivf_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir
     if key not in _IVF_INT_MODEL:
-        e = _t(spark, sf_dir, "embeddings")
-        _IVF_INT_MODEL[key] = int_kmeans_fit_assign(
-            e, k=_IVF_K, iters=_IVF_ITERS
-        )
+        _IVF_INT_MODEL[key] = _load_ivf_int(spark, sf_dir) or (
+            lambda e: int_kmeans_fit_assign(e, k=_IVF_K, iters=_IVF_ITERS)
+        )(_t(spark, sf_dir, "embeddings"))
     cent, assigned = _IVF_INT_MODEL[key]
     return ivf_int_probe(
         cent,
@@ -882,6 +934,70 @@ _PQ_PROBE_MAX = 10
 _PQ_INT_MODEL: dict[str, tuple] = {}
 
 
+def _pq_int_paths(root: str, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{root}/{corpus}/pqint{_PQ_M}x{_PQ_K}x{_PQ_ITERS}"
+    return f"{base}/codebooks", f"{base}/codes"
+
+
+def _load_pq_int(spark: SparkSession, sf_dir: str):
+    """Stored-index path for the integer PQ model (codebooks parquet ->
+    numpy, encoded code table) — same contract as _load_ivf_int."""
+    import numpy as np
+
+    from clickhouse_metrics_pipeline_spark.sources.writer import load_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = index_root()
+    if root is None:
+        return None
+    bp, cp = _pq_int_paths(root, sf_dir)
+    bdf, codes = load_index(spark, bp), load_index(spark, cp)
+    if bdf is None or codes is None:
+        return None
+    books = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M), dtype=np.int64)
+    for r in bdf.collect():  # m*k rows — bounded model collect
+        books[r.sub, r.cid] = np.asarray(r.cvec, dtype=np.int64)
+    return books, codes
+
+
+def store_pq_int_index(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> tuple[str, str]:
+    """Materialize the trained integer-PQ model (m*k codebook rows +
+    the encoded code table) — ingest-time job; deterministic training
+    makes stored == retrained exactly."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        int_pq_fit_encode,
+    )
+    from clickhouse_metrics_pipeline_spark.sources.writer import write_index
+    from clickhouse_metrics_pipeline_spark.workloads import index_root
+
+    root = root or index_root()
+    if root is None:
+        raise ValueError("no index root: pass root= or set SPARK_GRAFT_INDEX_DIR")
+    books, encoded = int_pq_fit_encode(
+        _t(spark, sf_dir, "embeddings"),
+        m_subs=_PQ_M,
+        k_codes=_PQ_K,
+        iters=_PQ_ITERS,
+    )
+    rows = [
+        (s, c, [int(x) for x in books[s, c]])
+        for s in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+    bdf = spark.createDataFrame(
+        rows, "sub bigint, cid bigint, cvec array<bigint>"
+    )
+    bp, cp = _pq_int_paths(root, sf_dir)
+    write_index(bdf, bp)
+    write_index(encoded, cp)
+    return bp, cp
+
+
 def emb_pq_int_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with ADC lookup-table search, in
     deterministic integer arithmetic end to end — the PQ counterpart
@@ -903,9 +1019,11 @@ def emb_pq_int_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if sf_dir not in _PQ_INT_MODEL:
-        e = _t(spark, sf_dir, "embeddings")
-        _PQ_INT_MODEL[sf_dir] = int_pq_fit_encode(
-            e, m_subs=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS
+        _PQ_INT_MODEL[sf_dir] = _load_pq_int(spark, sf_dir) or int_pq_fit_encode(
+            _t(spark, sf_dir, "embeddings"),
+            m_subs=_PQ_M,
+            k_codes=_PQ_K,
+            iters=_PQ_ITERS,
         )
     books, encoded = _PQ_INT_MODEL[sf_dir]
     return pq_int_adc_topk(

@@ -110,3 +110,37 @@ def test_write_index_rejects_hidden_partition_column(spark):
     df = spark.range(1).withColumnRenamed("id", "_cell")
     with pytest.raises(ValueError):
         write_index(df, "/tmp/never-written", ["_cell"])
+
+
+def test_stored_int_ann_models_equal_retrained(spark, tmp_path, monkeypatch):
+    """The deterministic integer IVF/PQ models: stored (centroids +
+    assignment / codebooks + codes) must reproduce the EXACT query
+    output of in-session training, and the probe plans must read the
+    stored parquet, not rebuild."""
+    import clickhouse_metrics_pipeline_spark.workloads_ext5 as WE5
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
+    WE5._IVF_INT_MODEL.clear()
+    WE5._PQ_INT_MODEL.clear()
+    base_ivf = _rows(WE5.emb_ivf_int_topk(spark, SF))
+    base_pq = _rows(WE5.emb_pq_int_adc_topk(spark, SF))
+    assert base_ivf and base_pq
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    WE5.store_ivf_int_index(spark, SF)
+    WE5.store_pq_int_index(spark, SF)
+
+    WE5._IVF_INT_MODEL.clear()
+    WE5._PQ_INT_MODEL.clear()
+    got_ivf = _rows(WE5.emb_ivf_int_topk(spark, SF))
+    got_pq = _rows(WE5.emb_pq_int_adc_topk(spark, SF))
+    assert got_ivf == base_ivf
+    assert got_pq == base_pq
+
+    # probes must scan the stored root
+    cent, assigned = WE5._IVF_INT_MODEL[SF]
+    files = assigned.inputFiles()
+    assert files and all(str(tmp_path) in f for f in files)
+    _, codes = WE5._PQ_INT_MODEL[SF]
+    cfiles = codes.inputFiles()
+    assert cfiles and all(str(tmp_path) in f for f in cfiles)

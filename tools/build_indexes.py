@@ -61,7 +61,7 @@ def main() -> None:
     ap.add_argument(
         "--kinds",
         default=None,
-        help="comma-separated subset (default: every kind + ivf + pq)",
+        help="comma-separated subset (default: every kind + ivf/pq float + int)",
     )
     args = ap.parse_args()
     if not args.root:
@@ -72,17 +72,29 @@ def main() -> None:
     from clickhouse_metrics_pipeline_spark.workloads import store_dedup_index
     from clickhouse_metrics_pipeline_spark.workloads_ext import store_ivf_index
     from clickhouse_metrics_pipeline_spark.workloads_ext4 import store_pq_index
+    from clickhouse_metrics_pipeline_spark.workloads_ext5 import (
+        store_ivf_int_index,
+        store_pq_int_index,
+    )
 
     spark = get_spark(app_name="cmp-spark-build-indexes")
     spark.sparkContext.setLogLevel("ERROR")
 
-    wanted = args.kinds.split(",") if args.kinds else DEDUP_KINDS + ["ivf", "pq"]
+    wanted = (
+        args.kinds.split(",")
+        if args.kinds
+        else DEDUP_KINDS + ["ivf", "pq", "ivf_int", "pq_int"]
+    )
     for kind in wanted:
         t0 = time.time()
         if kind == "ivf":
             path = list(store_ivf_index(spark, args.sf_dir, root=args.root))
         elif kind == "pq":
             path = list(store_pq_index(spark, args.sf_dir, root=args.root))
+        elif kind == "ivf_int":
+            path = list(store_ivf_int_index(spark, args.sf_dir, root=args.root))
+        elif kind == "pq_int":
+            path = list(store_pq_int_index(spark, args.sf_dir, root=args.root))
         else:
             path = store_dedup_index(spark, args.sf_dir, kind, root=args.root)
         print(
