@@ -156,6 +156,7 @@ HEADLINE += [
     "docs_stopword_profile",
     "docs_dup_inflation",
     "emb_norm_stats",
+    "events_recording_rules",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Recording rules: named, periodically-materialized aggregates — the
+Prometheus ``recording_rules`` / ClickHouse materialized-view-per-panel
+surface. The reference materializes exactly three fixed MVs
+(``schema.sql:146-192``); real deployments carry dozens of rule
+definitions, so the engine evaluates a RULE SET, not a hard-coded view.
+
+Execution contract (the part that matters at 100 TB): every rule in a
+set evaluates from ONE scan and ONE shuffle — the engine aggregates the
+stream to the finest requested grain once (per (event_type, window)
+integer partials: count, cents sum), then derives each rule row-locally
+or by re-aggregating the tiny partial relation (the rollup-cascade
+trick: global-grain rules sum the per-type partials instead of
+rescanning). Adding a rule never adds a scan.
+
+Values are exact integers (counts, cents, truncated ppm) in long
+format: (record, event_type NULL for global rules, bucket_ts, value) —
+a shape any sink (parquet rollup table, Remote Read, alerting) consumes
+uniformly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One recording rule.
+
+    agg:
+      - ``count``          samples per (event_type, window)
+      - ``sum_cents``      exact integer cents sum per (event_type, window)
+      - ``avg_scaled``     half-up average, BIGINT value*10000
+      - ``share_ppm``      this type's share of the window's samples (ppm)
+      - ``error_ratio_ppm``  GLOBAL rule: error-type samples / all
+                             samples per window (ppm), event_type NULL
+    """
+
+    record: str
+    agg: str
+    error_type: str = "error"
+
+
+_SUPPORTED = ("count", "sum_cents", "avg_scaled", "share_ppm", "error_ratio_ppm")
+
+
+def _trunc_div(num: Column, den: Column) -> Column:
+    return ((num - num % den) / den).cast("bigint")
+
+
+def evaluate_rules(
+    events: DataFrame,
+    rules: list[Rule],
+    grain: str = "1 hour",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Evaluate every rule from one pass; see module docstring."""
+    for r in rules:
+        if r.agg not in _SUPPORTED:
+            raise ValueError(f"unsupported rule agg: {r.agg}")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour" if grain == "1 hour" else "minute", ts_col).alias(
+            "bucket_ts"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("c"),
+    )
+    # window totals derived from the partials (no second scan); kept as
+    # a window function so per-type rules can reference them row-locally
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket_ts")
+    base = base.withColumn("n_window", F.sum("n").over(w)).withColumn(
+        "n_err_window",
+        F.sum(F.when(F.col("event_type") == F.lit("error"), F.col("n")).otherwise(0)).over(w),
+    )
+
+    outs: list[DataFrame] = []
+    for r in rules:
+        rec = F.lit(r.record).alias("record")
+        if r.agg == "count":
+            outs.append(
+                base.select(rec, "event_type", "bucket_ts", F.col("n").alias("value"))
+            )
+        elif r.agg == "sum_cents":
+            outs.append(
+                base.select(rec, "event_type", "bucket_ts", F.col("c").alias("value"))
+            )
+        elif r.agg == "avg_scaled":
+            # half-up value*10000 from (cents, n) — avg_from_cents shape
+            mag = F.floor(
+                (F.lit(200) * F.abs(F.col("c")) + F.col("n"))
+                / (F.lit(2) * F.col("n"))
+            ).cast("bigint")
+            v = F.when(F.col("c") < 0, -mag).otherwise(mag)
+            outs.append(base.select(rec, "event_type", "bucket_ts", v.alias("value")))
+        elif r.agg == "share_ppm":
+            v = _trunc_div(F.col("n") * F.lit(1_000_000), F.col("n_window"))
+            outs.append(base.select(rec, "event_type", "bucket_ts", v.alias("value")))
+        elif r.agg == "error_ratio_ppm":
+            g = base.groupBy("bucket_ts").agg(
+                F.sum("n").alias("_n"),
+                F.sum(
+                    F.when(
+                        F.col("event_type") == F.lit(r.error_type), F.col("n")
+                    ).otherwise(0)
+                ).alias("_e"),
+            )
+            outs.append(
+                g.select(
+                    rec,
+                    F.lit(None).cast("string").alias("event_type"),
+                    "bucket_ts",
+                    _trunc_div(F.col("_e") * F.lit(1_000_000), F.col("_n")).alias(
+                        "value"
+                    ),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

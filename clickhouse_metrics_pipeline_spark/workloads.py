@@ -1620,6 +1620,7 @@ _ROTATION_FIRST: list[str] = [
     # (a) new round-5 queries
     "emb_ivf_int_topk",
     "emb_pq_int_adc_topk",
+    "events_recording_rules",
     "events_stddev_over_time",
     "events_delta_1h",
     "events_resets_1h",
@@ -1670,7 +1671,6 @@ _ROTATION_FIRST: list[str] = [
     "q17_small_quantity",
     "q19_discounted_revenue",
     "q20_potential_part_promotion",
-    "q22_global_sales",
 ]
 
 

@@ -1114,3 +1114,67 @@ WHERE rank <= {_PQ_TOPK}
 
 EXTRA5_QUERIES["emb_pq_int_adc_topk"] = emb_pq_int_adc_topk
 EXTRA5_ORACLE["emb_pq_int_adc_topk"] = _pq_sql()
+
+
+# --------------------------------------------------------------------------
+# Recording rules (plans/rules.py) as a catalog query
+# --------------------------------------------------------------------------
+
+
+def events_recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A five-rule recording-rule set evaluated by the rules engine
+    (plans/rules.py): per-type hourly count / cents sum / half-up
+    scaled average / window share, plus the global error-ratio rule —
+    all derived from ONE scan and ONE shuffle (the per-type hourly
+    integer partials; global rules re-aggregate the tiny partial
+    relation, never the stream). Long-format output, exact integers.
+    The Prometheus recording_rules / reference-MV surface
+    (schema.sql:146-192), generalized from three fixed views to a rule
+    set where adding a rule never adds a scan."""
+    from clickhouse_metrics_pipeline_spark.plans.rules import (
+        Rule,
+        evaluate_rules,
+    )
+
+    rules = [
+        Rule("job:events:count_1h", "count"),
+        Rule("job:value:sum_cents_1h", "sum_cents"),
+        Rule("job:value:avg_scaled_1h", "avg_scaled"),
+        Rule("job:events:share_ppm_1h", "share_ppm"),
+        Rule("job:errors:ratio_ppm_1h", "error_ratio_ppm"),
+    ]
+    return evaluate_rules(_events(spark, sf_dir), rules)
+
+
+EVENTS_RECORDING_RULES_SQL = f"""
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n, sum({_CENTS}) AS c
+  FROM {_EV_SQL}
+  GROUP BY 1, 2
+), win AS (
+  SELECT *, sum(n) OVER (PARTITION BY bucket_ts) AS n_window
+  FROM base
+)
+SELECT 'job:events:count_1h' AS record, event_type, bucket_ts, n AS value
+FROM win
+UNION ALL
+SELECT 'job:value:sum_cents_1h', event_type, bucket_ts, c FROM win
+UNION ALL
+SELECT 'job:value:avg_scaled_1h', event_type, bucket_ts,
+       (CASE WHEN c < 0 THEN -1 ELSE 1 END)
+         * CAST(floor((200 * abs(c) + n) / (2 * n)) AS BIGINT)
+FROM win
+UNION ALL
+SELECT 'job:events:share_ppm_1h', event_type, bucket_ts,
+       (n * 1000000) // n_window
+FROM win
+UNION ALL
+SELECT 'job:errors:ratio_ppm_1h', NULL, bucket_ts,
+       (sum(CASE WHEN event_type = 'error' THEN n ELSE 0 END) * 1000000)
+         // sum(n)
+FROM base GROUP BY bucket_ts
+"""
+
+EXTRA5_QUERIES["events_recording_rules"] = events_recording_rules
+EXTRA5_ORACLE["events_recording_rules"] = EVENTS_RECORDING_RULES_SQL
