@@ -220,3 +220,85 @@ def test_pq_int_adc_matches_numpy_replay(spark):
             (pid, r + 1, v, d) for r, (d, v) in enumerate(scores[:5])
         )
     assert got == sorted(ref)
+
+
+class TestRecordingRules:
+    def _events(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        for i in range(40):
+            rows.append(
+                (
+                    i,
+                    base + dt.timedelta(minutes=3 * i),
+                    i % 5,
+                    "error" if i % 4 == 0 else "view",
+                    float(i) + 0.25,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        )
+
+    def test_error_ratio_and_share_match_manual(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.rules import (
+            Rule,
+            evaluate_rules,
+        )
+
+        ev = self._events(spark)
+        out = evaluate_rules(
+            ev,
+            [
+                Rule("r:count", "count"),
+                Rule("r:share", "share_ppm"),
+                Rule("r:err", "error_ratio_ppm"),
+            ],
+        ).collect()
+        by_rec = {}
+        for r in out:
+            by_rec.setdefault(r.record, []).append(r)
+        # manual: hour 0 has 20 events (minutes 0..57), 5 errors
+        h0 = [r for r in by_rec["r:err"] if r.bucket_ts.hour == 0]
+        assert len(h0) == 1 and h0[0].event_type is None
+        assert h0[0].value == (5 * 1_000_000) // 20
+        shares = {
+            (r.event_type, r.bucket_ts.hour): r.value
+            for r in by_rec["r:share"]
+        }
+        assert shares[("error", 0)] == (5 * 1_000_000) // 20
+        counts = {
+            (r.event_type, r.bucket_ts.hour): r.value
+            for r in by_rec["r:count"]
+        }
+        assert counts[("view", 0)] == 15
+
+    def test_adding_a_rule_never_changes_other_rules(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.rules import (
+            Rule,
+            evaluate_rules,
+        )
+
+        ev = self._events(spark)
+        small = evaluate_rules(ev, [Rule("a", "count")])
+        big = evaluate_rules(
+            ev, [Rule("a", "count"), Rule("b", "sum_cents"), Rule("c", "avg_scaled")]
+        )
+        a1 = sorted(map(tuple, small.collect()))
+        a2 = sorted(
+            map(tuple, big.where(F.col("record") == "a").collect())
+        )
+        assert a1 == a2
+
+    def test_unsupported_agg_raises(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.rules import (
+            Rule,
+            evaluate_rules,
+        )
+
+        with pytest.raises(ValueError):
+            evaluate_rules(self._events(spark), [Rule("x", "median")])
