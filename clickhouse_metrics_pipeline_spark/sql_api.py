@@ -179,6 +179,46 @@ def _functions() -> list[str]:
                        THEN element_at(array_sort(buckets), -1).le
                        ELSE acc.prev END))
             ELSE CAST(NULL AS DOUBLE) END""",
+        # exact-integer percentile walk (round 5): BIGINT value*scale,
+        # golden interpolation, DECIMAL(38,0)-exact floor division —
+        # the SQL twin of functions.histogram.bucket_percentile_scaled
+        # (scale must be a multiple of 100, as there)
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION hist_percentile_scaled(
+              buckets {_BUCKETS}, p INT, scale INT) RETURNS BIGINT RETURN
+            CASE WHEN hist_total(buckets) > 0 AND size(buckets) > 0 THEN
+              aggregate(
+                array_sort(buckets),
+                named_struct('cum', CAST(0 AS BIGINT),
+                             'prev', CAST(0 AS BIGINT),
+                             'res', CAST(NULL AS BIGINT)),
+                (acc, x) -> CASE WHEN acc.res IS NOT NULL THEN acc
+                  ELSE named_struct(
+                    'cum', acc.cum + x.count,
+                    'prev', CASE WHEN x.le = double('Infinity') THEN acc.prev
+                                 ELSE CAST(x.le AS BIGINT) END,
+                    'res', CASE
+                      WHEN (acc.cum + x.count) * 100
+                           >= hist_total(buckets) * CAST(p AS BIGINT)
+                      THEN CASE
+                        WHEN x.count = 0 THEN CAST(x.le AS BIGINT) * scale
+                        WHEN x.le = double('Infinity') THEN acc.prev * scale
+                        ELSE CAST((
+                          (CAST(hist_total(buckets) AS DECIMAL(38,0)) * p
+                           - CAST(100 AS DECIMAL(38,0)) * acc.cum)
+                          * CAST(x.le AS BIGINT) * (scale div 100)
+                          - ((CAST(hist_total(buckets) AS DECIMAL(38,0)) * p
+                              - CAST(100 AS DECIMAL(38,0)) * acc.cum)
+                             * CAST(x.le AS BIGINT) * (scale div 100))
+                            % CAST(x.count AS DECIMAL(38,0))
+                        ) / CAST(x.count AS DECIMAL(38,0)) AS BIGINT) END
+                      ELSE CAST(NULL AS BIGINT) END) END,
+                acc -> coalesce(acc.res,
+                  CASE WHEN element_at(array_sort(buckets), -1).le
+                            != double('Infinity')
+                       THEN CAST(element_at(array_sort(buckets), -1).le
+                                 AS BIGINT) * scale
+                       ELSE acc.prev * scale END))
+            ELSE CAST(NULL AS BIGINT) END""",
         f"""CREATE OR REPLACE TEMPORARY FUNCTION hist_delta_to_cumulative(
               buckets {_BUCKETS}) RETURNS {_BUCKETS} RETURN
             transform(array_sort(buckets), (x, i) -> named_struct(

@@ -92,6 +92,31 @@ class TestHistogramSqlUdfs:
             bucket_percentile("buckets", p, interpolation="prometheus"),
             tol=1e-12)
 
+    @pytest.mark.parametrize("p", [1, 50, 95, 99, 100])
+    def test_percentile_scaled(self, sql_spark, p):
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            bucket_percentile_scaled,
+        )
+
+        # integer bounds (the scaled walk's precondition, like the
+        # catalog's fixed BOUNDS); includes zero-count + inf buckets
+        df = sql_spark.createDataFrame(
+            [
+                (1, [(10.0, 7), (25.0, 13), (50.0, 5), (200.0, 1),
+                     (float("inf"), 2)]),
+                (2, [(10.0, 1), (float("inf"), 0)]),
+                (3, [(10.0, 0), (25.0, 4), (float("inf"), 9)]),
+                (4, [(10.0, 3), (50.0, 3)]),
+                (5, []),
+            ],
+            "id INT, buckets ARRAY<STRUCT<le: DOUBLE, count: BIGINT>>",
+        )
+        _assert_cols_equal(
+            df,
+            f"hist_percentile_scaled(buckets, {p}, 10000)",
+            bucket_percentile_scaled("buckets", p, 10000),
+        )
+
     def test_delta_to_cumulative(self, sql_spark):
         _assert_cols_equal(_hist_df(sql_spark),
                            "hist_delta_to_cumulative(buckets)",
