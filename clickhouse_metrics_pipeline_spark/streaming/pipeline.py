@@ -378,6 +378,69 @@ def stddev_state_stream(
     )
 
 
+def recording_rules_stream(
+    df: DataFrame,
+    rules,
+    grain: str = "1 hour",
+    watermark: str = "10 minutes",
+    type_col: str = "metric",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous recording rules (plans/rules.py evaluated at ingest):
+    ONE streaming aggregation to the per-(type, window) integer
+    partials (n, cents), then every rule derives row-locally and fans
+    out through a single explode — adding a rule never adds streaming
+    state or a second aggregation (Structured Streaming would reject
+    one anyway). Emits the same long format as the batch engine.
+
+    Supported rule aggs: the per-type ones (count / sum_cents /
+    avg_scaled). Window-relative rules (share_ppm / error_ratio_ppm)
+    need the FINALIZED window across all types — run them as a second
+    batch stage over this stream's emitted partials (the rollup-
+    cascade pattern); requesting one here raises. Pinned rule-equal to
+    the batch engine over closed windows in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    per_type = ("count", "sum_cents", "avg_scaled")
+    bad = [r.record for r in rules if r.agg not in per_type]
+    if bad:
+        raise ValueError(
+            "recording_rules_stream supports per-type rules only "
+            f"(count/sum_cents/avg_scaled); window-relative rules {bad} "
+            "need a second stage over the emitted partials"
+        )
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    g = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, grain).alias("w"), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+    )
+    mag = F.floor(
+        (F.lit(200) * F.abs(F.col("c")) + F.col("n")) / (F.lit(2) * F.col("n"))
+    ).cast("bigint")
+    avg_scaled = F.when(F.col("c") < 0, -mag).otherwise(mag)
+    exprs = {
+        "count": F.col("n"),
+        "sum_cents": F.col("c"),
+        "avg_scaled": avg_scaled,
+    }
+    fanout = F.array(
+        *[
+            F.struct(
+                F.lit(r.record).alias("record"),
+                exprs[r.agg].cast("bigint").alias("value"),
+            )
+            for r in rules
+        ]
+    )
+    return g.select(
+        F.col("w.start").alias("bucket_ts"),
+        F.col(type_col).alias("event_type"),
+        F.explode(fanout).alias("_r"),
+    ).select("_r.record", "event_type", "bucket_ts", "_r.value")
+
+
 def anomaly_zscore_stream(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("event_type",),

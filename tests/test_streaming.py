@@ -1500,3 +1500,89 @@ class TestStddevStateStream:
         assert {r.metric: r.var_num for r in merged} == {
             r.metric: r.var_num for r in direct
         }
+
+
+class TestRecordingRulesStream:
+    """Continuous recording rules: closed windows must carry the same
+    long-format rows the batch engine (plans/rules.py) computes for
+    the per-type rule subset; window-relative rules are rejected with
+    the documented second-stage guidance."""
+
+    def test_stream_rules_match_batch_engine(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.plans.rules import (
+            Rule,
+            evaluate_rules,
+        )
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            recording_rules_stream,
+        )
+
+        rules = [
+            Rule("r:count_1h", "count"),
+            Rule("r:sum_cents_1h", "sum_cents"),
+            Rule("r:avg_scaled_1h", "avg_scaled"),
+        ]
+        base = _NOW.replace(second=0, minute=0) - dt.timedelta(hours=4)
+        rows = []
+        for s in range(25):
+            r = list(_gauge_row(100 + s, 0, float(s) + 0.5))
+            r[4] = base + dt.timedelta(minutes=2 * s)
+            rows.append(tuple(r))
+        drv = list(_gauge_row(999, 0, 1.0))
+        drv[4] = base + dt.timedelta(hours=3)
+        rows.append(tuple(drv))
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b0")
+        )
+        out, ck = str(tmp_path / "rr_out"), str(tmp_path / "rr_ck")
+        stream = recording_rules_stream(
+            spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(str(src / "*")),
+            rules,
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        cutoff = base + dt.timedelta(hours=2)
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out)
+                .where(F.col("bucket_ts") < cutoff)
+                .select("record", "event_type", "bucket_ts", "value")
+                .collect(),
+            )
+        )
+        batch = spark.createDataFrame(rows, METRICS_RAW_SCHEMA)
+        want = sorted(
+            map(
+                tuple,
+                evaluate_rules(
+                    batch, rules, type_col="metric", ts_col="timestamp"
+                )
+                .where(F.col("bucket_ts") < cutoff)
+                .collect(),
+            )
+        )
+        assert got == want and got
+
+    def test_window_relative_rules_rejected(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.plans.rules import Rule
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            recording_rules_stream,
+        )
+
+        stream = spark.readStream.schema(METRICS_RAW_SCHEMA).parquet(
+            str(tmp_path)
+        )
+        with pytest.raises(ValueError, match="second stage"):
+            recording_rules_stream(stream, [Rule("bad", "share_ppm")])
