@@ -78,10 +78,7 @@ def evaluate_rules(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("bucket_ts")
-    base = base.withColumn("n_window", F.sum("n").over(w)).withColumn(
-        "n_err_window",
-        F.sum(F.when(F.col("event_type") == F.lit("error"), F.col("n")).otherwise(0)).over(w),
-    )
+    base = base.withColumn("n_window", F.sum("n").over(w))
 
     outs: list[DataFrame] = []
     for r in rules:
