@@ -1,6 +1,6 @@
 """Round-5 catalog extensions.
 
-Three families, every query with a value-hash DuckDB oracle and the
+Four families, every query with a value-hash DuckDB oracle and the
 catalog's exactness contract (integer / scaled-integer arithmetic on
 every computed value — no float combine anywhere):
 
@@ -12,14 +12,19 @@ every computed value — no float combine anywhere):
   table — the PromQL ``on(...) group_left`` shape).
 - Corpus-curation panels over documents: log2 length histogram,
   stopword-ratio profile, duplicate token-mass inflation (probing the
-  stored exact-dedup keeper index).
-- Embedding-corpus statistics and the round-5 flagship:
-  ``emb_ivf_int_topk`` — IVF ANN with a trained k-means coarse
-  quantizer in DETERMINISTIC INTEGER arithmetic (md5-seeded init,
-  two unrolled Lloyd iterations over the int8-quantized corpus,
-  truncating-division centroid updates), so the full trained index +
-  probe pipeline has a value-hash oracle — closing the round-4 gap
-  where trained-ANN queries could only be graded rows-only.
+  stored exact-dedup keeper index), per-label int8 norm statistics.
+- Deterministic-integer trained ANN — the round-5 flagships:
+  ``emb_ivf_int_topk`` (IVF with an integer Lloyd k-means coarse
+  quantizer) and ``emb_pq_int_adc_topk`` (product quantization with
+  integer codebooks and ADC lookup-table search). Every model
+  parameter derives from md5 + integer arithmetic, so both trained
+  index + probe pipelines have full value-hash oracles — closing the
+  round-4 gap where trained-ANN queries could only be graded
+  rows-only. Models memoize per corpus and persist as stored indexes
+  (store_ivf_int_index / store_pq_int_index; train once at ingest,
+  probe per query).
+- The recording-rules engine (plans/rules.py) as a catalog query:
+  a five-rule set evaluated from one scan/shuffle, long format.
 
 Scale notes are per-query; the common rules: aggregations reduce at
 the source grain before any join, dimension joins broadcast, window
