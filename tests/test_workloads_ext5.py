@@ -107,6 +107,8 @@ def test_ivf_int_kmeans_empty_cluster_keeps_centroid(spark):
         "events_wow_ratio",
         "docs_dup_inflation",
         "emb_ivf_int_topk",
+        "emb_pq_int_adc_topk",
+        "events_recording_rules",
     ],
 )
 def test_round5_parallelism_invariance(spark, name):
