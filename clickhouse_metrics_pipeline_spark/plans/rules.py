@@ -79,48 +79,62 @@ def evaluate_rules(
 
     w = Window.partitionBy("bucket_ts")
     base = base.withColumn("n_window", F.sum("n").over(w))
+    # the partials relation is tiny (types x windows) and EVERY rule
+    # reads it: checkpoint so a multi-branch plan (per-type fan-out +
+    # one aggregate per global rule) computes the scan + shuffle once.
+    # Without this, Spark re-derives the aggregate per union branch —
+    # the first cut showed scans = rules in the plan audit.
+    base = base.localCheckpoint(eager=False)
 
+    mag = F.floor(
+        (F.lit(200) * F.abs(F.col("c")) + F.col("n")) / (F.lit(2) * F.col("n"))
+    ).cast("bigint")
+    per_type_exprs = {
+        "count": F.col("n"),
+        "sum_cents": F.col("c"),
+        "avg_scaled": F.when(F.col("c") < 0, -mag).otherwise(mag),
+        "share_ppm": _trunc_div(F.col("n") * F.lit(1_000_000), F.col("n_window")),
+    }
     outs: list[DataFrame] = []
-    for r in rules:
-        rec = F.lit(r.record).alias("record")
-        if r.agg == "count":
-            outs.append(
-                base.select(rec, "event_type", "bucket_ts", F.col("n").alias("value"))
-            )
-        elif r.agg == "sum_cents":
-            outs.append(
-                base.select(rec, "event_type", "bucket_ts", F.col("c").alias("value"))
-            )
-        elif r.agg == "avg_scaled":
-            # half-up value*10000 from (cents, n) — avg_from_cents shape
-            mag = F.floor(
-                (F.lit(200) * F.abs(F.col("c")) + F.col("n"))
-                / (F.lit(2) * F.col("n"))
-            ).cast("bigint")
-            v = F.when(F.col("c") < 0, -mag).otherwise(mag)
-            outs.append(base.select(rec, "event_type", "bucket_ts", v.alias("value")))
-        elif r.agg == "share_ppm":
-            v = _trunc_div(F.col("n") * F.lit(1_000_000), F.col("n_window"))
-            outs.append(base.select(rec, "event_type", "bucket_ts", v.alias("value")))
-        elif r.agg == "error_ratio_ppm":
-            g = base.groupBy("bucket_ts").agg(
-                F.sum("n").alias("_n"),
-                F.sum(
-                    F.when(
-                        F.col("event_type") == F.lit(r.error_type), F.col("n")
-                    ).otherwise(0)
-                ).alias("_e"),
-            )
-            outs.append(
-                g.select(
-                    rec,
-                    F.lit(None).cast("string").alias("event_type"),
-                    "bucket_ts",
-                    _trunc_div(F.col("_e") * F.lit(1_000_000), F.col("_n")).alias(
-                        "value"
-                    ),
+    per_type = [r for r in rules if r.agg in per_type_exprs]
+    if per_type:
+        # all per-type rules ride ONE row-local explode over the
+        # partials — adding a rule adds an array element, not a branch
+        fanout = F.array(
+            *[
+                F.struct(
+                    F.lit(r.record).alias("record"),
+                    per_type_exprs[r.agg].cast("bigint").alias("value"),
                 )
+                for r in per_type
+            ]
+        )
+        outs.append(
+            base.select(
+                "event_type", "bucket_ts", F.explode(fanout).alias("_r")
+            ).select("_r.record", "event_type", "bucket_ts", "_r.value")
+        )
+    for r in rules:
+        if r.agg != "error_ratio_ppm":
+            continue
+        g = base.groupBy("bucket_ts").agg(
+            F.sum("n").alias("_n"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == F.lit(r.error_type), F.col("n")
+                ).otherwise(0)
+            ).alias("_e"),
+        )
+        outs.append(
+            g.select(
+                F.lit(r.record).alias("record"),
+                F.lit(None).cast("string").alias("event_type"),
+                "bucket_ts",
+                _trunc_div(F.col("_e") * F.lit(1_000_000), F.col("_n")).alias(
+                    "value"
+                ),
             )
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
