@@ -157,6 +157,8 @@ HEADLINE += [
     "docs_dup_inflation",
     "emb_norm_stats",
     "events_recording_rules",
+    "promql_count_by_type",
+    "promql_avg_sum_by_type",
 ]
 
 

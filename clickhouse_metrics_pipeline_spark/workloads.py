@@ -1621,6 +1621,8 @@ _ROTATION_FIRST: list[str] = [
     "emb_ivf_int_topk",
     "emb_pq_int_adc_topk",
     "events_recording_rules",
+    "promql_count_by_type",
+    "promql_avg_sum_by_type",
     "events_stddev_over_time",
     "events_delta_1h",
     "events_resets_1h",
@@ -1669,8 +1671,6 @@ _ROTATION_FIRST: list[str] = [
     "q15_top_supplier",
     "q16_supplier_count",
     "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q20_potential_part_promotion",
 ]
 
 

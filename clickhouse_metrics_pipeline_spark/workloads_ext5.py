@@ -1183,3 +1183,81 @@ FROM base GROUP BY bucket_ts
 
 EXTRA5_QUERIES["events_recording_rules"] = events_recording_rules
 EXTRA5_ORACLE["events_recording_rules"] = EVENTS_RECORDING_RULES_SQL
+
+
+# --------------------------------------------------------------------------
+# PromQL front-end (plans/promql.py) as catalog queries: the compiled
+# plan is graded against a hand-written SQL statement of the same
+# semantics — text query in, value-hash-checked relational result out
+# --------------------------------------------------------------------------
+
+PROMQL_COUNT_QUERY = (
+    'sum by (event_type) (count_over_time(events{event_type!~"^v.*"}[1h]))'
+)
+PROMQL_AVG_QUERY = "avg by (event_type) (sum_over_time(events[1h]))"
+
+
+def promql_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL text query — parsed, compiled through the matcher
+    kernel (F8-F10) onto the events series frame, evaluated at the
+    range grain. Semantics under test: NRE matcher (absent label
+    matches, '^v.*' drops view), per-series count_over_time, sum by
+    event_type re-aggregation. See plans/promql.py for the subset
+    grammar and the exactness contract."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_COUNT_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_COUNT_SQL = f"""
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+       count(*) AS value
+FROM {_EV_SQL}
+WHERE NOT regexp_matches(event_type, '^v.*')
+GROUP BY 1, 2
+"""
+
+
+def promql_avg_sum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg-by over per-series sum_over_time: per (event_type, user,
+    1h) integer-cents sums, then the half-up x10000 mean of those
+    per-series values within each (event_type, window) — the
+    "average series contribution" panel. All integer; the oracle
+    restates both aggregation levels."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_AVG_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_AVG_SQL = f"""
+WITH per_series AS (
+  SELECT event_type, user_id,
+         time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         sum({_CENTS}) AS v
+  FROM {_EV_SQL}
+  GROUP BY 1, 2, 3
+), g AS (
+  SELECT event_type, bucket_ts, sum(v) AS s, count(*) AS n
+  FROM per_series GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts,
+       (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+         * CAST(floor((2 * abs(s) * 10000 + n) / (2 * n)) AS BIGINT) AS value
+FROM g
+"""
+
+EXTRA5_QUERIES["promql_count_by_type"] = promql_count_by_type
+EXTRA5_QUERIES["promql_avg_sum_by_type"] = promql_avg_sum_by_type
+EXTRA5_ORACLE["promql_count_by_type"] = PROMQL_COUNT_SQL
+EXTRA5_ORACLE["promql_avg_sum_by_type"] = PROMQL_AVG_SQL
