@@ -1604,18 +1604,19 @@ ORACLE_SQL.update(EXTRA5_ORACLE)
 # Driver-coverage rotation (round 5)
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot grades the FIRST 50 entries of
-# ``queries()`` (dict insertion order). Round-5 window: (a) the 14 new
-# round-5 queries, (b) the 15 catalog queries never driver-graded in
-# rounds 1-4 (all pass the local gate), (c) the 8 queries whose output
-# changed this round (exact-integer percentile family, SRP at the
-# scale operating point, repeated-spans df-cap, decontaminate stored
-# train index, repetition-filter single-tokenize) and so need fresh
-# driver evidence, and (d) 13 longest-since-graded fillers (the TPC-H
-# family last graded in early rounds). rows-only ANN queries
+# ``queries()`` (dict insertion order). Round-5 window: (a) the 18 new
+# round-5 queries (PromQL completions + curation panels + integer
+# IVF/PQ + recording rules + compiled PromQL), (b) the 15 catalog
+# queries never driver-graded in rounds 1-4 (all pass the local gate),
+# (c) the 8 queries whose output changed this round (exact-integer
+# percentile family, SRP at the scale operating point, repeated-spans
+# df-cap, decontaminate stored train index, repetition-filter
+# single-tokenize) and so need fresh driver evidence, and (d) 9
+# longest-since-graded TPC-H fillers. rows-only ANN queries
 # (emb_ivf_topk / emb_ivf_kmeans_topk / emb_pq_adc_topk / emb_ann_lsh)
 # stay OUT of the window per the round-4 verdict — their value-hash
-# successor emb_ivf_int_topk takes the slot instead. Names are frozen;
-# only order changes.
+# successors emb_ivf_int_topk / emb_pq_int_adc_topk take the slots
+# instead. Names are frozen; only order changes.
 _ROTATION_FIRST: list[str] = [
     # (a) new round-5 queries
     "emb_ivf_int_topk",
