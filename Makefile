@@ -2,7 +2,7 @@
 # ships (reference Makefile:23-40 / scripts/run_tests.sh), minus the
 # docker/ClickHouse targets Spark makes unnecessary.
 
-.PHONY: help test test-unit test-full test-oracle test-streaming bench scale-probe build-indexes demo-ingest serve clean
+.PHONY: help test test-unit test-full test-oracle test-oracle-types test-streaming bench scale-probe build-indexes demo-ingest serve clean
 
 SF_DIR ?= /root/testdata/sf0.01
 
@@ -20,8 +20,11 @@ test-unit: ## Fast pytest tier (excludes @slow streaming e2e; ~15 min)
 test-full: ## FULL pytest suite incl. @slow streaming e2e (nightly / pre-artifact)
 	python -m pytest tests/ -x -q
 
-test-oracle: ## DuckDB oracle parity for every catalog query (sf0.01)
+test-oracle: ## DuckDB oracle parity for every catalog query (sf0.01; starts with the HUGEINT type audit)
 	python tools/check_oracle.py $(SF_DIR)
+
+test-oracle-types: ## Fast oracle output-type audit only (rejects HUGEINT columns; no Spark)
+	python tools/check_oracle.py $(SF_DIR) --types-only
 
 test-streaming: ## Streaming pipeline + OTLP ingest e2e only (the @slow tier)
 	python -m pytest tests/test_streaming.py tests/test_otlp_ingest_e2e.py tests/test_pipeline_e2e.py -x -q

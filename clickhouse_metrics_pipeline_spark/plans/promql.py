@@ -32,8 +32,21 @@ correction, bucket interpolation) live in the dedicated kernels
 here would shadow them.
 
 Series frame contract: a DataFrame with (metric STRING,
-attributes MAP<STRING,STRING>, ts TIMESTAMP, value DOUBLE) — the
-metrics_raw projection; ``events_as_series`` adapts the events table.
+attributes MAP<STRING,STRING>, ts TIMESTAMP, value DOUBLE) plus an
+optional ``sample_id`` (any orderable unique-per-sample column) — the
+metrics_raw projection; ``events_as_series`` adapts the events table
+and carries ``event_id`` as the sample_id. When present, sample_id
+joins ``ts`` in every order-sensitive kernel (``delta``'s
+min_by/max_by) so results are deterministic even when a series has two
+samples at the same timestamp; without it, delta requires unique
+timestamps per series.
+
+Regex matcher semantics: ``=~``/``!~`` values are anchored as
+``^(?:re)$`` — real PromQL's fully-anchored matching. This
+deliberately DIVERGES from the matcher kernel's unanchored rlike
+(which mirrors the reference's ClickHouse ``match()``,
+``handler.go:227-302``): users typing PromQL text expect PromQL
+anchoring; the Remote Read wire path keeps reference semantics.
 
 Scale: a compiled plan is selector pushdown (metric equality +
 attribute predicates at the scan) -> one shuffle to the
@@ -49,6 +62,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_metrics_pipeline_spark.functions.histogram import (
+    _floordiv_exact,
+)
 from clickhouse_metrics_pipeline_spark.plans.matchers import (
     LabelMatcher,
     MatchType,
@@ -89,6 +105,26 @@ class PromQuery:
 
 class PromQLError(ValueError):
     pass
+
+
+_ESCAPES = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unquote(raw: str) -> str:
+    """Decode a quoted matcher value with a real escape pass: ``\\\\``
+    before ``\\\"`` (a single str.replace mis-decodes ``\\\\\"``)."""
+    body, out, i = raw[1:-1], [], 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -167,9 +203,13 @@ class _Parser:
                 if op not in _OPS:
                     raise PromQLError(f"bad matcher op {op!r}")
                 raw = self.eat("str")
-                matchers.append(
-                    LabelMatcher(_OPS[op], name, raw[1:-1].replace('\\"', '"'))
-                )
+                val = _unquote(raw)
+                if _OPS[op] in (MatchType.RE, MatchType.NRE):
+                    # PromQL fully anchors regex matchers (see module
+                    # docstring for the documented divergence from the
+                    # unanchored Remote Read matcher kernel).
+                    val = f"^(?:{val})$"
+                matchers.append(LabelMatcher(_OPS[op], name, val))
                 if self.peek() == ("op", ","):
                     self.eat("op", ",")
             self.eat("op", "}")
@@ -194,7 +234,8 @@ def parse(text: str) -> PromQuery:
 
 def events_as_series(events: DataFrame) -> DataFrame:
     """Adapt the driver's events table to the series-frame contract:
-    metric 'events', labels {event_type, user}."""
+    metric 'events', labels {event_type, user}; event_id rides along
+    as the unique sample_id tiebreaker for order-sensitive kernels."""
     return events.select(
         F.lit("events").alias("metric"),
         F.map_from_arrays(
@@ -203,6 +244,7 @@ def events_as_series(events: DataFrame) -> DataFrame:
         ).alias("attributes"),
         F.col("ts"),
         F.col("value"),
+        F.col("event_id").alias("sample_id"),
     )
 
 
@@ -221,7 +263,13 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
         df = df.where(compile_matchers(list(q.matchers)))
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
     c = _cents(F.col("value"))
-    order_key = F.struct("ts")
+    # sample_id (when the frame carries one) makes min_by/max_by
+    # deterministic under equal-ts samples — the exactness contract
+    order_key = (
+        F.struct("ts", "sample_id")
+        if "sample_id" in df.columns
+        else F.struct("ts")
+    )
     per_series = df.groupBy(F.col("attributes").alias("labels"), bucket)
 
     if q.func == "count_over_time":
@@ -236,10 +284,12 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
         g = per_series.agg(
             F.sum(c).alias("_c"), F.count(F.lit(1)).alias("_n")
         )
-        mag = F.floor(
-            (F.lit(200) * F.abs(F.col("_c")) + F.col("_n"))
-            / (F.lit(2) * F.col("_n"))
-        ).cast("bigint")
+        # exact decimal route — BIGINT/BIGINT double division loses
+        # ULPs past 2^53 (same fix as plans/rules.py)
+        mag = _floordiv_exact(
+            F.lit(200) * F.abs(F.col("_c")) + F.col("_n"),
+            F.lit(2) * F.col("_n"),
+        )
         g = g.select(
             "labels",
             "w",
@@ -276,10 +326,10 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
             g.groupBy(*keys, "bucket_ts")
             .agg(F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n"))
         )
-        mag = F.floor(
-            (F.lit(2) * F.abs(F.col("_s")) * F.lit(10000) + F.col("_n"))
-            / (F.lit(2) * F.col("_n"))
-        ).cast("bigint")
+        mag = _floordiv_exact(
+            F.lit(2) * F.abs(F.col("_s")) * F.lit(10000) + F.col("_n"),
+            F.lit(2) * F.col("_n"),
+        )
         return out.select(
             *q.by,
             "bucket_ts",

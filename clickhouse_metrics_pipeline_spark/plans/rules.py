@@ -20,10 +20,24 @@ uniformly.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.functions.histogram import (
+    _floordiv_exact,
+)
+
+# Fixed-duration grains only: months/years are variable-length and not
+# window()-expressible; anything unparseable must raise, never silently
+# fall back (a "1 day" rule set quietly producing per-minute partials
+# was the round-5 defect here).
+_GRAIN_RE = re.compile(
+    r"^\s*\d+\s+(millisecond|second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
 
 
 @dataclass(frozen=True)
@@ -48,7 +62,13 @@ _SUPPORTED = ("count", "sum_cents", "avg_scaled", "share_ppm", "error_ratio_ppm"
 
 
 def _trunc_div(num: Column, den: Column) -> Column:
-    return ((num - num % den) / den).cast("bigint")
+    """Exact truncating division for non-negative operands.
+
+    Routed through the DECIMAL(38,0) helper the percentile kernel uses:
+    BIGINT/BIGINT would detour through DOUBLE and lose ULPs past 2^53,
+    which breaks the 'hashes identically on any engine' contract once
+    ppm numerators reach 1e6 x multi-billion-row window counts."""
+    return _floordiv_exact(num, den)
 
 
 def evaluate_rules(
@@ -63,12 +83,18 @@ def evaluate_rules(
     for r in rules:
         if r.agg not in _SUPPORTED:
             raise ValueError(f"unsupported rule agg: {r.agg}")
+    if not _GRAIN_RE.match(grain):
+        raise ValueError(
+            f"unsupported rule grain {grain!r}: need a fixed duration "
+            "like '1 hour', '5 minutes', '1 day'"
+        )
     cents = F.round(F.col(value_col) * 100).cast("bigint")
+    # F.window() handles ANY fixed duration (epoch-aligned tumbling
+    # windows — identical to date_trunc for '1 hour'/'1 minute'), same
+    # bucketing as the streaming twin.
     base = events.groupBy(
         F.col(type_col).alias("event_type"),
-        F.date_trunc("hour" if grain == "1 hour" else "minute", ts_col).alias(
-            "bucket_ts"
-        ),
+        F.window(ts_col, grain)["start"].alias("bucket_ts"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("c"),
@@ -86,9 +112,11 @@ def evaluate_rules(
     # the first cut showed scans = rules in the plan audit.
     base = base.localCheckpoint(eager=False)
 
-    mag = F.floor(
-        (F.lit(200) * F.abs(F.col("c")) + F.col("n")) / (F.lit(2) * F.col("n"))
-    ).cast("bigint")
+    # half-up scaled mean, exact at any magnitude (DECIMAL(38,0) route —
+    # BIGINT/BIGINT double division is only exact below 2^53)
+    mag = _floordiv_exact(
+        F.lit(200) * F.abs(F.col("c")) + F.col("n"), F.lit(2) * F.col("n")
+    )
     per_type_exprs = {
         "count": F.col("n"),
         "sum_cents": F.col("c"),

@@ -734,7 +734,7 @@ WITH b AS (
 )
 SELECT event_type, bucket_ts,
        {_hist_walk_scaled_sql(95)} AS p95_scaled,
-       sum(cnt) AS n_samples
+       sum(cnt)::BIGINT AS n_samples
 FROM w GROUP BY event_type, bucket_ts
 """
 

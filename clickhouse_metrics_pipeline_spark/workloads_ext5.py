@@ -84,9 +84,9 @@ def events_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_STDDEV_SQL = f"""
 SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
        count(*) AS n_samples,
-       sum({_CENTS}) AS sum_cents,
-       count(*) * sum({_CENTS} * {_CENTS})
-         - sum({_CENTS}) * sum({_CENTS}) AS var_num
+       sum({_CENTS})::BIGINT AS sum_cents,
+       (count(*) * sum({_CENTS} * {_CENTS})
+         - sum({_CENTS}) * sum({_CENTS}))::BIGINT AS var_num
 FROM {_EV_SQL}
 GROUP BY 1, 2
 """
@@ -636,13 +636,13 @@ WITH t AS (
 ), keepers AS (
   SELECT min(doc_id) AS doc_id FROM t GROUP BY fp
 ), agg AS (
-  SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+  SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens,
          sum(CASE WHEN doc_id IN (SELECT doc_id FROM keepers)
-                  THEN 0 ELSE nt END) AS dup_tokens
+                  THEN 0 ELSE nt END)::BIGINT AS dup_tokens
   FROM t GROUP BY source
 )
 SELECT source, n_docs, total_tokens, dup_tokens,
-       (dup_tokens * 1000000) // total_tokens AS dup_ppm
+       ((dup_tokens * 1000000) // total_tokens)::BIGINT AS dup_ppm
 FROM agg
 """
 
@@ -1154,11 +1154,11 @@ def events_recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_RECORDING_RULES_SQL = f"""
 WITH base AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-         count(*) AS n, sum({_CENTS}) AS c
+         count(*) AS n, sum({_CENTS})::BIGINT AS c
   FROM {_EV_SQL}
   GROUP BY 1, 2
 ), win AS (
-  SELECT *, sum(n) OVER (PARTITION BY bucket_ts) AS n_window
+  SELECT *, (sum(n) OVER (PARTITION BY bucket_ts))::BIGINT AS n_window
   FROM base
 )
 SELECT 'job:events:count_1h' AS record, event_type, bucket_ts, n AS value
@@ -1172,12 +1172,12 @@ SELECT 'job:value:avg_scaled_1h', event_type, bucket_ts,
 FROM win
 UNION ALL
 SELECT 'job:events:share_ppm_1h', event_type, bucket_ts,
-       (n * 1000000) // n_window
+       ((n * 1000000) // n_window)::BIGINT
 FROM win
 UNION ALL
 SELECT 'job:errors:ratio_ppm_1h', NULL, bucket_ts,
-       (sum(CASE WHEN event_type = 'error' THEN n ELSE 0 END) * 1000000)
-         // sum(n)
+       ((sum(CASE WHEN event_type = 'error' THEN n ELSE 0 END) * 1000000)
+         // sum(n))::BIGINT
 FROM base GROUP BY bucket_ts
 """
 

@@ -28,8 +28,10 @@ class TestParser:
         assert q.agg == "sum" and q.by == ("event_type", "user")
         assert q.func == "count_over_time" and q.metric == "events"
         assert q.range_s == 1800
+        # regex matchers are fully anchored (real PromQL semantics,
+        # documented divergence from the Remote Read matcher kernel)
         assert [(m.type, m.name, m.value) for m in q.matchers] == [
-            (MatchType.NRE, "event_type", "^v.*"),
+            (MatchType.NRE, "event_type", "^(?:^v.*)$"),
             (MatchType.EQ, "user", "7"),
         ]
 
@@ -55,6 +57,25 @@ class TestParser:
     def test_escaped_quote_in_matcher_value(self):
         q = parse('count_over_time(events{a="x\\"y"}[1m])')
         assert q.matchers[0].value == 'x"y'
+
+    def test_backslash_escape_pass(self):
+        # \\" decodes to backslash-then-quote (a single str.replace
+        # would mis-decode it as a bare quote)
+        q = parse('count_over_time(events{a="x\\\\\\"y"}[1m])')
+        assert q.matchers[0].value == 'x\\"y'
+        q2 = parse('count_over_time(events{a="a\\\\b"}[1m])')
+        assert q2.matchers[0].value == "a\\b"
+
+    def test_regex_matcher_is_anchored(self, spark):
+        # 'v' must NOT regex-match 'view' under PromQL anchoring
+        got = compile_promql(
+            'sum by (event_type) '
+            '(count_over_time(events{event_type=~"v"}[1h]))',
+            events_as_series(
+                spark.read.parquet(f"{SF}/events.parquet")
+            ),
+        ).collect()
+        assert got == []
 
 
 class TestCompile:

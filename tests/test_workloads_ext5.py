@@ -304,3 +304,41 @@ class TestRecordingRules:
 
         with pytest.raises(ValueError):
             evaluate_rules(self._events(spark), [Rule("x", "median")])
+
+    def test_unsupported_grain_raises(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.rules import (
+            Rule,
+            evaluate_rules,
+        )
+
+        # round-5 defect: any non-'1 hour' grain silently became
+        # per-minute partials; now it must raise or be correct
+        with pytest.raises(ValueError, match="grain"):
+            evaluate_rules(
+                self._events(spark), [Rule("x", "count")], grain="1 month"
+            )
+        with pytest.raises(ValueError, match="grain"):
+            evaluate_rules(
+                self._events(spark), [Rule("x", "count")], grain="hourly"
+            )
+
+    def test_five_minute_grain_matches_hand_aggregation(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.rules import (
+            Rule,
+            evaluate_rules,
+        )
+
+        ev = self._events(spark)
+        out = evaluate_rules(ev, [Rule("r:c5", "count")], grain="5 minutes")
+        got = {
+            (r.event_type, r.bucket_ts): r.value for r in out.collect()
+        }
+        hand = {
+            (r.event_type, r.w5): r.n
+            for r in ev.groupBy(
+                "event_type", F.window("ts", "5 minutes")["start"].alias("w5")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == hand and len(got) > 1

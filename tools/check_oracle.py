@@ -64,21 +64,61 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def audit_oracle_types(con, oracle_sql: dict[str, str]) -> list[str]:
+    """Reject any oracle whose result schema contains HUGEINT/UHUGEINT.
 
-    from clickhouse_metrics_pipeline_spark.session import get_spark
+    DuckDB ``sum(BIGINT)`` widens to HUGEINT, which the DRIVER's pandas
+    bridge coerces to float64 (``1234.0`` vs Spark's ``1234``) while
+    this gate's native fetchall() returns Python ints and can't see it
+    — the exact round-4/5 failure class. Every such column must be
+    ``::BIGINT``-cast in the oracle SQL. Returns failure strings."""
+    bad = []
+    for name, sql in oracle_sql.items():
+        try:
+            rel = con.sql(sql)
+            cols = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if "HUGEINT" in str(t).upper()
+            ]
+        except Exception as e:
+            bad.append(f"{name}: type-audit error: {e}")
+            continue
+        if cols:
+            bad.append(f"{name}: HUGEINT output columns {cols} "
+                       f"(add ::BIGINT casts)")
+    return bad
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--types-only"]
+    types_only = "--types-only" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
     from clickhouse_metrics_pipeline_spark.workloads import ORACLE_SQL, QUERIES
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    failures = []
+    # Type audit first: fails fast, needs no Spark session.
+    audited = {k: v for k, v in ORACLE_SQL.items() if not only or k in only}
+    type_failures = audit_oracle_types(con, audited)
+    for f in type_failures:
+        print(f"FAIL  type-audit {f}")
+    if types_only:
+        print(f"\ntype audit: {len(type_failures)} failures over "
+              f"{len(audited)} oracles")
+        sys.exit(1 if type_failures else 0)
+
+    from clickhouse_metrics_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+
+    failures = [f.split(":")[0] for f in type_failures]
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
