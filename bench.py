@@ -161,6 +161,25 @@ HEADLINE += [
     "promql_avg_sum_by_type",
 ]
 
+# the exact headline set round 5 ran — the shared-subset baseline for
+# round-6-vs-round-5 comparisons.
+R5_HEADLINE = list(HEADLINE)
+
+HEADLINE += [
+    # round-6 batch: PromQL text rate() + histogram_quantile()
+    "promql_rate_by_type",
+    "promql_hist_p95",
+]
+
+# Coverage tier (round 6, verdict item): every catalog query gets at
+# least ONE warm number per round so regressions can't hide in the
+# unmeasured set. Queries not in HEADLINE run once cold + once warm;
+# the warm time lands in bench_details.json under "coverage_queries"
+# (full precision), never in the stdout headline. The streaming row
+# (events_rules_stream_1h) lives here deliberately: a streaming query
+# pays non-amortizing trigger startup, so three timed runs would
+# measure harness overhead, not the engine.
+
 
 # stdout-line cap: the driver tail-captures the LAST 2000 BYTES of
 # stdout (measured from BENCH_r03.json's "tail" field, whose head-cut
@@ -270,6 +289,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # coverage tier: one cold + one warm run for every catalog query
+    # not already measured above (see HEADLINE comment)
+    coverage: dict[str, float] = {}
+    coverage_cold: dict[str, float] = {}
+    for name in QUERIES:
+        if name in timings:
+            continue
+        fn = QUERIES[name]
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            coverage_cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            coverage[name] = round(time.time() - t0, 3)
+        except Exception as e:  # never let one query kill the artifact
+            print(f"# coverage {name} FAILED: {e}", file=sys.stderr)
+            continue
+        print(
+            f"# coverage {name}: {coverage[name]}s warm ({n} rows)",
+            file=sys.stderr,
+        )
+
     # round-over-round comparable subtotals: warm sums over the queries
     # shared with each prior round's exact headline set (queries added
     # later are excluded from each subtotal)
@@ -278,6 +320,9 @@ def main() -> None:
     )
     shared_r4 = round(
         sum(timings[q] for q in R4_HEADLINE if q in timings), 3
+    )
+    shared_r5 = round(
+        sum(timings[q] for q in R5_HEADLINE if q in timings), 3
     )
 
     # Artifact contract (round-4 fix): the driver tail-captures the LAST
@@ -296,6 +341,9 @@ def main() -> None:
         "host_floor_sec": host_floor,
         "shared_prev_round_warm": shared_prev,
         "shared_r4_warm": shared_r4,
+        "shared_r5_warm": shared_r5,
+        "coverage_queries": coverage,
+        "coverage_cold_queries": coverage_cold,
     }
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"

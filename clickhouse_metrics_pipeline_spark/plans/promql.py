@@ -6,12 +6,16 @@ queries users actually type are PromQL. This module adds the missing
 front-end for a well-defined subset, compiled onto the same engine
 kernels the catalog queries use:
 
-    expr     := aggop | call
+    expr     := aggop | call | histq
     aggop    := ('sum'|'avg'|'min'|'max'|'count')
                 'by' '(' label (',' label)* ')' '(' call ')'
     call     := fname '(' selector '[' N ('m'|'h') ']' ')'
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
               | 'min_over_time' | 'max_over_time' | 'delta'
+              | 'rate' | 'increase'
+    histq    := 'histogram_quantile' '(' phi ',' aggop ')'
+                -- phi a whole-percent quantile in (0,1); the inner
+                   aggop must be sum by (...) (count_over_time(...))
     selector := name ( '{' matcher (',' matcher)* '}' )?
     matcher  := label ('=' | '!=' | '=~' | '!~') '"' value '"'
 
@@ -23,13 +27,16 @@ Remote Read serve. Matchers compile through the same
 absent-label-matches-NEQ/NRE Prometheus semantics.
 
 Exactness contract (same as the catalog): every emitted value is an
-integer — counts, integer cents (sum/min/max/delta), or half-up
-value*10000 (avg) — so compiled queries hash identically on any
-engine. ``rate``/``increase``/histogram quantiles are deliberately NOT
-in the subset: their full-fidelity semantics (extrapolation, reset
-correction, bucket interpolation) live in the dedicated kernels
-(events_rate_5m, bucket_percentile_scaled) and a lossy re-derivation
-here would shadow them.
+integer — counts, integer cents (sum/min/max/delta), half-up
+value*10000 (avg), quantile*10000 (histogram_quantile), or BIGINT
+micro-units for aggregated rate/increase — so compiled queries hash
+identically on any engine. The one exception: BARE (unaggregated)
+``rate``/``increase`` emit round(double, 6) per series, the dedicated
+events_rate_5m kernel's own driver-green contract. rate/increase/
+histogram_quantile compile onto those full-fidelity kernels
+(functions/rate.py boundary extrapolation + reset correction;
+bucket_percentile_scaled prometheus-mode interpolation) — no lossy
+re-derivation here.
 
 Series frame contract: a DataFrame with (metric STRING,
 attributes MAP<STRING,STRING>, ts TIMESTAMP, value DOUBLE) plus an
@@ -78,13 +85,21 @@ _FUNCS = (
     "min_over_time",
     "max_over_time",
     "delta",
+    "rate",
+    "increase",
 )
+# functions whose per-series output is round(double, 6) — the
+# deliberate exception to the integer contract, matching the dedicated
+# events_rate_5m kernel; under an aggregation they are re-expressed as
+# BIGINT micro-units (value_ppm-style) so cross-series summation stays
+# order-independent and hash-exact
+_DOUBLE_FUNCS = ("rate", "increase")
 _AGGS = ("sum", "avg", "min", "max", "count")
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
-    r"|(?P<num>\d+)"
+    r"|(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,))"
 )
 
@@ -93,7 +108,9 @@ _OPS = {"=": MatchType.EQ, "!=": MatchType.NEQ, "=~": MatchType.RE, "!~": MatchT
 
 @dataclass(frozen=True)
 class PromQuery:
-    """Parsed form: optional aggregation over one range-function call."""
+    """Parsed form: optional aggregation over one range-function call,
+    optionally wrapped in histogram_quantile (``quantile`` = integer
+    percentile, e.g. 95 for 0.95)."""
 
     func: str
     metric: str
@@ -101,6 +118,7 @@ class PromQuery:
     range_s: int
     agg: str | None = None
     by: tuple[str, ...] = field(default_factory=tuple)
+    quantile: int | None = None
 
 
 class PromQLError(ValueError):
@@ -163,6 +181,37 @@ class _Parser:
 
     def parse(self) -> PromQuery:
         k, v = self.peek()
+        if k == "ident" and v == "histogram_quantile":
+            self.eat("ident")
+            self.eat("op", "(")
+            phi = float(self.eat("num"))
+            p100 = phi * 100
+            if not (0 < phi < 1) or abs(p100 - round(p100)) > 1e-9:
+                raise PromQLError(
+                    f"histogram_quantile subset supports whole-percent "
+                    f"quantiles in (0,1), got {phi}"
+                )
+            self.eat("op", ",")
+            q = self._aggop_or_call()
+            self.eat("op", ")")
+            if q.agg != "sum" or q.func != "count_over_time":
+                raise PromQLError(
+                    "histogram_quantile subset requires the merged-"
+                    "histogram shape: sum by (...) "
+                    "(count_over_time(selector[range]))"
+                )
+            q = PromQuery(
+                q.func, q.metric, q.matchers, q.range_s, q.agg, q.by,
+                int(round(p100)),
+            )
+        else:
+            q = self._aggop_or_call()
+        if self.i != len(self.toks):
+            raise PromQLError(f"trailing input from token {self.i}")
+        return q
+
+    def _aggop_or_call(self) -> PromQuery:
+        k, v = self.peek()
         if k == "ident" and v in _AGGS:
             agg = self.eat("ident")
             self.eat("ident", "by")
@@ -175,14 +224,10 @@ class _Parser:
             self.eat("op", "(")
             q = self._call()
             self.eat("op", ")")
-            q = PromQuery(
+            return PromQuery(
                 q.func, q.metric, q.matchers, q.range_s, agg, tuple(by)
             )
-        else:
-            q = self._call()
-        if self.i != len(self.toks):
-            raise PromQLError(f"trailing input from token {self.i}")
-        return q
+        return self._call()
 
     def _call(self) -> PromQuery:
         fname = self.eat("ident")
@@ -214,7 +259,10 @@ class _Parser:
                     self.eat("op", ",")
             self.eat("op", "}")
         self.eat("op", "[")
-        n = int(self.eat("num"))
+        raw_n = self.eat("num")
+        if "." in raw_n:
+            raise PromQLError(f"range must be integral, got {raw_n!r}")
+        n = int(raw_n)
         unit = self.eat("ident")
         if unit not in ("m", "h"):
             raise PromQLError(f"range unit must be m or h, got {unit!r}")
@@ -252,6 +300,134 @@ def _cents(c: Column) -> Column:
     return F.round(c * 100).cast("bigint")
 
 
+def _by_keys(q: PromQuery) -> list[Column]:
+    return [
+        F.coalesce(
+            F.element_at(F.col("attributes"), F.lit(k)), F.lit("")
+        ).alias(k)
+        for k in q.by
+    ]
+
+
+def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """histogram_quantile(phi, sum by (L) (count_over_time(sel[r]))):
+    the merged-histogram walk. The series frame carries raw sample
+    values (not pre-bucketed ``_bucket`` series), so the engine buckets
+    them with the reference's fixed le ladder (schema.sql bounds, the
+    same ladder every hist_* catalog query uses), merges counts at the
+    by-grain (= the PromQL sum over series), and walks the merged
+    histogram with bucket_percentile_scaled in prometheus mode — the
+    exact histogram_quantile interpolation. Output value is the BIGINT
+    quantile x10000 (integer exactness contract)."""
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        bucket_percentile_scaled,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads import _le_expr
+
+    bucket = F.window("ts", f"{q.range_s} seconds")
+    per_le = (
+        df.select(
+            *_by_keys(q),
+            bucket["start"].alias("bucket_ts"),
+            _le_expr(F.col("value")).alias("le"),
+        )
+        .groupBy(*q.by, "bucket_ts", "le")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    b = per_le.groupBy(*q.by, "bucket_ts").agg(
+        F.array_sort(F.collect_list(F.struct("le", "count"))).alias(
+            "buckets"
+        )
+    )
+    return b.select(
+        *q.by,
+        "bucket_ts",
+        bucket_percentile_scaled(
+            "buckets", q.quantile, interpolation="prometheus"
+        ).alias("value"),
+    )
+
+
+def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """rate()/increase() compiled onto the shared boundary-
+    extrapolation kernel (functions/rate.py — the same expression tree
+    as the driver-green events_rate_5m). Bare form: per-series
+    (labels, bucket_ts, value) with value = round(rate, 6) DOUBLE, the
+    kernel's contract. Aggregated form: each per-series rate is first
+    re-expressed as BIGINT micro-units (round(rate*1e6)) so the
+    cross-series aggregation is integer — float summation order would
+    break the hash-exactness contract."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        series_key,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.rate import (
+        rate_over_window,
+    )
+
+    has_sid = "sample_id" in df.columns
+    # Spark windows cannot partition by MAP columns, so the in-window
+    # lag partitions on the canonical K2 series key (metric{k=v,...},
+    # sorted — functions/hashing.py) while the labels map rides along
+    # for the output
+    cols = [
+        series_key("metric", "attributes").alias("_sk"),
+        F.col("attributes").alias("labels"),
+        F.col("ts"),
+        F.col("value"),
+    ]
+    if has_sid:
+        cols.append(F.col("sample_id"))
+        tiebreak = "sample_id"
+    else:
+        # without a unique sample id the kernel needs unique timestamps
+        # per series (same caveat as delta); constant tiebreak = ts-only
+        cols.append(F.lit(0).alias("_tb"))
+        tiebreak = "_tb"
+    r = rate_over_window(
+        df.select(*cols),
+        ["_sk", "labels"],
+        q.range_s,
+        tiebreak_col=tiebreak,
+        mode=q.func,
+        window_cols=["_sk"],
+    )
+    g = r.where(F.col("rate").isNotNull()).select(
+        "labels", "bucket_ts", F.col("rate").alias("value")
+    )
+    if q.agg is None:
+        return g
+    keys = [
+        F.coalesce(
+            F.element_at(F.col("labels"), F.lit(k)), F.lit("")
+        ).alias(k)
+        for k in q.by
+    ]
+    micro = F.round(F.col("value") * 1e6).cast("bigint")
+    g = g.select(*keys, "bucket_ts", micro.alias("value"))
+    if q.agg == "avg":
+        out = g.groupBy(*q.by, "bucket_ts").agg(
+            F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")
+        )
+        mag = _floordiv_exact(
+            F.lit(2) * F.abs(F.col("_s")) + F.col("_n"),
+            F.lit(2) * F.col("_n"),
+        )
+        return out.select(
+            *q.by,
+            "bucket_ts",
+            F.when(F.col("_s") < 0, -mag).otherwise(mag).alias("value"),
+        )
+    agg_fn = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda _: F.count(F.lit(1)),
+    }[q.agg]
+    return g.groupBy(*q.by, "bucket_ts").agg(
+        agg_fn(F.col("value")).cast("bigint").alias("value")
+    )
+
+
 def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
     """Compile the parsed query onto a series frame. Output columns:
     the by-labels (or ``labels`` map for unaggregated calls),
@@ -261,6 +437,10 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
     df = series.where(F.col("metric") == q.metric)
     if q.matchers:
         df = df.where(compile_matchers(list(q.matchers)))
+    if q.quantile is not None:
+        return _hist_quantile_plan(q, df)
+    if q.func in _DOUBLE_FUNCS:
+        return _rate_plan(q, df)
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
     c = _cents(F.col("value"))
     # sample_id (when the frame carries one) makes min_by/max_by

@@ -1600,78 +1600,90 @@ from clickhouse_metrics_pipeline_spark.workloads_ext5 import (  # noqa: E402
 QUERIES.update(EXTRA5_QUERIES)
 ORACLE_SQL.update(EXTRA5_ORACLE)
 
+# sixth extension: PromQL rate()/increase()/histogram_quantile() text
+# compilation onto the shared kernels, plus the streaming recording
+# rules as the first driver-graded streaming row
+from clickhouse_metrics_pipeline_spark.workloads_ext6 import (  # noqa: E402
+    EXTRA6_ORACLE,
+    EXTRA6_QUERIES,
+)
+
+QUERIES.update(EXTRA6_QUERIES)
+ORACLE_SQL.update(EXTRA6_ORACLE)
+
 # --------------------------------------------------------------------------
-# Driver-coverage rotation (round 5)
+# Driver-coverage rotation (round 6)
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot grades the FIRST 50 entries of
-# ``queries()`` (dict insertion order). Round-5 window: (a) the 18 new
-# round-5 queries (PromQL completions + curation panels + integer
-# IVF/PQ + recording rules + compiled PromQL), (b) the 15 catalog
-# queries never driver-graded in rounds 1-4 (all pass the local gate),
-# (c) the 8 queries whose output changed this round (exact-integer
-# percentile family, SRP at the scale operating point, repeated-spans
-# df-cap, decontaminate stored train index, repetition-filter
-# single-tokenize) and so need fresh driver evidence, and (d) 9
-# longest-since-graded TPC-H fillers. rows-only ANN queries
-# (emb_ivf_topk / emb_ivf_kmeans_topk / emb_pq_adc_topk / emb_ann_lsh)
-# stay OUT of the window per the round-4 verdict — their value-hash
-# successors emb_ivf_int_topk / emb_pq_int_adc_topk take the slots
-# instead. Names are frozen; only order changes.
+# ``queries()`` (dict insertion order). Round-6 window: (a) the four
+# round-5 hash-red rows whose oracle HUGEINT columns are now
+# ::BIGINT-cast (engine output was already verified correct — these
+# lead the window per the verdict), (b) the 3 new round-6 queries
+# (PromQL text rate()/histogram_quantile() + the streaming recording
+# rules), (c) the 3 queries whose code path changed this round
+# (events_rate_5m now delegates to the shared functions/rate.py
+# kernel; the compiled PromQL pair gained anchored regexes + exact
+# decimal averages), and (d) the 40 longest-since-graded oracle-backed
+# queries — everything last graded in rounds 2-3 — so no green query's
+# evidence is older than round 4 after this window. rows-only ANN
+# rows stay OUT per the round-4 verdict. Names are frozen; only order
+# changes.
 _ROTATION_FIRST: list[str] = [
-    # (a) new round-5 queries
-    "emb_ivf_int_topk",
-    "emb_pq_int_adc_topk",
+    # (a) round-5 hash-red rows, oracle type bug fixed
     "events_recording_rules",
+    "events_stddev_over_time",
+    "docs_dup_inflation",
+    "hist_quantile_over_time",
+    # (b) new round-6 queries
+    "promql_rate_by_type",
+    "promql_hist_p95",
+    "events_rules_stream_1h",
+    # (c) code path changed this round -> re-grade
+    "events_rate_5m",
     "promql_count_by_type",
     "promql_avg_sum_by_type",
-    "events_stddev_over_time",
-    "events_delta_1h",
-    "events_resets_1h",
-    "events_histogram_fraction",
-    "events_active_series_churn",
-    "events_staleness_report",
-    "events_wow_ratio",
-    "events_user_enrich_topk",
-    "events_heatmap_grid",
-    "docs_length_histogram",
-    "docs_stopword_profile",
-    "docs_dup_inflation",
-    "emb_norm_stats",
-    # (b) never driver-graded through round 4
-    "docs_token_topk",
-    "events_rolling_mean",
-    "events_pivot_daily",
-    "events_predict_linear",
-    "events_changes_1h",
-    "events_top_movers",
-    "emb_label_centroids",
-    "emb_srp_semantic_dedup",
-    "docs_training_pipeline_v2",
-    "events_holt_winters",
-    "events_alert_for",
-    "events_absent_series",
-    "docs_rare_bigram_rate",
-    "events_series_correlation",
-    "events_seasonal_profile",
-    # (c) output changed in round 5 -> re-grade
-    "hist_quantile_over_time",
-    "hist_percentile_events",
-    "hist_percentile_prom_events",
-    "events_summary_quantiles",
-    "emb_srp_int8_pairs",
-    "docs_repeated_spans",
-    "docs_decontaminate",
-    "docs_repetition_filter",
-    # (d) longest-since-graded fillers (known green)
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity",
+    # (d) longest-since-graded: all of round 2's survivors...
+    "exp_hist_merge",
+    "docs_rolling_fingerprint",
+    "multimodal_features",
+    # ...and every oracle-backed query last graded in round 3
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "events_rollup_1m",
+    "events_rollup_5m_weighted",
+    "events_cum_to_delta",
+    "events_delta_to_cumulative",
+    "events_reset_detect",
+    "events_gauge_last",
+    "events_matcher_query",
+    "events_series_fingerprint",
+    "events_validation",
+    "hist_cum_delta_roundtrip",
+    "hist_merge_events",
+    "exp_hist_percentile_events",
+    "docs_exact_dedup",
+    "docs_ngram_jaccard",
+    "docs_minhash_lsh",
+    "docs_neardup_clusters",
+    "docs_text_stats",
+    "docs_simhash_pairs",
+    "emb_cosine_topk",
+    "emb_neardup_pairs",
+    "multimodal_binary_meta",
+    "q20_potential_part_promotion",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "events_rollup_1h",
+    "events_ttl_retention",
+    "events_attr_merge",
 ]
 
 

@@ -1645,57 +1645,15 @@ def events_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on (series, bucket) serves the in-window lag and the
     aggregation; the fixed 300 s range is the resolution-router grain
-    the 5m rollup serves (plans/router.py)."""
-    ev = _events(spark, sf_dir)
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp("ts") / 300) * 300
-    ).alias("bucket_ts")
-    w = Window.partitionBy("user_id", "event_type", "bucket_ts").orderBy(
-        "ts", "event_id"
+    the 5m rollup serves (plans/router.py). The expression tree lives
+    in the shared kernel functions/rate.py (also the compile target of
+    the PromQL text front-end's rate()/increase())."""
+    from clickhouse_metrics_pipeline_spark.functions.rate import (
+        rate_over_window,
     )
-    rows = ev.select(
-        "user_id", "event_type", "ts", "event_id", "value", bucket
-    ).withColumn("prev_v", F.lag("value").over(w))
-    agg = rows.groupBy("user_id", "event_type", "bucket_ts").agg(
-        F.count(F.lit(1)).alias("n_samples"),
-        F.min_by("value", F.struct("ts", "event_id")).alias("first_v"),
-        F.max_by("value", F.struct("ts", "event_id")).alias("last_v"),
-        (F.unix_micros(F.min("ts")) / 1e6).alias("first_s"),
-        (F.unix_micros(F.max("ts")) / 1e6).alias("last_s"),
-        F.sum(
-            F.when(
-                F.col("prev_v").isNotNull() & (F.col("value") < F.col("prev_v")),
-                F.col("prev_v"),
-            ).otherwise(F.lit(0.0))
-        ).alias("corr"),
-    )
-    range_start = F.unix_timestamp("bucket_ts").cast("double")
-    result_v = F.col("last_v") - F.col("first_v") + F.col("corr")
-    sampled = F.col("last_s") - F.col("first_s")
-    avg_iv = sampled / (F.col("n_samples") - 1)
-    dur_start0 = F.col("first_s") - range_start
-    dur_end = range_start + F.lit(300.0) - F.col("last_s")
-    # counter zero-clamp: never extrapolate the start past the point
-    # where the counter would have been negative
-    dur_zero = sampled * (F.col("first_v") / result_v)
-    dur_start = F.when(
-        (result_v > 0) & (F.col("first_v") >= 0) & (dur_zero < dur_start0),
-        dur_zero,
-    ).otherwise(dur_start0)
-    threshold = avg_iv * 1.1
-    ext_start = F.when(dur_start < threshold, dur_start).otherwise(avg_iv / 2)
-    ext_end = F.when(dur_end < threshold, dur_end).otherwise(avg_iv / 2)
-    rate = (
-        result_v * ((sampled + ext_start + ext_end) / sampled) / F.lit(300.0)
-    )
-    return agg.select(
-        "user_id",
-        "event_type",
-        "bucket_ts",
-        "n_samples",
-        F.when(
-            (F.col("n_samples") >= 2) & (sampled > 0), F.round(rate, 6)
-        ).alias("rate"),
+
+    return rate_over_window(
+        _events(spark, sf_dir), ["user_id", "event_type"], 300
     )
 
 

@@ -1,0 +1,244 @@
+"""Round-6 catalog extensions.
+
+Two families, both verdict-directed:
+
+- The PromQL front-end extended toward the reference's real query
+  surface (``promread/handler.go:177-205`` re-cumulates counters for
+  the downstream Prometheus to rate() — this engine completes the
+  computation): ``rate()``/``increase()`` compiled onto the shared
+  boundary-extrapolation kernel (functions/rate.py, the driver-green
+  events_rate_5m expression tree), and ``histogram_quantile(phi, ...)``
+  compiled onto bucket_percentile_scaled in prometheus-interpolation
+  mode. Both graded from PromQL TEXT through the parser.
+- The streaming surface's first driver-graded row:
+  ``events_rules_stream_1h`` runs the continuous recording-rules
+  operator (streaming/pipeline.recording_rules_stream) over a real
+  file stream with an availableNow trigger and emits the closed
+  windows — the same long-format rows the batch engine computes,
+  which the DuckDB oracle restates with the same watermark-safe
+  cutoff. Until now the streaming engine was pytest-pinned only.
+
+Exactness: aggregated rate values are BIGINT micro-units
+(round(rate,6) x 1e6 per series, then integer summation — float
+cross-series addition would be combine-order dependent);
+histogram_quantile emits BIGINT quantile x10000; the streaming rows
+are the batch engine's exact integers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.tables import _events, _t
+
+_EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+EXTRA6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA6_ORACLE: dict[str, str] = {}
+
+
+# --------------------------------------------------------------------------
+# PromQL text: sum by (event_type) (rate(events[5m]))
+# --------------------------------------------------------------------------
+
+PROMQL_RATE_QUERY = "sum by (event_type) (rate(events[5m]))"
+
+
+def promql_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text rate(): parsed, compiled onto the shared
+    functions/rate.py kernel (full Prometheus extrapolatedRate
+    semantics — reset correction, boundary extrapolation, zero-clamp),
+    per-series micro-unit conversion, then the by(event_type) integer
+    sum. The per-series stage is plan-identical to the driver-green
+    events_rate_5m; the oracle wraps that query's own SQL tree."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_RATE_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+def _promql_rate_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.workloads_ext2 import (
+        EVENTS_RATE_SQL,
+    )
+
+    return f"""
+SELECT event_type, bucket_ts,
+       sum(CAST(round(rate * 1000000) AS BIGINT))::BIGINT AS value
+FROM ({EVENTS_RATE_SQL}) rs
+WHERE rate IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+EXTRA6_QUERIES["promql_rate_by_type"] = promql_rate_by_type
+
+
+# --------------------------------------------------------------------------
+# PromQL text: histogram_quantile(0.95, sum by (event_type) (...))
+# --------------------------------------------------------------------------
+
+PROMQL_HIST_QUERY = (
+    "histogram_quantile(0.95, "
+    "sum by (event_type) (count_over_time(events[1h])))"
+)
+
+
+def promql_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text histogram_quantile: values bucketed with the fixed
+    le ladder, counts merged at the (event_type, 1h) grain (= the
+    PromQL sum over series), walked by bucket_percentile_scaled in
+    prometheus mode (prev + frac*(le-prev), the histogram_quantile
+    formula). BIGINT quantile x10000. Same merged-histogram walk the
+    driver-green hist_quantile_over_time / hist_percentile_prom_events
+    pair proved; this row proves the TEXT path end to end."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_HIST_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+def _promql_hist_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+        LE_SQL,
+        hist_walk_prom_scaled_sql,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         {LE_SQL} AS le, count(*)::BIGINT AS cnt
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+), w AS (
+  SELECT event_type, bucket_ts, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS total,
+         lag(le, 1, 0.0) OVER (PARTITION BY event_type, bucket_ts
+                               ORDER BY le) AS prev
+  FROM b
+)
+SELECT event_type, bucket_ts,
+       {hist_walk_prom_scaled_sql(95)} AS value
+FROM w GROUP BY event_type, bucket_ts
+"""
+
+
+EXTRA6_QUERIES["promql_hist_p95"] = promql_hist_p95
+
+
+# --------------------------------------------------------------------------
+# Streaming recording rules as a driver-graded row (SS2.9)
+# --------------------------------------------------------------------------
+
+
+def events_rules_stream_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous recording-rules operator run as a REAL stream:
+    readStream over the events parquet, ONE streaming window
+    aggregation to per-(type, 1h) integer partials behind a 10-minute
+    watermark, rule fan-out through a single explode, availableNow
+    trigger, append-mode parquet sink — then the emitted CLOSED
+    windows, which must equal the batch rules engine row-for-row.
+
+    Watermark-safe grading: append mode emits a window once the
+    watermark (max event time - 10 min) passes its end, so the emitted
+    set covers every window ending at or before max(ts) - 20 min with
+    margin; both sides filter to exactly that cutoff, making the
+    comparison independent of the >=/> eviction edge and of microbatch
+    slicing. First driver-graded row whose path goes through
+    streaming/pipeline.py (until now pytest-pinned only).
+
+    Scale: the streaming aggregation state is (types x open windows)
+    integer triples — bounded by the watermark horizon, not by rows;
+    identical plan at 100 TB/day ingest."""
+    from clickhouse_metrics_pipeline_spark.plans.rules import Rule
+    from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+        recording_rules_stream,
+    )
+
+    rules = [
+        Rule("job:events:count_1h", "count"),
+        Rule("job:value:sum_cents_1h", "sum_cents"),
+        Rule("job:value:avg_scaled_1h", "avg_scaled"),
+    ]
+    raw = _t(spark, sf_dir, "events")
+    # the file stream source needs a DIRECTORY; stage the (immutable,
+    # read-only) driver file into a temp source dir
+    src = tempfile.mkdtemp(prefix="rules_stream_src_")
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        shutil.copytree(path, f"{src}/events.parquet")
+    else:
+        shutil.copy(path, f"{src}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    # same ts normalization the batch _events applies (NANOS files
+    # surface as bigint under nanosAsLong)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = recording_rules_stream(
+        stream, rules, type_col="event_type", ts_col="ts", value_col="value"
+    )
+    tmp = tempfile.mkdtemp(prefix="rules_stream_")
+    q = (
+        out.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .format("parquet")
+        .start(f"{tmp}/out")
+    )
+    q.awaitTermination(600)
+    q.stop()
+    max_ts = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
+    return (
+        spark.read.parquet(f"{tmp}/out")
+        .where(F.col("bucket_ts") + F.expr("INTERVAL 1 HOUR") <= cutoff)
+        .select("record", "event_type", "bucket_ts", "value")
+    )
+
+
+EVENTS_RULES_STREAM_SQL = f"""
+WITH base AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         count(*) AS n, sum({_CENTS})::BIGINT AS c
+  FROM {_EV_SQL}
+  GROUP BY 1, 2
+), mx AS (
+  SELECT max(ts) - INTERVAL 20 MINUTE AS cutoff FROM {_EV_SQL}
+), closed AS (
+  SELECT * FROM base
+  WHERE bucket_ts + INTERVAL 1 HOUR <= (SELECT cutoff FROM mx)
+)
+SELECT 'job:events:count_1h' AS record, event_type, bucket_ts, n AS value
+FROM closed
+UNION ALL
+SELECT 'job:value:sum_cents_1h', event_type, bucket_ts, c FROM closed
+UNION ALL
+SELECT 'job:value:avg_scaled_1h', event_type, bucket_ts,
+       (CASE WHEN c < 0 THEN -1 ELSE 1 END)
+         * CAST(floor((200 * abs(c) + n) / (2 * n)) AS BIGINT)
+FROM closed
+"""
+
+EXTRA6_QUERIES["events_rules_stream_1h"] = events_rules_stream_1h
+EXTRA6_ORACLE["events_rules_stream_1h"] = EVENTS_RULES_STREAM_SQL
+EXTRA6_ORACLE["promql_rate_by_type"] = _promql_rate_sql()
+EXTRA6_ORACLE["promql_hist_p95"] = _promql_hist_sql()

@@ -42,7 +42,7 @@ class TestParser:
     @pytest.mark.parametrize(
         "bad",
         [
-            "rate(events[5m])",  # outside the subset (dedicated kernel)
+            "irate(events[5m])",  # outside the subset (dedicated kernel)
             "sum by () (count_over_time(events[1h]))",
             "count_over_time(events[1x])",
             "count_over_time(events[1h]) extra",
@@ -80,7 +80,11 @@ class TestParser:
 
 class TestCompile:
     def _series(self, spark):
-        return events_as_series(spark.read.parquet(f"{SF}/events.parquet"))
+        # the series-frame contract is a micros TIMESTAMP ts — use the
+        # same normalization the catalog queries apply (tables._events)
+        from clickhouse_metrics_pipeline_spark.tables import _events
+
+        return events_as_series(_events(spark, SF))
 
     def test_count_matches_hand_built(self, spark):
         got = sorted(
@@ -115,6 +119,141 @@ class TestCompile:
         assert r and all(isinstance(x.value, int) for x in r)
         # labels map carries the series identity
         assert all(set(x.labels) == {"event_type", "user"} for x in r)
+
+    def test_hist_quantile_parse_goldens(self):
+        q = parse(
+            "histogram_quantile(0.95, sum by (event_type) "
+            "(count_over_time(events[1h])))"
+        )
+        assert q.quantile == 95 and q.agg == "sum"
+        assert q.func == "count_over_time" and q.by == ("event_type",)
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # phi outside (0,1) / not whole-percent
+            "histogram_quantile(1.5, sum by (t) (count_over_time(e[1h])))",
+            "histogram_quantile(0.955, sum by (t) (count_over_time(e[1h])))",
+            # inner must be sum by (...) (count_over_time(...))
+            "histogram_quantile(0.95, sum by (t) (sum_over_time(e[1h])))",
+            "histogram_quantile(0.95, count_over_time(e[1h]))",
+            "histogram_quantile(0.95, avg by (t) (count_over_time(e[1h])))",
+        ],
+    )
+    def test_hist_quantile_rejects_out_of_subset(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+    def test_hist_quantile_matches_hand_built_walk(self, spark):
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            bucket_percentile_scaled,
+        )
+        from clickhouse_metrics_pipeline_spark.workloads import _le_expr
+
+        got = sorted(
+            map(
+                tuple,
+                compile_promql(
+                    "histogram_quantile(0.95, sum by (event_type) "
+                    "(count_over_time(events[1h])))",
+                    self._series(spark),
+                ).collect(),
+            )
+        )
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        hand = (
+            ev.select(
+                "event_type",
+                F.window("ts", "1 hour")["start"].alias("bucket_ts"),
+                _le_expr(F.col("value")).alias("le"),
+            )
+            .groupBy("event_type", "bucket_ts", "le")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .groupBy("event_type", "bucket_ts")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("le", "count"))
+                ).alias("buckets")
+            )
+            .select(
+                "event_type",
+                "bucket_ts",
+                bucket_percentile_scaled(
+                    "buckets", 95, interpolation="prometheus"
+                ).alias("value"),
+            )
+        )
+        assert got == sorted(map(tuple, hand.collect())) and got
+
+    def _dense_events(self, spark):
+        # sf0.001 has no 5-minute window with >=2 samples per series,
+        # so rate tests use a dense counter-with-reset fixture
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in (1, 2):
+            for i in range(20):
+                v = float((i * 7) % 50)  # resets at the wrap
+                rows.append(
+                    (
+                        eid,
+                        base + dt.timedelta(seconds=45 * i),
+                        u,
+                        "view" if u == 1 else "click",
+                        v,
+                        None,
+                    )
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    def test_bare_rate_matches_dedicated_kernel(self, spark):
+        from clickhouse_metrics_pipeline_spark.functions.rate import (
+            rate_over_window,
+        )
+
+        ev = self._dense_events(spark)
+        got = {
+            (r.labels["event_type"], r.labels["user"], r.bucket_ts): r.value
+            for r in compile_promql(
+                "rate(events[5m])", events_as_series(ev)
+            ).collect()
+        }
+        want = {
+            (r.event_type, str(r.user_id), r.bucket_ts): r.rate
+            for r in rate_over_window(
+                ev, ["user_id", "event_type"], 300
+            ).collect()
+            if r.rate is not None
+        }
+        assert got == want and got
+
+    def test_increase_is_rate_times_range(self, spark):
+        s = events_as_series(self._dense_events(spark))
+        rate = {
+            (str(r.labels), r.bucket_ts): r.value
+            for r in compile_promql("rate(events[5m])", s).collect()
+        }
+        inc = {
+            (str(r.labels), r.bucket_ts): r.value
+            for r in compile_promql("increase(events[5m])", s).collect()
+        }
+        assert set(rate) == set(inc) and rate
+        for k, v in rate.items():
+            assert abs(inc[k] - v * 300.0) < 1e-3
+
+    def test_agg_rate_is_integer_micro_units(self, spark):
+        rows = compile_promql(
+            "sum by (event_type) (rate(events[5m]))",
+            events_as_series(self._dense_events(spark)),
+        ).collect()
+        assert rows and all(isinstance(r.value, int) for r in rows)
 
     def test_matcher_absent_label_semantics(self, spark):
         # a label that never exists: NEQ matches everything (Prometheus
