@@ -166,9 +166,13 @@ HEADLINE += [
 R5_HEADLINE = list(HEADLINE)
 
 HEADLINE += [
-    # round-6 batch: PromQL text rate() + histogram_quantile()
+    # round-6 batch: PromQL text rate()/histogram_quantile()/topk/
+    # offset/quantile
     "promql_rate_by_type",
     "promql_hist_p95",
+    "promql_topk_types",
+    "promql_offset_counts",
+    "promql_quantile_by_type",
 ]
 
 # Coverage tier (round 6, verdict item): every catalog query gets at

@@ -6,18 +6,31 @@ queries users actually type are PromQL. This module adds the missing
 front-end for a well-defined subset, compiled onto the same engine
 kernels the catalog queries use:
 
-    expr     := aggop | call | histq
+    expr     := aggop | call | histq | topk | quant
     aggop    := ('sum'|'avg'|'min'|'max'|'count')
                 'by' '(' label (',' label)* ')' '(' call ')'
-    call     := fname '(' selector '[' N ('m'|'h') ']' ')'
+    call     := fname '(' selector range ')'
+    range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
               | 'min_over_time' | 'max_over_time' | 'delta'
               | 'rate' | 'increase'
     histq    := 'histogram_quantile' '(' phi ',' aggop ')'
                 -- phi a whole-percent quantile in (0,1); the inner
                    aggop must be sum by (...) (count_over_time(...))
+    topk     := ('topk'|'bottomk') '(' K ',' aggop ')'
+                -- deterministic tiebreak: value, then by-labels asc
+                   (real PromQL ties are nondeterministic; documented)
+    quant    := 'quantile' 'by' '(' label... ')' '(' phi ',' call ')'
+                -- exact linear-interpolated quantile of the per-series
+                   integer values, emitted as BIGINT value*10000
     selector := name ( '{' matcher (',' matcher)* '}' )?
     matcher  := label ('=' | '!=' | '=~' | '!~') '"' value '"'
+
+The ``offset`` modifier shifts sample timestamps forward before
+bucketing — exactly PromQL's "evaluate over data older by offset": a
+sample at t lands in the evaluation window [T-range, T) iff
+t in [T-range-offset, T-offset). Emitted bucket_ts is the evaluation
+window start.
 
 Evaluation model: RANGE queries at the bucket grain — the range
 ``[1h]`` is both the lookback and the step, so the result is one row
@@ -119,6 +132,11 @@ class PromQuery:
     agg: str | None = None
     by: tuple[str, ...] = field(default_factory=tuple)
     quantile: int | None = None
+    offset_s: int = 0
+    # outer operator over the aggregated vector: 'topk' | 'bottomk'
+    # (param = K), or agg == 'quantile' (param = whole percent)
+    outer: str | None = None
+    param: int | None = None
 
 
 class PromQLError(ValueError):
@@ -179,18 +197,44 @@ class _Parser:
         self.i += 1
         return v
 
+    def _phi_percent(self) -> int:
+        phi = float(self.eat("num"))
+        p100 = phi * 100
+        if not (0 < phi < 1) or abs(p100 - round(p100)) > 1e-9:
+            raise PromQLError(
+                f"quantile subset supports whole-percent values in "
+                f"(0,1), got {phi}"
+            )
+        return int(round(p100))
+
     def parse(self) -> PromQuery:
+        from dataclasses import replace
+
         k, v = self.peek()
+        if k == "ident" and v in ("topk", "bottomk"):
+            self.eat("ident")
+            self.eat("op", "(")
+            raw_k = self.eat("num")
+            if "." in raw_k or int(raw_k) < 1:
+                raise PromQLError(f"topk/bottomk K must be a positive "
+                                  f"integer, got {raw_k!r}")
+            self.eat("op", ",")
+            q = self._aggop_or_call()
+            self.eat("op", ")")
+            if q.agg is None:
+                raise PromQLError(
+                    "topk/bottomk subset requires an aggregated inner "
+                    "expression (agg by (...) (...)) so the tiebreak "
+                    "order is well-defined"
+                )
+            q = replace(q, outer=v, param=int(raw_k))
+            if self.i != len(self.toks):
+                raise PromQLError(f"trailing input from token {self.i}")
+            return q
         if k == "ident" and v == "histogram_quantile":
             self.eat("ident")
             self.eat("op", "(")
-            phi = float(self.eat("num"))
-            p100 = phi * 100
-            if not (0 < phi < 1) or abs(p100 - round(p100)) > 1e-9:
-                raise PromQLError(
-                    f"histogram_quantile subset supports whole-percent "
-                    f"quantiles in (0,1), got {phi}"
-                )
+            p100 = self._phi_percent()
             self.eat("op", ",")
             q = self._aggop_or_call()
             self.eat("op", ")")
@@ -210,23 +254,41 @@ class _Parser:
             raise PromQLError(f"trailing input from token {self.i}")
         return q
 
+    def _by_clause(self) -> tuple[str, ...]:
+        self.eat("ident", "by")
+        self.eat("op", "(")
+        by = [self.eat("ident")]
+        while self.peek() == ("op", ","):
+            self.eat("op", ",")
+            by.append(self.eat("ident"))
+        self.eat("op", ")")
+        return tuple(by)
+
     def _aggop_or_call(self) -> PromQuery:
+        from dataclasses import replace
+
         k, v = self.peek()
+        if k == "ident" and v == "quantile":
+            self.eat("ident")
+            by = self._by_clause()
+            self.eat("op", "(")
+            p100 = self._phi_percent()
+            self.eat("op", ",")
+            q = self._call()
+            self.eat("op", ")")
+            if q.func in _DOUBLE_FUNCS:
+                raise PromQLError(
+                    "quantile subset takes integer-valued calls only "
+                    "(rate/increase are double-valued)"
+                )
+            return replace(q, agg="quantile", by=by, param=p100)
         if k == "ident" and v in _AGGS:
             agg = self.eat("ident")
-            self.eat("ident", "by")
-            self.eat("op", "(")
-            by = [self.eat("ident")]
-            while self.peek() == ("op", ","):
-                self.eat("op", ",")
-                by.append(self.eat("ident"))
-            self.eat("op", ")")
+            by = self._by_clause()
             self.eat("op", "(")
             q = self._call()
             self.eat("op", ")")
-            return PromQuery(
-                q.func, q.metric, q.matchers, q.range_s, agg, tuple(by)
-            )
+            return replace(q, agg=agg, by=by)
         return self._call()
 
     def _call(self) -> PromQuery:
@@ -259,21 +321,29 @@ class _Parser:
                     self.eat("op", ",")
             self.eat("op", "}")
         self.eat("op", "[")
-        raw_n = self.eat("num")
-        if "." in raw_n:
-            raise PromQLError(f"range must be integral, got {raw_n!r}")
-        n = int(raw_n)
-        unit = self.eat("ident")
-        if unit not in ("m", "h"):
-            raise PromQLError(f"range unit must be m or h, got {unit!r}")
+        range_s = self._duration()
         self.eat("op", "]")
+        offset_s = 0
+        if self.peek() == ("ident", "offset"):
+            self.eat("ident", "offset")
+            offset_s = self._duration()
         self.eat("op", ")")
         return PromQuery(
-            fname,
-            metric,
-            tuple(matchers),
-            n * (60 if unit == "m" else 3600),
+            fname, metric, tuple(matchers), range_s, offset_s=offset_s
         )
+
+    _UNITS = {"m": 60, "h": 3600, "d": 86400}
+
+    def _duration(self) -> int:
+        raw_n = self.eat("num")
+        if "." in raw_n:
+            raise PromQLError(f"duration must be integral, got {raw_n!r}")
+        unit = self.eat("ident")
+        if unit not in self._UNITS:
+            raise PromQLError(
+                f"duration unit must be m, h or d, got {unit!r}"
+            )
+        return int(raw_n) * self._UNITS[unit]
 
 
 def parse(text: str) -> PromQuery:
@@ -437,10 +507,17 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
     df = series.where(F.col("metric") == q.metric)
     if q.matchers:
         df = df.where(compile_matchers(list(q.matchers)))
+    if q.offset_s:
+        # PromQL offset: evaluate over data older by the offset —
+        # shifting sample ts forward puts t into the evaluation window
+        # [T-range, T) iff t in [T-range-offset, T-offset)
+        df = df.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {q.offset_s} SECONDS")
+        )
     if q.quantile is not None:
         return _hist_quantile_plan(q, df)
     if q.func in _DOUBLE_FUNCS:
-        return _rate_plan(q, df)
+        return _apply_topk(q, _rate_plan(q, df))
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
     c = _cents(F.col("value"))
     # sample_id (when the frame carries one) makes min_by/max_by
@@ -493,6 +570,8 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
         ).alias(k)
         for k in q.by
     ]
+    if q.agg == "quantile":
+        return _apply_topk(q, _quantile_agg(q, g.select(*keys, "bucket_ts", "value")))
     agg_fn = {
         "sum": F.sum,
         "avg": None,
@@ -510,12 +589,79 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
             F.lit(2) * F.abs(F.col("_s")) * F.lit(10000) + F.col("_n"),
             F.lit(2) * F.col("_n"),
         )
-        return out.select(
-            *q.by,
-            "bucket_ts",
-            F.when(F.col("_s") < 0, -mag).otherwise(mag).alias("value"),
+        return _apply_topk(
+            q,
+            out.select(
+                *q.by,
+                "bucket_ts",
+                F.when(F.col("_s") < 0, -mag).otherwise(mag).alias("value"),
+            ),
         )
+    return _apply_topk(
+        q,
+        g.groupBy(*keys, "bucket_ts").agg(
+            agg_fn(F.col("value")).cast("bigint").alias("value")
+        ),
+    )
+
+
+def _quantile_agg(q: PromQuery, keyed: DataFrame) -> DataFrame:
+    """Exact phi-quantile of the per-series integer values per
+    (by-labels, window), PromQL's linear interpolation carried in
+    integer arithmetic: with values sorted ascending and p the whole
+    percent, pos = p*(n-1) in percent units, lo = pos // 100 (0-based),
+    rem = pos % 100, and the emitted BIGINT is
+    v_lo*10000 + (v_hi - v_lo)*rem*100 — the quantile x10000 with no
+    float anywhere. Rank-k values of a sorted multiset are unique, so
+    row_number ties between equal values cannot change the result."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*q.by, "bucket_ts").orderBy("value")
+    wn = Window.partitionBy(*q.by, "bucket_ts")
+    ranked = keyed.select(
+        *q.by,
+        "bucket_ts",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    pos = F.lit(q.param) * (F.col("_n") - 1)
+    lo = _floordiv_exact(pos, F.lit(100)) + 1  # 1-based rank
+    hi = F.least(lo + 1, F.col("_n"))
+    rem = (pos % 100).cast("bigint")
+    out = ranked.groupBy(*q.by, "bucket_ts").agg(
+        F.max(F.when(F.col("_rn") == lo, F.col("value"))).alias("_vlo"),
+        F.max(F.when(F.col("_rn") == hi, F.col("value"))).alias("_vhi"),
+        F.max(rem).alias("_rem"),
+    )
+    return out.select(
+        *q.by,
+        "bucket_ts",
+        (
+            F.col("_vlo") * F.lit(10000)
+            + (F.col("_vhi") - F.col("_vlo")) * F.col("_rem") * F.lit(100)
+        ).alias("value"),
+    )
+
+
+def _apply_topk(q: PromQuery, out: DataFrame) -> DataFrame:
+    """topk/bottomk over the aggregated vector: per evaluation window,
+    keep the K extreme rows by value with a DETERMINISTIC tiebreak
+    (value, then the by-labels ascending) — real PromQL ties are
+    nondeterministic; the divergence is the module's exactness
+    contract at work."""
+    if q.outer is None:
+        return out
+    from pyspark.sql.window import Window
+
+    direction = (
+        F.col("value").desc() if q.outer == "topk" else F.col("value").asc()
+    )
+    w = Window.partitionBy("bucket_ts").orderBy(
+        direction, *[F.col(k).asc() for k in q.by]
+    )
     return (
-        g.groupBy(*keys, "bucket_ts")
-        .agg(agg_fn(F.col("value")).cast("bigint").alias("value"))
+        out.select("*", F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= q.param)
+        .drop("_rn")
     )

@@ -1681,9 +1681,12 @@ _ROTATION_FIRST: list[str] = [
     "q19_discounted_revenue",
     "q21_waiting_supplier",
     "q22_global_sales",
-    "events_rollup_1h",
-    "events_ttl_retention",
-    "events_attr_merge",
+    # PromQL batch 2 (topk / offset / quantile) takes the last three
+    # slots; the three r3-greens they displace (events_rollup_1h,
+    # events_ttl_retention, events_attr_merge) head round 7's rotation
+    "promql_topk_types",
+    "promql_offset_counts",
+    "promql_quantile_by_type",
 ]
 
 

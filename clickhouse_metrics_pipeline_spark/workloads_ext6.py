@@ -242,3 +242,127 @@ EXTRA6_QUERIES["events_rules_stream_1h"] = events_rules_stream_1h
 EXTRA6_ORACLE["events_rules_stream_1h"] = EVENTS_RULES_STREAM_SQL
 EXTRA6_ORACLE["promql_rate_by_type"] = _promql_rate_sql()
 EXTRA6_ORACLE["promql_hist_p95"] = _promql_hist_sql()
+
+
+# --------------------------------------------------------------------------
+# PromQL text batch 2: topk, offset modifier, quantile aggregation
+# --------------------------------------------------------------------------
+
+PROMQL_TOPK_QUERY = (
+    "topk(3, sum by (event_type) (count_over_time(events[6h])))"
+)
+
+
+def promql_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL topk over an aggregated vector: per 6h evaluation
+    window, the 3 busiest event types. Deterministic tiebreak (value
+    desc, then event_type asc) — real PromQL ties are nondeterministic;
+    the subset documents the divergence so the result value-hashes."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_TOPK_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_TOPK_SQL = f"""
+WITH g AS (
+  SELECT event_type, time_bucket(INTERVAL 6 HOUR, ts) AS bucket_ts,
+         count(*) AS value
+  FROM {_EV_SQL} GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_ts
+             ORDER BY value DESC, event_type ASC) AS rn
+  FROM g
+)
+SELECT event_type, bucket_ts, value FROM r WHERE rn <= 3
+"""
+
+
+PROMQL_OFFSET_QUERY = (
+    "sum by (event_type) (count_over_time(events[1h] offset 90m))"
+)
+
+
+def promql_offset_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL offset modifier: evaluate hourly counts over data
+    older by 90 minutes. The deliberately non-grain-multiple offset
+    proves the grid-shift semantics — a sample at t lands in the
+    window [T-1h, T) iff t in [T-1h-90m, T-90m), i.e. the hourly grid
+    shifts to :30 boundaries. The oracle restates it as
+    time_bucket(1h, ts + 90 minutes)."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_OFFSET_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_OFFSET_SQL = f"""
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, ts + INTERVAL 90 MINUTE) AS bucket_ts,
+       count(*) AS value
+FROM {_EV_SQL}
+GROUP BY 1, 2
+"""
+
+
+PROMQL_QUANTILE_QUERY = (
+    "quantile by (event_type) (0.5, sum_over_time(events[1h]))"
+)
+
+
+def promql_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile aggregation: the median per-series hourly cents
+    sum within each event type, PromQL's linear interpolation carried
+    in EXACT integer arithmetic (plans/promql._quantile_agg): with the
+    per-series values sorted, pos = p*(n-1) percent units,
+    value = v_lo*10000 + (v_hi-v_lo)*(pos%100)*100 — the quantile
+    x10000 with no float anywhere, so both engines hash identically."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_QUANTILE_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_QUANTILE_SQL = f"""
+WITH per_series AS (
+  SELECT event_type, user_id,
+         time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         sum({_CENTS})::BIGINT AS v
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+), r AS (
+  SELECT event_type, bucket_ts, v,
+         row_number() OVER (PARTITION BY event_type, bucket_ts
+                            ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type, bucket_ts) AS n
+  FROM per_series
+), pick AS (
+  SELECT event_type, bucket_ts,
+         max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN v END) AS vlo,
+         max(CASE WHEN rn = least((50 * (n - 1)) // 100 + 2, n)
+                  THEN v END) AS vhi,
+         max((50 * (n - 1)) % 100) AS rem
+  FROM r GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts,
+       (vlo * 10000 + (vhi - vlo) * rem * 100)::BIGINT AS value
+FROM pick
+"""
+
+EXTRA6_QUERIES["promql_topk_types"] = promql_topk_types
+EXTRA6_QUERIES["promql_offset_counts"] = promql_offset_counts
+EXTRA6_QUERIES["promql_quantile_by_type"] = promql_quantile_by_type
+EXTRA6_ORACLE["promql_topk_types"] = PROMQL_TOPK_SQL
+EXTRA6_ORACLE["promql_offset_counts"] = PROMQL_OFFSET_SQL
+EXTRA6_ORACLE["promql_quantile_by_type"] = PROMQL_QUANTILE_SQL

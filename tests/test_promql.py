@@ -255,6 +255,96 @@ class TestCompile:
         ).collect()
         assert rows and all(isinstance(r.value, int) for r in rows)
 
+    def test_offset_shifts_the_evaluation_grid(self, spark):
+        # offset 90m: hourly windows over ts+90m == grid at :30
+        got = sorted(
+            map(
+                tuple,
+                compile_promql(
+                    "sum by (event_type) "
+                    "(count_over_time(events[1h] offset 90m))",
+                    self._series(spark),
+                ).collect(),
+            )
+        )
+        from clickhouse_metrics_pipeline_spark.tables import _events
+
+        ev = _events(spark, SF)
+        want = sorted(
+            map(
+                tuple,
+                ev.groupBy(
+                    "event_type",
+                    F.window(
+                        F.col("ts") + F.expr("INTERVAL 90 MINUTES"),
+                        "1 hour",
+                    )["start"].alias("b"),
+                )
+                .agg(F.count(F.lit(1)).alias("v"))
+                .collect(),
+            )
+        )
+        assert got == want and got
+
+    def test_topk_keeps_k_extremes_deterministically(self, spark):
+        full = compile_promql(
+            "sum by (event_type) (count_over_time(events[6h]))",
+            self._series(spark),
+        ).collect()
+        top = compile_promql(
+            "topk(2, sum by (event_type) (count_over_time(events[6h])))",
+            self._series(spark),
+        ).collect()
+        by_bucket: dict = {}
+        for r in full:
+            by_bucket.setdefault(r.bucket_ts, []).append(r)
+        want = set()
+        for b, rows in by_bucket.items():
+            rows.sort(key=lambda r: (-r.value, r.event_type))
+            want |= {(r.event_type, b, r.value) for r in rows[:2]}
+        assert {(r.event_type, r.bucket_ts, r.value) for r in top} == want
+        assert top
+
+    def test_quantile_agg_matches_python_interpolation(self, spark):
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "quantile by (event_type) (0.5, sum_over_time(events[1h]))",
+                self._series(spark),
+            ).collect()
+        }
+        per_series = compile_promql(
+            "sum_over_time(events[1h])", self._series(spark)
+        ).collect()
+        groups: dict = {}
+        for r in per_series:
+            groups.setdefault(
+                (r.labels["event_type"], r.bucket_ts), []
+            ).append(r.value)
+        want = {}
+        for k, vs in groups.items():
+            vs.sort()
+            pos = 50 * (len(vs) - 1)
+            lo, rem = pos // 100, pos % 100
+            hi = min(lo + 1, len(vs) - 1)
+            want[k] = vs[lo] * 10000 + (vs[hi] - vs[lo]) * rem * 100
+        assert got == want and got
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # topk needs an aggregated inner and integer K
+            "topk(2, count_over_time(events[1h]))",
+            "topk(0, sum by (t) (count_over_time(events[1h])))",
+            # quantile rejects double-valued calls and bad phi
+            "quantile by (t) (0.5, rate(events[5m]))",
+            "quantile by (t) (1.5, sum_over_time(events[1h]))",
+        ],
+    )
+    def test_batch2_rejects_out_of_subset(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
     def test_matcher_absent_label_semantics(self, spark):
         # a label that never exists: NEQ matches everything (Prometheus
         # absent-label rule), EQ matches nothing
