@@ -12,8 +12,8 @@ kernels the catalog queries use:
     call     := fname '(' selector range ')'
     range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
-              | 'min_over_time' | 'max_over_time' | 'delta'
-              | 'rate' | 'increase'
+              | 'min_over_time' | 'max_over_time' | 'last_over_time'
+              | 'present_over_time' | 'delta' | 'rate' | 'increase'
     histq    := 'histogram_quantile' '(' phi ',' aggop ')'
                 -- phi a whole-percent quantile in (0,1); the inner
                    aggop must be sum by (...) (count_over_time(...))
@@ -97,6 +97,8 @@ _FUNCS = (
     "avg_over_time",
     "min_over_time",
     "max_over_time",
+    "last_over_time",
+    "present_over_time",
     "delta",
     "rate",
     "increase",
@@ -531,6 +533,12 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
 
     if q.func == "count_over_time":
         g = per_series.agg(F.count(F.lit(1)).alias("value"))
+    elif q.func == "last_over_time":
+        # the anyLast/gauge-read shape (A4) — deterministic via the
+        # sample_id tiebreaker in order_key
+        g = per_series.agg(F.max_by(c, order_key).alias("value"))
+    elif q.func == "present_over_time":
+        g = per_series.agg(F.lit(1).cast("bigint").alias("value"))
     elif q.func == "sum_over_time":
         g = per_series.agg(F.sum(c).alias("value"))
     elif q.func == "min_over_time":

@@ -255,6 +255,38 @@ class TestCompile:
         ).collect()
         assert rows and all(isinstance(r.value, int) for r in rows)
 
+    def test_last_and_present_over_time(self, spark):
+        from clickhouse_metrics_pipeline_spark.tables import _events
+
+        ev = _events(spark, SF)
+        last = {
+            (r.labels["event_type"], r.labels["user"], r.bucket_ts): r.value
+            for r in compile_promql(
+                "last_over_time(events[1h])", self._series(spark)
+            ).collect()
+        }
+        want = {
+            (r.event_type, str(r.user_id), r.b): r.v
+            for r in ev.groupBy(
+                "event_type",
+                "user_id",
+                F.window("ts", "1 hour")["start"].alias("b"),
+            )
+            .agg(
+                F.max_by(
+                    F.round(F.col("value") * 100).cast("bigint"),
+                    F.struct("ts", "event_id"),
+                ).alias("v")
+            )
+            .collect()
+        }
+        assert last == want and last
+        present = compile_promql(
+            "present_over_time(events[1h])", self._series(spark)
+        ).collect()
+        assert present and all(r.value == 1 for r in present)
+        assert len(present) == len(last)
+
     def test_offset_shifts_the_evaluation_grid(self, spark):
         # offset 90m: hourly windows over ts+90m == grid at :30
         got = sorted(

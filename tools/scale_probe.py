@@ -336,8 +336,40 @@ def op_repeated_spans(docs: DataFrame) -> int:
     return repeated_spans(docs, k=8, min_count=2, max_count=1000).count()
 
 
+def op_recording_rules(ev: DataFrame) -> int:
+    from clickhouse_metrics_pipeline_spark.plans.rules import (
+        Rule,
+        evaluate_rules,
+    )
+
+    return evaluate_rules(
+        ev,
+        [
+            Rule("p:count", "count"),
+            Rule("p:sum", "sum_cents"),
+            Rule("p:avg", "avg_scaled"),
+            Rule("p:share", "share_ppm"),
+            Rule("p:err", "error_ratio_ppm"),
+        ],
+    ).count()
+
+
+def op_rate_kernel(ev: DataFrame) -> int:
+    from clickhouse_metrics_pipeline_spark.functions.rate import (
+        rate_over_window,
+    )
+
+    return (
+        rate_over_window(ev, ["user_id", "event_type"], 300)
+        .where(F.col("rate").isNotNull())
+        .count()
+    )
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
+    "recording_rules": ("events", op_recording_rules),
+    "rate_kernel": ("events", op_rate_kernel),
     "window_delta": ("events", op_window_delta),
     "exact_dedup": ("documents", op_exact_dedup),
     "minhash_kernel": ("documents", op_minhash_kernel),
