@@ -2,7 +2,7 @@
 # ships (reference Makefile:23-40 / scripts/run_tests.sh), minus the
 # docker/ClickHouse targets Spark makes unnecessary.
 
-.PHONY: help test test-unit test-full test-oracle test-oracle-types test-streaming bench scale-probe build-indexes demo-ingest serve clean
+.PHONY: help test test-unit test-full test-oracle test-oracle-types test-streaming bench scale-probe build-indexes demo-ingest loadgen serve clean
 
 SF_DIR ?= /root/testdata/sf0.01
 
@@ -40,6 +40,9 @@ build-indexes: ## Materialize every stored index (ingest-time job) to $$SPARK_GR
 
 demo-ingest: ## OTLP-JSON drop-dir -> parquet demo (drains /tmp/otlp-drop)
 	python scripts/otlp_json_ingest.py /tmp/otlp-drop /tmp/otlp-out /tmp/otlp-ckpt --drain
+
+loadgen: ## S9 load generator: 100 deterministic OTLP/JSON export requests into /tmp/otlp-drop
+	python tools/loadgen.py --drop-dir /tmp/otlp-drop --ticks 100
 
 serve: ## Full app: OTLP/HTTP receiver + streaming ingest + Remote Read endpoint
 	python scripts/serve.py
