@@ -9,11 +9,13 @@ kernels the catalog queries use:
     expr     := aggop | call | histq | topk | quant
     aggop    := ('sum'|'avg'|'min'|'max'|'count')
                 'by' '(' label (',' label)* ')' '(' call ')'
-    call     := fname '(' selector range ')'
+    call     := fname '(' (phi ',')? selector range ')'
+                -- the phi argument only for quantile_over_time
     range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
               | 'min_over_time' | 'max_over_time' | 'last_over_time'
-              | 'present_over_time' | 'delta' | 'rate' | 'increase'
+              | 'present_over_time' | 'quantile_over_time' | 'delta'
+              | 'rate' | 'increase'
     histq    := 'histogram_quantile' '(' phi ',' aggop ')'
                 -- phi a whole-percent quantile in (0,1); the inner
                    aggop must be sum by (...) (count_over_time(...))
@@ -99,6 +101,7 @@ _FUNCS = (
     "max_over_time",
     "last_over_time",
     "present_over_time",
+    "quantile_over_time",
     "delta",
     "rate",
     "increase",
@@ -136,9 +139,11 @@ class PromQuery:
     quantile: int | None = None
     offset_s: int = 0
     # outer operator over the aggregated vector: 'topk' | 'bottomk'
-    # (param = K), or agg == 'quantile' (param = whole percent)
+    # (k = K). param carries a whole-percent phi for agg == 'quantile'
+    # or func == 'quantile_over_time'
     outer: str | None = None
     param: int | None = None
+    k: int | None = None
 
 
 class PromQLError(ValueError):
@@ -229,7 +234,7 @@ class _Parser:
                     "expression (agg by (...) (...)) so the tiebreak "
                     "order is well-defined"
                 )
-            q = replace(q, outer=v, param=int(raw_k))
+            q = replace(q, outer=v, k=int(raw_k))
             if self.i != len(self.toks):
                 raise PromQLError(f"trailing input from token {self.i}")
             return q
@@ -246,10 +251,9 @@ class _Parser:
                     "histogram shape: sum by (...) "
                     "(count_over_time(selector[range]))"
                 )
-            q = PromQuery(
-                q.func, q.metric, q.matchers, q.range_s, q.agg, q.by,
-                int(round(p100)),
-            )
+            # replace(), not a positional rebuild: the inner call may
+            # carry offset_s
+            q = replace(q, quantile=p100)
         else:
             q = self._aggop_or_call()
         if self.i != len(self.toks):
@@ -283,6 +287,11 @@ class _Parser:
                     "quantile subset takes integer-valued calls only "
                     "(rate/increase are double-valued)"
                 )
+            if q.param is not None:
+                raise PromQLError(
+                    "quantile by (...) over quantile_over_time is "
+                    "outside the subset (one phi per query)"
+                )
             return replace(q, agg="quantile", by=by, param=p100)
         if k == "ident" and v in _AGGS:
             agg = self.eat("ident")
@@ -297,11 +306,13 @@ class _Parser:
         fname = self.eat("ident")
         if fname not in _FUNCS:
             raise PromQLError(
-                f"unsupported function {fname!r} (subset: {_FUNCS}; "
-                "rate/increase/histogram_quantile live in the dedicated "
-                "kernels)"
+                f"unsupported function {fname!r} (subset: {_FUNCS})"
             )
         self.eat("op", "(")
+        param = None
+        if fname == "quantile_over_time":
+            param = self._phi_percent()
+            self.eat("op", ",")
         metric = self.eat("ident")
         matchers: list[LabelMatcher] = []
         if self.peek() == ("op", "{"):
@@ -331,7 +342,8 @@ class _Parser:
             offset_s = self._duration()
         self.eat("op", ")")
         return PromQuery(
-            fname, metric, tuple(matchers), range_s, offset_s=offset_s
+            fname, metric, tuple(matchers), range_s, offset_s=offset_s,
+            param=param,
         )
 
     _UNITS = {"m": 60, "h": 3600, "d": 86400}
@@ -539,6 +551,28 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
         g = per_series.agg(F.max_by(c, order_key).alias("value"))
     elif q.func == "present_over_time":
         g = per_series.agg(F.lit(1).cast("bigint").alias("value"))
+    elif q.func == "quantile_over_time":
+        # exact phi-quantile of the window's sample cents, row-local
+        # over the sorted in-window sample array (bounded by the
+        # series' sampling rate x range, like every per-series window
+        # op); same integer interpolation as _quantile_agg, emitted as
+        # BIGINT quantile x10000
+        arr = F.array_sort(F.collect_list(c))
+        g = per_series.agg(arr.alias("_arr"))
+        n = F.size("_arr").cast("bigint")
+        pos = F.lit(q.param) * (n - 1)
+        lo = _floordiv_exact(pos, F.lit(100)) + 1
+        hi = F.least(lo + 1, n)
+        rem = (pos % 100).cast("bigint")
+        vlo = F.element_at("_arr", lo.cast("int"))
+        vhi = F.element_at("_arr", hi.cast("int"))
+        g = g.select(
+            "labels",
+            "w",
+            (vlo * F.lit(10000) + (vhi - vlo) * rem * F.lit(100)).alias(
+                "value"
+            ),
+        )
     elif q.func == "sum_over_time":
         g = per_series.agg(F.sum(c).alias("value"))
     elif q.func == "min_over_time":
@@ -670,6 +704,6 @@ def _apply_topk(q: PromQuery, out: DataFrame) -> DataFrame:
     )
     return (
         out.select("*", F.row_number().over(w).alias("_rn"))
-        .where(F.col("_rn") <= q.param)
+        .where(F.col("_rn") <= q.k)
         .drop("_rn")
     )

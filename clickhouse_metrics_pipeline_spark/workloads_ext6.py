@@ -366,3 +366,53 @@ EXTRA6_QUERIES["promql_quantile_by_type"] = promql_quantile_by_type
 EXTRA6_ORACLE["promql_topk_types"] = PROMQL_TOPK_SQL
 EXTRA6_ORACLE["promql_offset_counts"] = PROMQL_OFFSET_SQL
 EXTRA6_ORACLE["promql_quantile_by_type"] = PROMQL_QUANTILE_SQL
+
+
+PROMQL_QOT_QUERY = (
+    "max by (event_type) (quantile_over_time(0.9, events[1h]))"
+)
+
+
+def promql_q90_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_over_time: per-series p90 of the window's sample cents
+    (exact integer interpolation over the sorted in-window array,
+    BIGINT x10000), then max by event_type — the "worst series p90"
+    panel. Proves the two-arg range-function path of the parser and
+    the row-local sorted-array quantile kernel."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_QOT_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_QOT_SQL = f"""
+WITH s AS (
+  SELECT event_type, user_id,
+         time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts, {_CENTS} AS v
+  FROM {_EV_SQL}
+), r AS (
+  SELECT event_type, user_id, bucket_ts, v,
+         row_number() OVER (PARTITION BY event_type, user_id, bucket_ts
+                            ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type, user_id,
+                                     bucket_ts) AS n
+  FROM s
+), pick AS (
+  SELECT event_type, user_id, bucket_ts,
+         max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN v END) AS vlo,
+         max(CASE WHEN rn = least((90 * (n - 1)) // 100 + 2, n)
+                  THEN v END) AS vhi,
+         max((90 * (n - 1)) % 100) AS rem
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT event_type, bucket_ts,
+       max(vlo * 10000 + (vhi - vlo) * rem * 100)::BIGINT AS value
+FROM pick GROUP BY 1, 2
+"""
+
+EXTRA6_QUERIES["promql_q90_over_time"] = promql_q90_over_time
+EXTRA6_ORACLE["promql_q90_over_time"] = PROMQL_QOT_SQL

@@ -287,6 +287,40 @@ class TestCompile:
         assert present and all(r.value == 1 for r in present)
         assert len(present) == len(last)
 
+    def test_quantile_over_time_matches_python(self, spark):
+        got = {
+            (r.labels["event_type"], r.labels["user"], r.bucket_ts): r.value
+            for r in compile_promql(
+                "quantile_over_time(0.9, events[6h])", self._series(spark)
+            ).collect()
+        }
+        from clickhouse_metrics_pipeline_spark.tables import _events
+
+        ev = _events(spark, SF)
+        groups: dict = {}
+        for r in ev.collect():
+            b = r.ts.replace(
+                minute=0, second=0, microsecond=0,
+            )
+            b = b.replace(hour=(b.hour // 6) * 6)
+            groups.setdefault(
+                (r.event_type, str(r.user_id), b), []
+            ).append(int(round(r.value * 100)))
+        want = {}
+        for k, vs in groups.items():
+            vs.sort()
+            pos = 90 * (len(vs) - 1)
+            lo, rem = pos // 100, pos % 100
+            hi = min(lo + 1, len(vs) - 1)
+            want[k] = vs[lo] * 10000 + (vs[hi] - vs[lo]) * rem * 100
+        assert got == want and got
+
+    def test_quantile_over_time_rejects_double_phi_stack(self):
+        with pytest.raises(PromQLError):
+            parse(
+                "quantile by (t) (0.5, quantile_over_time(0.9, e[1h]))"
+            )
+
     def test_offset_shifts_the_evaluation_grid(self, spark):
         # offset 90m: hourly windows over ts+90m == grid at :30
         got = sorted(

@@ -417,9 +417,17 @@ def main() -> None:
         counts = {k: df.count() for k, df in inputs.items()}  # materialize
         for name, (src, fn) in OPS.items():
             fn(inputs[src])  # cold run: codegen + worker warm
-            t0 = time.time()
-            fn(inputs[src])
-            dt = time.time() - t0
+            # best of two warm runs — same rationale as bench.py: a
+            # single warm sample in a long probe session carries GC
+            # pauses from the preceding ops' heap churn (measured: the
+            # srp probe's in-context 16x time ran 2x its isolated
+            # time on one sample and matched it on the next)
+            warm = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(inputs[src])
+                warm.append(time.time() - t0)
+            dt = min(warm)
             rate = counts[src] / dt
             rates[name][m] = rate
             print(
