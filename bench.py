@@ -32,6 +32,18 @@ takes ~0.25-0.30 s in the round-3 window — a uniform ~1.4-1.5x host
 slowdown visible on UNTOUCHED pure-JVM queries and on a minimal-config
 session alike). Dividing per-query times by the floor ratio separates
 engine regressions from machine drift.
+
+Round-6 caveat + second axis: the scan floor does NOT always move with
+the catalog. Between the r5 and r6 windows the scan floor sped up
+1.66x (0.553 -> 0.334 s) while the 64 r5-tail-shared catalog queries
+held a per-query MEDIAN ratio of 0.97 — i.e. the r5 window's slowness
+hit the tiny scan probe much harder than the shuffle-bound catalog
+(plausibly IO/page-cache state, which a 0.3-second scan feels and a
+multi-exchange query amortizes). "host_floor_shuffle_sec" (fixed
+two-exchange groupBy probe) is recorded alongside so round-over-round
+normalization can use the floor that matches the workload shape;
+per-query medians over the shared set remain the most robust
+cross-round signal.
 """
 
 from __future__ import annotations
@@ -260,6 +272,23 @@ def main() -> None:
             F.sum(F.col("l_extendedprice") * F.col("l_discount"))
         ).collect()
 
+    def _floor_probe_shuffle() -> None:
+        # second calibration axis (added round 6): a fixed SHUFFLE-shaped
+        # probe — groupBy to ~1500 keys then a second exchange. The r5/r6
+        # windows showed the scan floor moving 1.66x while per-query
+        # catalog times stayed flat (median ratio 0.97), i.e. a single
+        # scan-shaped floor does not track what shuffle-bound queries pay
+        # on this host; normalize against whichever floor matches the
+        # query shape under comparison
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (
+            li.groupBy((F.col("l_orderkey") % 1500).alias("k"))
+            .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy((F.col("k") % 37).alias("k2"))
+            .agg(F.sum("s"), F.sum("n"))
+            .collect()
+        )
+
     _floor_probe()
     floor_samples = []
     for _ in range(3):
@@ -267,6 +296,14 @@ def main() -> None:
         _floor_probe()
         floor_samples.append(round(time.time() - t0, 3))
     host_floor = sorted(floor_samples)[1]
+
+    _floor_probe_shuffle()
+    floor_shuffle_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        _floor_probe_shuffle()
+        floor_shuffle_samples.append(round(time.time() - t0, 3))
+    host_floor_shuffle = sorted(floor_shuffle_samples)[1]
 
     timings: dict[str, float] = {}
     warm_samples: dict[str, list[float]] = {}
@@ -343,6 +380,8 @@ def main() -> None:
         "cold_queries": cold,
         "host_floor_samples": floor_samples,
         "host_floor_sec": host_floor,
+        "host_floor_shuffle_samples": floor_shuffle_samples,
+        "host_floor_shuffle_sec": host_floor_shuffle,
         "shared_prev_round_warm": shared_prev,
         "shared_r4_warm": shared_r4,
         "shared_r5_warm": shared_r5,

@@ -7,9 +7,13 @@ Two families, both verdict-directed:
   the downstream Prometheus to rate() — this engine completes the
   computation): ``rate()``/``increase()`` compiled onto the shared
   boundary-extrapolation kernel (functions/rate.py, the driver-green
-  events_rate_5m expression tree), and ``histogram_quantile(phi, ...)``
+  events_rate_5m expression tree), ``histogram_quantile(phi, ...)``
   compiled onto bucket_percentile_scaled in prometheus-interpolation
-  mode. Both graded from PromQL TEXT through the parser.
+  mode, the ``offset`` modifier (grid-shift evaluation), ``topk``
+  with a deterministic tiebreak, the ``quantile by`` aggregation and
+  ``quantile_over_time`` (both carrying PromQL's linear interpolation
+  in exact integer arithmetic). All graded from PromQL TEXT through
+  the parser.
 - The streaming surface's first driver-graded row:
   ``events_rules_stream_1h`` runs the continuous recording-rules
   operator (streaming/pipeline.recording_rules_stream) over a real
