@@ -210,6 +210,11 @@ def events_rules_stream_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     q.stop()
+    # the stream is drained: the staged source copy and checkpoint are
+    # dead weight (tmp/out must outlive us — the returned DataFrame
+    # reads from it lazily)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
     max_ts = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
     cutoff = F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
     return (
