@@ -80,6 +80,36 @@ class TestLoadgen:
         assert {"test_gauge_0", "response_time_exponential"} <= names
         assert any(n.startswith("http_request_duration_") for n in names)
 
+    def test_http_mode_posts_to_the_receiver(self, tmp_path):
+        # loadgen --endpoint drives the real OTLP/HTTP receiver; every
+        # tick must land as one atomic drop file (no Spark involved)
+        import threading
+
+        from clickhouse_metrics_pipeline_spark.sources.otlp_http import (
+            make_otlp_http_server,
+        )
+
+        drop = tmp_path / "http_drop"
+        srv = make_otlp_http_server(str(drop))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = srv.server_address[1]
+            subprocess.run(
+                [sys.executable, "tools/loadgen.py",
+                 "--endpoint", f"http://127.0.0.1:{port}/v1/metrics",
+                 "--ticks", "6", "--seed", "3",
+                 "--start-ns",
+                 str((int(time.time()) - 120) * 1_000_000_000)],
+                check=True, capture_output=True,
+            )
+        finally:
+            srv.shutdown()
+        files = list(drop.glob("export-*.json"))
+        assert len(files) == 6
+        payload = json.loads(files[0].read_text())
+        assert payload["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+
     @pytest.mark.slow
     def test_drop_dir_ingests_end_to_end(self, spark, tmp_path):
         from clickhouse_metrics_pipeline_spark.sources.otlp import (
