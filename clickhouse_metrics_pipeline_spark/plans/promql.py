@@ -8,7 +8,9 @@ kernels the catalog queries use:
 
     expr     := aggop | call | histq | topk | quant
     aggop    := ('sum'|'avg'|'min'|'max'|'count')
-                'by' '(' label (',' label)* ')' '(' call ')'
+                ('by'|'without') '(' label (',' label)* ')' '(' call ')'
+                -- 'without' groups by the REMAINING labels; the output
+                   keeps the labels map (minus the dropped keys)
     call     := fname '(' (phi ',')? selector range ')'
                 -- the phi argument only for quantile_over_time
     range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
@@ -144,6 +146,9 @@ class PromQuery:
     outer: str | None = None
     param: int | None = None
     k: int | None = None
+    # 'without' aggregation: group by every label EXCEPT these (by
+    # stays empty; the output keeps the pruned labels map)
+    without: tuple[str, ...] = field(default_factory=tuple)
 
 
 class PromQLError(ValueError):
@@ -228,11 +233,12 @@ class _Parser:
             self.eat("op", ",")
             q = self._aggop_or_call()
             self.eat("op", ")")
-            if q.agg is None:
+            if q.agg is None or q.without:
                 raise PromQLError(
                     "topk/bottomk subset requires an aggregated inner "
-                    "expression (agg by (...) (...)) so the tiebreak "
-                    "order is well-defined"
+                    "expression with a by (...) clause so the tiebreak "
+                    "order is well-defined (without-form has no "
+                    "orderable by-columns)"
                 )
             q = replace(q, outer=v, k=int(raw_k))
             if self.i != len(self.toks):
@@ -259,6 +265,15 @@ class _Parser:
         if self.i != len(self.toks):
             raise PromQLError(f"trailing input from token {self.i}")
         return q
+
+    def _label_list(self) -> tuple[str, ...]:
+        self.eat("op", "(")
+        labels = [self.eat("ident")]
+        while self.peek() == ("op", ","):
+            self.eat("op", ",")
+            labels.append(self.eat("ident"))
+        self.eat("op", ")")
+        return tuple(labels)
 
     def _by_clause(self) -> tuple[str, ...]:
         self.eat("ident", "by")
@@ -295,6 +310,13 @@ class _Parser:
             return replace(q, agg="quantile", by=by, param=p100)
         if k == "ident" and v in _AGGS:
             agg = self.eat("ident")
+            if self.peek() == ("ident", "without"):
+                self.eat("ident", "without")
+                without = self._label_list()
+                self.eat("op", "(")
+                q = self._call()
+                self.eat("op", ")")
+                return replace(q, agg=agg, without=without)
             by = self._by_clause()
             self.eat("op", "(")
             q = self._call()
@@ -480,6 +502,16 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
     if q.agg is None:
         return g
+    if q.without:
+        return _agg_without(
+            q,
+            g.select(
+                "labels",
+                "bucket_ts",
+                F.round(F.col("value") * 1e6).cast("bigint").alias("value"),
+            ),
+            avg_scale=1,
+        )
     keys = [
         F.coalesce(
             F.element_at(F.col("labels"), F.lit(k)), F.lit("")
@@ -606,6 +638,8 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
     )
     if q.agg is None:
         return g
+    if q.without:
+        return _agg_without(q, g)
     keys = [
         F.coalesce(
             F.element_at(F.col("labels"), F.lit(k)), F.lit("")
@@ -683,6 +717,44 @@ def _quantile_agg(q: PromQuery, keyed: DataFrame) -> DataFrame:
             F.col("_vlo") * F.lit(10000)
             + (F.col("_vhi") - F.col("_vlo")) * F.col("_rem") * F.lit(100)
         ).alias("value"),
+    )
+
+
+def _agg_without(q: PromQuery, g: DataFrame, avg_scale: int = 10000) -> DataFrame:
+    """PromQL 'without' aggregation: group by the labels map minus the
+    dropped keys (Spark groups map columns natively); the output keeps
+    the pruned labels map. rate/increase arrive here already converted
+    to BIGINT micro-units by _rate_plan (with avg_scale=1 — micro-units
+    are already a scaled representation, matching the by-form), so
+    every agg is integer."""
+    drop = F.array(*[F.lit(k) for k in q.without])
+    pruned = F.map_filter(
+        "labels", lambda k, _: ~F.array_contains(drop, k)
+    )
+    grouped = g.select(
+        pruned.alias("labels"), "bucket_ts", "value"
+    ).groupBy("labels", "bucket_ts")
+    if q.agg == "avg":
+        out = grouped.agg(
+            F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")
+        )
+        mag = _floordiv_exact(
+            F.lit(2) * F.abs(F.col("_s")) * F.lit(avg_scale) + F.col("_n"),
+            F.lit(2) * F.col("_n"),
+        )
+        return out.select(
+            "labels",
+            "bucket_ts",
+            F.when(F.col("_s") < 0, -mag).otherwise(mag).alias("value"),
+        )
+    agg_fn = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda _: F.count(F.lit(1)),
+    }[q.agg]
+    return grouped.agg(
+        agg_fn(F.col("value")).cast("bigint").alias("value")
     )
 
 

@@ -78,6 +78,86 @@ class TestParser:
         assert got == []
 
 
+class TestParserProperties:
+    """Hypothesis: the parser is total — arbitrary input either parses
+    or raises PromQLError, never anything else; and every query the
+    subset grammar can produce round-trips through parse()."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_garbage_never_crashes(self, text):
+        try:
+            parse(text)
+        except PromQLError:
+            pass
+
+    _label = st.sampled_from(["event_type", "user", "env", "a_b"])
+    _dur = st.tuples(
+        st.integers(1, 90), st.sampled_from(["m", "h", "d"])
+    ).map(lambda t: f"{t[0]}{t[1]}")
+    @given(
+        fname=st.sampled_from(
+            [
+                "count_over_time", "sum_over_time", "avg_over_time",
+                "min_over_time", "max_over_time", "last_over_time",
+                "present_over_time", "delta", "rate", "increase",
+            ]
+        ),
+        dur=_dur,
+        off=st.one_of(st.none(), _dur),
+        agg=st.one_of(
+            st.none(),
+            st.sampled_from(["sum", "avg", "min", "max", "count"]),
+        ),
+        mode=st.sampled_from(["by", "without"]),
+        labels=st.lists(_label, min_size=1, max_size=3, unique=True),
+        vals=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters='"\\',
+                    blacklist_categories=("Cs",),
+                ),
+                max_size=8,
+            ),
+            min_size=0,
+            max_size=2,
+        ),
+        ops=st.lists(
+            st.sampled_from(["=", "!=", "=~", "!~"]),
+            min_size=2,
+            max_size=2,
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_generated_queries_round_trip(
+        self, fname, dur, off, agg, mode, labels, vals, ops
+    ):
+        sel = "events"
+        if vals:
+            ms = ",".join(
+                f'l{i}{ops[i]}"{v}"' for i, v in enumerate(vals)
+            )
+            sel += "{" + ms + "}"
+        call = f"{fname}({sel}[{dur}]"
+        if off:
+            call += f" offset {off}"
+        call += ")"
+        text = (
+            f"{agg} {mode} ({','.join(labels)}) ({call})" if agg else call
+        )
+        q = parse(text)
+        assert q.func == fname and q.metric == "events"
+        assert len(q.matchers) == len(vals)
+        if agg:
+            assert q.agg == agg
+            got = q.without if mode == "without" else q.by
+            assert got == tuple(labels)
+        if off:
+            assert q.offset_s > 0
+
+
 class TestCompile:
     def _series(self, spark):
         # the series-frame contract is a micros TIMESTAMP ts — use the
@@ -410,6 +490,43 @@ class TestCompile:
     def test_batch2_rejects_out_of_subset(self, bad):
         with pytest.raises(PromQLError):
             parse(bad)
+
+    def test_without_matches_by_complement(self, spark):
+        # labels are {event_type, user}: without (user) == by (event_type)
+        s = self._series(spark)
+        wo = {
+            (r.labels["event_type"], r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum without (user) (count_over_time(events[1h]))", s
+            ).collect()
+        }
+        by = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (count_over_time(events[1h]))", s
+            ).collect()
+        }
+        assert wo == by and wo
+        # the pruned map no longer carries the dropped key
+        one = compile_promql(
+            "sum without (user) (count_over_time(events[1h]))", s
+        ).first()
+        assert set(one.labels) == {"event_type"}
+
+    def test_without_all_labels_gives_global_series(self, spark):
+        rows = compile_promql(
+            "sum without (user, event_type) (count_over_time(events[1h]))",
+            self._series(spark),
+        ).collect()
+        assert rows and all(r.labels == {} for r in rows)
+        # one row per window, the global count
+        assert len({r.bucket_ts for r in rows}) == len(rows)
+
+    def test_topk_rejects_without_form(self):
+        with pytest.raises(PromQLError):
+            parse(
+                "topk(2, sum without (user) (count_over_time(e[1h])))"
+            )
 
     def test_matcher_absent_label_semantics(self, spark):
         # a label that never exists: NEQ matches everything (Prometheus
