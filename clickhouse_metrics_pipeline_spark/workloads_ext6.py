@@ -425,3 +425,97 @@ FROM pick GROUP BY 1, 2
 
 EXTRA6_QUERIES["promql_q90_over_time"] = promql_q90_over_time
 EXTRA6_ORACLE["promql_q90_over_time"] = PROMQL_QOT_SQL
+
+
+# --------------------------------------------------------------------------
+# Second streaming-graded row: the windowed rollup MV as a stream
+# --------------------------------------------------------------------------
+
+
+def events_rollup_stream_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed rollup (streaming/pipeline.rollup_stream —
+    the continuous form of the reference's 1m MV, schema.sql:146-192)
+    run over a real file stream with availableNow, graded on its
+    hash-exact columns: per (metric, series, 1-minute window) min, max
+    and sample count. value_sum/value_avg are float-combine columns
+    (order-dependent addition) and value_last needs a unique-ts
+    tiebreak, so the graded projection deliberately excludes them —
+    the batch catalog grades those semantics via the integer-cents
+    rollup queries instead. Same watermark-safe cutoff contract as
+    events_rules_stream_1h. The series key is an md5 canonical
+    fingerprint both engines can compute."""
+    from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+        rollup_stream,
+    )
+
+    raw = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="rollup_stream_src_")
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        shutil.copytree(path, f"{src}/events.parquet")
+    else:
+        shutil.copy(path, f"{src}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    shaped = stream.select(
+        F.col("ts").alias("timestamp"),
+        F.lit("default").alias("workspaceId"),
+        F.col("event_type").alias("metric"),
+        F.md5(
+            F.concat_ws("|", F.col("event_type"), F.col("user_id"))
+        ).alias("series_hash"),
+        F.col("value"),
+        F.lit(None).cast("double").alias("sum"),
+        F.lit(None).cast("bigint").alias("count"),
+    )
+    out = rollup_stream(shaped, grain="1 minute")
+    tmp = tempfile.mkdtemp(prefix="rollup_stream_")
+    q = (
+        out.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .format("parquet")
+        .start(f"{tmp}/out")
+    )
+    q.awaitTermination(600)
+    q.stop()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    max_ts = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
+    return (
+        spark.read.parquet(f"{tmp}/out")
+        .where(F.col("bucket_ts") + F.expr("INTERVAL 1 MINUTE") <= cutoff)
+        .select(
+            "metric",
+            "series_hash",
+            "bucket_ts",
+            "value_min",
+            "value_max",
+            "samples_count",
+        )
+    )
+
+
+EVENTS_ROLLUP_STREAM_SQL = f"""
+WITH mx AS (
+  SELECT max(ts) - INTERVAL 20 MINUTE AS cutoff FROM {_EV_SQL}
+)
+SELECT event_type AS metric,
+       md5(event_type || '|' || user_id::VARCHAR) AS series_hash,
+       time_bucket(INTERVAL 1 MINUTE, ts) AS bucket_ts,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       count(*) AS samples_count
+FROM {_EV_SQL}
+GROUP BY 1, 2, 3
+HAVING bucket_ts + INTERVAL 1 MINUTE <= (SELECT cutoff FROM mx)
+"""
+
+EXTRA6_QUERIES["events_rollup_stream_1m"] = events_rollup_stream_1m
+EXTRA6_ORACLE["events_rollup_stream_1m"] = EVENTS_ROLLUP_STREAM_SQL
