@@ -251,11 +251,12 @@ class _Parser:
             self.eat("op", ",")
             q = self._aggop_or_call()
             self.eat("op", ")")
-            if q.agg != "sum" or q.func != "count_over_time":
+            if q.agg != "sum" or q.func != "count_over_time" or q.without:
                 raise PromQLError(
                     "histogram_quantile subset requires the merged-"
                     "histogram shape: sum by (...) "
-                    "(count_over_time(selector[range]))"
+                    "(count_over_time(selector[range])) — the without-"
+                    "form has no by-columns to group the histograms on"
                 )
             # replace(), not a positional rebuild: the inner call may
             # carry offset_s
@@ -406,6 +407,17 @@ def _cents(c: Column) -> Column:
     return F.round(c * 100).cast("bigint")
 
 
+def _half_up_scaled_mean(s: Column, n: Column, scale: int) -> Column:
+    """Sign-aware half-up mean of an integer sum over a count, scaled:
+    sign(s) * floor((2*|s|*scale + n) / (2*n)) — the one rounding rule
+    every avg in this module uses, DECIMAL(38,0)-exact at any
+    magnitude (BIGINT/BIGINT double division loses ULPs past 2^53)."""
+    mag = _floordiv_exact(
+        F.lit(2) * F.abs(s) * F.lit(scale) + n, F.lit(2) * n
+    )
+    return F.when(s < 0, -mag).otherwise(mag)
+
+
 def _by_keys(q: PromQuery) -> list[Column]:
     return [
         F.coalesce(
@@ -524,14 +536,13 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         out = g.groupBy(*q.by, "bucket_ts").agg(
             F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")
         )
-        mag = _floordiv_exact(
-            F.lit(2) * F.abs(F.col("_s")) + F.col("_n"),
-            F.lit(2) * F.col("_n"),
-        )
+        # scale=1: micro-units are already a scaled representation
         return out.select(
             *q.by,
             "bucket_ts",
-            F.when(F.col("_s") < 0, -mag).otherwise(mag).alias("value"),
+            _half_up_scaled_mean(
+                F.col("_s"), F.col("_n"), 1
+            ).alias("value"),
         )
     agg_fn = {
         "sum": F.sum,
@@ -615,16 +626,13 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
         g = per_series.agg(
             F.sum(c).alias("_c"), F.count(F.lit(1)).alias("_n")
         )
-        # exact decimal route — BIGINT/BIGINT double division loses
-        # ULPs past 2^53 (same fix as plans/rules.py)
-        mag = _floordiv_exact(
-            F.lit(200) * F.abs(F.col("_c")) + F.col("_n"),
-            F.lit(2) * F.col("_n"),
-        )
+        # cents x scale 100 = the half-up value*10000 contract
         g = g.select(
             "labels",
             "w",
-            F.when(F.col("_c") < 0, -mag).otherwise(mag).alias("value"),
+            _half_up_scaled_mean(
+                F.col("_c"), F.col("_n"), 100
+            ).alias("value"),
         )
     elif q.func == "delta":
         g = per_series.agg(
@@ -661,16 +669,14 @@ def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
             g.groupBy(*keys, "bucket_ts")
             .agg(F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n"))
         )
-        mag = _floordiv_exact(
-            F.lit(2) * F.abs(F.col("_s")) * F.lit(10000) + F.col("_n"),
-            F.lit(2) * F.col("_n"),
-        )
         return _apply_topk(
             q,
             out.select(
                 *q.by,
                 "bucket_ts",
-                F.when(F.col("_s") < 0, -mag).otherwise(mag).alias("value"),
+                _half_up_scaled_mean(
+                    F.col("_s"), F.col("_n"), 10000
+                ).alias("value"),
             ),
         )
     return _apply_topk(
@@ -738,14 +744,12 @@ def _agg_without(q: PromQuery, g: DataFrame, avg_scale: int = 10000) -> DataFram
         out = grouped.agg(
             F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")
         )
-        mag = _floordiv_exact(
-            F.lit(2) * F.abs(F.col("_s")) * F.lit(avg_scale) + F.col("_n"),
-            F.lit(2) * F.col("_n"),
-        )
         return out.select(
             "labels",
             "bucket_ts",
-            F.when(F.col("_s") < 0, -mag).otherwise(mag).alias("value"),
+            _half_up_scaled_mean(
+                F.col("_s"), F.col("_n"), avg_scale
+            ).alias("value"),
         )
     agg_fn = {
         "sum": F.sum,

@@ -416,9 +416,16 @@ def recording_rules_stream(
         .groupBy(F.window(ts_col, grain).alias("w"), F.col(type_col))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
     )
-    mag = F.floor(
-        (F.lit(200) * F.abs(F.col("c")) + F.col("n")) / (F.lit(2) * F.col("n"))
-    ).cast("bigint")
+    # exact DECIMAL(38,0) route, matching the batch rules engine —
+    # BIGINT/BIGINT double division loses ULPs past 2^53, which would
+    # break the pinned stream≡batch equality at that magnitude
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        _floordiv_exact,
+    )
+
+    mag = _floordiv_exact(
+        F.lit(200) * F.abs(F.col("c")) + F.col("n"), F.lit(2) * F.col("n")
+    )
     avg_scaled = F.when(F.col("c") < 0, -mag).otherwise(mag)
     exprs = {
         "count": F.col("n"),

@@ -1168,7 +1168,7 @@ SELECT 'job:value:sum_cents_1h', event_type, bucket_ts, c FROM win
 UNION ALL
 SELECT 'job:value:avg_scaled_1h', event_type, bucket_ts,
        (CASE WHEN c < 0 THEN -1 ELSE 1 END)
-         * CAST(floor((200 * abs(c) + n) / (2 * n)) AS BIGINT)
+         * ((200 * abs(c)::HUGEINT + n) // (2 * n))::BIGINT
 FROM win
 UNION ALL
 SELECT 'job:events:share_ppm_1h', event_type, bucket_ts,
@@ -1253,7 +1253,7 @@ WITH per_series AS (
 )
 SELECT event_type, bucket_ts,
        (CASE WHEN s < 0 THEN -1 ELSE 1 END)
-         * CAST(floor((2 * abs(s) * 10000 + n) / (2 * n)) AS BIGINT) AS value
+         * ((2 * abs(s)::HUGEINT * 10000 + n) // (2 * n))::BIGINT AS value
 FROM g
 """
 

@@ -146,6 +146,70 @@ EXTRA6_QUERIES["promql_hist_p95"] = promql_hist_p95
 
 
 # --------------------------------------------------------------------------
+# Streaming graded rows (SS2.9): shared staging/run helpers
+# --------------------------------------------------------------------------
+
+
+def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """readStream over the (immutable, read-only) driver events parquet.
+
+    The file stream source needs a DIRECTORY, so the file is staged
+    into a temp source dir; ts gets the same normalization the batch
+    _events applies (NANOS files surface as bigint under nanosAsLong).
+    Returns (stream, staged_src_dir) — remove the dir once drained."""
+    raw = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix=prefix)
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        shutil.copytree(path, f"{src}/events.parquet")
+    else:
+        shutil.copy(path, f"{src}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    dt = dict(stream.dtypes)["ts"]
+    if dt == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif dt == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream, src
+
+
+def _drain_available_now(out: DataFrame, src: str, prefix: str) -> str:
+    """Run the streaming plan to completion (availableNow, append-mode
+    parquet sink), then drop the staged source and checkpoint — only
+    the output dir must outlive the call (the returned path is read
+    lazily by the graded DataFrame)."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    q = (
+        out.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .format("parquet")
+        .start(f"{tmp}/out")
+    )
+    q.awaitTermination(600)
+    q.stop()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return f"{tmp}/out"
+
+
+def _closed_windows(
+    spark: SparkSession, sf_dir: str, out_dir: str, grain_sql: str
+) -> DataFrame:
+    """Watermark-safe cutoff both engines restate: keep windows ending
+    at or before max(ts) - 20 min (margin over the 10-min watermark so
+    the comparison is independent of the >=/> eviction edge and of
+    microbatch slicing)."""
+    max_ts = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
+    return spark.read.parquet(out_dir).where(
+        F.col("bucket_ts") + F.expr(f"INTERVAL {grain_sql}") <= cutoff
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming recording rules as a driver-graded row (SS2.9)
 # --------------------------------------------------------------------------
 
@@ -179,48 +243,13 @@ def events_rules_stream_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("job:value:sum_cents_1h", "sum_cents"),
         Rule("job:value:avg_scaled_1h", "avg_scaled"),
     ]
-    raw = _t(spark, sf_dir, "events")
-    # the file stream source needs a DIRECTORY; stage the (immutable,
-    # read-only) driver file into a temp source dir
-    src = tempfile.mkdtemp(prefix="rules_stream_src_")
-    path = f"{sf_dir}/events.parquet"
-    if os.path.isdir(path):
-        shutil.copytree(path, f"{src}/events.parquet")
-    else:
-        shutil.copy(path, f"{src}/events.parquet")
-    stream = spark.readStream.schema(raw.schema).parquet(src)
-    # same ts normalization the batch _events applies (NANOS files
-    # surface as bigint under nanosAsLong)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream, src = _stage_events_stream(spark, sf_dir, "rules_stream_src_")
     out = recording_rules_stream(
         stream, rules, type_col="event_type", ts_col="ts", value_col="value"
     )
-    tmp = tempfile.mkdtemp(prefix="rules_stream_")
-    q = (
-        out.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .format("parquet")
-        .start(f"{tmp}/out")
-    )
-    q.awaitTermination(600)
-    q.stop()
-    # the stream is drained: the staged source copy and checkpoint are
-    # dead weight (tmp/out must outlive us — the returned DataFrame
-    # reads from it lazily)
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
-    max_ts = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
-    cutoff = F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
-    return (
-        spark.read.parquet(f"{tmp}/out")
-        .where(F.col("bucket_ts") + F.expr("INTERVAL 1 HOUR") <= cutoff)
-        .select("record", "event_type", "bucket_ts", "value")
+    out_dir = _drain_available_now(out, src, "rules_stream_")
+    return _closed_windows(spark, sf_dir, out_dir, "1 HOUR").select(
+        "record", "event_type", "bucket_ts", "value"
     )
 
 
@@ -243,7 +272,7 @@ SELECT 'job:value:sum_cents_1h', event_type, bucket_ts, c FROM closed
 UNION ALL
 SELECT 'job:value:avg_scaled_1h', event_type, bucket_ts,
        (CASE WHEN c < 0 THEN -1 ELSE 1 END)
-         * CAST(floor((200 * abs(c) + n) / (2 * n)) AS BIGINT)
+         * ((200 * abs(c)::HUGEINT + n) // (2 * n))::BIGINT
 FROM closed
 """
 
@@ -448,20 +477,7 @@ def events_rollup_stream_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup_stream,
     )
 
-    raw = _t(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="rollup_stream_src_")
-    path = f"{sf_dir}/events.parquet"
-    if os.path.isdir(path):
-        shutil.copytree(path, f"{src}/events.parquet")
-    else:
-        shutil.copy(path, f"{src}/events.parquet")
-    stream = spark.readStream.schema(raw.schema).parquet(src)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream, src = _stage_events_stream(spark, sf_dir, "rollup_stream_src_")
     shaped = stream.select(
         F.col("ts").alias("timestamp"),
         F.lit("default").alias("workspaceId"),
@@ -474,31 +490,14 @@ def events_rollup_stream_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("count"),
     )
     out = rollup_stream(shaped, grain="1 minute")
-    tmp = tempfile.mkdtemp(prefix="rollup_stream_")
-    q = (
-        out.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .format("parquet")
-        .start(f"{tmp}/out")
-    )
-    q.awaitTermination(600)
-    q.stop()
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
-    max_ts = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
-    cutoff = F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
-    return (
-        spark.read.parquet(f"{tmp}/out")
-        .where(F.col("bucket_ts") + F.expr("INTERVAL 1 MINUTE") <= cutoff)
-        .select(
-            "metric",
-            "series_hash",
-            "bucket_ts",
-            "value_min",
-            "value_max",
-            "samples_count",
-        )
+    out_dir = _drain_available_now(out, src, "rollup_stream_")
+    return _closed_windows(spark, sf_dir, out_dir, "1 MINUTE").select(
+        "metric",
+        "series_hash",
+        "bucket_ts",
+        "value_min",
+        "value_max",
+        "samples_count",
     )
 
 

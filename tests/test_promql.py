@@ -218,6 +218,10 @@ class TestCompile:
             "histogram_quantile(0.95, sum by (t) (sum_over_time(e[1h])))",
             "histogram_quantile(0.95, count_over_time(e[1h]))",
             "histogram_quantile(0.95, avg by (t) (count_over_time(e[1h])))",
+            # without-form has no by-columns to group the histograms on
+            # (was silently accepted and merged all series globally)
+            "histogram_quantile(0.95, sum without (u) "
+            "(count_over_time(e[1h])))",
         ],
     )
     def test_hist_quantile_rejects_out_of_subset(self, bad):

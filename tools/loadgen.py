@@ -18,11 +18,13 @@ Behavior parity with the reference generator (otlp_generator.go:97-210):
   lambda=0.01) — the shape the reference's simulateExponentialHistogram
   emits (otlp_generator.go:219-254).
 
-Differences, deliberate: deterministic (--seed feeds one random.Random;
-two runs with the same flags emit byte-identical payloads — the
-reference seeds from wall clock), and the transport is OTLP/HTTP JSON
-or the file-drop dir (the container has no grpcio; the gRPC *binding*
-is the documented S1 residual).
+Differences, deliberate: deterministic (--seed feeds one random.Random,
+so two runs with the same flags INCLUDING an explicit --start-ns emit
+byte-identical payloads — without --start-ns the timestamp base comes
+from the wall clock, so values repeat but timeUnixNano differs; the
+reference seeds everything from wall clock), and the transport is
+OTLP/HTTP JSON or the file-drop dir (the container has no grpcio; the
+gRPC *binding* is the documented S1 residual).
 
 Usage:
   python tools/loadgen.py --drop-dir /tmp/otlp-drop --ticks 50
