@@ -6,7 +6,15 @@ queries users actually type are PromQL. This module adds the missing
 front-end for a well-defined subset, compiled onto the same engine
 kernels the catalog queries use:
 
-    expr     := aggop | call | histq | topk | quant
+    expr     := binop | aggop | call | histq | topk | quant
+    binop    := aggop ('/'|'+'|'-'|'*') aggop
+                -- vector arithmetic between two aggregated vectors
+                   with IDENTICAL by-labels (the on(...) match is the
+                   by-tuple); windows join on bucket_ts, so ranges
+                   must be equal while offsets may differ (the
+                   week-over-week shape). '/' emits truncated ppm
+                   (BIGINT, integer exactness); rows whose rhs is 0
+                   are dropped (PromQL's +Inf is not representable)
     aggop    := ('sum'|'avg'|'min'|'max'|'count')
                 ('by'|'without') '(' label (',' label)* ')' '(' call ')'
                 -- 'without' groups by the REMAINING labels; the output
@@ -120,7 +128,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
     r"|(?P<num>\d+(?:\.\d+)?)"
-    r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,))"
+    r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|/|\+|-|\*))"
 )
 
 _OPS = {"=": MatchType.EQ, "!=": MatchType.NEQ, "=~": MatchType.RE, "!~": MatchType.NRE}
@@ -149,6 +157,20 @@ class PromQuery:
     # 'without' aggregation: group by every label EXCEPT these (by
     # stays empty; the output keeps the pruned labels map)
     without: tuple[str, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class BinQuery:
+    """Vector arithmetic between two aggregated vectors (see the
+    ``binop`` grammar rule). Both sides must carry the same agg
+    by-labels; the by-tuple is the vector-matching key."""
+
+    lhs: PromQuery
+    op: str  # '/', '+', '-', '*'
+    rhs: PromQuery
+
+
+_ARITH_OPS = ("/", "+", "-", "*")
 
 
 class PromQLError(ValueError):
@@ -219,7 +241,7 @@ class _Parser:
             )
         return int(round(p100))
 
-    def parse(self) -> PromQuery:
+    def parse(self) -> PromQuery | BinQuery:
         from dataclasses import replace
 
         k, v = self.peek()
@@ -263,6 +285,33 @@ class _Parser:
             q = replace(q, quantile=p100)
         else:
             q = self._aggop_or_call()
+            k2, v2 = self.peek()
+            if k2 == "op" and v2 in _ARITH_OPS:
+                self.eat("op")
+                rhs = self._aggop_or_call()
+                for side, name in ((q, "left"), (rhs, "right")):
+                    if side.agg is None or side.without or not side.by:
+                        raise PromQLError(
+                            f"binary-op {name} side must be an "
+                            "agg by (...) expression (the by-tuple is "
+                            "the vector-matching key)"
+                        )
+                if q.by != rhs.by:
+                    raise PromQLError(
+                        "binary-op sides must aggregate by the same "
+                        f"labels, got {q.by} vs {rhs.by}"
+                    )
+                if q.range_s != rhs.range_s:
+                    raise PromQLError(
+                        "binary-op sides must use the same range so "
+                        "their windows align (offsets may differ), "
+                        f"got {q.range_s}s vs {rhs.range_s}s"
+                    )
+                if self.i != len(self.toks):
+                    raise PromQLError(
+                        f"trailing input from token {self.i}"
+                    )
+                return BinQuery(q, v2, rhs)
         if self.i != len(self.toks):
             raise PromQLError(f"trailing input from token {self.i}")
         return q
@@ -383,7 +432,7 @@ class _Parser:
         return int(raw_n) * self._UNITS[unit]
 
 
-def parse(text: str) -> PromQuery:
+def parse(text: str) -> PromQuery | BinQuery:
     return _Parser(_tokenize(text)).parse()
 
 
@@ -555,12 +604,45 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
 
 
-def compile_promql(query: str | PromQuery, series: DataFrame) -> DataFrame:
+def _bin_plan(b: BinQuery, series: DataFrame) -> DataFrame:
+    """Vector arithmetic: compile both sides, inner-join on
+    (by-labels, bucket_ts). '+'/'-'/'*' stay in the sides' integer
+    units; '/' emits sign-aware truncated ppm through the exact
+    decimal divider, dropping rhs==0 rows (PromQL's +Inf is not
+    representable as BIGINT). The join is a tiny aggregated-vector
+    join — at scale both sides have already reduced to the by-grain,
+    so AQE broadcasts the smaller one."""
+    keys = list(b.lhs.by) + ["bucket_ts"]
+    lhs = compile_promql(b.lhs, series).withColumnRenamed("value", "_l")
+    rhs = compile_promql(b.rhs, series).withColumnRenamed("value", "_r")
+    j = lhs.join(rhs, keys)
+    if b.op == "/":
+        j = j.where(F.col("_r") != 0)
+        sign = F.when(
+            (F.col("_l") < 0) != (F.col("_r") < 0), F.lit(-1)
+        ).otherwise(F.lit(1))
+        val = sign * _floordiv_exact(
+            F.abs(F.col("_l")) * F.lit(1_000_000), F.abs(F.col("_r"))
+        )
+    elif b.op == "+":
+        val = F.col("_l") + F.col("_r")
+    elif b.op == "-":
+        val = F.col("_l") - F.col("_r")
+    else:
+        val = F.col("_l") * F.col("_r")
+    return j.select(*keys, val.cast("bigint").alias("value"))
+
+
+def compile_promql(
+    query: str | PromQuery | BinQuery, series: DataFrame
+) -> DataFrame:
     """Compile the parsed query onto a series frame. Output columns:
     the by-labels (or ``labels`` map for unaggregated calls),
     ``bucket_ts``, and ``value`` (BIGINT; see the exactness contract
     in the module docstring)."""
     q = parse(query) if isinstance(query, str) else query
+    if isinstance(q, BinQuery):
+        return _bin_plan(q, series)
     df = series.where(F.col("metric") == q.metric)
     if q.matchers:
         df = df.where(compile_matchers(list(q.matchers)))

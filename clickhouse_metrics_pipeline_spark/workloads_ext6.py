@@ -518,3 +518,51 @@ HAVING bucket_ts + INTERVAL 1 MINUTE <= (SELECT cutoff FROM mx)
 
 EXTRA6_QUERIES["events_rollup_stream_1m"] = events_rollup_stream_1m
 EXTRA6_ORACLE["events_rollup_stream_1m"] = EVENTS_ROLLUP_STREAM_SQL
+
+
+# --------------------------------------------------------------------------
+# PromQL binary op: the week-over-week ratio from text
+# --------------------------------------------------------------------------
+
+PROMQL_WOW_QUERY = (
+    "sum by (event_type) (count_over_time(events[1d])) / "
+    "sum by (event_type) (count_over_time(events[1d] offset 7d))"
+)
+
+
+def promql_wow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL vector arithmetic: daily counts divided by week-ago
+    daily counts per event type, in truncated ppm — the
+    events_wow_ratio kernel reachable from PromQL TEXT. The offset
+    grid-shift puts week-ago data into the current evaluation window,
+    the by-tuple is the vector-matching key, and the division rides
+    the exact decimal floor divider."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_WOW_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_WOW_SQL = f"""
+WITH cur AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         count(*) AS c
+  FROM {_EV_SQL} GROUP BY 1, 2
+), prv AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 1 DAY, ts + INTERVAL 7 DAY) AS bucket_ts,
+         count(*) AS c
+  FROM {_EV_SQL} GROUP BY 1, 2
+)
+SELECT cur.event_type, cur.bucket_ts,
+       ((cur.c * 1000000) // prv.c)::BIGINT AS value
+FROM cur JOIN prv USING (event_type, bucket_ts)
+WHERE prv.c != 0
+"""
+
+EXTRA6_QUERIES["promql_wow_ratio"] = promql_wow_ratio
+EXTRA6_ORACLE["promql_wow_ratio"] = PROMQL_WOW_SQL

@@ -532,6 +532,66 @@ class TestCompile:
                 "topk(2, sum without (user) (count_over_time(e[1h])))"
             )
 
+    def test_binary_ops_match_python_join(self, spark):
+        s = self._series(spark)
+        counts = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (count_over_time(events[6h]))", s
+            ).collect()
+        }
+        sums = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (sum_over_time(events[6h]))", s
+            ).collect()
+        }
+        ratio = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (sum_over_time(events[6h])) / "
+                "sum by (event_type) (count_over_time(events[6h]))",
+                s,
+            ).collect()
+        }
+        want = {
+            k: (sums[k] * 1_000_000) // counts[k]
+            for k in sums
+            if k in counts and counts[k] != 0 and sums[k] >= 0
+        }
+        # sums are non-negative on this corpus, so plain // matches
+        # the sign-aware truncation
+        assert ratio == want and ratio
+        plus = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (sum_over_time(events[6h])) + "
+                "sum by (event_type) (sum_over_time(events[6h]))",
+                s,
+            ).collect()
+        }
+        assert plus == {k: 2 * v for k, v in sums.items()} and plus
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # mismatched by-labels
+            "sum by (event_type) (count_over_time(e[1h])) / "
+            "sum by (user) (count_over_time(e[1h]))",
+            # mismatched ranges (windows would not align)
+            "sum by (t) (count_over_time(e[1h])) / "
+            "sum by (t) (count_over_time(e[2h]))",
+            # unaggregated side
+            "sum by (t) (count_over_time(e[1h])) / count_over_time(e[1h])",
+            # without-form side (no by-columns to match on)
+            "sum without (u) (count_over_time(e[1h])) / "
+            "sum without (u) (count_over_time(e[1h]))",
+        ],
+    )
+    def test_binary_op_rejects_out_of_subset(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
     def test_matcher_absent_label_semantics(self, spark):
         # a label that never exists: NEQ matches everything (Prometheus
         # absent-label rule), EQ matches nothing
