@@ -185,6 +185,7 @@ HEADLINE += [
     "promql_topk_types",
     "promql_offset_counts",
     "promql_quantile_by_type",
+    "promql_wow_ratio",
 ]
 
 # Coverage tier (round 6, verdict item): every catalog query gets at

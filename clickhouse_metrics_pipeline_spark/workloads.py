@@ -1680,13 +1680,15 @@ _ROTATION_FIRST: list[str] = [
     "q13_customer_distribution",
     "q19_discounted_revenue",
     "q21_waiting_supplier",
-    "q22_global_sales",
-    # PromQL batch 2 (topk / offset / quantile) takes the last three
-    # slots; the three r3-greens they displace (events_rollup_1h,
-    # events_ttl_retention, events_attr_merge) head round 7's rotation
+    # PromQL batch 2 (topk / offset / quantile) and the binary-op
+    # flagship (wow ratio from text) take the last four slots; the
+    # four r3-greens they displace (q22_global_sales,
+    # events_rollup_1h, events_ttl_retention, events_attr_merge) head
+    # round 7's rotation
     "promql_topk_types",
     "promql_offset_counts",
     "promql_quantile_by_type",
+    "promql_wow_ratio",
 ]
 
 
