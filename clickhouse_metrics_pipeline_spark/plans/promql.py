@@ -8,6 +8,12 @@ kernels the catalog queries use:
 
     expr     := binop | aggop | call | histq | topk | quant
     binop    := aggop ('/'|'+'|'-'|'*') aggop
+              | aggop ('+'|'-'|'*') INT
+              | aggop ('>'|'>='|'<'|'<='|'=='|'!=') INT
+                -- scalar forms: integer arithmetic keeps the side's
+                   units; comparisons FILTER the vector (PromQL
+                   instant-vector comparison semantics) and keep the
+                   value column unchanged
                 -- vector arithmetic between two aggregated vectors
                    with IDENTICAL by-labels (the on(...) match is the
                    by-tuple); windows join on bucket_ts, so ranges
@@ -128,7 +134,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
     r"|(?P<num>\d+(?:\.\d+)?)"
-    r"|(?P<op>=~|!~|!=|=|\{|\}|\(|\)|\[|\]|,|/|\+|-|\*))"
+    r"|(?P<op>=~|!~|!=|==|>=|<=|=|>|<|\{|\}|\(|\)|\[|\]|,|/|\+|-|\*))"
 )
 
 _OPS = {"=": MatchType.EQ, "!=": MatchType.NEQ, "=~": MatchType.RE, "!~": MatchType.NRE}
@@ -157,6 +163,9 @@ class PromQuery:
     # 'without' aggregation: group by every label EXCEPT these (by
     # stays empty; the output keeps the pruned labels map)
     without: tuple[str, ...] = field(default_factory=tuple)
+    # trailing scalar form: '> 100' filters, '* 3' rescales (INT only)
+    scalar_op: str | None = None
+    scalar: int | None = None
 
 
 @dataclass(frozen=True)
@@ -171,6 +180,8 @@ class BinQuery:
 
 
 _ARITH_OPS = ("/", "+", "-", "*")
+_CMP_OPS = (">", ">=", "<", "<=", "==", "!=")
+_SCALAR_ARITH = ("+", "-", "*")
 
 
 class PromQLError(ValueError):
@@ -286,6 +297,35 @@ class _Parser:
         else:
             q = self._aggop_or_call()
             k2, v2 = self.peek()
+            scalar_next = (
+                self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "num"
+            )
+            if k2 == "op" and (
+                v2 in _CMP_OPS or (v2 in _ARITH_OPS and scalar_next)
+            ):
+                self.eat("op")
+                raw = self.eat("num")
+                if "." in raw:
+                    raise PromQLError(
+                        f"scalar must be an integer (the exactness "
+                        f"contract), got {raw!r}"
+                    )
+                if v2 in _ARITH_OPS and v2 not in _SCALAR_ARITH:
+                    raise PromQLError(
+                        "scalar division is outside the subset (use a "
+                        "vector rhs for ppm division)"
+                    )
+                if q.agg is None:
+                    raise PromQLError(
+                        "scalar ops apply to aggregated vectors only"
+                    )
+                q = replace(q, scalar_op=v2, scalar=int(raw))
+                if self.i != len(self.toks):
+                    raise PromQLError(
+                        f"trailing input from token {self.i}"
+                    )
+                return q
             if k2 == "op" and v2 in _ARITH_OPS:
                 self.eat("op")
                 rhs = self._aggop_or_call()
@@ -564,6 +604,9 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     if q.agg is None:
         return g
     if q.without:
+        # _post_ops' scalar half is applied by the caller (compile
+        # routes rate plans through _post_ops); topk is rejected for
+        # the without-form at parse time
         return _agg_without(
             q,
             g.select(
@@ -656,7 +699,7 @@ def compile_promql(
     if q.quantile is not None:
         return _hist_quantile_plan(q, df)
     if q.func in _DOUBLE_FUNCS:
-        return _apply_topk(q, _rate_plan(q, df))
+        return _post_ops(q, _rate_plan(q, df))
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
     c = _cents(F.col("value"))
     # sample_id (when the frame carries one) makes min_by/max_by
@@ -729,7 +772,7 @@ def compile_promql(
     if q.agg is None:
         return g
     if q.without:
-        return _agg_without(q, g)
+        return _apply_scalar(q, _agg_without(q, g))
     keys = [
         F.coalesce(
             F.element_at(F.col("labels"), F.lit(k)), F.lit("")
@@ -737,7 +780,9 @@ def compile_promql(
         for k in q.by
     ]
     if q.agg == "quantile":
-        return _apply_topk(q, _quantile_agg(q, g.select(*keys, "bucket_ts", "value")))
+        return _post_ops(
+            q, _quantile_agg(q, g.select(*keys, "bucket_ts", "value"))
+        )
     agg_fn = {
         "sum": F.sum,
         "avg": None,
@@ -751,7 +796,7 @@ def compile_promql(
             g.groupBy(*keys, "bucket_ts")
             .agg(F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n"))
         )
-        return _apply_topk(
+        return _post_ops(
             q,
             out.select(
                 *q.by,
@@ -761,7 +806,7 @@ def compile_promql(
                 ).alias("value"),
             ),
         )
-    return _apply_topk(
+    return _post_ops(
         q,
         g.groupBy(*keys, "bucket_ts").agg(
             agg_fn(F.col("value")).cast("bigint").alias("value")
@@ -842,6 +887,29 @@ def _agg_without(q: PromQuery, g: DataFrame, avg_scale: int = 10000) -> DataFram
     return grouped.agg(
         agg_fn(F.col("value")).cast("bigint").alias("value")
     )
+
+
+def _apply_scalar(q: PromQuery, out: DataFrame) -> DataFrame:
+    """Trailing scalar form over the aggregated vector: comparisons
+    FILTER (PromQL instant-vector comparison — value kept unchanged),
+    integer arithmetic rescales in the side's own units."""
+    if q.scalar_op is None:
+        return out
+    v, sc = F.col("value"), F.lit(q.scalar)
+    if q.scalar_op in _CMP_OPS:
+        cond = {
+            ">": v > sc, ">=": v >= sc, "<": v < sc,
+            "<=": v <= sc, "==": v == sc, "!=": v != sc,
+        }[q.scalar_op]
+        return out.where(cond)
+    expr = {"+": v + sc, "-": v - sc, "*": v * sc}[q.scalar_op]
+    return out.withColumn("value", expr.cast("bigint"))
+
+
+def _post_ops(q: PromQuery, out: DataFrame) -> DataFrame:
+    """Every aggregated output path funnels through here: topk first
+    (PromQL's topk sees the raw vector), then the scalar form."""
+    return _apply_scalar(q, _apply_topk(q, out))
 
 
 def _apply_topk(q: PromQuery, out: DataFrame) -> DataFrame:

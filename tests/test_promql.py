@@ -592,6 +592,47 @@ class TestCompile:
         with pytest.raises(PromQLError):
             parse(bad)
 
+    def test_scalar_compare_filters_and_arith_rescales(self, spark):
+        s = self._series(spark)
+        base = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (count_over_time(events[6h]))", s
+            ).collect()
+        }
+        hot = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (count_over_time(events[6h])) > 5",
+                s,
+            ).collect()
+        }
+        assert hot == {k: v for k, v in base.items() if v > 5}
+        assert hot and len(hot) < len(base)
+        tripled = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (count_over_time(events[6h])) * 3",
+                s,
+            ).collect()
+        }
+        assert tripled == {k: 3 * v for k, v in base.items()}
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # scalar division outside the subset
+            "sum by (t) (count_over_time(e[1h])) / 2",
+            # float scalar breaks the exactness contract
+            "sum by (t) (count_over_time(e[1h])) > 1.5",
+            # unaggregated side
+            "count_over_time(e[1h]) > 5",
+        ],
+    )
+    def test_scalar_rejects_out_of_subset(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
     def test_matcher_absent_label_semantics(self, spark):
         # a label that never exists: NEQ matches everything (Prometheus
         # absent-label rule), EQ matches nothing
