@@ -13,14 +13,27 @@ kernels the catalog queries use:
                 -- scalar forms: integer arithmetic keeps the side's
                    units; comparisons FILTER the vector (PromQL
                    instant-vector comparison semantics) and keep the
-                   value column unchanged
+                   value column unchanged. The scalar is interpreted
+                   in the side's OUTPUT ENCODING (table below): after
+                   sum_over_time a '> 100' threshold means 100 cents,
+                   after an aggregated rate it means 100 micro-units
+                   (1e-4/s), after avg/quantile it means 100/10000 in
+                   raw units. Scale thresholds accordingly.
                 -- vector arithmetic between two aggregated vectors
                    with IDENTICAL by-labels (the on(...) match is the
-                   by-tuple); windows join on bucket_ts, so ranges
-                   must be equal while offsets may differ (the
-                   week-over-week shape). '/' emits truncated ppm
-                   (BIGINT, integer exactness); rows whose rhs is 0
-                   are dropped (PromQL's +Inf is not representable)
+                   by-tuple) and IDENTICAL output encodings (enforced
+                   at parse time via ``output_encoding`` — adding
+                   cents to value*10000 would be silently wrong);
+                   windows join on bucket_ts, so ranges must be equal
+                   while offsets may differ (the week-over-week
+                   shape). '/' emits truncated ppm (BIGINT, integer
+                   exactness) — with equal encodings the scales
+                   CANCEL, so the ppm ratio is the true raw-unit
+                   ratio; rows whose rhs is 0 are dropped (PromQL's
+                   +Inf is not representable). '*' runs through
+                   DECIMAL(38,0) with an explicit BIGINT overflow
+                   assert (cents*cents at large magnitudes would
+                   otherwise wrap silently)
     aggop    := ('sum'|'avg'|'min'|'max'|'count')
                 ('by'|'without') '(' label (',' label)* ')' '(' call ')'
                 -- 'without' groups by the REMAINING labels; the output
@@ -63,7 +76,29 @@ value*10000 (avg), quantile*10000 (histogram_quantile), or BIGINT
 micro-units for aggregated rate/increase — so compiled queries hash
 identically on any engine. The one exception: BARE (unaggregated)
 ``rate``/``increase`` emit round(double, 6) per series, the dedicated
-events_rate_5m kernel's own driver-green contract. rate/increase/
+events_rate_5m kernel's own driver-green contract.
+
+Output-encoding table (what one unit of the emitted BIGINT means in
+raw sample-value units; ``output_encoding`` computes this label and
+binops require both sides to match):
+
+    count_over_time / present_over_time / count agg   count (x1)
+    sum/min/max/last_over_time, delta                  cents (x100)
+    avg_over_time                                      x10000
+    quantile_over_time                                 cents x10000 (x1e6)
+    rate/increase, aggregated (sum/min/max/avg)        micro (x1e6 /s)
+    rate/increase, bare                                round(double, 6)
+    irate, aggregated / bare                           micro / double
+    histogram_quantile                                 x10000
+    avg or quantile AGG over an inner encoding E       E x10000
+    absent                                             count (0/1)
+    binop '/'                                          ppm ratio (x1e6)
+
+The avg/quantile aggregation multiplies its inner encoding by a
+further 10000 (the interpolation carries fractional precision in
+integer form), so e.g. ``avg by (t) (sum_over_time(x[1h]))`` is cents
+x10000 = raw x1e6. Scalar comparisons and arithmetic always operate
+in the side's encoding per the table. rate/increase/
 histogram_quantile compile onto those full-fidelity kernels
 (functions/rate.py boundary extrapolation + reset correction;
 bucket_percentile_scaled prometheus-mode interpolation) — no lossy
@@ -182,6 +217,46 @@ class BinQuery:
 _ARITH_OPS = ("/", "+", "-", "*")
 _CMP_OPS = (">", ">=", "<", "<=", "==", "!=")
 _SCALAR_ARITH = ("+", "-", "*")
+
+
+def output_encoding(q: PromQuery) -> str:
+    """The value column's encoding label (see the module docstring's
+    output-encoding table). Binary ops require both sides to carry the
+    SAME label — mixing e.g. cents with value*10000 would produce
+    silently wrong numbers vs PromQL; with equal labels the scales
+    cancel under '/' and add consistently under '+'/'-'."""
+    if q.quantile is not None:
+        return "value_x10000"  # histogram_quantile
+    if q.func in _DOUBLE_FUNCS:
+        if q.agg is None:
+            return "rate_double"
+        if q.agg == "count":
+            return "count"
+        # sum/min/max stay micro; avg of micro uses avg_scale=1, so
+        # the label is micro for every aggregated form
+        return "rate_micro"
+    base = {
+        "count_over_time": "count",
+        "present_over_time": "count",
+        "sum_over_time": "value_x100",
+        "min_over_time": "value_x100",
+        "max_over_time": "value_x100",
+        "last_over_time": "value_x100",
+        "delta": "value_x100",
+        "avg_over_time": "value_x10000",
+        "quantile_over_time": "value_x1000000",
+    }[q.func]
+    if q.agg is None or q.agg in ("sum", "min", "max"):
+        return base
+    if q.agg == "count":
+        return "count"
+    # avg / quantile aggregation: inner encoding x10000
+    return {
+        "count": "count_x10000",
+        "value_x100": "value_x1000000",
+        "value_x10000": "value_x100000000",
+        "value_x1000000": "value_x10000000000",
+    }[base]
 
 
 class PromQLError(ValueError):
@@ -346,6 +421,15 @@ class _Parser:
                         "binary-op sides must use the same range so "
                         "their windows align (offsets may differ), "
                         f"got {q.range_s}s vs {rhs.range_s}s"
+                    )
+                enc_l, enc_r = output_encoding(q), output_encoding(rhs)
+                if enc_l != enc_r:
+                    raise PromQLError(
+                        "binary-op sides must carry the same output "
+                        f"encoding (got {enc_l} vs {enc_r}) — mixing "
+                        "scaled units would be silently wrong; see "
+                        "the output-encoding table in the module "
+                        "docstring"
                     )
                 if self.i != len(self.toks):
                     raise PromQLError(
@@ -672,7 +756,23 @@ def _bin_plan(b: BinQuery, series: DataFrame) -> DataFrame:
     elif b.op == "-":
         val = F.col("_l") - F.col("_r")
     else:
-        val = F.col("_l") * F.col("_r")
+        # '*' of two scaled BIGINT vectors can exceed BIGINT (cents *
+        # cents at ~1e10 magnitudes); the product runs in DECIMAL(38,0)
+        # — exact for any int64*int64, max |p| = 2^126 < 1e38 — with an
+        # explicit overflow assert before the BIGINT narrowing
+        # (assert_true yields NULL on pass, raises on fail, so the
+        # when() collapses to the product and cannot be pruned)
+        prod = F.col("_l").cast("decimal(38,0)") * F.col("_r").cast(
+            "decimal(38,0)"
+        )
+        in_range = F.abs(prod) <= F.lit(2**63 - 1).cast("decimal(38,0)")
+        val = F.when(
+            F.assert_true(
+                in_range,
+                F.lit("PromQL '*' overflow: product exceeds BIGINT"),
+            ).isNull(),
+            prod,
+        )
     return j.select(*keys, val.cast("bigint").alias("value"))
 
 
@@ -892,7 +992,13 @@ def _agg_without(q: PromQuery, g: DataFrame, avg_scale: int = 10000) -> DataFram
 def _apply_scalar(q: PromQuery, out: DataFrame) -> DataFrame:
     """Trailing scalar form over the aggregated vector: comparisons
     FILTER (PromQL instant-vector comparison — value kept unchanged),
-    integer arithmetic rescales in the side's own units."""
+    integer arithmetic rescales in the side's own units. The scalar is
+    interpreted in the side's OUTPUT ENCODING (``output_encoding``;
+    table in the module docstring): ``> 1`` after an aggregated rate
+    means one micro-unit (1e-6/s), after sum_over_time one cent, after
+    avg-family one 1/10000th — callers scale thresholds accordingly.
+    This is a documented divergence from PromQL's raw-unit scalars,
+    the price of the integer exactness contract."""
     if q.scalar_op is None:
         return out
     v, sc = F.col("value"), F.lit(q.scalar)

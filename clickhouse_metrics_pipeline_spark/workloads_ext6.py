@@ -188,7 +188,14 @@ def _drain_available_now(out: DataFrame, src: str, prefix: str) -> str:
         .format("parquet")
         .start(f"{tmp}/out")
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # timed out: stopping here would leave a silently PARTIAL sink
+        # that grades wrong-but-plausible — fail loudly instead
+        q.stop()
+        raise RuntimeError(
+            "streaming availableNow drain exceeded 600s; refusing to "
+            "grade a partial sink"
+        )
     q.stop()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)

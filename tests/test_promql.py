@@ -546,22 +546,32 @@ class TestCompile:
                 "sum by (event_type) (sum_over_time(events[6h]))", s
             ).collect()
         }
+        mins = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (min_over_time(events[6h]))", s
+            ).collect()
+        }
+        # same-encoding division (cents / cents — the r7 encoding
+        # guard rejects the old cents/count mix): scales cancel, so
+        # the ppm ratio is the true raw-unit ratio
         ratio = {
             (r.event_type, r.bucket_ts): r.value
             for r in compile_promql(
                 "sum by (event_type) (sum_over_time(events[6h])) / "
-                "sum by (event_type) (count_over_time(events[6h]))",
+                "sum by (event_type) (min_over_time(events[6h]))",
                 s,
             ).collect()
         }
         want = {
-            k: (sums[k] * 1_000_000) // counts[k]
+            k: (sums[k] * 1_000_000) // mins[k]
             for k in sums
-            if k in counts and counts[k] != 0 and sums[k] >= 0
+            if k in mins and mins[k] != 0 and sums[k] >= 0 and mins[k] > 0
         }
-        # sums are non-negative on this corpus, so plain // matches
+        # sums/mins are non-negative on this corpus, so plain // matches
         # the sign-aware truncation
         assert ratio == want and ratio
+        assert counts  # corpus sanity for the reject cases below
         plus = {
             (r.event_type, r.bucket_ts): r.value
             for r in compile_promql(
@@ -586,11 +596,72 @@ class TestCompile:
             # without-form side (no by-columns to match on)
             "sum without (u) (count_over_time(e[1h])) / "
             "sum without (u) (count_over_time(e[1h]))",
+            # mismatched output encodings (the r7 ADVICE guard):
+            # cents vs count
+            "sum by (t) (sum_over_time(e[1h])) / "
+            "sum by (t) (count_over_time(e[1h]))",
+            # cents vs value*10000
+            "sum by (t) (sum_over_time(e[1h])) + "
+            "avg by (t) (avg_over_time(e[1h]))",
+            # micro-units vs count
+            "sum by (t) (rate(e[1h])) - "
+            "sum by (t) (count_over_time(e[1h]))",
         ],
     )
     def test_binary_op_rejects_out_of_subset(self, bad):
         with pytest.raises(PromQLError):
             parse(bad)
+
+    def test_output_encoding_labels(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            output_encoding,
+        )
+
+        cases = {
+            "sum by (t) (count_over_time(e[1h]))": "count",
+            "sum by (t) (sum_over_time(e[1h]))": "value_x100",
+            "avg by (t) (sum_over_time(e[1h]))": "value_x1000000",
+            "avg by (t) (avg_over_time(e[1h]))": "value_x100000000",
+            "quantile by (t) (0.5, sum_over_time(e[1h]))": "value_x1000000",
+            "sum by (t) (rate(e[5m]))": "rate_micro",
+            "rate(e[5m])": "rate_double",
+            "count by (t) (rate(e[5m]))": "count",
+            "histogram_quantile(0.95, sum by (t) "
+            "(count_over_time(e[1h])))": "value_x10000",
+        }
+        for text, enc in cases.items():
+            assert output_encoding(parse(text)) == enc, text
+
+    def test_mul_overflow_raises(self, spark):
+        # cents*cents beyond BIGINT must raise, not wrap: one series
+        # whose 6h sum is ~2^35 cents — squared is ~2^70 > 2^63-1
+        import datetime
+
+        from pyspark.sql import Row
+
+        big = float(2**35) / 100.0
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            Row(event_id=i, ts=t0 + datetime.timedelta(minutes=i),
+                user_id=1, event_type="a", value=big, props="")
+            for i in range(2)
+        ]
+        s = events_as_series(spark.createDataFrame(rows))
+        q = (
+            "sum by (event_type) (sum_over_time(events[6h])) * "
+            "sum by (event_type) (sum_over_time(events[6h]))"
+        )
+        with pytest.raises(Exception, match="overflow"):
+            compile_promql(q, s).collect()
+        # and a small product still multiplies exactly
+        small = [
+            Row(event_id=i, ts=t0 + datetime.timedelta(minutes=i),
+                user_id=1, event_type="a", value=2.0, props="")
+            for i in range(2)
+        ]
+        s2 = events_as_series(spark.createDataFrame(small))
+        got = compile_promql(q, s2).collect()
+        assert [r.value for r in got] == [400 * 400]
 
     def test_scalar_compare_filters_and_arith_rescales(self, spark):
         s = self._series(spark)
