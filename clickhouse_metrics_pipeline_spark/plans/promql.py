@@ -1018,12 +1018,30 @@ def _post_ops(q: PromQuery, out: DataFrame) -> DataFrame:
     return _apply_scalar(q, _apply_topk(q, out))
 
 
+# fan-out of the local pre-prune phase in _apply_topk: each evaluation
+# window's ranking work is spread over this many salted sub-partitions
+# before the global K-selection, so a single reducer never sees more
+# than ~cardinality/SALTS + SALTS*K rows
+_TOPK_SALTS = 32
+
+
 def _apply_topk(q: PromQuery, out: DataFrame) -> DataFrame:
     """topk/bottomk over the aggregated vector: per evaluation window,
     keep the K extreme rows by value with a DETERMINISTIC tiebreak
     (value, then the by-labels ascending) — real PromQL ties are
     nondeterministic; the divergence is the module's exactness
-    contract at work."""
+    contract at work.
+
+    Two-phase ranking (r7, verdict item): a single
+    Window.partitionBy(bucket_ts) puts every row of an evaluation
+    window on ONE reducer — fine at by(event_type) cardinality, a
+    hotspot for topk(10, sum by (user) ...) over millions of users.
+    Phase 1 salts the by-tuple into _TOPK_SALTS sub-partitions and
+    keeps a local top-K per (bucket_ts, salt); phase 2 ranks the
+    surviving <= SALTS*K rows per window globally. The (value
+    direction, by-labels asc) order is TOTAL, so every global top-K
+    row is also its salt's local top-K — the two phases are exactly
+    the single-phase result (pinned in tests/test_promql.py)."""
     if q.outer is None:
         return out
     from pyspark.sql.window import Window
@@ -1031,11 +1049,18 @@ def _apply_topk(q: PromQuery, out: DataFrame) -> DataFrame:
     direction = (
         F.col("value").desc() if q.outer == "topk" else F.col("value").asc()
     )
-    w = Window.partitionBy("bucket_ts").orderBy(
-        direction, *[F.col(k).asc() for k in q.by]
+    order = [direction, *[F.col(k).asc() for k in q.by]]
+    salt = F.pmod(F.xxhash64(*q.by), F.lit(_TOPK_SALTS))
+    w_local = Window.partitionBy("bucket_ts", "_salt").orderBy(*order)
+    pruned = (
+        out.withColumn("_salt", salt)
+        .select("*", F.row_number().over(w_local).alias("_lrn"))
+        .where(F.col("_lrn") <= q.k)
+        .drop("_lrn")
     )
+    w = Window.partitionBy("bucket_ts").orderBy(*order)
     return (
-        out.select("*", F.row_number().over(w).alias("_rn"))
+        pruned.select("*", F.row_number().over(w).alias("_rn"))
         .where(F.col("_rn") <= q.k)
-        .drop("_rn")
+        .drop("_rn", "_salt")
     )

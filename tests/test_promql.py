@@ -455,6 +455,42 @@ class TestCompile:
         assert {(r.event_type, r.bucket_ts, r.value) for r in top} == want
         assert top
 
+    def test_topk_two_phase_matches_single_phase(self, spark):
+        # high-cardinality by-label (user): more groups than _TOPK_SALTS
+        # so phase 1 genuinely prunes across multiple salt buckets; the
+        # result must equal the single-phase python reference, and the
+        # plan must carry the two-phase shape (two Window nodes)
+        import datetime
+
+        from pyspark.sql import Row
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            Row(event_id=u * 100 + i, ts=t0 + datetime.timedelta(minutes=i),
+                user_id=u, event_type="a", value=1.0, props="")
+            for u in range(100)
+            for i in range(u % 7 + 1)  # varied per-user counts, with ties
+        ]
+        series = events_as_series(spark.createDataFrame(rows))
+        full = compile_promql(
+            "sum by (user) (count_over_time(events[1d]))", series
+        ).collect()
+        df = compile_promql(
+            "topk(3, sum by (user) (count_over_time(events[1d])))", series
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Window") >= 2, plan
+        top = df.collect()
+        by_bucket: dict = {}
+        for r in full:
+            by_bucket.setdefault(r.bucket_ts, []).append(r)
+        want = set()
+        for b, rows in by_bucket.items():
+            rows.sort(key=lambda r: (-r.value, r.user))
+            want |= {(r.user, b, r.value) for r in rows[:3]}
+        assert {(r.user, r.bucket_ts, r.value) for r in top} == want
+        assert len({r.user for r in full}) > 32  # beats the salt count
+
     def test_quantile_agg_matches_python_interpolation(self, spark):
         got = {
             (r.event_type, r.bucket_ts): r.value
