@@ -35,16 +35,33 @@ kernels the catalog queries use:
                    assert (cents*cents at large magnitudes would
                    otherwise wrap silently)
     aggop    := ('sum'|'avg'|'min'|'max'|'count')
-                ('by'|'without') '(' label (',' label)* ')' '(' call ')'
+                (('by'|'without') '(' label (',' label)* ')')? '(' call ')'
                 -- 'without' groups by the REMAINING labels; the output
                    keeps the labels map (minus the dropped keys)
+                -- NO clause at all = scalar aggregation over every
+                   series (PromQL's sum(rate(...))): one row per
+                   evaluation window, columns (bucket_ts, value)
     call     := fname '(' (phi ',')? selector range ')'
                 -- the phi argument only for quantile_over_time
     range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
               | 'min_over_time' | 'max_over_time' | 'last_over_time'
               | 'present_over_time' | 'quantile_over_time' | 'delta'
-              | 'rate' | 'increase'
+              | 'rate' | 'increase' | 'irate' | 'absent'
+                -- irate: the instant rate at each window's LAST
+                   sample — last value / seconds since the series'
+                   previous sample, the events_irate_5m kernel's
+                   contract (the lag crosses window boundaries; real
+                   PromQL uses the last two samples inside the
+                   window — documented divergence). Same encoding as
+                   rate: round(double,6) bare, micro-units aggregated
+                -- absent: cannot be aggregated or carry matchers'
+                   labels through; emits (bucket_ts, value=1) for
+                   every window in the METRIC's lifetime (grid from
+                   the metric frame before matcher filtering) where
+                   the matcher-filtered selector has NO samples —
+                   the gone-silent detector (events_absent_series)
+                   as a text query
     histq    := 'histogram_quantile' '(' phi ',' aggop ')'
                 -- phi a whole-percent quantile in (0,1); the inner
                    aggop must be sum by (...) (count_over_time(...))
@@ -156,13 +173,15 @@ _FUNCS = (
     "delta",
     "rate",
     "increase",
+    "irate",
+    "absent",
 )
 # functions whose per-series output is round(double, 6) — the
 # deliberate exception to the integer contract, matching the dedicated
-# events_rate_5m kernel; under an aggregation they are re-expressed as
-# BIGINT micro-units (value_ppm-style) so cross-series summation stays
-# order-independent and hash-exact
-_DOUBLE_FUNCS = ("rate", "increase")
+# events_rate_5m / events_irate_5m kernels; under an aggregation they
+# are re-expressed as BIGINT micro-units (value_ppm-style) so
+# cross-series summation stays order-independent and hash-exact
+_DOUBLE_FUNCS = ("rate", "increase", "irate")
 _AGGS = ("sum", "avg", "min", "max", "count")
 
 _TOKEN_RE = re.compile(
@@ -245,6 +264,7 @@ def output_encoding(q: PromQuery) -> str:
         "delta": "value_x100",
         "avg_over_time": "value_x10000",
         "quantile_over_time": "value_x1000000",
+        "absent": "count",
     }[q.func]
     if q.agg is None or q.agg in ("sum", "min", "max"):
         return base
@@ -341,12 +361,12 @@ class _Parser:
             self.eat("op", ",")
             q = self._aggop_or_call()
             self.eat("op", ")")
-            if q.agg is None or q.without:
+            if q.agg is None or q.without or not q.by:
                 raise PromQLError(
                     "topk/bottomk subset requires an aggregated inner "
                     "expression with a by (...) clause so the tiebreak "
-                    "order is well-defined (without-form has no "
-                    "orderable by-columns)"
+                    "order is well-defined (without-form and the no-by "
+                    "scalar aggregation have no orderable by-columns)"
                 )
             q = replace(q, outer=v, k=int(raw_k))
             if self.i != len(self.toks):
@@ -469,7 +489,7 @@ class _Parser:
             self.eat("op", "(")
             p100 = self._phi_percent()
             self.eat("op", ",")
-            q = self._call()
+            q = self._aggable_call()
             self.eat("op", ")")
             if q.func in _DOUBLE_FUNCS:
                 raise PromQLError(
@@ -488,15 +508,31 @@ class _Parser:
                 self.eat("ident", "without")
                 without = self._label_list()
                 self.eat("op", "(")
-                q = self._call()
+                q = self._aggable_call()
                 self.eat("op", ")")
                 return replace(q, agg=agg, without=without)
-            by = self._by_clause()
+            if self.peek() == ("ident", "by"):
+                by = self._by_clause()
+                self.eat("op", "(")
+                q = self._aggable_call()
+                self.eat("op", ")")
+                return replace(q, agg=agg, by=by)
+            # no clause: scalar aggregation over every series —
+            # sum(rate(...)) — one row per evaluation window
             self.eat("op", "(")
-            q = self._call()
+            q = self._aggable_call()
             self.eat("op", ")")
-            return replace(q, agg=agg, by=by)
+            return replace(q, agg=agg, by=())
         return self._call()
+
+    def _aggable_call(self) -> PromQuery:
+        q = self._call()
+        if q.func == "absent":
+            raise PromQLError(
+                "absent() cannot be aggregated — its vector is "
+                "label-less (one 0/1 row per window)"
+            )
+        return q
 
     def _call(self) -> PromQuery:
         fname = self.eat("ident")
@@ -685,6 +721,14 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     g = r.where(F.col("rate").isNotNull()).select(
         "labels", "bucket_ts", F.col("rate").alias("value")
     )
+    return _micro_agg(q, g)
+
+
+def _micro_agg(q: PromQuery, g: DataFrame) -> DataFrame:
+    """Shared aggregation tail for the double-valued rate family
+    (rate/increase/irate): per-series round(double,6) values are
+    re-expressed as BIGINT micro-units before any cross-series
+    aggregation so the result is order-independent and hash-exact."""
     if q.agg is None:
         return g
     if q.without:
@@ -728,6 +772,99 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     }[q.agg]
     return g.groupBy(*q.by, "bucket_ts").agg(
         agg_fn(F.col("value")).cast("bigint").alias("value")
+    )
+
+
+def _irate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """irate() compiled onto the events_irate_5m kernel's contract:
+    per series the instant rate at each evaluation window's LAST
+    sample — last value divided by the seconds since the series'
+    previous sample, round(double, 6). The lag crosses window
+    boundaries (the kernel's documented divergence from strict PromQL,
+    which uses the last two samples inside the window); same-timestamp
+    pairs yield NULL via nullif; windows whose last sample is the
+    series' first (no previous sample) emit nothing. ONE shuffle on
+    the series key serves both the lag and the per-window argmax;
+    aggregated forms ride the shared micro-unit tail."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        series_key,
+    )
+    from pyspark.sql.window import Window
+
+    has_sid = "sample_id" in df.columns
+    cols = [
+        series_key("metric", "attributes").alias("_sk"),
+        F.col("attributes").alias("labels"),
+        F.col("ts"),
+        F.col("value"),
+    ]
+    if has_sid:
+        cols.append(F.col("sample_id"))
+        tiebreak = "sample_id"
+    else:
+        cols.append(F.lit(0).alias("_tb"))
+        tiebreak = "_tb"
+    w = Window.partitionBy("_sk").orderBy("ts", tiebreak)
+    gap_s = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ) / 1e6
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / q.range_s) * q.range_s
+    )
+    base = df.select(*cols).select(
+        "_sk",
+        "labels",
+        "ts",
+        F.col(tiebreak),
+        gap_s.alias("_gap"),
+        bucket.alias("bucket_ts"),
+        F.col("value"),
+    )
+    g = base.groupBy("_sk", "labels", "bucket_ts").agg(
+        F.max_by(
+            F.round(F.col("value") / F.nullif(F.col("_gap"), F.lit(0.0)), 6),
+            F.struct("ts", tiebreak),
+        ).alias("value")
+    )
+    g = g.where(F.col("value").isNotNull()).select(
+        "labels", "bucket_ts", "value"
+    )
+    return _micro_agg(q, g)
+
+
+def _absent_plan(q: PromQuery, df_metric: DataFrame) -> DataFrame:
+    """absent() as a range report: one (bucket_ts, value=1) row for
+    every evaluation window in the METRIC's lifetime (grid bounds from
+    the metric frame BEFORE matcher filtering — the baseline that
+    defines "should have been there") where the matcher-filtered
+    selector produced NO samples. The gone-silent detector
+    (events_absent_series' shape) reachable from PromQL text; PromQL's
+    instant absent() is this evaluated per window. Labels are not
+    emitted (real absent() copies equality-matcher labels; subset
+    divergence, documented in the grammar).
+
+    Scale: the grid is ONE row exploded to range/grain entries
+    (lifetime x grain, rollup-sized), the presence set is an
+    aggregated distinct at the window grain, and the anti-join
+    broadcasts — nothing here touches raw-row cardinality twice."""
+    sel = df_metric
+    if q.matchers:
+        sel = sel.where(compile_matchers(list(q.matchers)))
+    r = q.range_s
+    win = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / r) * r
+    )
+    bounds = df_metric.agg(
+        F.min(win).alias("_w0"), F.max(win).alias("_w1")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("_w0", "_w1", F.expr(f"INTERVAL {r} SECONDS"))
+        ).alias("bucket_ts")
+    )
+    present = sel.select(win.alias("bucket_ts")).distinct()
+    return grid.join(present, "bucket_ts", "left_anti").select(
+        "bucket_ts", F.lit(1).cast("bigint").alias("value")
     )
 
 
@@ -787,8 +924,6 @@ def compile_promql(
     if isinstance(q, BinQuery):
         return _bin_plan(q, series)
     df = series.where(F.col("metric") == q.metric)
-    if q.matchers:
-        df = df.where(compile_matchers(list(q.matchers)))
     if q.offset_s:
         # PromQL offset: evaluate over data older by the offset —
         # shifting sample ts forward puts t into the evaluation window
@@ -796,8 +931,16 @@ def compile_promql(
         df = df.withColumn(
             "ts", F.col("ts") + F.expr(f"INTERVAL {q.offset_s} SECONDS")
         )
+    if q.func == "absent":
+        # needs the metric frame BEFORE matcher filtering for the grid
+        # bounds; matchers apply inside (to the presence set only)
+        return _absent_plan(q, df)
+    if q.matchers:
+        df = df.where(compile_matchers(list(q.matchers)))
     if q.quantile is not None:
         return _hist_quantile_plan(q, df)
+    if q.func == "irate":
+        return _post_ops(q, _irate_plan(q, df))
     if q.func in _DOUBLE_FUNCS:
         return _post_ops(q, _rate_plan(q, df))
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")

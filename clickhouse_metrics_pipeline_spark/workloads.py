@@ -1611,6 +1611,17 @@ from clickhouse_metrics_pipeline_spark.workloads_ext6 import (  # noqa: E402
 QUERIES.update(EXTRA6_QUERIES)
 ORACLE_SQL.update(EXTRA6_ORACLE)
 
+# round-7 extensions: the last PromQL kernels reachable from text
+# (irate/absent/no-by scalar agg) plus the stateful streaming
+# temporality conversion as a driver-graded row
+from clickhouse_metrics_pipeline_spark.workloads_ext7 import (  # noqa: E402
+    EXTRA7_ORACLE,
+    EXTRA7_QUERIES,
+)
+
+QUERIES.update(EXTRA7_QUERIES)
+ORACLE_SQL.update(EXTRA7_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 6)
 # --------------------------------------------------------------------------

@@ -42,7 +42,6 @@ class TestParser:
     @pytest.mark.parametrize(
         "bad",
         [
-            "irate(events[5m])",  # outside the subset (dedicated kernel)
             "sum by () (count_over_time(events[1h]))",
             "count_over_time(events[1x])",
             "count_over_time(events[1h]) extra",
@@ -750,3 +749,117 @@ class TestCompile:
             'count_over_time(events{nope="x"}[1h])', self._series(spark)
         ).count()
         assert n_all > 0 and n_none == 0
+
+    # ---- round-7 additions: irate / absent / no-by scalar agg ----
+
+    def test_bare_irate_matches_dedicated_kernel(self, spark):
+        from clickhouse_metrics_pipeline_spark.workloads_ext2 import (
+            events_irate_5m,
+        )
+
+        got = {
+            (r.labels["event_type"], r.labels["user"], r.bucket_ts): r.value
+            for r in compile_promql(
+                "irate(events[5m])", self._series(spark)
+            ).collect()
+        }
+        want = {
+            (r.event_type, str(r.user_id), r.bucket_ts): r.irate
+            for r in events_irate_5m(spark, SF).collect()
+            if r.irate is not None
+        }
+        assert got == want and got
+
+    def test_agg_irate_is_integer_micro_units(self, spark):
+        bare = {}
+        for r in compile_promql(
+            "irate(events[5m])", self._series(spark)
+        ).collect():
+            k = (r.labels["event_type"], r.bucket_ts)
+            bare.setdefault(k, []).append(r.value)
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (irate(events[5m]))",
+                self._series(spark),
+            ).collect()
+        }
+        want = {
+            k: sum(int(round(v * 1_000_000)) for v in vs)
+            for k, vs in bare.items()
+        }
+        assert got == want and got
+        assert all(isinstance(v, int) for v in got.values())
+
+    def test_absent_is_grid_minus_present(self, spark):
+        got = {
+            r.bucket_ts: r.value
+            for r in compile_promql(
+                'absent(events{event_type="purchase"}[30m])',
+                self._series(spark),
+            ).collect()
+        }
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        from clickhouse_metrics_pipeline_spark.tables import _events
+
+        evn = _events(spark, SF)
+        win = F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 1800).cast("bigint") * 1800
+        )
+        buckets = [r[0] for r in evn.select(win.alias("b")).collect()]
+        present = {
+            r[0]
+            for r in evn.where(F.col("event_type") == "purchase")
+            .select(win.alias("b"))
+            .distinct()
+            .collect()
+        }
+        import datetime
+
+        lo, hi = min(buckets), max(buckets)
+        want = {}
+        t = lo
+        while t <= hi:
+            if t not in present:
+                want[t] = 1
+            t += datetime.timedelta(minutes=30)
+        assert got == want and got
+
+    def test_absent_rejects_aggregation(self):
+        for bad in (
+            "sum by (t) (absent(e[1h]))",
+            "sum(absent(e[1h]))",
+            "quantile by (t) (0.5, absent(e[1h]))",
+        ):
+            with pytest.raises(PromQLError):
+                parse(bad)
+
+    def test_no_by_scalar_agg_matches_by_sum(self, spark):
+        # sum(count_over_time) == the by-form re-summed per window
+        by = {}
+        for r in compile_promql(
+            "sum by (event_type) (count_over_time(events[1h]))",
+            self._series(spark),
+        ).collect():
+            by[r.bucket_ts] = by.get(r.bucket_ts, 0) + r.value
+        got = {
+            r.bucket_ts: r.value
+            for r in compile_promql(
+                "sum(count_over_time(events[1h]))", self._series(spark)
+            ).collect()
+        }
+        assert got == by and got
+        # and the rate form stays integer micro-units
+        rates = compile_promql(
+            "sum(rate(events[1d]))", self._series(spark)
+        ).collect()
+        assert rates and all(isinstance(r.value, int) for r in rates)
+        assert rates[0].asDict().keys() == {"bucket_ts", "value"}
+
+    def test_no_by_rejects_topk_and_binop(self):
+        for bad in (
+            "topk(3, sum(count_over_time(e[1h])))",
+            "sum(count_over_time(e[1h])) / sum(count_over_time(e[1h]))",
+        ):
+            with pytest.raises(PromQLError):
+                parse(bad)
