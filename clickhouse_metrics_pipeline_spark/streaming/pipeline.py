@@ -64,12 +64,18 @@ _OUTPUT_SCHEMA = (
 
 
 def _convert_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = 3 * 3600 * 1000,  # raw-table TTL ladder: 3h
 ) -> Iterator[pd.DataFrame]:
     """Per-series cumulative->delta with reset detection, stateful.
 
     Rows inside a micro-batch are processed in timestamp order; the
     carried state is the last raw cumulative point (temporality.go:51-105).
+    ``ttl_ms=None`` skips the processing-time timeout registration —
+    required when the caller runs with GroupStateTimeout.NoTimeout
+    (setTimeoutDuration raises there).
     """
     if state.hasTimedOut:
         state.remove()
@@ -134,25 +140,41 @@ def _convert_group(
     state.update(
         (last_value, last_count, last_sum, les, [prev_buckets[k] for k in les])
     )
-    state.setTimeoutDuration(3 * 3600 * 1000)  # raw-table TTL ladder: 3h
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     if out:
         yield pd.DataFrame(out)
 
 
-def delta_convert_stream(df: DataFrame) -> DataFrame:
+def delta_convert_stream(df: DataFrame, state_ttl: bool = True) -> DataFrame:
     """Stateful streaming cumulative->delta keyed by series_hash (T1-T4).
 
     Input must carry flat bucket arrays (buckets_le/buckets_count) - use
-    ``split_buckets`` below. Watermark bounds state for late data."""
+    ``split_buckets`` below. Watermark bounds state for late data.
+
+    ``state_ttl=False`` disables the processing-time idle-series
+    eviction (GroupStateTimeout.NoTimeout). Use it for bounded
+    availableNow replays: a registered processing-time timeout makes
+    Trigger.AvailableNow schedule micro-batches until the timeout
+    fires (measured: 3h TTL -> batch-per-second forever, the drain
+    never terminates), while a long-lived continuous deployment keeps
+    the default eviction."""
+    if state_ttl:
+        fn, conf = _convert_group, GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        def fn(key, pdfs, state):  # noqa: ANN001 — Spark UDF signature
+            yield from _convert_group(key, pdfs, state, ttl_ms=None)
+
+        conf = GroupStateTimeout.NoTimeout
     return (
         df.withWatermark("timestamp", "7 days")
         .groupBy("series_hash")
         .applyInPandasWithState(
-            _convert_group,
+            fn,
             outputStructType=_OUTPUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=conf,
         )
     )
 

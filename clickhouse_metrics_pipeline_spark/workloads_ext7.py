@@ -181,3 +181,103 @@ GROUP BY 1
 
 EXTRA7_QUERIES["promql_scalar_sum_rate"] = promql_scalar_sum_rate
 EXTRA7_ORACLE["promql_scalar_sum_rate"] = _promql_scalar_sum_sql()
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming temporality conversion (T1-T4) as a graded row
+# --------------------------------------------------------------------------
+
+
+def events_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-series cumulative->delta state machine run as a REAL
+    stream: readStream over the events parquet, the events shaped as
+    cumulative monotonic SUM points (value = integer cents carried in
+    the double column), then streaming/pipeline.delta_convert_stream —
+    ``applyInPandasWithState`` keyed by series_hash, carrying the last
+    raw cumulative point as state, reset detection on decrease
+    (``converter/temporality.go:43-113``; first point emitted AS-IS
+    per ``test/temporality_test.go:51``) — drained with availableNow
+    into a parquet sink and graded row-for-row against a DuckDB
+    lag-window restatement.
+
+    Determinism contract: the staged source is ONE parquet file, so
+    availableNow processes ONE micro-batch and the state UDF sees each
+    series' full history sorted by timestamp (unique per series in
+    this corpus — verified at sf0.01/sf0.1); the 7-day watermark never
+    trips inside a single batch (watermark advances only between
+    batches). The UDF emits every converted row directly (no window
+    eviction), so no closed-window cutoff is needed.
+
+    Exactness: cents are exact integers in double (<= 2^53), deltas of
+    exact integers are exact, and the graded projection casts value to
+    BIGINT — no float column reaches the hash. series_hash is
+    xxhash64(event_type, user_id) (collision-free on this corpus —
+    grading identity rides (metric, user), not the hash).
+
+    Scale: state is ONE row (last point) per live series, bounded by
+    the TTL ladder + watermark horizon, not by throughput; the same
+    plan ingests 100 TB/day with state = series cardinality."""
+    from clickhouse_metrics_pipeline_spark.schema import (
+        METRIC_TYPE_SUM,
+        TEMPORALITY_CUMULATIVE,
+    )
+    from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+        _EXEMPLARS_DDL,
+        delta_convert_stream,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads_ext6 import (
+        _drain_available_now,
+        _stage_events_stream,
+    )
+
+    stream, src = _stage_events_stream(spark, sf_dir, "delta_stream_src_")
+    shaped = stream.select(
+        F.xxhash64("event_type", "user_id").alias("series_hash"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("metric"),
+        F.lit("default").alias("workspaceId"),
+        F.col("user_id").cast("string").alias("serviceName"),
+        F.lit(METRIC_TYPE_SUM).cast("tinyint").alias("metric_type"),
+        F.lit(TEMPORALITY_CUMULATIVE).cast("tinyint").alias("temporality"),
+        F.lit(True).alias("is_monotonic"),
+        F.round(F.col("value") * 100).alias("value"),
+        F.lit(None).cast("bigint").alias("count"),
+        F.lit(None).cast("double").alias("sum"),
+        F.lit(None).cast("array<double>").alias("buckets_le"),
+        F.lit(None).cast("array<bigint>").alias("buckets_count"),
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string")
+        ).alias("attributes"),
+        F.lit(None).cast(_EXEMPLARS_DDL).alias("exemplars"),
+    )
+    # state_ttl=False: a registered processing-time timeout makes
+    # Trigger.AvailableNow schedule batches until the TTL fires — the
+    # drain would never terminate (see delta_convert_stream docstring)
+    out = delta_convert_stream(shaped, state_ttl=False)
+    out_dir = _drain_available_now(out, src, "delta_stream_")
+    return spark.read.parquet(out_dir).select(
+        "metric",
+        F.col("serviceName").alias("user"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").cast("bigint").alias("delta_cents"),
+    )
+
+
+EVENTS_DELTA_STREAM_SQL = f"""
+WITH s AS (
+  SELECT event_type AS metric, user_id::VARCHAR AS user, ts,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM {_EV_SQL}
+)
+SELECT metric, user, ts,
+       CASE WHEN prev IS NULL THEN c          -- first point as-is
+            WHEN c < prev THEN c              -- reset: raw value
+            ELSE c - prev END AS delta_cents
+FROM s
+"""
+
+EXTRA7_QUERIES["events_delta_stream"] = events_delta_stream
+EXTRA7_ORACLE["events_delta_stream"] = EVENTS_DELTA_STREAM_SQL
