@@ -1416,9 +1416,26 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 6
 
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH near-neighbor pairs (cos >= 0.45), exact-verified within
-    buckets. Approximate recall -> rows-only check (no oracle)."""
+    buckets. Rows-only by design: LSH recall is probabilistic (float
+    hyperplanes), so there is no value-hash oracle — the deterministic
+    integer twin emb_srp_int8_pairs carries the full oracle, and
+    pytest pins this operator's recall vs brute force.
+
+    r7 retune (verdict item): the pre-round-4 8x4-plane config put
+    ~n/16 vectors in every bucket — quadratic candidate growth, the
+    slowest catalog row at 6.45 s. Now sized by the occupancy rule the
+    scale probe proved (bits = max(12, ceil(log2 n)); n=2000 at sf0.1
+    -> 12 bits per table, matching the graded integer twin's band
+    width; 5 tables — the 62-bit packed-signature budget of
+    srp_signature caps tables at floor(62/12)): bucket occupancy stays
+    O(1) as n grows, so candidate volume is ~n per table instead of
+    n^2/2^bits. Recall
+    concentrates on high-cosine pairs (SemDeDup's actual target —
+    sign-agreement probability rises with cosine); moderate-similarity
+    recall falls to the exact emb_cosine_topk baseline, the documented
+    tradeoff."""
     e = _t(spark, sf_dir, "embeddings")
-    out = lsh_ann_pairs(e, threshold=0.45, num_tables=8, planes_per_table=4)
+    out = lsh_ann_pairs(e, threshold=0.45, num_tables=5, planes_per_table=12)
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
@@ -1623,83 +1640,83 @@ QUERIES.update(EXTRA7_QUERIES)
 ORACLE_SQL.update(EXTRA7_ORACLE)
 
 # --------------------------------------------------------------------------
-# Driver-coverage rotation (round 6)
+# Driver-coverage rotation (round 7)
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot grades the FIRST 50 entries of
-# ``queries()`` (dict insertion order). Round-6 window: (a) the four
-# round-5 hash-red rows whose oracle HUGEINT columns are now
-# ::BIGINT-cast (engine output was already verified correct — these
-# lead the window per the verdict), (b) the 3 new round-6 queries
-# (PromQL text rate()/histogram_quantile() + the streaming recording
-# rules), (c) the 3 queries whose code path changed this round
-# (events_rate_5m now delegates to the shared functions/rate.py
-# kernel; the compiled PromQL pair gained anchored regexes + exact
-# decimal averages), and (d) the 40 longest-since-graded oracle-backed
-# queries — everything last graded in rounds 2-3 — so no green query's
-# evidence is older than round 4 after this window. rows-only ANN
-# rows stay OUT per the round-4 verdict. Names are frozen; only order
-# changes.
+# ``queries()`` (dict insertion order). Round-7 window = the full
+# grading-evidence burn-down the r6 verdict prescribes (item 1):
+# (a) the four r3-stale rows the round-6 comment promised this head
+#     (q22_global_sales, events_rollup_1h, events_ttl_retention,
+#     events_attr_merge);
+# (b) the two r6 additions that were never driver-graded
+#     (promql_q90_over_time, events_rollup_stream_1m — judge-gate
+#     green only);
+# (c) all 42 oracle-backed queries whose last driver grade is r4
+#     (the float-ANN rows-only pair emb_ivf_topk/emb_ivf_kmeans_topk
+#     stays OUT per the r4 verdict);
+# (d) the two new r7 rows in the remaining slots: events_delta_stream
+#     (the stateful streaming T1-T4 conversion, verdict item 3) and
+#     promql_irate_by_type (verdict item 4).
+# After this window no green query's driver evidence is older than
+# r5; the 44 r5-graded rows rotate in round 8 together with the two
+# remaining new r7 PromQL rows (promql_absent_gap,
+# promql_scalar_sum_rate — local-gate green, next round's head).
+# Names are frozen; only order changes.
 _ROTATION_FIRST: list[str] = [
-    # (a) round-5 hash-red rows, oracle type bug fixed
-    "events_recording_rules",
-    "events_stddev_over_time",
-    "docs_dup_inflation",
-    "hist_quantile_over_time",
-    # (b) new round-6 queries
-    "promql_rate_by_type",
-    "promql_hist_p95",
-    "events_rules_stream_1h",
-    # (c) code path changed this round -> re-grade
-    "events_rate_5m",
-    "promql_count_by_type",
-    "promql_avg_sum_by_type",
-    # (d) longest-since-graded: all of round 2's survivors...
-    "exp_hist_merge",
-    "docs_rolling_fingerprint",
-    "multimodal_features",
-    # ...and every oracle-backed query last graded in round 3
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "events_rollup_1m",
-    "events_rollup_5m_weighted",
-    "events_cum_to_delta",
-    "events_delta_to_cumulative",
-    "events_reset_detect",
-    "events_gauge_last",
-    "events_matcher_query",
-    "events_series_fingerprint",
-    "events_validation",
-    "hist_cum_delta_roundtrip",
-    "hist_merge_events",
-    "exp_hist_percentile_events",
-    "docs_exact_dedup",
-    "docs_ngram_jaccard",
-    "docs_minhash_lsh",
-    "docs_neardup_clusters",
-    "docs_text_stats",
-    "docs_simhash_pairs",
-    "emb_cosine_topk",
-    "emb_neardup_pairs",
-    "multimodal_binary_meta",
-    "q20_potential_part_promotion",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    # PromQL batch 2 (topk / offset / quantile) and the binary-op
-    # flagship (wow ratio from text) take the last four slots; the
-    # four r3-greens they displace (q22_global_sales,
-    # events_rollup_1h, events_ttl_retention, events_attr_merge) head
-    # round 7's rotation
-    "promql_topk_types",
-    "promql_offset_counts",
-    "promql_quantile_by_type",
-    "promql_wow_ratio",
+    # (a) the promised r3-stale head
+    "q22_global_sales",
+    "events_rollup_1h",
+    "events_ttl_retention",
+    "events_attr_merge",
+    # (b) never driver-graded r6 additions
+    "promql_q90_over_time",
+    "events_rollup_stream_1m",
+    # (c) the 42 r4-stale oracle-backed rows
+    "docs_bloom_decontaminate",
+    "docs_bpe_top_merges",
+    "docs_chunking",
+    "docs_incremental_pairs",
+    "docs_kmv_source_overlap",
+    "docs_language_id",
+    "docs_minhash_lsh_32band",
+    "docs_mixture_sample",
+    "docs_pack_sequences",
+    "docs_quality_classifier",
+    "docs_source_overlap",
+    "docs_stratified_sample",
+    "docs_training_pipeline",
+    "emb_neardup_clusters",
+    "emb_quantize_int8",
+    "events_anomaly_zscore",
+    "events_asof_join",
+    "events_coverage_uptime",
+    "events_cube_rollup",
+    "events_distinct_users",
+    "events_exemplar_cap",
+    "events_exemplar_trace_join",
+    "events_funnel_conversions",
+    "events_funnel_levels",
+    "events_gap_fill_locf",
+    "events_hash_sample_cascade",
+    "events_hash_sample_quantiles",
+    "events_incident_windows",
+    "events_irate_5m",
+    "events_kmv_cascade",
+    "events_kmv_users",
+    "events_lttb_downsample",
+    "events_resolution_route",
+    "events_retention_cohorts",
+    "events_rollup_cascade",
+    "events_series_assembly",
+    "events_session_window",
+    "events_sliding_window",
+    "events_slo_burn_rate",
+    "events_topk_series",
+    "events_workspace_isolation",
+    "multimodal_resize_chain",
+    # (d) new r7 rows
+    "events_delta_stream",
+    "promql_irate_by_type",
 ]
 
 
