@@ -205,7 +205,63 @@ HEADLINE += [
 STDOUT_LINE_CAP = 1900
 
 
-def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
+def prev_round_queries() -> tuple[int | None, dict[str, float]]:
+    """Per-query warm timings from the latest driver bench artifact.
+
+    The driver records BENCH_r{N}.json next to this script with the
+    parsed stdout line under "parsed"; its "queries" dict is the prior
+    round's warm timings (2-decimal, fastest entries possibly omitted
+    by the stdout cap — fine for a median). Returns (round, {}) of the
+    highest N found, or (None, {}) on a fresh repo."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_q = None, {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is not None and n <= best_n:
+            continue
+        try:
+            with open(path) as fh:
+                queries = json.load(fh)["parsed"]["queries"]
+        except Exception:
+            continue
+        if isinstance(queries, dict) and queries:
+            best_n, best_q = n, queries
+    return best_n, best_q
+
+
+def shared_median_ratio(
+    timings: dict[str, float], prev: dict[str, float]
+) -> float | None:
+    """median(this_warm / prev_warm) over queries present in both
+    rounds — the round-over-round lens the r6 verdict asked for: floor
+    probes swing 1.66-1.9x with host state while the catalog median
+    holds ~0.97, so the per-query median over the shared set is the
+    robust regression signal (a real regression moves the median; host
+    drift moves the probes)."""
+    ratios = sorted(
+        timings[q] / prev[q] for q in timings if prev.get(q)
+    )
+    if not ratios:
+        return None
+    mid = len(ratios) // 2
+    if len(ratios) % 2:
+        return round(ratios[mid], 3)
+    return round((ratios[mid - 1] + ratios[mid]) / 2, 3)
+
+
+def compact_line(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    median_ratio: float | None = None,
+    median_vs_round: int | None = None,
+) -> str:
     """The ONE stdout JSON line, hard-capped under the driver's tail
     capture. Per-query values round to 2 decimals; if the dict would
     still overflow the cap, the FASTEST entries are dropped (count and
@@ -223,6 +279,9 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
             "queries": q2,
             "sf": sf,
         }
+        if median_ratio is not None:
+            payload["shared_median_ratio"] = median_ratio
+            payload["shared_median_vs_round"] = median_vs_round
         if omitted:
             payload["queries_omitted"] = omitted
             payload["queries_omitted_sec"] = round(omitted_sec, 2)
@@ -367,6 +426,12 @@ def main() -> None:
         sum(timings[q] for q in R5_HEADLINE if q in timings), 3
     )
 
+    # round-over-round headline lens (r6 verdict item 6): per-query
+    # median ratio vs the latest recorded BENCH_r{N}.json — robust to
+    # host drift that swings the floor probes (see shared_median_ratio)
+    prev_n, prev_q = prev_round_queries()
+    median_ratio = shared_median_ratio({**timings, **coverage}, prev_q)
+
     # Artifact contract (round-4 fix): the driver tail-captures the LAST
     # 2000 BYTES of stdout (measured from BENCH_r03.json's "tail" field),
     # so the stdout line carries ONLY the compact headline fields and is
@@ -386,6 +451,8 @@ def main() -> None:
         "shared_prev_round_warm": shared_prev,
         "shared_r4_warm": shared_r4,
         "shared_r5_warm": shared_r5,
+        "shared_median_ratio": median_ratio,
+        "shared_median_vs_round": prev_n,
         "coverage_queries": coverage,
         "coverage_cold_queries": coverage_cold,
     }
@@ -397,7 +464,7 @@ def main() -> None:
     print(f"# details written to {details_path}", file=sys.stderr)
     print("# " + json.dumps(details), file=sys.stderr)
 
-    print(compact_line(timings, total, float(sf)))
+    print(compact_line(timings, total, float(sf), median_ratio, prev_n))
 
 
 if __name__ == "__main__":

@@ -477,7 +477,12 @@ def events_rollup_stream_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-dependent addition) and value_last needs a unique-ts
     tiebreak, so the graded projection deliberately excludes them —
     the batch catalog grades those semantics via the integer-cents
-    rollup queries instead. Same watermark-safe cutoff contract as
+    rollup queries instead. min/max ARE order-independent selections
+    (hash-safe even as doubles), but the graded projection still casts
+    them to exact integer cents so the no-float-in-hash-graded-
+    streaming-projections contract (r6 verdict item 7, enforced by
+    tools/check_oracle.py::audit_stream_schema and
+    tests/test_graded_stream_schema.py) holds uniformly. Same watermark-safe cutoff contract as
     events_rules_stream_1h. The series key is an md5 canonical
     fingerprint both engines can compute."""
     from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
@@ -502,8 +507,8 @@ def events_rollup_stream_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "series_hash",
         "bucket_ts",
-        "value_min",
-        "value_max",
+        F.round(F.col("value_min") * 100).cast("bigint").alias("min_cents"),
+        F.round(F.col("value_max") * 100).cast("bigint").alias("max_cents"),
         "samples_count",
     )
 
@@ -515,8 +520,8 @@ WITH mx AS (
 SELECT event_type AS metric,
        md5(event_type || '|' || user_id::VARCHAR) AS series_hash,
        time_bucket(INTERVAL 1 MINUTE, ts) AS bucket_ts,
-       min(value) AS value_min,
-       max(value) AS value_max,
+       CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+       CAST(round(max(value) * 100) AS BIGINT) AS max_cents,
        count(*) AS samples_count
 FROM {_EV_SQL}
 GROUP BY 1, 2, 3

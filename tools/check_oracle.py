@@ -90,6 +90,37 @@ def audit_oracle_types(con, oracle_sql: dict[str, str]) -> list[str]:
     return bad
 
 
+def float_cols(schema) -> list[str]:
+    """Names of top-level columns whose type contains FLOAT/DOUBLE
+    anywhere (nested included) in a Spark schema."""
+    out = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if "double" in s or "float" in s:
+            out.append(f"{f.name}:{s}")
+    return out
+
+
+def audit_stream_schema(name: str, sdf) -> list[str]:
+    """Hash-graded STREAMING rows must not expose float columns.
+
+    The streaming sinks' float-combine columns (value_sum/value_avg,
+    order-dependent addition across micro-batches) are deliberately
+    excluded from every graded projection — batch rows grade those
+    semantics via integer-cents twins. This turns that prose contract
+    (r6 verdict item 7) into a gate failure: any catalog query whose
+    name marks it as a streaming row ('stream' in the name) and that
+    carries an oracle (i.e. is value-hash graded) must project only
+    non-float columns. Returns failure strings."""
+    if "stream" not in name:
+        return []
+    cols = float_cols(sdf.schema)
+    if cols:
+        return [f"{name}: hash-graded streaming projection has float "
+                f"columns {cols} (exclude or cast to integer units)"]
+    return []
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "--types-only"]
     types_only = "--types-only" in sys.argv[1:]
@@ -134,6 +165,12 @@ def main():
         if name not in ORACLE_SQL:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            continue
+        stream_problems = audit_stream_schema(name, sdf)
+        if stream_problems:
+            failures.append(name)
+            for p in stream_problems:
+                print(f"FAIL  stream-schema {p}")
             continue
         try:
             res = con.execute(ORACLE_SQL[name])
