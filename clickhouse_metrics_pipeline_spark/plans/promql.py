@@ -48,6 +48,15 @@ kernels the catalog queries use:
               | 'min_over_time' | 'max_over_time' | 'last_over_time'
               | 'present_over_time' | 'quantile_over_time' | 'delta'
               | 'rate' | 'increase' | 'irate' | 'absent'
+              | 'resets' | 'changes'
+                -- resets/changes: per series, the number of
+                   consecutive-sample decreases (resets) / value
+                   changes (changes) WITHIN each evaluation window,
+                   compared on exact integer cents, (ts, sample_id)
+                   order; a single-sample window emits 0, matching
+                   PromQL (the range vector holds only in-window
+                   samples, so the comparison never crosses the
+                   window edge). Count encoding (x1)
                 -- irate: the instant rate at each window's LAST
                    sample — last value / seconds since the series'
                    previous sample, the events_irate_5m kernel's
@@ -175,6 +184,8 @@ _FUNCS = (
     "increase",
     "irate",
     "absent",
+    "resets",
+    "changes",
 )
 # functions whose per-series output is round(double, 6) — the
 # deliberate exception to the integer contract, matching the dedicated
@@ -257,6 +268,8 @@ def output_encoding(q: PromQuery) -> str:
     base = {
         "count_over_time": "count",
         "present_over_time": "count",
+        "resets": "count",
+        "changes": "count",
         "sum_over_time": "value_x100",
         "min_over_time": "value_x100",
         "max_over_time": "value_x100",
@@ -1005,6 +1018,40 @@ def compile_promql(
     elif q.func == "delta":
         g = per_series.agg(
             (F.max_by(c, order_key) - F.min_by(c, order_key)).alias("value")
+        )
+    elif q.func in ("resets", "changes"):
+        # window-local consecutive-sample comparison: sort the
+        # in-window samples by (ts, sample_id) row-locally (bounded by
+        # the series' sampling rate x range like every per-series
+        # window op — no second shuffle, no global window function),
+        # then count adjacent decreases (resets) / inequalities
+        # (changes) over the exact integer cents. array_sort on the
+        # struct orders by its fields left-to-right, so the cents ride
+        # LAST and never influence the order
+        pair = (
+            F.struct(F.col("ts"), F.col("sample_id"), c.alias("_c"))
+            if "sample_id" in df.columns
+            else F.struct(F.col("ts"), c.alias("_c"))
+        )
+        g = per_series.agg(
+            F.array_sort(F.collect_list(pair)).alias("_arr")
+        )
+        vals = F.transform(F.col("_arr"), lambda x: x["_c"])
+        n = F.size("_arr")
+        cmp = (
+            (lambda a, b: (b < a).cast("bigint"))
+            if q.func == "resets"
+            else (lambda a, b: (b != a).cast("bigint"))
+        )
+        hits = F.zip_with(
+            F.slice(vals, 1, n - 1), F.slice(vals, 2, n - 1), cmp
+        )
+        g = g.select(
+            "labels",
+            "w",
+            F.aggregate(
+                hits, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("value"),
         )
     else:  # pragma: no cover — parser rejects unknown funcs
         raise PromQLError(f"unreachable func {q.func}")

@@ -281,3 +281,80 @@ FROM s
 
 EXTRA7_QUERIES["events_delta_stream"] = events_delta_stream
 EXTRA7_ORACLE["events_delta_stream"] = EVENTS_DELTA_STREAM_SQL
+
+
+# --------------------------------------------------------------------------
+# PromQL text: resets() / changes() onto the T4 comparison kernels
+# --------------------------------------------------------------------------
+
+PROMQL_RESETS_QUERY = "sum by (event_type) (resets(events[1h]))"
+PROMQL_CHANGES_QUERY = "sum by (event_type) (changes(events[30m]))"
+
+
+def promql_resets_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text resets(): per series, consecutive-sample DECREASES
+    within each 1-hour evaluation window (compared on exact integer
+    cents, (ts, sample_id) order), integer-summed by event_type — the
+    T4 reset detector (events_reset_detect whole-series,
+    events_resets_1h per-type-window) at PromQL's per-series grain
+    from text. The comparison never crosses the window edge: PromQL's
+    range vector holds only in-window samples, so a single-sample
+    window emits 0. One shuffle on (series, window) builds the sorted
+    in-window sample array row-locally (bounded by sampling rate x
+    range); the adjacent-pair count is a JVM-side higher-order
+    function — no second shuffle, no global window function."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_RESETS_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+def promql_changes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text changes(): per series, consecutive-sample value
+    CHANGES within each 30-minute window, summed by event_type. Same
+    plan shape as promql_resets_by_type; the predicate is inequality
+    instead of decrease."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_CHANGES_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+def _adjacent_count_sql(minutes: int, predicate: str) -> str:
+    """Shared oracle shape: per (series, window) count of adjacent
+    sample pairs satisfying ``predicate`` over (prev, c) cents, lag
+    partitioned BY WINDOW so the comparison stays window-local, then
+    sum by event_type."""
+    return f"""
+WITH s AS (
+  SELECT event_type, user_id,
+         time_bucket(INTERVAL {minutes} MINUTE, ts) AS bucket_ts,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type, user_id,
+                        time_bucket(INTERVAL {minutes} MINUTE, ts)
+           ORDER BY ts, event_id
+         ) AS prev
+  FROM {_EV_SQL}
+), f AS (
+  SELECT event_type, bucket_ts,
+         CASE WHEN prev IS NOT NULL AND {predicate} THEN 1 ELSE 0 END AS hit
+  FROM s
+)
+SELECT event_type, bucket_ts, sum(hit)::BIGINT AS value
+FROM f GROUP BY 1, 2
+"""
+
+
+EXTRA7_QUERIES["promql_resets_by_type"] = promql_resets_by_type
+EXTRA7_ORACLE["promql_resets_by_type"] = _adjacent_count_sql(60, "c < prev")
+EXTRA7_QUERIES["promql_changes_by_type"] = promql_changes_by_type
+EXTRA7_ORACLE["promql_changes_by_type"] = _adjacent_count_sql(30, "c <> prev")

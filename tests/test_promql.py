@@ -863,3 +863,81 @@ class TestCompile:
         ):
             with pytest.raises(PromQLError):
                 parse(bad)
+
+    def test_resets_changes_hand_built_sequence(self, spark):
+        # one series, values 1,2,2,1,3 inside a single 5m window:
+        # adjacent pairs (1,2)(2,2)(2,1)(1,3) -> 1 reset, 3 changes;
+        # a second single-sample series contributes 0 to both
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (
+                "events",
+                {"event_type": "a", "user": "u1"},
+                t0 + dt.timedelta(seconds=10 * i),
+                v,
+                i,
+            )
+            for i, v in enumerate([1.0, 2.0, 2.0, 1.0, 3.0])
+        ] + [("events", {"event_type": "a", "user": "u2"}, t0, 5.0, 99)]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        r = compile_promql("sum by (event_type) (resets(events[5m]))", df)
+        c = compile_promql("sum by (event_type) (changes(events[5m]))", df)
+        assert [(x.event_type, x.value) for x in r.collect()] == [("a", 1)]
+        assert [(x.event_type, x.value) for x in c.collect()] == [("a", 3)]
+        bare = {
+            x.labels["user"]: x.value
+            for x in compile_promql("changes(events[5m])", df).collect()
+        }
+        assert bare == {"u1": 3, "u2": 0}
+
+    def test_resets_comparison_is_window_local(self, spark):
+        # 5 at t=0s, 1 at t=90s: consecutive samples of one series but
+        # in DIFFERENT 1m windows -> the decrease must NOT be counted
+        # (PromQL's range vector holds only in-window samples)
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            ("events", {"event_type": "a", "user": "u"}, t0, 5.0, 0),
+            (
+                "events",
+                {"event_type": "a", "user": "u"},
+                t0 + dt.timedelta(seconds=90),
+                1.0,
+                1,
+            ),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        out = compile_promql("resets(events[1m])", df).collect()
+        assert sorted(x.value for x in out) == [0, 0]
+
+    def test_resets_changes_encoding_and_binop(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            output_encoding,
+        )
+
+        assert output_encoding(parse("resets(e[1h])")) == "count"
+        assert (
+            output_encoding(parse("sum by (t) (changes(e[1h]))")) == "count"
+        )
+        # count-encoded sides compose in binops...
+        parse(
+            "sum by (t) (resets(e[1h])) + "
+            "sum by (t) (count_over_time(e[1h]))"
+        )
+        # ...but cents-encoded sides still don't
+        with pytest.raises(PromQLError):
+            parse(
+                "sum by (t) (changes(e[1h])) + "
+                "sum by (t) (sum_over_time(e[1h]))"
+            )
