@@ -288,6 +288,50 @@ def srp_signature(vec: Column, num_planes: int = 16) -> Column:
     return sig
 
 
+_LSH_PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def lsh_plane_matrix(spark, num_planes: int, dim: int) -> list[list[float]]:
+    """The xxhash64-derived float hyperplane bank as a driver-side
+    constant: ``planes[p][d] = _plane_component(p, d)`` evaluated once
+    by a one-row Spark job (there is no driver-side xxhash64, and the
+    bank must match what :func:`srp_signature` would compute so the
+    two forms stay interchangeable). num_planes x dim doubles — plane
+    metadata, not data; the collect is O(KB). One row per (plane, dim)
+    coordinate: a single num_planes*dim-term projection would cost
+    tens of seconds of DRIVER analysis/codegen time for the one giant
+    expression tree — the same per-row-expression trap this function
+    exists to avoid. Cached per (num_planes, dim): the bank is a pure
+    function of its coordinates, so repeated calls (warm bench runs,
+    retried queries) skip the probe job."""
+    cached = _LSH_PLANE_CACHE.get((num_planes, dim))
+    if cached is not None:
+        return cached
+    p = (F.col("id") / dim).cast("int")
+    d = (F.col("id") % dim).cast("int")
+    # token-identical to _plane_component: xxhash64("plane{p}:{d}")
+    h = F.xxhash64(
+        F.concat_ws(
+            ":",
+            F.concat(F.lit("plane"), p.cast("string")),
+            d.cast("string"),
+        )
+    )
+    comp = (
+        F.pmod(h, F.lit(2_000_000)).cast("double") / F.lit(1_000_000.0)
+    ) - 1.0
+    rows = (
+        spark.range(num_planes * dim)
+        .select(F.col("id"), comp.alias("c"))
+        .collect()
+    )
+    mat = [[0.0] * dim for _ in range(num_planes)]
+    for r in rows:
+        mat[r["id"] // dim][r["id"] % dim] = r["c"]
+    _LSH_PLANE_CACHE[(num_planes, dim)] = mat
+    return mat
+
+
 def lsh_ann_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -301,32 +345,46 @@ def lsh_ann_pairs(
     Each table hashes with its own plane block; candidates = pairs
     agreeing on all bits of some table; verified with exact cosine.
     Recall for cos=0.95 at 8x8: 1-(1-0.9^8)^8 ~ 0.99+; raise num_tables
-    for stricter guarantees."""
+    for stricter guarantees.
+
+    Signatures are ONE Arrow matmul per batch against the xxhash64
+    plane bank (collected once via :func:`lsh_plane_matrix`), emitting
+    the per-table bucket keys directly — the same lesson the int8 SRP
+    path (:func:`srp_int8_pairs`) learned: the per-row zip_with/
+    aggregate expression form re-derives every plane component with
+    xxhash64 per row and runs as interpreted HOFs (~60 plane folds x
+    dim hash evals each — measured seconds for 2000 vectors where the
+    matmul is milliseconds). Emitting keys per table also lifts the
+    62-bit packed-signature cap on num_tables x planes_per_table."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
     total_planes = num_tables * planes_per_table
+    spark = df.sparkSession
+    dim = int(df.select(F.size(vec_col)).first()[0])
+    W = np.array(
+        lsh_plane_matrix(spark, total_planes, dim), dtype=np.float64
+    )
+    pow2 = np.arange(planes_per_table, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _table_keys(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (V @ W.T > 0).astype(np.int64)  # (n, total_planes)
+        banded = bits.reshape(len(V), num_tables, planes_per_table)
+        keys = (banded << pow2).sum(axis=2)  # bit i = plane t*ppb+i
+        return pd.Series(list(keys))
+
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sigs = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_vec"),
-        srp_signature(F.col(vec_col), total_planes).alias("_sig"),
+        _table_keys(F.col(vec_col)).alias("_keys"),
     )
-    mask = (1 << planes_per_table) - 1
     banded = sigs.select(
         id_col,
         "_vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        F.shiftright(F.col("_sig"), t * planes_per_table)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tk"),
-    ).select(id_col, "_vec", "tk.table", "tk.key")
+        F.posexplode("_keys").alias("table", "key"),
+    )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "table", "key")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "table", "key")
     cand = (
