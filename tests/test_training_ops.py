@@ -326,6 +326,41 @@ class TestSimilaritySearch:
         # measured 60/100; chance at 4/16 cells would be ~25
         assert hits / 100 >= 0.55
 
+    def test_lsh_pairs_recall_at_catalog_operating_point(self, spark):
+        # the emb_ann_lsh catalog config (8 tables x 6 planes,
+        # threshold 0.45): theory 1-(1-0.649^6)^8 = 0.46 recall at the
+        # threshold; measured 7/14 = 0.50 on this corpus at sf0.01.
+        # Everything is deterministic (xxhash64 planes, exact-verified
+        # candidates), so the pin carries only a small margin.
+        import numpy as np
+
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            lsh_ann_pairs,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        rows = emb.collect()
+        ids = [r["vec_id"] for r in rows]
+        V = np.vstack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        exact = {
+            (min(ids[a], ids[b]), max(ids[a], ids[b]))
+            for a in range(len(ids))
+            for b in range(a + 1, len(ids))
+            if S[a, b] >= 0.45
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_ann_pairs(
+                emb, threshold=0.45, num_tables=8, planes_per_table=6
+            ).collect()
+        }
+        assert exact, "corpus lost its planted near-dup pairs"
+        # exact verification inside buckets -> zero false positives
+        assert got <= exact
+        assert len(got & exact) / len(exact) >= 0.4
+
 
 class TestNeardupComponents:
     def test_path_graph_converges_to_one_component(self, spark):
