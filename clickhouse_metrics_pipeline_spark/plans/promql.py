@@ -49,6 +49,17 @@ kernels the catalog queries use:
               | 'present_over_time' | 'quantile_over_time' | 'delta'
               | 'rate' | 'increase' | 'irate' | 'absent'
               | 'resets' | 'changes'
+              | 'stdvar_over_time' | 'stddev_over_time'
+                -- stdvar: the exact integer moment form the
+                   events_stddev_over_time kernel stores
+                   (n*sum(c^2) - sum(c)^2, c = integer cents) floored
+                   by n^2: population variance in cents^2, which IS
+                   raw value^2 x10000 — emitted without any float.
+                   stddev: the floor integer square root of that
+                   variance (IEEE-correctly-rounded sqrt with a
+                   one-step +-1 correction, exact below 2^52) =
+                   stddev in cents, composing with the cents-encoded
+                   sides in binops
                 -- resets/changes: per series, the number of
                    consecutive-sample decreases (resets) / value
                    changes (changes) WITHIN each evaluation window,
@@ -112,6 +123,8 @@ binops require both sides to match):
     sum/min/max/last_over_time, delta                  cents (x100)
     avg_over_time                                      x10000
     quantile_over_time                                 cents x10000 (x1e6)
+    stdvar_over_time                                   value^2 x10000
+    stddev_over_time                                   cents (x100)
     rate/increase, aggregated (sum/min/max/avg)        micro (x1e6 /s)
     rate/increase, bare                                round(double, 6)
     irate, aggregated / bare                           micro / double
@@ -186,6 +199,8 @@ _FUNCS = (
     "absent",
     "resets",
     "changes",
+    "stdvar_over_time",
+    "stddev_over_time",
 )
 # functions whose per-series output is round(double, 6) — the
 # deliberate exception to the integer contract, matching the dedicated
@@ -270,6 +285,10 @@ def output_encoding(q: PromQuery) -> str:
         "present_over_time": "count",
         "resets": "count",
         "changes": "count",
+        # population variance in integer cents^2 = raw value^2 x10000
+        "stdvar_over_time": "value2_x10000",
+        # floor-isqrt of the cents^2 variance = stddev in cents
+        "stddev_over_time": "value_x100",
         "sum_over_time": "value_x100",
         "min_over_time": "value_x100",
         "max_over_time": "value_x100",
@@ -289,6 +308,7 @@ def output_encoding(q: PromQuery) -> str:
         "value_x100": "value_x1000000",
         "value_x10000": "value_x100000000",
         "value_x1000000": "value_x10000000000",
+        "value2_x10000": "value2_x100000000",
     }[base]
 
 
@@ -1019,6 +1039,35 @@ def compile_promql(
         g = per_series.agg(
             (F.max_by(c, order_key) - F.min_by(c, order_key)).alias("value")
         )
+    elif q.func in ("stdvar_over_time", "stddev_over_time"):
+        # the exact integer moment state of the events_stddev_over_time
+        # kernel, resolved to a scalar per (series, window): var_num =
+        # n*Q - S^2 >= 0 (Cauchy-Schwarz) floored by n^2 via the
+        # DECIMAL(38,0) divider -> population variance in cents^2.
+        # Magnitude: Q <= n * max_cents^2, so var_num <= n^2*max_cents^2
+        # — BIGINT-safe for per-series windows through 1e9 cents * 1e3
+        # samples; _floordiv_exact is DECIMAL-routed regardless
+        g = per_series.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(c).alias("_s"),
+            F.sum(c * c).alias("_q"),
+        )
+        var_num = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+        var_c2 = _floordiv_exact(var_num, F.col("_n") * F.col("_n"))
+        if q.func == "stdvar_over_time":
+            val = var_c2
+        else:
+            # floor isqrt: IEEE sqrt is correctly rounded, so
+            # floor(sqrt(x)) is off by at most 1 for x < 2^52; one
+            # comparison step lands the exact integer root — the same
+            # correction DuckDB's oracle twin applies
+            s0 = F.floor(F.sqrt(var_c2.cast("double"))).cast("bigint")
+            val = (
+                F.when((s0 + 1) * (s0 + 1) <= var_c2, s0 + 1)
+                .when(s0 * s0 > var_c2, s0 - 1)
+                .otherwise(s0)
+            )
+        g = g.select("labels", "w", val.alias("value"))
     elif q.func in ("resets", "changes"):
         # window-local consecutive-sample comparison: sort the
         # in-window samples by (ts, sample_id) row-locally (bounded by

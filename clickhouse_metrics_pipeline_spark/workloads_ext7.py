@@ -358,3 +358,87 @@ EXTRA7_QUERIES["promql_resets_by_type"] = promql_resets_by_type
 EXTRA7_ORACLE["promql_resets_by_type"] = _adjacent_count_sql(60, "c < prev")
 EXTRA7_QUERIES["promql_changes_by_type"] = promql_changes_by_type
 EXTRA7_ORACLE["promql_changes_by_type"] = _adjacent_count_sql(30, "c <> prev")
+
+
+# --------------------------------------------------------------------------
+# PromQL text: stdvar_over_time / stddev_over_time in exact integers
+# --------------------------------------------------------------------------
+
+PROMQL_STDVAR_QUERY = "sum by (event_type) (stdvar_over_time(events[1h]))"
+PROMQL_STDDEV_QUERY = "max by (event_type) (stddev_over_time(events[1h]))"
+
+
+def promql_stdvar_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text stdvar_over_time(): per (series, 1h window) the
+    exact integer moment form the driver-green events_stddev_over_time
+    kernel stores — (n*sum(c^2) - sum(c)^2) floored by n^2 via the
+    DECIMAL(38,0) divider = population variance in cents^2 (raw
+    value^2 x10000, no float anywhere) — integer-summed by event_type.
+    One shuffle to the series-window grain with map-side partial
+    moments; the by-re-aggregation is rollup-sized."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_STDVAR_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+def promql_stddev_max_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text stddev_over_time() under max by (event_type): the
+    most-volatile-series panel. stddev is the floor integer square
+    root of the cents^2 variance (IEEE-correctly-rounded sqrt with a
+    one-step +-1 correction — exact below 2^52, and DuckDB applies the
+    identical correction), so the result is stddev in integer cents
+    and the whole query value-hashes across engines."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_STDDEV_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+_VAR_C2_SQL = f"""
+  SELECT event_type,
+         time_bucket(INTERVAL 60 MINUTE, ts) AS bucket_ts,
+         CAST(
+           (count(*) * sum(c * c) - sum(c) * sum(c))
+           // (count(*) * count(*)) AS BIGINT
+         ) AS var_c2
+  FROM (
+    SELECT event_type, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM {_EV_SQL}
+  )
+  GROUP BY event_type, user_id, 2
+"""
+
+PROMQL_STDVAR_SQL = f"""
+SELECT event_type, bucket_ts, sum(var_c2)::BIGINT AS value
+FROM ({_VAR_C2_SQL}) v
+GROUP BY 1, 2
+"""
+
+PROMQL_STDDEV_SQL = f"""
+WITH v AS ({_VAR_C2_SQL}),
+r AS (
+  SELECT event_type, bucket_ts, var_c2,
+         CAST(floor(sqrt(var_c2::DOUBLE)) AS BIGINT) AS s0
+  FROM v
+)
+SELECT event_type, bucket_ts,
+       max(CASE WHEN (s0 + 1) * (s0 + 1) <= var_c2 THEN s0 + 1
+                WHEN s0 * s0 > var_c2 THEN s0 - 1
+                ELSE s0 END)::BIGINT AS value
+FROM r GROUP BY 1, 2
+"""
+
+EXTRA7_QUERIES["promql_stdvar_by_type"] = promql_stdvar_by_type
+EXTRA7_ORACLE["promql_stdvar_by_type"] = PROMQL_STDVAR_SQL
+EXTRA7_QUERIES["promql_stddev_max_by_type"] = promql_stddev_max_by_type
+EXTRA7_ORACLE["promql_stddev_max_by_type"] = PROMQL_STDDEV_SQL

@@ -941,3 +941,80 @@ class TestCompile:
                 "sum by (t) (changes(e[1h])) + "
                 "sum by (t) (sum_over_time(e[1h]))"
             )
+
+    def test_stdvar_stddev_hand_built(self, spark):
+        # values 1,2,3,4 in one window: population variance 1.25
+        # -> cents^2 12500; stddev floor(sqrt(12500)) = 111 cents
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (
+                "events",
+                {"event_type": "a", "user": "u1"},
+                t0 + dt.timedelta(seconds=10 * i),
+                v,
+                i,
+            )
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0])
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        sv = compile_promql("stdvar_over_time(events[5m])", df).collect()
+        sd = compile_promql("stddev_over_time(events[5m])", df).collect()
+        assert [r.value for r in sv] == [12500]
+        assert [r.value for r in sd] == [111]
+
+    def test_stddev_isqrt_exact_at_perfect_squares(self, spark):
+        # variance an exact perfect square: 1,3 -> var cents^2 =
+        # ((100-200)^2 + (300-200)^2)/2 = 10000 -> stddev exactly 100;
+        # the +-1 correction must not overshoot
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (
+                "events",
+                {"event_type": "a", "user": "u1"},
+                t0 + dt.timedelta(seconds=10 * i),
+                v,
+                i,
+            )
+            for i, v in enumerate([1.0, 3.0])
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        sd = compile_promql("stddev_over_time(events[5m])", df).collect()
+        assert [r.value for r in sd] == [100]
+
+    def test_stdvar_stddev_encodings(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            output_encoding,
+        )
+
+        assert output_encoding(parse("stdvar_over_time(e[1h])")) == (
+            "value2_x10000"
+        )
+        assert output_encoding(
+            parse("avg by (t) (stdvar_over_time(e[1h]))")
+        ) == "value2_x100000000"
+        assert output_encoding(parse("stddev_over_time(e[1h])")) == (
+            "value_x100"
+        )
+        # stddev is cents-encoded, so it composes with cents sides
+        parse(
+            "max by (t) (stddev_over_time(e[1h])) + "
+            "sum by (t) (sum_over_time(e[1h]))"
+        )
+        # stdvar (value^2) must not mix with cents
+        with pytest.raises(PromQLError):
+            parse(
+                "sum by (t) (stdvar_over_time(e[1h])) + "
+                "sum by (t) (sum_over_time(e[1h]))"
+            )
