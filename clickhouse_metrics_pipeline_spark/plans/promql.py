@@ -49,7 +49,15 @@ kernels the catalog queries use:
               | 'present_over_time' | 'quantile_over_time' | 'delta'
               | 'rate' | 'increase' | 'irate' | 'absent'
               | 'resets' | 'changes'
-              | 'stdvar_over_time' | 'stddev_over_time'
+              | 'stdvar_over_time' | 'stddev_over_time' | 'deriv'
+                -- deriv: per-series least-squares slope of the
+                   in-window samples in raw-value units per second
+                   (the events_predict_linear kernel's exact
+                   DECIMAL(38,0) moment arithmetic at the window
+                   grain; the only float op is the final division).
+                   Same encoding family as rate: round(double,6)
+                   bare, BIGINT micro-units aggregated. Single-
+                   sample / single-timestamp windows emit nothing
                 -- stdvar: the exact integer moment form the
                    events_stddev_over_time kernel stores
                    (n*sum(c^2) - sum(c)^2, c = integer cents) floored
@@ -201,13 +209,14 @@ _FUNCS = (
     "changes",
     "stdvar_over_time",
     "stddev_over_time",
+    "deriv",
 )
 # functions whose per-series output is round(double, 6) — the
 # deliberate exception to the integer contract, matching the dedicated
 # events_rate_5m / events_irate_5m kernels; under an aggregation they
 # are re-expressed as BIGINT micro-units (value_ppm-style) so
 # cross-series summation stays order-independent and hash-exact
-_DOUBLE_FUNCS = ("rate", "increase", "irate")
+_DOUBLE_FUNCS = ("rate", "increase", "irate", "deriv")
 _AGGS = ("sum", "avg", "min", "max", "count")
 
 _TOKEN_RE = re.compile(
@@ -757,6 +766,51 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     return _micro_agg(q, g)
 
 
+def _deriv_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """deriv() — per (series, window) least-squares slope in raw value
+    units per second, the events_predict_linear kernel's arithmetic at
+    the window grain. EXACT moments: x = the sample's micro-offset
+    inside its tumbling window (``unix_micros(ts) % span`` — row-local
+    because Spark aligns tumbling windows to the epoch, and slope is
+    shift-invariant), y = integer cents; n, Σx, Σy, Σxy, Σx²
+    accumulate in DECIMAL(38,0) so num = nΣxy−ΣxΣy and
+    den = nΣx²−(Σx)² are combine-order exact (x ≤ range·1e6, so
+    nΣx² ≤ n²·range²·1e12 — 38 digits holds through million-sample
+    windows). The ONLY float op is the final division, written
+    token-identically in the DuckDB twin: round(num/den · 1e4, 6)
+    (micros→seconds ×1e6, cents→raw ÷100). den = 0 (single sample or
+    one distinct timestamp) emits nothing, like rate's NULL windows.
+    One shuffle to (series, window) with map-side partial moments;
+    aggregated forms ride the shared micro-unit tail."""
+    span = q.range_s * 1_000_000
+
+    def dec(col):
+        return col.cast("decimal(38,0)")
+
+    x = dec(F.unix_micros("ts") % span)
+    y = dec(_cents(F.col("value")))
+    bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
+    g = df.groupBy(F.col("attributes").alias("labels"), bucket).agg(
+        dec(F.count(F.lit(1))).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col(c) for c in ("_n", "_sx", "_sy", "_sxy", "_sxx")
+    )
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    slope = F.round(
+        num.cast("double") / den.cast("double") * F.lit(1e4), 6
+    )
+    g = g.where(den != 0).select(
+        "labels", F.col("w.start").alias("bucket_ts"), slope.alias("value")
+    )
+    return _micro_agg(q, g)
+
+
 def _micro_agg(q: PromQuery, g: DataFrame) -> DataFrame:
     """Shared aggregation tail for the double-valued rate family
     (rate/increase/irate): per-series round(double,6) values are
@@ -974,6 +1028,8 @@ def compile_promql(
         return _hist_quantile_plan(q, df)
     if q.func == "irate":
         return _post_ops(q, _irate_plan(q, df))
+    if q.func == "deriv":
+        return _post_ops(q, _deriv_plan(q, df))
     if q.func in _DOUBLE_FUNCS:
         return _post_ops(q, _rate_plan(q, df))
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")

@@ -442,3 +442,61 @@ EXTRA7_QUERIES["promql_stdvar_by_type"] = promql_stdvar_by_type
 EXTRA7_ORACLE["promql_stdvar_by_type"] = PROMQL_STDVAR_SQL
 EXTRA7_QUERIES["promql_stddev_max_by_type"] = promql_stddev_max_by_type
 EXTRA7_ORACLE["promql_stddev_max_by_type"] = PROMQL_STDDEV_SQL
+
+
+# --------------------------------------------------------------------------
+# PromQL text: deriv() — windowed least-squares slope
+# --------------------------------------------------------------------------
+
+PROMQL_DERIV_QUERY = "sum by (event_type) (deriv(events[1h]))"
+
+
+def promql_deriv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text deriv(): per (series, 1h window) the least-squares
+    slope of the in-window samples in raw-value units per second —
+    the events_predict_linear kernel's exact DECIMAL(38,0) moment
+    arithmetic (n, Σx, Σy, Σxy, Σx² with x = window-local micro
+    offset, y = integer cents) at the window grain, only the final
+    division in float and written token-identically in both engines:
+    round(num/den · 1e4, 6). Per-series slopes convert to BIGINT
+    micro-units before the integer sum by event_type (the shared
+    double-family tail). One shuffle with map-side partial moments."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_DERIV_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_DERIV_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 60 MINUTE, ts) AS bucket_ts,
+         count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx,
+         sum(c)::HUGEINT AS sy,
+         sum(x::HUGEINT * c) AS sxy,
+         sum(x::HUGEINT * x) AS sxx
+  FROM (
+    SELECT event_type, user_id, ts,
+           epoch_us(ts) % 3600000000 AS x,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM {_EV_SQL}
+  )
+  GROUP BY event_type, user_id, 2
+), s AS (
+  SELECT event_type, bucket_ts,
+         round((n * sxy - sx * sy)::DOUBLE
+               / (n * sxx - sx * sx)::DOUBLE * 10000, 6) AS slope
+  FROM m WHERE n * sxx - sx * sx <> 0
+)
+SELECT event_type, bucket_ts,
+       sum(CAST(round(slope * 1000000) AS BIGINT))::BIGINT AS value
+FROM s GROUP BY 1, 2
+"""
+
+EXTRA7_QUERIES["promql_deriv_by_type"] = promql_deriv_by_type
+EXTRA7_ORACLE["promql_deriv_by_type"] = PROMQL_DERIV_SQL

@@ -1018,3 +1018,35 @@ class TestCompile:
                 "sum by (t) (stdvar_over_time(e[1h])) + "
                 "sum by (t) (sum_over_time(e[1h]))"
             )
+
+    def test_deriv_exact_linear_series(self, spark):
+        # value = 2*t + 1 sampled at t=0,10,20,30s: least-squares
+        # slope exactly 2.0/s; aggregated form 2_000_000 micro-units;
+        # a single-sample series window emits nothing (den = 0)
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (
+                "events",
+                {"event_type": "a", "user": "u1"},
+                t0 + dt.timedelta(seconds=10 * i),
+                2.0 * 10 * i + 1.0,
+                i,
+            )
+            for i in range(4)
+        ] + [("events", {"event_type": "a", "user": "u2"}, t0, 9.0, 99)]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        bare = compile_promql("deriv(events[5m])", df).collect()
+        assert [(r.labels["user"], r.value) for r in bare] == [("u1", 2.0)]
+        agg = compile_promql(
+            "sum by (event_type) (deriv(events[5m]))", df
+        ).collect()
+        assert [(r.event_type, r.value) for r in agg] == [("a", 2_000_000)]
+        # deriv is double-valued -> rejected under quantile, like rate
+        with pytest.raises(PromQLError):
+            parse("quantile by (t) (0.5, deriv(e[5m]))")
