@@ -41,8 +41,10 @@ kernels the catalog queries use:
                 -- NO clause at all = scalar aggregation over every
                    series (PromQL's sum(rate(...))): one row per
                    evaluation window, columns (bucket_ts, value)
-    call     := fname '(' (phi ',')? selector range ')'
-                -- the phi argument only for quantile_over_time
+    call     := fname '(' (phi ',')? selector range (',' T)? ')'
+                -- the phi argument only for quantile_over_time; the
+                   trailing whole-seconds horizon T only for
+                   predict_linear
     range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
               | 'min_over_time' | 'max_over_time' | 'last_over_time'
@@ -50,6 +52,14 @@ kernels the catalog queries use:
               | 'rate' | 'increase' | 'irate' | 'absent'
               | 'resets' | 'changes'
               | 'stdvar_over_time' | 'stddev_over_time' | 'deriv'
+              | 'predict_linear'
+                -- predict_linear(sel[r], T): the deriv regression
+                   evaluated T whole seconds past the window end —
+                   intercept + slope*(span + T), the capacity-planning
+                   forecast. RAW VALUE units (not /s): bare
+                   round(double,6) labeled value_double, aggregated
+                   BIGINT micro labeled value_micro, so mixing with
+                   rate-family sides in binops is rejected
                 -- deriv: per-series least-squares slope of the
                    in-window samples in raw-value units per second
                    (the events_predict_linear kernel's exact
@@ -133,6 +143,8 @@ binops require both sides to match):
     quantile_over_time                                 cents x10000 (x1e6)
     stdvar_over_time                                   value^2 x10000
     stddev_over_time                                   cents (x100)
+    deriv, aggregated / bare                           micro (x1e6 /s) / double
+    predict_linear, aggregated / bare                  value micro / double
     rate/increase, aggregated (sum/min/max/avg)        micro (x1e6 /s)
     rate/increase, bare                                round(double, 6)
     irate, aggregated / bare                           micro / double
@@ -210,13 +222,14 @@ _FUNCS = (
     "stdvar_over_time",
     "stddev_over_time",
     "deriv",
+    "predict_linear",
 )
 # functions whose per-series output is round(double, 6) — the
 # deliberate exception to the integer contract, matching the dedicated
 # events_rate_5m / events_irate_5m kernels; under an aggregation they
 # are re-expressed as BIGINT micro-units (value_ppm-style) so
 # cross-series summation stays order-independent and hash-exact
-_DOUBLE_FUNCS = ("rate", "increase", "irate", "deriv")
+_DOUBLE_FUNCS = ("rate", "increase", "irate", "deriv", "predict_linear")
 _AGGS = ("sum", "avg", "min", "max", "count")
 
 _TOKEN_RE = re.compile(
@@ -281,6 +294,14 @@ def output_encoding(q: PromQuery) -> str:
     cancel under '/' and add consistently under '+'/'-'."""
     if q.quantile is not None:
         return "value_x10000"  # histogram_quantile
+    if q.func == "predict_linear":
+        # double-valued like rate but in RAW VALUE units, not value/s —
+        # its own labels so predict+rate binop mixes are rejected
+        if q.agg is None:
+            return "value_double"
+        if q.agg == "count":
+            return "count"
+        return "value_micro"
     if q.func in _DOUBLE_FUNCS:
         if q.agg is None:
             return "rate_double"
@@ -614,6 +635,17 @@ class _Parser:
         if self.peek() == ("ident", "offset"):
             self.eat("ident", "offset")
             offset_s = self._duration()
+        if fname == "predict_linear":
+            # trailing horizon argument: predict_linear(sel[r], T) —
+            # whole seconds, like real PromQL's scalar t
+            self.eat("op", ",")
+            raw_t = self.eat("num")
+            if "." in raw_t:
+                raise PromQLError(
+                    f"predict_linear horizon must be whole seconds, "
+                    f"got {raw_t!r}"
+                )
+            param = int(raw_t)
         self.eat("op", ")")
         return PromQuery(
             fname, metric, tuple(matchers), range_s, offset_s=offset_s,
@@ -802,11 +834,27 @@ def _deriv_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
     den = n * sxx - sx * sx
     num = n * sxy - sx * sy
-    slope = F.round(
-        num.cast("double") / den.cast("double") * F.lit(1e4), 6
-    )
+    if q.func == "predict_linear":
+        # forecast at the evaluation time (window END) + t seconds:
+        # x* = span + t*1e6 micros from window start; the kernel's
+        # exact form pred = (Σy*den + num*(n*x* − Σx)) / (n*den), all
+        # decimal until the one division, then cents→raw ÷100.
+        # Magnitude: Σy*den ≤ n*maxc * n²*span² ≈ 1e30 at 1e4-sample
+        # windows — inside DECIMAL(38,0) through t of months
+        xp = F.lit(span + q.param * 1_000_000).cast("decimal(38,0)")
+        pred_num = sy * den + num * (n * xp - sx)
+        val = F.round(
+            pred_num.cast("double")
+            / (n * den).cast("double")
+            / F.lit(100.0),
+            6,
+        )
+    else:
+        val = F.round(
+            num.cast("double") / den.cast("double") * F.lit(1e4), 6
+        )
     g = g.where(den != 0).select(
-        "labels", F.col("w.start").alias("bucket_ts"), slope.alias("value")
+        "labels", F.col("w.start").alias("bucket_ts"), val.alias("value")
     )
     return _micro_agg(q, g)
 
@@ -1028,7 +1076,7 @@ def compile_promql(
         return _hist_quantile_plan(q, df)
     if q.func == "irate":
         return _post_ops(q, _irate_plan(q, df))
-    if q.func == "deriv":
+    if q.func in ("deriv", "predict_linear"):
         return _post_ops(q, _deriv_plan(q, df))
     if q.func in _DOUBLE_FUNCS:
         return _post_ops(q, _rate_plan(q, df))

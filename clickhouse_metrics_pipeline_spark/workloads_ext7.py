@@ -500,3 +500,59 @@ FROM s GROUP BY 1, 2
 
 EXTRA7_QUERIES["promql_deriv_by_type"] = promql_deriv_by_type
 EXTRA7_ORACLE["promql_deriv_by_type"] = PROMQL_DERIV_SQL
+
+
+PROMQL_PREDICT_QUERY = (
+    "max by (event_type) (predict_linear(events[1h], 3600))"
+)
+
+
+def promql_predict_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL text predict_linear(sel[1h], 3600): the deriv regression
+    evaluated one hour past each window's end — the
+    disk-full-in-an-hour capacity forecast, per series, max by
+    event_type (the worst-series panel). Same exact DECIMAL moment
+    state as deriv; the forecast numerator sy*den + num*(n*x*-sx)
+    stays decimal until the single final division (DuckDB twin:
+    HUGEINT), then cents -> raw /100, round 6, micro-units for the
+    integer max."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_PREDICT_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_PREDICT_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 60 MINUTE, ts) AS bucket_ts,
+         count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx,
+         sum(c)::HUGEINT AS sy,
+         sum(x::HUGEINT * c) AS sxy,
+         sum(x::HUGEINT * x) AS sxx
+  FROM (
+    SELECT event_type, user_id, ts,
+           epoch_us(ts) % 3600000000 AS x,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM {_EV_SQL}
+  )
+  GROUP BY event_type, user_id, 2
+), s AS (
+  SELECT event_type, bucket_ts,
+         round((sy * (n * sxx - sx * sx)
+                + (n * sxy - sx * sy) * (n * 7200000000 - sx))::DOUBLE
+               / (n * (n * sxx - sx * sx))::DOUBLE / 100.0, 6) AS pred
+  FROM m WHERE n * sxx - sx * sx <> 0
+)
+SELECT event_type, bucket_ts,
+       max(CAST(round(pred * 1000000) AS BIGINT))::BIGINT AS value
+FROM s GROUP BY 1, 2
+"""
+
+EXTRA7_QUERIES["promql_predict_by_type"] = promql_predict_by_type
+EXTRA7_ORACLE["promql_predict_by_type"] = PROMQL_PREDICT_SQL

@@ -1050,3 +1050,42 @@ class TestCompile:
         # deriv is double-valued -> rejected under quantile, like rate
         with pytest.raises(PromQLError):
             parse("quantile by (t) (0.5, deriv(e[5m]))")
+
+    def test_predict_linear_exact_forecast(self, spark):
+        # value = 2t+1 over t=0..30s in an epoch-aligned 5m window:
+        # prediction at window end + 60s = x*=360s -> 2*360+1 = 721
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (
+                "events",
+                {"event_type": "a", "user": "u1"},
+                t0 + dt.timedelta(seconds=10 * i),
+                2.0 * 10 * i + 1.0,
+                i,
+            )
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        bare = compile_promql(
+            "predict_linear(events[5m], 60)", df
+        ).collect()
+        assert [r.value for r in bare] == [721.0]
+        agg = compile_promql(
+            "sum by (event_type) (predict_linear(events[5m], 60))", df
+        ).collect()
+        assert [(r.event_type, r.value) for r in agg] == [("a", 721_000_000)]
+        # raw-value encoding must not mix with the rate family
+        with pytest.raises(PromQLError):
+            parse(
+                "sum by (t) (predict_linear(e[5m], 60)) + "
+                "sum by (t) (rate(e[5m]))"
+            )
+        # fractional horizons rejected
+        with pytest.raises(PromQLError):
+            parse("predict_linear(e[5m], 1.5)")
