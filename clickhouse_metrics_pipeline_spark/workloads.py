@@ -1661,11 +1661,13 @@ ORACLE_SQL.update(EXTRA7_ORACLE)
 #     (the stateful streaming T1-T4 conversion, verdict item 3) and
 #     promql_irate_by_type (verdict item 4).
 # After this window no green query's driver evidence is older than
-# r5; the 44 r5-graded rows rotate in round 8 together with the six
-# remaining new r7 rows — promql_absent_gap, promql_scalar_sum_rate,
-# promql_resets_by_type, promql_changes_by_type,
-# promql_stdvar_by_type, promql_stddev_max_by_type — all local-gate
-# green, next round's head. Names are frozen; only order changes.
+# r5; the 44 r5-graded rows rotate in round 8 together with the
+# eight remaining new r7 rows — promql_absent_gap,
+# promql_scalar_sum_rate, promql_resets_by_type,
+# promql_changes_by_type, promql_stdvar_by_type,
+# promql_stddev_max_by_type, promql_deriv_by_type,
+# promql_predict_by_type — all local-gate green, next round's head.
+# Names are frozen; only order changes.
 _ROTATION_FIRST: list[str] = [
     # (a) the promised r3-stale head
     "q22_global_sales",

@@ -366,8 +366,39 @@ def op_rate_kernel(ev: DataFrame) -> int:
     )
 
 
+def op_adjacent_pairs(ev: DataFrame) -> int:
+    """resets()/changes() kernel: one shuffle to (series, window),
+    row-local sorted-array adjacent-pair count (r7). Work per group is
+    bounded by samples-per-window; cardinality growth adds groups, not
+    group size, so throughput should hold."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        "sum by (event_type) (changes(events[30m]))", events_as_series(ev)
+    ).count()
+
+
+def op_regression_moments(ev: DataFrame) -> int:
+    """deriv()/predict_linear() kernel: exact DECIMAL least-squares
+    moments with map-side partial aggregation (r7); the moment state
+    is 5 decimals per (series, window) regardless of sample count."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        "sum by (event_type) (deriv(events[1h]))", events_as_series(ev)
+    ).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
+    "adjacent_pairs": ("events", op_adjacent_pairs),
+    "regression_moments": ("events", op_regression_moments),
     "recording_rules": ("events", op_recording_rules),
     "rate_kernel": ("events", op_rate_kernel),
     "window_delta": ("events", op_window_delta),
