@@ -102,6 +102,8 @@ class TestParserProperties:
                 "count_over_time", "sum_over_time", "avg_over_time",
                 "min_over_time", "max_over_time", "last_over_time",
                 "present_over_time", "delta", "rate", "increase",
+                "irate", "resets", "changes", "stdvar_over_time",
+                "stddev_over_time", "deriv",
             ]
         ),
         dur=_dur,
