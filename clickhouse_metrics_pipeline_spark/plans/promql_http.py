@@ -1,0 +1,163 @@
+"""PromQL HTTP query endpoint — the text front-end as an API.
+
+``GET/POST /api/v1/query_range?query=<promql>`` compiles the query
+through :func:`plans.promql.compile_promql` and answers the Prometheus
+HTTP API's range-query response shape::
+
+    {"status": "success",
+     "data": {"resultType": "matrix",
+              "result": [{"metric": {...labels...},
+                          "values": [[<unix_sec>, "<value>"], ...]}]}}
+
+so existing Prometheus API clients (Grafana's datasource, promtool)
+can parse the payload. Step semantics follow the engine's evaluation
+model — the range IS the step (one sample per window; see the grammar
+comment in ``plans/promql.py``), and values carry the module's exact
+integer encodings (micro-units / cents / x10000 — the encoding table),
+not floats; ``/api/v1/query_range`` is the transport, the unit
+contract is the engine's.
+
+Same stdlib ``ThreadingHTTPServer`` shell as the Remote Read endpoint
+(``plans/remote_read_http.py``): the driver thread owns the
+SparkSession; handler threads only build and collect DataFrames. The
+reference serves metrics reads only over Remote Read
+(``pkg/promread/handler.go``); this endpoint is beyond-reference
+surface tying the PromQL compiler into the same serving story.
+
+Usage::
+
+    srv = make_promql_server(lambda: series_df, port=9203)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    # curl 'localhost:9203/api/v1/query_range?query=sum%20by%20(event_type)%20(rate(events[5m]))'
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+from clickhouse_metrics_pipeline_spark.plans.promql import (
+    PromQLError,
+    compile_promql,
+)
+
+QUERY_RANGE_PATH = "/api/v1/query_range"
+
+
+def promql_result_payload(df: DataFrame, limit: int = 100_000) -> dict:
+    """Shape a compiled PromQL result frame into the Prometheus HTTP
+    API matrix payload. Label identity per compiled shape: the
+    ``labels`` map column (bare calls), the by-label columns
+    (aggregated calls), or no label columns at all (scalar
+    aggregation / absent) -> one label-less series. Values stringify
+    exactly (BIGINT encodings stay integers; bare rate doubles keep
+    repr) and sort by timestamp inside each series."""
+    rows = df.limit(limit + 1).collect()
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+    label_cols = [
+        c for c in df.columns if c not in ("bucket_ts", "value")
+    ]
+    series: dict[tuple, list] = {}
+    keys: dict[tuple, dict] = {}
+    for r in rows:
+        if label_cols == ["labels"]:
+            labels = dict(r["labels"] or {})
+        else:
+            labels = {c: r[c] for c in label_cols}
+        key = tuple(sorted(labels.items()))
+        ts = r["bucket_ts"]
+        val = r["value"]
+        series.setdefault(key, []).append(
+            [int(ts.timestamp()), str(val)]
+        )
+        keys[key] = labels
+    result = [
+        {"metric": keys[k], "values": sorted(vs)}
+        for k, vs in sorted(series.items())
+    ]
+    payload = {
+        "status": "success",
+        "data": {"resultType": "matrix", "result": result},
+    }
+    if truncated:
+        payload["warnings"] = [f"result truncated at {limit} rows"]
+    return payload
+
+
+def make_promql_server(
+    series_provider,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    limit: int = 100_000,
+) -> ThreadingHTTPServer:
+    """Build (not start) the endpoint; ``port=0`` picks a free port.
+    ``series_provider`` is called per request and must return the
+    series frame (metric/attributes/ts/value[/sample_id]) — re-listing
+    storage per request like the Remote Read catalog, so freshly
+    ingested partitions are visible without a restart."""
+
+    def _answer(handler: BaseHTTPRequestHandler, query: str) -> None:
+        try:
+            df = compile_promql(query, series_provider())
+            payload = promql_result_payload(df, limit=limit)
+            code = 200
+        except PromQLError as exc:
+            payload = {
+                "status": "error",
+                "errorType": "bad_data",
+                "error": str(exc),
+            }
+            code = 400
+        except Exception as exc:  # execution failure -> 500, like promhttp
+            payload = {
+                "status": "error",
+                "errorType": "internal",
+                "error": str(exc),
+            }
+            code = 500
+        body = json.dumps(payload).encode()
+        handler.send_response(code)
+        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API name)
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != QUERY_RANGE_PATH:
+                self.send_error(404, "unknown path")
+                return
+            params = urllib.parse.parse_qs(parsed.query)
+            qs = params.get("query")
+            if not qs:
+                self.send_error(400, "missing query parameter")
+                return
+            _answer(self, qs[0])
+
+        def do_POST(self):  # noqa: N802 — form-encoded body, like promhttp
+            if urllib.parse.urlparse(self.path).path != QUERY_RANGE_PATH:
+                self.send_error(404, "unknown path")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    raise ValueError
+            except ValueError:
+                self.send_error(400, "bad Content-Length")
+                return
+            params = urllib.parse.parse_qs(self.rfile.read(length).decode())
+            qs = params.get("query")
+            if not qs:
+                self.send_error(400, "missing query parameter")
+                return
+            _answer(self, qs[0])
+
+        def log_message(self, fmt, *args):  # quiet: tests drive this
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)

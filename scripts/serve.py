@@ -3,7 +3,9 @@ shape (gRPC receiver + writer + Remote Read handler in one binary),
 re-expressed: OTLP/HTTP JSON receiver + Prometheus Remote Write
 receiver -> shared drop dir -> Structured Streaming ingest (validate ->
 delta-convert -> date-partitioned parquet) -> Prometheus Remote Read
-HTTP endpoint over the stored table.
+HTTP endpoint over the stored table, plus a PromQL text query API
+(``GET /api/v1/query_range?query=...`` answering the Prometheus HTTP
+API matrix shape via plans/promql_http.py).
 
 Usage:
     python scripts/serve.py [--data-dir /tmp/cmp-data] \
@@ -16,7 +18,7 @@ Then:
     # point prometheus remote_write.url at localhost:9202/api/v1/write
     # point prometheus remote_read.url  at localhost:9201/api/v1/read
 
-Ctrl-C stops all four components.
+Ctrl-C stops all five components.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ def main() -> None:
     ap.add_argument("--otlp-port", type=int, default=4318)  # OTLP/HTTP default
     ap.add_argument("--read-port", type=int, default=9201)
     ap.add_argument("--write-port", type=int, default=9202)
+    ap.add_argument("--promql-port", type=int, default=9203)
     ap.add_argument("--workspace", default="default")
     ap.add_argument("--trigger-seconds", type=int, default=10)
     args = ap.parse_args()
@@ -133,6 +136,29 @@ def main() -> None:
     threading.Thread(target=reader.serve_forever, daemon=True).start()
     print(f"Remote Read:         POST localhost:{args.read_port}/api/v1/read")
 
+    from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+        make_promql_server,
+    )
+
+    def _series_frame():
+        # stored shape -> the PromQL compiler's series-frame contract
+        if not os.path.isdir(out):
+            raise KeyError("no ingested data yet")
+        raw = spark.read.parquet(out)
+        return raw.select(
+            "metric",
+            "attributes",
+            F.col("timestamp").alias("ts"),
+            "value",
+        )
+
+    promql_srv = make_promql_server(_series_frame, port=args.promql_port)
+    threading.Thread(target=promql_srv.serve_forever, daemon=True).start()
+    print(
+        f"PromQL query API:    GET  localhost:{args.promql_port}"
+        "/api/v1/query_range?query=..."
+    )
+
     q = ingest_stream(
         otlp_json_stream(spark, drop, workspace_id=args.workspace),
         out,
@@ -148,6 +174,7 @@ def main() -> None:
         receiver.shutdown()
         writer.shutdown()
         reader.shutdown()
+        promql_srv.shutdown()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,149 @@
+"""PromQL HTTP endpoint (plans/promql_http.py): e2e over a live
+stdlib server — GET and POST round-trips, the Prometheus matrix
+payload shape, label identity across the three compiled shapes
+(bare / by-aggregated / label-less), and error mapping."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+    make_promql_server,
+    promql_result_payload,
+)
+
+
+def _series(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(6):
+        rows.append(
+            (
+                "events",
+                {"event_type": "a", "user": "u1"},
+                t0 + dt.timedelta(seconds=60 * i),
+                float(i + 1),
+                i,
+            )
+        )
+        rows.append(
+            (
+                "events",
+                {"event_type": "b", "user": "u2"},
+                t0 + dt.timedelta(seconds=60 * i),
+                10.0,
+                100 + i,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "metric string, attributes map<string,string>, "
+        "ts timestamp, value double, sample_id long",
+    )
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    df = _series(spark)
+    srv = make_promql_server(lambda: df, port=0, limit=1000)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(base: str, query: str):
+    qs = urllib.parse.urlencode({"query": query})
+    req = urllib.request.Request(
+        f"{base}/api/v1/query_range?{qs}", method="GET"
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestQueryRangeEndpoint:
+    def test_by_aggregated_matrix(self, server):
+        code, payload = _get(
+            server, "sum by (event_type) (count_over_time(events[5m]))"
+        )
+        assert code == 200 and payload["status"] == "success"
+        data = payload["data"]
+        assert data["resultType"] == "matrix"
+        by_type = {
+            tuple(sorted(s["metric"].items())): s["values"]
+            for s in data["result"]
+        }
+        assert set(by_type) == {
+            (("event_type", "a"),),
+            (("event_type", "b"),),
+        }
+        # 6 samples across two 5m windows -> counts 5 + 1 per series
+        for vals in by_type.values():
+            assert [v for _, v in vals] == ["5", "1"]
+            # timestamps ascend and are unix seconds
+            assert vals == sorted(vals)
+
+    def test_bare_call_uses_labels_map(self, server):
+        code, payload = _get(server, "max_over_time(events[5m])")
+        assert code == 200
+        metrics = [s["metric"] for s in payload["data"]["result"]]
+        assert {m["user"] for m in metrics} == {"u1", "u2"}
+        assert all(set(m) == {"event_type", "user"} for m in metrics)
+
+    def test_scalar_agg_single_labelless_series(self, server):
+        code, payload = _get(server, "sum(count_over_time(events[5m]))")
+        assert code == 200
+        result = payload["data"]["result"]
+        assert len(result) == 1 and result[0]["metric"] == {}
+        assert [v for _, v in result[0]["values"]] == ["10", "2"]
+
+    def test_post_form_matches_get(self, server):
+        q = "sum by (event_type) (sum_over_time(events[5m]))"
+        _, get_payload = _get(server, q)
+        body = urllib.parse.urlencode({"query": q}).encode()
+        req = urllib.request.Request(
+            f"{server}/api/v1/query_range", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as resp:
+            post_payload = json.loads(resp.read())
+        assert post_payload == get_payload
+
+    def test_parse_error_maps_to_400_bad_data(self, server):
+        code, payload = _get(server, "nope(events[5m])")
+        assert code == 400
+        assert payload["status"] == "error"
+        assert payload["errorType"] == "bad_data"
+
+    def test_unknown_path_404_and_missing_query_400(self, server):
+        req = urllib.request.Request(f"{server}/api/v1/other")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 404
+        req = urllib.request.Request(f"{server}/api/v1/query_range")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+
+    def test_truncation_warning(self, spark):
+        df = _series(spark)
+        payload = promql_result_payload(
+            __import__(
+                "clickhouse_metrics_pipeline_spark.plans.promql",
+                fromlist=["compile_promql"],
+            ).compile_promql("count_over_time(events[1m])", df),
+            limit=3,
+        )
+        assert payload.get("warnings")
+        total_vals = sum(
+            len(s["values"]) for s in payload["data"]["result"]
+        )
+        assert total_vals == 3
