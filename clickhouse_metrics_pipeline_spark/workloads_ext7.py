@@ -556,3 +556,111 @@ FROM s GROUP BY 1, 2
 
 EXTRA7_QUERIES["promql_predict_by_type"] = promql_predict_by_type
 EXTRA7_ORACLE["promql_predict_by_type"] = PROMQL_PREDICT_SQL
+
+
+# --------------------------------------------------------------------------
+# A12 incremental rollup (MV freshness) as a graded row
+# --------------------------------------------------------------------------
+
+
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A12 incremental partition job graded end-to-end: events are
+    staged as a date-partitioned metrics_raw table in TWO writes (the
+    older half of the dates, then the rest), ``incremental_rollup_job``
+    runs after each write — the second run must process ONLY the new +
+    lookback partitions (the reference's MV freshness guard,
+    ``schema.sql:183,274,365``, as partition arithmetic with dynamic
+    partition overwrite) — and the final 1m table is graded
+    row-for-row against a full-history DuckDB rollup. A missed or
+    double-processed partition shows up as a count/min/max mismatch.
+    The pytest tier (tests/test_incremental_rollup.py) additionally
+    pins idempotent reruns and the late-data lookback; this row makes
+    the end-state equivalence driver-checkable.
+
+    Graded projection mirrors the streaming rollup row: identity rides
+    (metric, user), min/max as exact integer cents, samples_count —
+    no float column reaches the hash. Temp staging is removed after
+    the (eager) jobs; only the output dir outlives the call."""
+    import shutil
+    import tempfile
+
+    from clickhouse_metrics_pipeline_spark.operators.rollup import (
+        incremental_rollup_job,
+    )
+    from clickhouse_metrics_pipeline_spark.schema import METRIC_TYPE_GAUGE
+
+    ev = _events(spark, sf_dir)
+    shaped = ev.select(
+        F.lit("default").alias("workspaceId"),
+        F.xxhash64("event_type", "user_id").alias("series_hash"),
+        F.col("event_type").alias("metric"),
+        F.col("user_id").cast("string").alias("serviceName"),
+        F.lit(METRIC_TYPE_GAUGE).cast("tinyint").alias("metric_type"),
+        F.lit(0).cast("tinyint").alias("temporality"),
+        F.lit(False).alias("is_monotonic"),
+        F.col("ts").alias("timestamp"),
+        F.col("value"),
+        F.lit(None).cast("bigint").alias("count"),
+        F.lit(None).cast("double").alias("sum"),
+        F.lit(None)
+        .cast("array<struct<le:double,count:bigint>>")
+        .alias("buckets"),
+        F.lit(None).cast("int").alias("exp_scale"),
+        F.lit(None).cast("bigint").alias("exp_zero_count"),
+        F.lit(None).cast("double").alias("exp_zero_threshold"),
+        F.lit(None)
+        .cast("array<struct<index:int,count:bigint>>")
+        .alias("exp_positive_buckets"),
+        F.lit(None)
+        .cast("array<struct<index:int,count:bigint>>")
+        .alias("exp_negative_buckets"),
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string")
+        ).alias("attributes"),
+        F.to_date("ts").alias("date"),
+    )
+    dates = sorted(
+        r["date"].isoformat()
+        for r in shaped.select("date").distinct().collect()
+    )
+    split = dates[len(dates) // 2]
+    base = tempfile.mkdtemp(prefix="inc_rollup_")
+    raw_path, out_path = f"{base}/raw", f"{base}/1m"
+    shaped.where(F.col("date") <= F.lit(split)).write.partitionBy(
+        "date"
+    ).parquet(raw_path)
+    first = incremental_rollup_job(spark, raw_path, out_path)
+    shaped.where(F.col("date") > F.lit(split)).write.mode(
+        "append"
+    ).partitionBy("date").parquet(raw_path)
+    second = incremental_rollup_job(spark, raw_path, out_path)
+    # the freshness guard worked: run 2 touched only new + lookback
+    # partitions, never the full history
+    if not first or not second or len(second) >= len(dates):
+        raise RuntimeError(
+            f"incremental runs degenerated: {len(first)} then "
+            f"{len(second)} of {len(dates)} partitions"
+        )
+    shutil.rmtree(raw_path, ignore_errors=True)
+    return spark.read.parquet(out_path).select(
+        "metric",
+        F.col("serviceName").alias("user"),
+        F.col("timestamp").alias("bucket_ts"),
+        F.round(F.col("value_min") * 100).cast("bigint").alias("min_cents"),
+        F.round(F.col("value_max") * 100).cast("bigint").alias("max_cents"),
+        "samples_count",
+    )
+
+
+EVENTS_ROLLUP_INC_SQL = f"""
+SELECT event_type AS metric, user_id::VARCHAR AS user,
+       time_bucket(INTERVAL 1 MINUTE, ts) AS bucket_ts,
+       CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+       CAST(round(max(value) * 100) AS BIGINT) AS max_cents,
+       count(*) AS samples_count
+FROM {_EV_SQL}
+GROUP BY 1, 2, 3
+"""
+
+EXTRA7_QUERIES["events_rollup_incremental"] = events_rollup_incremental
+EXTRA7_ORACLE["events_rollup_incremental"] = EVENTS_ROLLUP_INC_SQL
