@@ -34,8 +34,10 @@ kernels the catalog queries use:
                    DECIMAL(38,0) with an explicit BIGINT overflow
                    assert (cents*cents at large magnitudes would
                    otherwise wrap silently)
-    aggop    := ('sum'|'avg'|'min'|'max'|'count')
+    aggop    := ('sum'|'avg'|'min'|'max'|'count'|'group')
                 (('by'|'without') '(' label (',' label)* ')')? '(' call ')'
+                -- 'group': every surviving group gets value 1
+                   (PromQL group()), count encoding
                 -- 'without' groups by the REMAINING labels; the output
                    keeps the labels map (minus the dropped keys)
                 -- NO clause at all = scalar aggregation over every
@@ -230,7 +232,7 @@ _FUNCS = (
 # are re-expressed as BIGINT micro-units (value_ppm-style) so
 # cross-series summation stays order-independent and hash-exact
 _DOUBLE_FUNCS = ("rate", "increase", "irate", "deriv", "predict_linear")
-_AGGS = ("sum", "avg", "min", "max", "count")
+_AGGS = ("sum", "avg", "min", "max", "count", "group")
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)"
@@ -299,13 +301,13 @@ def output_encoding(q: PromQuery) -> str:
         # its own labels so predict+rate binop mixes are rejected
         if q.agg is None:
             return "value_double"
-        if q.agg == "count":
+        if q.agg in ("count", "group"):
             return "count"
         return "value_micro"
     if q.func in _DOUBLE_FUNCS:
         if q.agg is None:
             return "rate_double"
-        if q.agg == "count":
+        if q.agg in ("count", "group"):
             return "count"
         # sum/min/max stay micro; avg of micro uses avg_scale=1, so
         # the label is micro for every aggregated form
@@ -330,7 +332,7 @@ def output_encoding(q: PromQuery) -> str:
     }[q.func]
     if q.agg is None or q.agg in ("sum", "min", "max"):
         return base
-    if q.agg == "count":
+    if q.agg in ("count", "group"):
         return "count"
     # avg / quantile aggregation: inner encoding x10000
     return {
@@ -904,6 +906,8 @@ def _micro_agg(q: PromQuery, g: DataFrame) -> DataFrame:
         "min": F.min,
         "max": F.max,
         "count": lambda _: F.count(F.lit(1)),
+        # PromQL group(): every surviving group gets value 1
+        "group": lambda _: F.min(F.lit(1)),
     }[q.agg]
     return g.groupBy(*q.by, "bucket_ts").agg(
         agg_fn(F.col("value")).cast("bigint").alias("value")
@@ -1232,6 +1236,8 @@ def compile_promql(
         "min": F.min,
         "max": F.max,
         "count": lambda _: F.count(F.lit(1)),
+        # PromQL group(): every surviving group gets value 1
+        "group": lambda _: F.min(F.lit(1)),
     }[q.agg]
     if q.agg == "avg":
         # half-up scaled mean of the per-series integer values
@@ -1326,6 +1332,8 @@ def _agg_without(q: PromQuery, g: DataFrame, avg_scale: int = 10000) -> DataFram
         "min": F.min,
         "max": F.max,
         "count": lambda _: F.count(F.lit(1)),
+        # PromQL group(): every surviving group gets value 1
+        "group": lambda _: F.min(F.lit(1)),
     }[q.agg]
     return grouped.agg(
         agg_fn(F.col("value")).cast("bigint").alias("value")

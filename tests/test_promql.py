@@ -110,7 +110,7 @@ class TestParserProperties:
         off=st.one_of(st.none(), _dur),
         agg=st.one_of(
             st.none(),
-            st.sampled_from(["sum", "avg", "min", "max", "count"]),
+            st.sampled_from(["sum", "avg", "min", "max", "count", "group"]),
         ),
         mode=st.sampled_from(["by", "without"]),
         labels=st.lists(_label, min_size=1, max_size=3, unique=True),
@@ -1091,3 +1091,28 @@ class TestCompile:
         # fractional horizons rejected
         with pytest.raises(PromQLError):
             parse("predict_linear(e[5m], 1.5)")
+
+    def test_group_agg_emits_one_per_group(self, spark):
+        got = compile_promql(
+            "group by (event_type) (count_over_time(events[1h]))",
+            self._series(spark),
+        ).collect()
+        assert got and all(r.value == 1 for r in got)
+        # same group set as count
+        cnt = compile_promql(
+            "count by (event_type) (count_over_time(events[1h]))",
+            self._series(spark),
+        ).collect()
+        assert {(r.event_type, r.bucket_ts) for r in got} == {
+            (r.event_type, r.bucket_ts) for r in cnt
+        }
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            output_encoding,
+        )
+
+        assert output_encoding(
+            parse("group by (t) (sum_over_time(e[1h]))")
+        ) == "count"
+        assert output_encoding(
+            parse("group by (t) (rate(e[5m]))")
+        ) == "count"
