@@ -428,9 +428,13 @@ def main() -> None:
 
     # round-over-round headline lens (r6 verdict item 6): per-query
     # median ratio vs the latest recorded BENCH_r{N}.json — robust to
-    # host drift that swings the floor probes (see shared_median_ratio)
+    # host drift that swings the floor probes (see shared_median_ratio).
+    # HEADLINE timings only: the prior artifact's queries are headline
+    # min-of-two-warm numbers, and mixing in this round's single-warm
+    # coverage samples for rotated-out rows would bias every such
+    # ratio >= 1 (protocol mismatch, not regression)
     prev_n, prev_q = prev_round_queries()
-    median_ratio = shared_median_ratio({**timings, **coverage}, prev_q)
+    median_ratio = shared_median_ratio(timings, prev_q)
 
     # Artifact contract (round-4 fix): the driver tail-captures the LAST
     # 2000 BYTES of stdout (measured from BENCH_r03.json's "tail" field),

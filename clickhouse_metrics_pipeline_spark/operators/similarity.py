@@ -358,9 +358,22 @@ def lsh_ann_pairs(
     62-bit packed-signature cap on num_tables x planes_per_table."""
     from pyspark.sql.pandas.functions import pandas_udf
 
+    # per-table keys are int64 bit-packs: planes_per_table >= 63 would
+    # shift past the sign bit and silently collide buckets (the old
+    # packed-signature path asserted the equivalent 62-plane cap)
+    assert planes_per_table <= 62, "planes_per_table must be <= 62"
     total_planes = num_tables * planes_per_table
     spark = df.sparkSession
-    dim = int(df.select(F.size(vec_col)).first()[0])
+    probe = df.select(F.size(vec_col)).first()
+    if probe is None:
+        # empty input: keep the old lazy behavior — an empty result
+        # with the output schema, no plane bank, no crash
+        return df.limit(0).select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine_sim"),
+        )
+    dim = int(probe[0])
     W = np.array(
         lsh_plane_matrix(spark, total_planes, dim), dtype=np.float64
     )

@@ -1152,13 +1152,15 @@ def compile_promql(
         # kernel, resolved to a scalar per (series, window): var_num =
         # n*Q - S^2 >= 0 (Cauchy-Schwarz) floored by n^2 via the
         # DECIMAL(38,0) divider -> population variance in cents^2.
-        # Magnitude: Q <= n * max_cents^2, so var_num <= n^2*max_cents^2
-        # — BIGINT-safe for per-series windows through 1e9 cents * 1e3
-        # samples; _floordiv_exact is DECIMAL-routed regardless
+        # Moments accumulate in DECIMAL(38,0) like _deriv_plan's —
+        # sum(c^2) alone exceeds BIGINT at ~20 samples of 1e9-cent
+        # values (DuckDB's twin widens to HUGEINT the same way), and
+        # ANSI mode would turn that into a runtime ArithmeticException
+        cd = c.cast("decimal(38,0)")
         g = per_series.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(c).alias("_s"),
-            F.sum(c * c).alias("_q"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum(cd).alias("_s"),
+            F.sum(cd * cd).alias("_q"),
         )
         var_num = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
         var_c2 = _floordiv_exact(var_num, F.col("_n") * F.col("_n"))
@@ -1170,9 +1172,13 @@ def compile_promql(
             # comparison step lands the exact integer root — the same
             # correction DuckDB's oracle twin applies
             s0 = F.floor(F.sqrt(var_c2.cast("double"))).cast("bigint")
+            # squares compare in DECIMAL: (s0+1)^2 can exceed BIGINT
+            # when var_c2 sits near 2^63 (ANSI would throw)
+            s0d = s0.cast("decimal(38,0)")
+            vd = var_c2.cast("decimal(38,0)")
             val = (
-                F.when((s0 + 1) * (s0 + 1) <= var_c2, s0 + 1)
-                .when(s0 * s0 > var_c2, s0 - 1)
+                F.when((s0d + 1) * (s0d + 1) <= vd, s0 + 1)
+                .when(s0d * s0d > vd, s0 - 1)
                 .otherwise(s0)
             )
         g = g.select("labels", "w", val.alias("value"))

@@ -61,14 +61,17 @@ def promql_result_payload(df: DataFrame, limit: int = 100_000) -> dict:
     label_cols = [
         c for c in df.columns if c not in ("bucket_ts", "value")
     ]
-    series: dict[tuple, list] = {}
-    keys: dict[tuple, dict] = {}
+    series: dict[str, list] = {}
+    keys: dict[str, dict] = {}
     for r in rows:
         if label_cols == ["labels"]:
             labels = dict(r["labels"] or {})
         else:
             labels = {c: r[c] for c in label_cols}
-        key = tuple(sorted(labels.items()))
+        # JSON key, not a tuple of items: attribute maps from real
+        # ingest can carry null label values, and sorting tuples that
+        # mix None with strings raises TypeError
+        key = json.dumps(labels, sort_keys=True, default=str)
         ts = r["bucket_ts"]
         val = r["value"]
         series.setdefault(key, []).append(

@@ -142,3 +142,20 @@ ROLLUP_GRAIN = {
     "metrics_5m": "5 minutes",
     "metrics_1h": "1 hour",
 }
+
+
+def float_columns(schema) -> list[str]:
+    """Names of top-level columns whose Spark type contains FLOAT or
+    DOUBLE anywhere (nested included), as "name:type" strings.
+
+    The single definition of the no-float-in-hash-graded-projections
+    contract: the local gate (tools/check_oracle.py::audit_stream_schema)
+    and the pytest pin (tests/test_graded_stream_schema.py) both import
+    this, so the gate and the test can never disagree about what a
+    float-free projection is."""
+    out = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if "double" in s or "float" in s:
+            out.append(f"{f.name}:{s}")
+    return out

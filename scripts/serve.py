@@ -141,9 +141,16 @@ def main() -> None:
     )
 
     def _series_frame():
-        # stored shape -> the PromQL compiler's series-frame contract
+        # stored shape -> the PromQL compiler's series-frame contract.
+        # Before the first micro-batch commits there is no output dir:
+        # serve an EMPTY series frame so clients get Prometheus's
+        # "success, no data" matrix instead of a 500
         if not os.path.isdir(out):
-            raise KeyError("no ingested data yet")
+            return spark.createDataFrame(
+                [],
+                "metric string, attributes map<string,string>, "
+                "ts timestamp, value double",
+            )
         raw = spark.read.parquet(out)
         return raw.select(
             "metric",

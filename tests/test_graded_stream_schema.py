@@ -46,12 +46,10 @@ def _catalog():
 
 
 def _float_cols(schema) -> list[str]:
-    out = []
-    for f in schema.fields:
-        s = f.dataType.simpleString()
-        if "double" in s or "float" in s:
-            out.append(f"{f.name}:{s}")
-    return out
+    # single definition shared with the gate's audit_stream_schema
+    from clickhouse_metrics_pipeline_spark.schema import float_columns
+
+    return float_columns(schema)
 
 
 def test_streaming_row_set_is_pinned():

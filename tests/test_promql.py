@@ -1116,3 +1116,32 @@ class TestCompile:
         assert output_encoding(
             parse("group by (t) (rate(e[5m]))")
         ) == "count"
+
+    def test_stdvar_survives_huge_values(self, spark):
+        # sum(c^2) for 20 samples of 1e7-valued points (1e9 cents)
+        # exceeds BIGINT; the moments must accumulate in DECIMAL —
+        # previously this threw ArithmeticException under ANSI mode
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (
+                "events",
+                {"event_type": "a", "user": "u1"},
+                t0 + dt.timedelta(seconds=i),
+                1.0e7 + (i % 2),  # variance 0.25 in raw units
+                i,
+            )
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        sv = compile_promql("stdvar_over_time(events[5m])", df).collect()
+        sd = compile_promql("stddev_over_time(events[5m])", df).collect()
+        # population variance of alternating +0/+1 cents offsets:
+        # 0.25 raw^2 -> 2500 cents^2; stddev 50 cents
+        assert [r.value for r in sv] == [2500]
+        assert [r.value for r in sd] == [50]

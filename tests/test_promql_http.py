@@ -147,3 +147,30 @@ class TestQueryRangeEndpoint:
             len(s["values"]) for s in payload["data"]["result"]
         )
         assert total_vals == 3
+
+
+def test_null_label_values_do_not_crash_payload(spark):
+    # attribute maps from real ingest can carry null label values;
+    # sorting tuples mixing None and str used to raise TypeError -> 500
+    import datetime as dt
+
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("events", {"event_type": "a", "user": None}, t0, 1.0, 0),
+        ("events", {"event_type": "a", "user": "u1"}, t0, 2.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "metric string, attributes map<string,string>, "
+        "ts timestamp, value double, sample_id long",
+    )
+    payload = promql_result_payload(
+        compile_promql("max_over_time(events[5m])", df)
+    )
+    assert payload["status"] == "success"
+    users = [s["metric"].get("user") for s in payload["data"]["result"]]
+    assert set(users) == {None, "u1"}

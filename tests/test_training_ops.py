@@ -661,3 +661,17 @@ class TestProductQuantization:
             hits += len(exact & ap.get(p, set()))
         # measured 0.54 on this corpus; chance would be ~0.02
         assert hits / tot >= 0.45
+
+    def test_lsh_pairs_empty_input_and_band_cap(self, spark):
+        from clickhouse_metrics_pipeline_spark.operators.similarity import (
+            lsh_ann_pairs,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>"
+        )
+        out = lsh_ann_pairs(empty, threshold=0.5)
+        assert out.columns == ["id_a", "id_b", "cosine_sim"]
+        assert out.count() == 0
+        with pytest.raises(AssertionError):
+            lsh_ann_pairs(empty, planes_per_table=63)

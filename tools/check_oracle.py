@@ -90,17 +90,6 @@ def audit_oracle_types(con, oracle_sql: dict[str, str]) -> list[str]:
     return bad
 
 
-def float_cols(schema) -> list[str]:
-    """Names of top-level columns whose type contains FLOAT/DOUBLE
-    anywhere (nested included) in a Spark schema."""
-    out = []
-    for f in schema.fields:
-        s = f.dataType.simpleString()
-        if "double" in s or "float" in s:
-            out.append(f"{f.name}:{s}")
-    return out
-
-
 def audit_stream_schema(name: str, sdf) -> list[str]:
     """Hash-graded STREAMING rows must not expose float columns.
 
@@ -112,9 +101,11 @@ def audit_stream_schema(name: str, sdf) -> list[str]:
     name marks it as a streaming row ('stream' in the name) and that
     carries an oracle (i.e. is value-hash graded) must project only
     non-float columns. Returns failure strings."""
+    from clickhouse_metrics_pipeline_spark.schema import float_columns
+
     if "stream" not in name:
         return []
-    cols = float_cols(sdf.schema)
+    cols = float_columns(sdf.schema)
     if cols:
         return [f"{name}: hash-graded streaming projection has float "
                 f"columns {cols} (exclude or cast to integer units)"]
