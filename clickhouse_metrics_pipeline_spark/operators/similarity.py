@@ -364,7 +364,13 @@ def lsh_ann_pairs(
     assert planes_per_table <= 62, "planes_per_table must be <= 62"
     total_planes = num_tables * planes_per_table
     spark = df.sparkSession
-    probe = df.select(F.size(vec_col)).first()
+    # probe past NULL embeddings (F.size(NULL) is NULL -> the old
+    # int(probe[0]) raised TypeError on a NULL first row; r7 ADVICE)
+    probe = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col))
+        .first()
+    )
     if probe is None:
         # empty input: keep the old lazy behavior — an empty result
         # with the output schema, no plane bank, no crash
@@ -374,6 +380,13 @@ def lsh_ann_pairs(
             F.lit(0.0).alias("cosine_sim"),
         )
     dim = int(probe[0])
+    # ragged dimensions would crash np.vstack inside the signature
+    # kernel with an opaque worker error; NULL/mismatched rows cannot
+    # participate in a fixed-plane LSH anyway — drop them explicitly
+    # (cosine_np's exact path keeps its own ragged fallback)
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
     W = np.array(
         lsh_plane_matrix(spark, total_planes, dim), dtype=np.float64
     )

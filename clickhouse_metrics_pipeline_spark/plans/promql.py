@@ -845,11 +845,27 @@ def _deriv_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         # windows — inside DECIMAL(38,0) through t of months
         xp = F.lit(span + q.param * 1_000_000).cast("decimal(38,0)")
         pred_num = sy * den + num * (n * xp - sx)
-        val = F.round(
-            pred_num.cast("double")
-            / (n * den).cast("double")
-            / F.lit(100.0),
-            6,
+        nden = n * den
+        # DECIMAL(38,0) products past 38 digits yield NULL silently in
+        # non-ANSI Spark while the DuckDB twin's HUGEINT either holds
+        # or errors loudly — a silent cross-engine divergence at
+        # extreme n/cents/horizon magnitudes. Inputs are all non-null
+        # aggregates, so a NULL intermediate IS the overflow signal;
+        # fail loudly instead (the r7 ADVICE item, mirroring the
+        # binop '*' assert)
+        in_range = pred_num.isNotNull() & nden.isNotNull()
+        val = F.when(
+            F.assert_true(
+                in_range,
+                F.lit(
+                    "predict_linear overflow: forecast numerator "
+                    "exceeds DECIMAL(38,0)"
+                ),
+            ).isNull(),
+            F.round(
+                pred_num.cast("double") / nden.cast("double") / F.lit(100.0),
+                6,
+            ),
         )
     else:
         val = F.round(

@@ -46,6 +46,10 @@ from clickhouse_metrics_pipeline_spark.plans.promql import (
 
 QUERY_RANGE_PATH = "/api/v1/query_range"
 
+# POST bodies carry a form-encoded PromQL query — 64 KiB is orders of
+# magnitude above any real query; larger bodies are rejected with 413
+_MAX_BODY_BYTES = 64 * 1024
+
 
 def promql_result_payload(df: DataFrame, limit: int = 100_000) -> dict:
     """Shape a compiled PromQL result frame into the Prometheus HTTP
@@ -152,6 +156,12 @@ def make_promql_server(
                     raise ValueError
             except ValueError:
                 self.send_error(400, "bad Content-Length")
+                return
+            # PromQL form bodies are tiny; an unbounded read of a
+            # client-controlled length is a driver-memory DoS on the
+            # serving surface (r7 ADVICE item)
+            if length > _MAX_BODY_BYTES:
+                self.send_error(413, "request body too large")
                 return
             params = urllib.parse.parse_qs(self.rfile.read(length).decode())
             qs = params.get("query")

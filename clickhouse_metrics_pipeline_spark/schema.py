@@ -144,6 +144,32 @@ ROLLUP_GRAIN = {
 }
 
 
+def _has_float_type(dt) -> bool:
+    """True iff the DataType tree contains a FloatType/DoubleType node.
+
+    A real tree walk, not a substring match on simpleString(): a nested
+    struct/map FIELD NAME containing 'float'/'double' (e.g.
+    struct<value_double:bigint>) must not false-positive the no-float
+    gate (r7 ADVICE item)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        MapType,
+        StructType,
+    )
+
+    if isinstance(dt, (DoubleType, FloatType)):
+        return True
+    if isinstance(dt, ArrayType):
+        return _has_float_type(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_float_type(dt.keyType) or _has_float_type(dt.valueType)
+    if isinstance(dt, StructType):
+        return any(_has_float_type(f.dataType) for f in dt.fields)
+    return False
+
+
 def float_columns(schema) -> list[str]:
     """Names of top-level columns whose Spark type contains FLOAT or
     DOUBLE anywhere (nested included), as "name:type" strings.
@@ -153,9 +179,8 @@ def float_columns(schema) -> list[str]:
     and the pytest pin (tests/test_graded_stream_schema.py) both import
     this, so the gate and the test can never disagree about what a
     float-free projection is."""
-    out = []
-    for f in schema.fields:
-        s = f.dataType.simpleString()
-        if "double" in s or "float" in s:
-            out.append(f"{f.name}:{s}")
-    return out
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if _has_float_type(f.dataType)
+    ]

@@ -142,16 +142,24 @@ def main() -> None:
 
     def _series_frame():
         # stored shape -> the PromQL compiler's series-frame contract.
-        # Before the first micro-batch commits there is no output dir:
-        # serve an EMPTY series frame so clients get Prometheus's
-        # "success, no data" matrix instead of a 500
-        if not os.path.isdir(out):
+        # Before the first micro-batch COMMITS the output dir either
+        # doesn't exist or holds only _spark_metadata with zero data
+        # files (schema inference raises): both serve an EMPTY series
+        # frame so clients get Prometheus's "success, no data" matrix
+        # instead of a 500
+        def _empty():
             return spark.createDataFrame(
                 [],
                 "metric string, attributes map<string,string>, "
                 "ts timestamp, value double",
             )
-        raw = spark.read.parquet(out)
+
+        if not os.path.isdir(out):
+            return _empty()
+        try:
+            raw = spark.read.parquet(out)
+        except Exception:
+            return _empty()
         return raw.select(
             "metric",
             "attributes",

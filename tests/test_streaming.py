@@ -1586,3 +1586,69 @@ class TestRecordingRulesStream:
         )
         with pytest.raises(ValueError, match="second stage"):
             recording_rules_stream(stream, [Rule("bad", "share_ppm")])
+
+
+class TestMultiChunkGroups:
+    def test_delta_stream_series_spanning_arrow_chunks(self, spark, tmp_path):
+        """End-to-end twin of tests/test_stream_chunks.py: force one
+        series' single-micro-batch rows through MULTIPLE Arrow chunks
+        (maxRecordsPerBatch=3) arriving in reverse-timeline order, and
+        assert the emitted deltas still match the sorted-timeline lag
+        form — the r7 verdict's cross-chunk ordering hazard, pinned on
+        the real applyInPandasWithState path."""
+        from clickhouse_metrics_pipeline_spark.streaming.pipeline import (
+            _OUTPUT_SCHEMA,
+            delta_convert_stream,
+        )
+
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        # one series, 14 cumulative points with a mid-timeline reset;
+        # rows written in REVERSE timestamp order so each 3-row Arrow
+        # chunk covers a later timeline slice than the next chunk
+        cum = [100, 150, 200, 260, 20, 70, 90, 140, 150, 200, 210, 260, 300, 330]
+        expect = []
+        for i, v in enumerate(cum):
+            if i == 0 or v < cum[i - 1]:
+                expect.append(float(v))
+            else:
+                expect.append(float(v - cum[i - 1]))
+        rows = [
+            (
+                7, _ts(i + 1), "requests_total", "w1", "svc", 2, 1, True,
+                float(v), None, None, None, None, {}, None,
+            )
+            for i, v in enumerate(cum)
+        ][::-1]
+        spark.createDataFrame(rows, _OUTPUT_SCHEMA).coalesce(1).write.parquet(src)
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            stream = spark.readStream.schema(_OUTPUT_SCHEMA).parquet(src)
+            q = (
+                delta_convert_stream(stream, state_ttl=False)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .format("parquet")
+                .start(out)
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+
+        got = (
+            spark.read.parquet(out)
+            .orderBy("timestamp")
+            .select("value", "temporality")
+            .collect()
+        )
+        assert [r["value"] for r in got] == expect
+        assert {r["temporality"] for r in got} == {2}  # TEMPORALITY_DELTA
