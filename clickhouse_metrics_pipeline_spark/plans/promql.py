@@ -6,19 +6,41 @@ queries users actually type are PromQL. This module adds the missing
 front-end for a well-defined subset, compiled onto the same engine
 kernels the catalog queries use:
 
-    expr     := binop | aggop | call | histq | topk | quant
+    expr     := binop | setop | aggop | call | histq | histf | topk
+              | quant
+    setop    := aggop scalar? ('and'|'or'|'unless') aggop scalar?
+                -- vector set operations at the (by-labels, window)
+                   key: 'and' keeps lhs rows whose key also exists on
+                   the rhs (semi join), 'unless' those whose key does
+                   NOT (anti join), 'or' the lhs plus unmatched rhs
+                   rows. Comparison binds TIGHTER than the set op
+                   (real PromQL precedence), so
+                   ``A and B > 10`` filters the rhs vector before
+                   matching — the alerting idiom "value where
+                   condition holds". Both sides must aggregate by the
+                   same labels with equal ranges (offsets may
+                   differ). and/unless keep the lhs values and
+                   encoding (the rhs is only a key filter, so mixed
+                   encodings are fine); or merges values, so equal
+                   encodings are required. scalar here is the
+                   raw-unit trailing form below
     binop    := aggop ('/'|'+'|'-'|'*') aggop
               | aggop ('+'|'-'|'*') INT
               | aggop ('>'|'>='|'<'|'<='|'=='|'!=') INT
-                -- scalar forms: integer arithmetic keeps the side's
-                   units; comparisons FILTER the vector (PromQL
+                -- scalar forms: comparisons FILTER the vector (PromQL
                    instant-vector comparison semantics) and keep the
                    value column unchanged. The scalar is interpreted
-                   in the side's OUTPUT ENCODING (table below): after
-                   sum_over_time a '> 100' threshold means 100 cents,
-                   after an aggregated rate it means 100 micro-units
-                   (1e-4/s), after avg/quantile it means 100/10000 in
-                   raw units. Scale thresholds accordingly.
+                   in RAW SAMPLE-VALUE units (real PromQL semantics —
+                   an r8 behavior change from the r7
+                   scalar-in-encoding-units contract): '> 100' after
+                   sum_over_time means 100 raw units and compiles to
+                   a 10000-cent threshold; after an aggregated rate,
+                   100/s compiles to 1e8 micro-units. '+'/'-' scale
+                   the scalar into the side's encoding the same way;
+                   '*' is dimensionless and multiplies as-is. The
+                   scalar itself must still be an INTEGER (the
+                   exactness contract; sub-unit thresholds are not in
+                   the subset).
                 -- vector arithmetic between two aggregated vectors
                    with IDENTICAL by-labels (the on(...) match is the
                    by-tuple) and IDENTICAL output encodings (enforced
@@ -54,7 +76,18 @@ kernels the catalog queries use:
               | 'rate' | 'increase' | 'irate' | 'absent'
               | 'resets' | 'changes'
               | 'stdvar_over_time' | 'stddev_over_time' | 'deriv'
-              | 'predict_linear'
+              | 'predict_linear' | 'holt_winters'
+                -- holt_winters(sel[r], sf, tf): double exponential
+                   smoothing of the in-window samples per series —
+                   the events_holt_winters kernel's EXACT fixed-point
+                   recursion (factors in thousandths, every /1000
+                   rescale floored identically in both engines) at
+                   the (series, window) grain. Prometheus init
+                   s0 = y0, b0 = y1 - y0; a single-sample window
+                   emits y0. sf/tf must be multiples of 0.001 in
+                   (0,1). Emits the final smoothed level in integer
+                   cents (value_x100 encoding, composing with the
+                   cents family in binops)
                 -- predict_linear(sel[r], T): the deriv regression
                    evaluated T whole seconds past the window end —
                    intercept + slope*(span + T), the capacity-planning
@@ -105,9 +138,31 @@ kernels the catalog queries use:
     histq    := 'histogram_quantile' '(' phi ',' aggop ')'
                 -- phi a whole-percent quantile in (0,1); the inner
                    aggop must be sum by (...) (count_over_time(...))
+    histf    := 'histogram_fraction' '(' lo ',' hi ',' aggop ')'
+                -- the fraction of the merged histogram's samples
+                   with lo < value <= hi, as truncated
+                   parts-per-million (the events_histogram_fraction
+                   kernel's exact-ppm arithmetic per (by-labels,
+                   window)). Same inner shape as histq. lo/hi must
+                   sit ON the fixed le ladder (10/25/50/100/200/500),
+                   with lo = 0 meaning -Inf and hi = 'Inf' meaning
+                   +Inf — at ladder bounds the bucket walk is an
+                   exact count (no interpolation), so the engine
+                   counts raw samples directly and the result equals
+                   the stored-bucket answer by construction. Real
+                   PromQL interpolates arbitrary bounds inside
+                   buckets; off-ladder bounds are rejected rather
+                   than approximated (documented divergence)
     topk     := ('topk'|'bottomk') '(' K ',' aggop ')'
                 -- deterministic tiebreak: value, then by-labels asc
                    (real PromQL ties are nondeterministic; documented)
+    vfn      := ('clamp_min'|'clamp_max') '(' aggop ',' INT ')'
+              | 'abs' '(' aggop ')'
+                -- row-local value functions over the aggregated
+                   vector; the clamp bound is an INTEGER in RAW units,
+                   scaled into the side's encoding at compile time
+                   (same rule as the trailing scalar). Encoding
+                   unchanged
     quant    := 'quantile' 'by' '(' label... ')' '(' phi ',' call ')'
                 -- exact linear-interpolated quantile of the per-series
                    integer values, emitted as BIGINT value*10000
@@ -151,15 +206,26 @@ binops require both sides to match):
     rate/increase, bare                                round(double, 6)
     irate, aggregated / bare                           micro / double
     histogram_quantile                                 x10000
+    histogram_fraction                                 fraction ppm (x1e6)
+    holt_winters                                       cents (x100)
     avg or quantile AGG over an inner encoding E       E x10000
     absent                                             count (0/1)
     binop '/'                                          ppm ratio (x1e6)
 
+``encoding_scale`` maps each label to its integer raw-units-per-unit
+factor; ``result_scale`` resolves a whole parsed query (PromQuery or
+BinQuery) to the divisor that converts the emitted value column back
+to raw units — the HTTP endpoint divides by it at JSON
+stringification so Prometheus clients read raw-unit floats, and
+``_apply_scalar`` multiplies user scalars by it so thresholds are
+raw-unit (see the binop grammar note).
+
 The avg/quantile aggregation multiplies its inner encoding by a
 further 10000 (the interpolation carries fractional precision in
 integer form), so e.g. ``avg by (t) (sum_over_time(x[1h]))`` is cents
-x10000 = raw x1e6. Scalar comparisons and arithmetic always operate
-in the side's encoding per the table. rate/increase/
+x10000 = raw x1e6. Scalar comparisons and '+'/'-' read the user's
+integer scalar in RAW units and scale it into the side's encoding at
+compile time (see _apply_scalar). rate/increase/
 histogram_quantile compile onto those full-fidelity kernels
 (functions/rate.py boundary extrapolation + reset correction;
 bucket_percentile_scaled prometheus-mode interpolation) — no lossy
@@ -199,6 +265,7 @@ from pyspark.sql import functions as F
 from clickhouse_metrics_pipeline_spark.functions.histogram import (
     _floordiv_exact,
 )
+from clickhouse_metrics_pipeline_spark.oracle_fragments import BOUNDS
 from clickhouse_metrics_pipeline_spark.plans.matchers import (
     LabelMatcher,
     MatchType,
@@ -225,6 +292,7 @@ _FUNCS = (
     "stddev_over_time",
     "deriv",
     "predict_linear",
+    "holt_winters",
 )
 # functions whose per-series output is round(double, 6) — the
 # deliberate exception to the integer contract, matching the dedicated
@@ -267,23 +335,38 @@ class PromQuery:
     # 'without' aggregation: group by every label EXCEPT these (by
     # stays empty; the output keeps the pruned labels map)
     without: tuple[str, ...] = field(default_factory=tuple)
-    # trailing scalar form: '> 100' filters, '* 3' rescales (INT only)
+    # trailing scalar form: '> 100' filters, '* 3' rescales (INT only;
+    # raw-unit semantics — see _apply_scalar)
     scalar_op: str | None = None
     scalar: int | None = None
+    # second numeric argument: holt_winters' tf in thousandths (param
+    # carries sf in thousandths)
+    param2: int | None = None
+    # outer value function: 'clamp_min' | 'clamp_max' | 'abs';
+    # vfn_arg is the clamp bound in RAW units (scaled into the side's
+    # encoding at compile time, like every scalar)
+    vfn: str | None = None
+    vfn_arg: int | None = None
+    # histogram_fraction bounds: ladder values, lo=0.0 meaning -Inf,
+    # hi=inf meaning +Inf; None for every other query shape
+    frac_lo: float | None = None
+    frac_hi: float | None = None
 
 
 @dataclass(frozen=True)
 class BinQuery:
-    """Vector arithmetic between two aggregated vectors (see the
-    ``binop`` grammar rule). Both sides must carry the same agg
-    by-labels; the by-tuple is the vector-matching key."""
+    """Vector arithmetic or set operation between two aggregated
+    vectors (see the ``binop``/``setop`` grammar rules). Both sides
+    must carry the same agg by-labels; the by-tuple is the
+    vector-matching key."""
 
     lhs: PromQuery
-    op: str  # '/', '+', '-', '*'
+    op: str  # '/', '+', '-', '*', 'and', 'or', 'unless'
     rhs: PromQuery
 
 
 _ARITH_OPS = ("/", "+", "-", "*")
+_SET_OPS = ("and", "or", "unless")
 _CMP_OPS = (">", ">=", "<", "<=", "==", "!=")
 _SCALAR_ARITH = ("+", "-", "*")
 
@@ -294,6 +377,8 @@ def output_encoding(q: PromQuery) -> str:
     SAME label — mixing e.g. cents with value*10000 would produce
     silently wrong numbers vs PromQL; with equal labels the scales
     cancel under '/' and add consistently under '+'/'-'."""
+    if q.frac_lo is not None:
+        return "frac_ppm"  # histogram_fraction
     if q.quantile is not None:
         return "value_x10000"  # histogram_quantile
     if q.func == "predict_linear":
@@ -326,6 +411,7 @@ def output_encoding(q: PromQuery) -> str:
         "max_over_time": "value_x100",
         "last_over_time": "value_x100",
         "delta": "value_x100",
+        "holt_winters": "value_x100",
         "avg_over_time": "value_x10000",
         "quantile_over_time": "value_x1000000",
         "absent": "count",
@@ -342,6 +428,46 @@ def output_encoding(q: PromQuery) -> str:
         "value_x1000000": "value_x10000000000",
         "value2_x10000": "value2_x100000000",
     }[base]
+
+
+ENC_SCALE: dict[str, int] = {
+    "count": 1,
+    "count_x10000": 10**4,
+    "value_x100": 10**2,
+    "value_x10000": 10**4,
+    "value_x1000000": 10**6,
+    "value_x100000000": 10**8,
+    "value_x10000000000": 10**10,
+    # raw unit is value^2 (variance); x10000 per the table
+    "value2_x10000": 10**4,
+    "value2_x100000000": 10**8,
+    "rate_micro": 10**6,
+    "value_micro": 10**6,
+    "frac_ppm": 10**6,
+    # double encodings are already raw-unit
+    "rate_double": 1,
+    "value_double": 1,
+}
+
+
+def encoding_scale(enc: str) -> int:
+    """Integer factor between the emitted value column and raw
+    sample-value units for an ``output_encoding`` label."""
+    return ENC_SCALE[enc]
+
+
+def result_scale(q) -> int:
+    """Raw-unit divisor for a whole parsed query. PromQuery: the
+    side's encoding scale. BinQuery: '/' emits a ppm ratio whose
+    per-side scales CANCEL (1e6); '+'/'-' keep the (equal) side
+    scale; '*' multiplies units, so the scales multiply; set ops
+    (and/or/unless) emit lhs rows in the lhs encoding."""
+    if isinstance(q, BinQuery):
+        if q.op == "/":
+            return 10**6
+        s = encoding_scale(output_encoding(q.lhs))
+        return s * s if q.op == "*" else s
+    return encoding_scale(output_encoding(q))
 
 
 class PromQLError(ValueError):
@@ -402,6 +528,67 @@ class _Parser:
         self.i += 1
         return v
 
+    def _maybe_scalar(self, q: PromQuery) -> PromQuery:
+        """Attach a trailing scalar form (comparison filter or
+        '+'/'-'/'*' arithmetic, raw-unit semantics — see
+        _apply_scalar) if one follows; comparison binds tighter than
+        the set ops, so both sides of and/or/unless route through
+        here before the set op is parsed."""
+        from dataclasses import replace
+
+        k2, v2 = self.peek()
+        scalar_next = (
+            self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1][0] == "num"
+        )
+        if not (
+            k2 == "op"
+            and (v2 in _CMP_OPS or (v2 in _ARITH_OPS and scalar_next))
+        ):
+            return q
+        self.eat("op")
+        raw = self.eat("num")
+        if "." in raw:
+            raise PromQLError(
+                f"scalar must be an integer (the exactness "
+                f"contract), got {raw!r}"
+            )
+        if v2 in _ARITH_OPS and v2 not in _SCALAR_ARITH:
+            raise PromQLError(
+                "scalar division is outside the subset (use a "
+                "vector rhs for ppm division)"
+            )
+        if q.agg is None:
+            raise PromQLError(
+                "scalar ops apply to aggregated vectors only"
+            )
+        return replace(q, scalar_op=v2, scalar=int(raw))
+
+    def _frac_bound(
+        self, *, allow_zero: bool = False, allow_inf: bool = False
+    ) -> float:
+        """A histogram_fraction bound: a value ON the fixed le ladder
+        (exact bucket-walk counts, no interpolation — see the histf
+        grammar note), 0 for -Inf (lo only), 'Inf' for +Inf (hi
+        only)."""
+        k, v = self.peek()
+        if k == "ident" and v == "Inf":
+            if not allow_inf:
+                raise PromQLError("Inf is only valid as the hi bound")
+            self.eat("ident")
+            return float("inf")
+        val = float(self.eat("num"))
+        if allow_zero and val == 0:
+            return 0.0
+        if val in BOUNDS:
+            return val
+        raise PromQLError(
+            f"histogram_fraction bounds must sit on the le ladder "
+            f"{BOUNDS} (or 0 / Inf), got {val} — off-ladder bounds "
+            "would need in-bucket interpolation, outside the exactness "
+            "contract"
+        )
+
     def _phi_percent(self) -> int:
         phi = float(self.eat("num"))
         p100 = phi * 100
@@ -437,6 +624,53 @@ class _Parser:
             if self.i != len(self.toks):
                 raise PromQLError(f"trailing input from token {self.i}")
             return q
+        if k == "ident" and v in ("clamp_min", "clamp_max", "abs"):
+            self.eat("ident")
+            self.eat("op", "(")
+            q = self._aggop_or_call()
+            arg = None
+            if v != "abs":
+                self.eat("op", ",")
+                raw = self.eat("num")
+                if "." in raw:
+                    raise PromQLError(
+                        f"clamp bound must be an integer (raw units; "
+                        f"the exactness contract), got {raw!r}"
+                    )
+                arg = int(raw)
+            self.eat("op", ")")
+            if q.agg is None:
+                raise PromQLError(
+                    f"{v}() subset applies to aggregated vectors only"
+                )
+            q = replace(q, vfn=v, vfn_arg=arg)
+            if self.i != len(self.toks):
+                raise PromQLError(f"trailing input from token {self.i}")
+            return q
+        if k == "ident" and v == "histogram_fraction":
+            self.eat("ident")
+            self.eat("op", "(")
+            lo = self._frac_bound(allow_zero=True)
+            self.eat("op", ",")
+            hi = self._frac_bound(allow_inf=True)
+            self.eat("op", ",")
+            q = self._aggop_or_call()
+            self.eat("op", ")")
+            if q.agg != "sum" or q.func != "count_over_time" or q.without:
+                raise PromQLError(
+                    "histogram_fraction subset requires the merged-"
+                    "histogram shape: sum by (...) "
+                    "(count_over_time(selector[range]))"
+                )
+            if not hi > lo:
+                raise PromQLError(
+                    f"histogram_fraction bounds must satisfy lo < hi, "
+                    f"got {lo} >= {hi}"
+                )
+            q = replace(q, frac_lo=lo, frac_hi=hi)
+            if self.i != len(self.toks):
+                raise PromQLError(f"trailing input from token {self.i}")
+            return q
         if k == "ident" and v == "histogram_quantile":
             self.eat("ident")
             self.eat("op", "(")
@@ -455,38 +689,45 @@ class _Parser:
             # carry offset_s
             q = replace(q, quantile=p100)
         else:
-            q = self._aggop_or_call()
+            q = self._maybe_scalar(self._aggop_or_call())
             k2, v2 = self.peek()
-            scalar_next = (
-                self.i + 1 < len(self.toks)
-                and self.toks[self.i + 1][0] == "num"
-            )
-            if k2 == "op" and (
-                v2 in _CMP_OPS or (v2 in _ARITH_OPS and scalar_next)
-            ):
-                self.eat("op")
-                raw = self.eat("num")
-                if "." in raw:
+            if k2 == "ident" and v2 in _SET_OPS:
+                self.eat("ident")
+                rhs = self._maybe_scalar(self._aggop_or_call())
+                for side, name in ((q, "left"), (rhs, "right")):
+                    if side.agg is None or side.without or not side.by:
+                        raise PromQLError(
+                            f"set-op {name} side must be an "
+                            "agg by (...) expression (the by-tuple is "
+                            "the vector-matching key)"
+                        )
+                if q.by != rhs.by:
                     raise PromQLError(
-                        f"scalar must be an integer (the exactness "
-                        f"contract), got {raw!r}"
+                        "set-op sides must aggregate by the same "
+                        f"labels, got {q.by} vs {rhs.by}"
                     )
-                if v2 in _ARITH_OPS and v2 not in _SCALAR_ARITH:
+                if q.range_s != rhs.range_s:
                     raise PromQLError(
-                        "scalar division is outside the subset (use a "
-                        "vector rhs for ppm division)"
+                        "set-op sides must use the same range so "
+                        "their windows align (offsets may differ), "
+                        f"got {q.range_s}s vs {rhs.range_s}s"
                     )
-                if q.agg is None:
-                    raise PromQLError(
-                        "scalar ops apply to aggregated vectors only"
-                    )
-                q = replace(q, scalar_op=v2, scalar=int(raw))
+                if v2 == "or":
+                    enc_l, enc_r = output_encoding(q), output_encoding(rhs)
+                    if enc_l != enc_r:
+                        raise PromQLError(
+                            "'or' merges values from both sides, so "
+                            "the output encodings must match (got "
+                            f"{enc_l} vs {enc_r}); and/unless accept "
+                            "mixed encodings (rhs is only a key "
+                            "filter)"
+                        )
                 if self.i != len(self.toks):
                     raise PromQLError(
                         f"trailing input from token {self.i}"
                     )
-                return q
-            if k2 == "op" and v2 in _ARITH_OPS:
+                return BinQuery(q, v2, rhs)
+            if k2 == "op" and v2 in _ARITH_OPS and q.scalar_op is None:
                 self.eat("op")
                 rhs = self._aggop_or_call()
                 for side, name in ((q, "left"), (rhs, "right")):
@@ -563,8 +804,9 @@ class _Parser:
                 )
             if q.param is not None:
                 raise PromQLError(
-                    "quantile by (...) over quantile_over_time is "
-                    "outside the subset (one phi per query)"
+                    "quantile by (...) over a parameterized call "
+                    "(quantile_over_time / holt_winters / "
+                    "predict_linear) is outside the subset"
                 )
             return replace(q, agg="quantile", by=by, param=p100)
         if k == "ident" and v in _AGGS:
@@ -637,6 +879,7 @@ class _Parser:
         if self.peek() == ("ident", "offset"):
             self.eat("ident", "offset")
             offset_s = self._duration()
+        param2 = None
         if fname == "predict_linear":
             # trailing horizon argument: predict_linear(sel[r], T) —
             # whole seconds, like real PromQL's scalar t
@@ -648,11 +891,30 @@ class _Parser:
                     f"got {raw_t!r}"
                 )
             param = int(raw_t)
+        elif fname == "holt_winters":
+            # trailing smoothing/trend factors, each a multiple of
+            # 0.001 in (0,1) — the exact fixed-point contract
+            self.eat("op", ",")
+            param = self._thousandths("sf")
+            self.eat("op", ",")
+            param2 = self._thousandths("tf")
         self.eat("op", ")")
         return PromQuery(
             fname, metric, tuple(matchers), range_s, offset_s=offset_s,
-            param=param,
+            param=param, param2=param2,
         )
+
+    def _thousandths(self, name: str) -> int:
+        """A smoothing factor in (0,1), exact in thousandths — the
+        fixed-point grid the holt_winters recursion runs on."""
+        raw = float(self.eat("num"))
+        th = raw * 1000
+        if not (0 < raw < 1) or abs(th - round(th)) > 1e-9:
+            raise PromQLError(
+                f"holt_winters {name} must be a multiple of 0.001 in "
+                f"(0,1), got {raw}"
+            )
+        return int(round(th))
 
     _UNITS = {"m": 60, "h": 3600, "d": 86400}
 
@@ -747,6 +1009,41 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         "bucket_ts",
         bucket_percentile_scaled(
             "buckets", q.quantile, interpolation="prometheus"
+        ).alias("value"),
+    )
+
+
+def _hist_fraction_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """histogram_fraction(lo, hi, sum by (L) (count_over_time(...))):
+    the fraction of the merged histogram's samples in (lo, hi] as
+    truncated parts-per-million — the events_histogram_fraction
+    kernel's exact-ppm arithmetic per (by-labels, window). Both
+    bounds sit ON the fixed le ladder (parser-enforced), where the
+    bucket cumulative count IS the exact count of samples <= bound,
+    so the engine counts raw samples directly — equal to the stored-
+    bucket walk by construction, no interpolation anywhere. One
+    shuffle to the by-grain with map-side partial counts."""
+    bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
+    in_hi = (
+        F.lit(1)
+        if q.frac_hi == float("inf")
+        else F.when(F.col("value") <= q.frac_hi, 1).otherwise(0)
+    )
+    in_lo = (
+        F.lit(0)
+        if q.frac_lo == 0.0
+        else F.when(F.col("value") <= q.frac_lo, 1).otherwise(0)
+    )
+    g = df.groupBy(*_by_keys(q), bucket).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(in_hi).cast("bigint").alias("_hi"),
+        F.sum(in_lo).cast("bigint").alias("_lo"),
+    )
+    return g.select(
+        *q.by,
+        F.col("w.start").alias("bucket_ts"),
+        _floordiv_exact(
+            (F.col("_hi") - F.col("_lo")) * F.lit(1_000_000), F.col("_n")
         ).alias("value"),
     )
 
@@ -1032,6 +1329,22 @@ def _bin_plan(b: BinQuery, series: DataFrame) -> DataFrame:
     join — at scale both sides have already reduced to the by-grain,
     so AQE broadcasts the smaller one."""
     keys = list(b.lhs.by) + ["bucket_ts"]
+    if b.op in _SET_OPS:
+        # set operations keep whole rows; values never mix except
+        # under 'or', whose parse-time encoding check makes the union
+        # unit-safe. Aggregated vectors are key-unique, so semi/anti
+        # joins are exact PromQL matching; both sides are by-grain
+        # tiny, AQE broadcasts the smaller
+        lhs = compile_promql(b.lhs, series)
+        rhs = compile_promql(b.rhs, series)
+        if b.op == "and":
+            return lhs.join(rhs.select(*keys), keys, "left_semi")
+        if b.op == "unless":
+            return lhs.join(rhs.select(*keys), keys, "left_anti")
+        # 'or': lhs wins on matched keys, unmatched rhs rows fill in
+        return lhs.unionByName(
+            rhs.join(lhs.select(*keys), keys, "left_anti")
+        )
     lhs = compile_promql(b.lhs, series).withColumnRenamed("value", "_l")
     rhs = compile_promql(b.rhs, series).withColumnRenamed("value", "_r")
     j = lhs.join(rhs, keys)
@@ -1092,6 +1405,8 @@ def compile_promql(
         return _absent_plan(q, df)
     if q.matchers:
         df = df.where(compile_matchers(list(q.matchers)))
+    if q.frac_lo is not None:
+        return _hist_fraction_plan(q, df)
     if q.quantile is not None:
         return _hist_quantile_plan(q, df)
     if q.func == "irate":
@@ -1198,6 +1513,54 @@ def compile_promql(
                 .otherwise(s0)
             )
         g = g.select("labels", "w", val.alias("value"))
+    elif q.func == "holt_winters":
+        # the events_holt_winters kernel's exact fixed-point recursion
+        # at the (series, window) grain: in-window cents sorted by
+        # (ts, sample_id) row-locally, Prometheus init s0=y0,
+        # b0=y1-y0, then the sf/tf fold with every /1000 rescale
+        # floored via the shared _hw_fd (token-identical arithmetic in
+        # the DuckDB twin's recursive CTE). Emits the final smoothed
+        # level in integer cents; a single-sample window emits y0.
+        from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+            _HW_SCALE,
+            _hw_fd,
+        )
+
+        pair = (
+            F.struct(F.col("ts"), F.col("sample_id"), c.alias("_c"))
+            if "sample_id" in df.columns
+            else F.struct(F.col("ts"), c.alias("_c"))
+        )
+        g = per_series.agg(
+            F.array_sort(F.collect_list(pair)).alias("_arr")
+        )
+        vals = F.transform(F.col("_arr"), lambda x: x["_c"])
+        n = F.size(vals)
+        y0 = F.element_at(vals, 1)
+        # try_: a single-sample window has no second element (plain
+        # element_at raises INVALID_ARRAY_INDEX); coalesce -> b0 = 0
+        y1 = F.try_element_at(vals, F.lit(2))
+        init = F.struct(
+            y0.alias("s"), F.coalesce(y1 - y0, F.lit(0)).alias("b")
+        )
+        sf_, tf_, sc = q.param, q.param2, _HW_SCALE
+
+        def hw_step(acc, y):
+            s2 = _hw_fd(
+                F.lit(sf_) * y + F.lit(sc - sf_) * (acc["s"] + acc["b"])
+            )
+            return F.struct(
+                s2.alias("s"),
+                _hw_fd(
+                    F.lit(tf_) * (s2 - acc["s"])
+                    + F.lit(sc - tf_) * acc["b"]
+                ).alias("b"),
+            )
+
+        folded = F.when(
+            n >= 2, F.aggregate(F.slice(vals, 2, n - 1), init, hw_step)
+        ).otherwise(init)
+        g = g.select("labels", "w", folded["s"].alias("value"))
     elif q.func in ("resets", "changes"):
         # window-local consecutive-sample comparison: sort the
         # in-window samples by (ts, sample_id) row-locally (bounded by
@@ -1241,7 +1604,9 @@ def compile_promql(
     if q.agg is None:
         return g
     if q.without:
-        return _apply_scalar(q, _agg_without(q, g))
+        # topk is parse-rejected for the without-form, so _post_ops
+        # reduces to vfn + scalar here
+        return _post_ops(q, _agg_without(q, g))
     keys = [
         F.coalesce(
             F.element_at(F.col("labels"), F.lit(k)), F.lit("")
@@ -1365,16 +1730,24 @@ def _agg_without(q: PromQuery, g: DataFrame, avg_scale: int = 10000) -> DataFram
 def _apply_scalar(q: PromQuery, out: DataFrame) -> DataFrame:
     """Trailing scalar form over the aggregated vector: comparisons
     FILTER (PromQL instant-vector comparison — value kept unchanged),
-    integer arithmetic rescales in the side's own units. The scalar is
-    interpreted in the side's OUTPUT ENCODING (``output_encoding``;
-    table in the module docstring): ``> 1`` after an aggregated rate
-    means one micro-unit (1e-6/s), after sum_over_time one cent, after
-    avg-family one 1/10000th — callers scale thresholds accordingly.
-    This is a documented divergence from PromQL's raw-unit scalars,
-    the price of the integer exactness contract."""
+    integer arithmetic rescales. The scalar is interpreted in RAW
+    sample-value units — real PromQL semantics (an r8 behavior
+    change; r7 read scalars in the side's encoding units, the
+    driver-flagged unit trap): ``> 100`` after sum_over_time compiles
+    to a 10000-cent threshold, after an aggregated rate to 1e8
+    micro-units, via ``encoding_scale(output_encoding(q))``. '+'/'-'
+    scale the scalar the same way; '*' is dimensionless and
+    multiplies unscaled. The scalar must still be an INTEGER (the
+    exactness contract — sub-raw-unit thresholds are outside the
+    subset), and the scaled literal stays integer because every
+    encoding scale is a power of ten."""
     if q.scalar_op is None:
         return out
-    v, sc = F.col("value"), F.lit(q.scalar)
+    scale = encoding_scale(output_encoding(q))
+    v = F.col("value")
+    sc = F.lit(
+        q.scalar * (1 if q.scalar_op == "*" else scale)
+    )
     if q.scalar_op in _CMP_OPS:
         cond = {
             ">": v > sc, ">=": v >= sc, "<": v < sc,
@@ -1385,10 +1758,32 @@ def _apply_scalar(q: PromQuery, out: DataFrame) -> DataFrame:
     return out.withColumn("value", expr.cast("bigint"))
 
 
+def _apply_vfn(q: PromQuery, out: DataFrame) -> DataFrame:
+    """Outer value functions: clamp_min/clamp_max (bound in RAW units,
+    scaled into the side's encoding like every scalar) and abs. Pure
+    row-local integer expressions; the encoding is unchanged."""
+    if q.vfn is None:
+        return out
+    v = F.col("value")
+    if q.vfn == "abs":
+        expr = F.abs(v)
+    else:
+        bound = F.lit(
+            q.vfn_arg * encoding_scale(output_encoding(q))
+        )
+        expr = (
+            F.greatest(v, bound)
+            if q.vfn == "clamp_min"
+            else F.least(v, bound)
+        )
+    return out.withColumn("value", expr.cast("bigint"))
+
+
 def _post_ops(q: PromQuery, out: DataFrame) -> DataFrame:
-    """Every aggregated output path funnels through here: topk first
+    """Every aggregated output path funnels through here: the value
+    function innermost (it wraps the agg in the grammar), then topk
     (PromQL's topk sees the raw vector), then the scalar form."""
-    return _apply_scalar(q, _apply_topk(q, out))
+    return _apply_scalar(q, _apply_topk(q, _apply_vfn(q, out)))
 
 
 # fan-out of the local pre-prune phase in _apply_topk: each evaluation

@@ -167,9 +167,19 @@ def _convert_group(
                 first = False
             out.append(r)
 
-    les = list(prev_buckets.keys())
+    les = [float(k) for k in prev_buckets]
+    # plain-Python natives only: the state tuple is pickled to the JVM
+    # state store, and numpy scalars (itertuples yields them for the
+    # histogram count/bucket columns) fail Pyrolite unpickling with
+    # "expected zero arguments for construction of ClassDict"
     state.update(
-        (last_value, last_count, last_sum, les, [prev_buckets[k] for k in les])
+        (
+            float(last_value),
+            int(last_count),
+            float(last_sum),
+            les,
+            [int(prev_buckets[k]) for k in prev_buckets],
+        )
     )
     if ttl_ms is not None:
         state.setTimeoutDuration(ttl_ms)

@@ -1642,6 +1642,14 @@ from clickhouse_metrics_pipeline_spark.workloads_ext7 import (  # noqa: E402
 QUERIES.update(EXTRA7_QUERIES)
 ORACLE_SQL.update(EXTRA7_ORACLE)
 
+from clickhouse_metrics_pipeline_spark.workloads_ext8 import (  # noqa: E402
+    EXTRA8_ORACLE,
+    EXTRA8_QUERIES,
+)
+
+QUERIES.update(EXTRA8_QUERIES)
+ORACLE_SQL.update(EXTRA8_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 8)
 # --------------------------------------------------------------------------
@@ -1659,7 +1667,10 @@ ORACLE_SQL.update(EXTRA7_ORACLE)
 #     grading window cheap; they rotate first next round together
 #     with the new r8 rows (events_hist_delta_stream,
 #     promql_delta_by_type, promql_holt_winters,
-#     promql_hist_fraction — all local-gate green).
+#     promql_hist_fraction, promql_hot_windows,
+#     promql_and_threshold, promql_unless_new_activity,
+#     promql_or_fallback, promql_clamp_floor, promql_abs_delta —
+#     all local-gate green).
 # After this window every new-in-r7 row has driver evidence and no
 # green catalog query's evidence is older than r5 except the three
 # named deferrals. Names are frozen; only order changes.

@@ -33,6 +33,7 @@ EXPECTED_STREAM_ROWS = {
     "events_rules_stream_1h",
     "events_rollup_stream_1m",
     "events_delta_stream",
+    "events_hist_delta_stream",
 }
 
 
@@ -80,3 +81,49 @@ def test_graded_stream_projection_has_no_float_columns(spark, name):
         f"{name}: hash-graded streaming projection exposes float "
         f"columns {bad}; exclude them or cast to integer units"
     )
+
+
+def test_has_float_type_walks_types_not_field_names():
+    """The gate must key on DataType nodes, not simpleString()
+    substrings: a nested FIELD NAME containing 'double' is integral
+    and must pass; a nested float type must still trip (r7 ADVICE)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        FloatType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from clickhouse_metrics_pipeline_spark.schema import float_columns
+
+    ok = StructType(
+        [
+            StructField(
+                "a", StructType([StructField("value_double", LongType())])
+            ),
+            StructField("b", MapType(StringType(), LongType())),
+            StructField(
+                "c",
+                ArrayType(
+                    StructType([StructField("float_flag", BooleanType())])
+                ),
+            ),
+        ]
+    )
+    assert float_columns(ok) == []
+
+    bad = StructType(
+        [
+            StructField(
+                "a", ArrayType(StructType([StructField("x", FloatType())]))
+            ),
+            StructField("b", MapType(StringType(), DoubleType())),
+            StructField("c", LongType()),
+        ]
+    )
+    assert [n.split(":")[0] for n in float_columns(bad)] == ["a", "b"]

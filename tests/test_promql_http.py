@@ -174,3 +174,83 @@ def test_null_label_values_do_not_crash_payload(spark):
     assert payload["status"] == "success"
     users = [s["metric"].get("user") for s in payload["data"]["result"]]
     assert set(users) == {None, "u1"}
+
+
+class TestRawUnitDecode:
+    """r8 (verdict item 4): payload values are decoded to RAW units at
+    stringification — a Prometheus client reads sum(rate(...)) as 1/s,
+    sum_over_time as raw value units — while the engine keeps its
+    integer encodings for grading."""
+
+    def _payload_values(self, server, q):
+        code, payload = _get(server, q)
+        assert code == 200, payload
+        out = {}
+        for s in payload["data"]["result"]:
+            et = s["metric"].get("event_type", "")
+            for ts, v in s["values"]:
+                out[(et, ts)] = v
+        return out
+
+    def _engine_values(self, spark, q):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            compile_promql,
+        )
+
+        return {
+            (r.event_type, int(r.bucket_ts.timestamp())): r.value
+            for r in compile_promql(q, _series(spark)).collect()
+        }
+
+    def test_cents_family_decodes_to_raw(self, server):
+        # series a: values 1..5 in the first 5m window -> 15.0 raw
+        # (engine emits 1500 cents); series b: 5 * 10.0 = 50.0
+        got = self._payload_values(
+            server, "sum by (event_type) (sum_over_time(events[5m]))"
+        )
+        t0 = int(dt.datetime(2026, 1, 1).timestamp())
+        assert got[("a", t0)] == "15.0"
+        assert got[("b", t0)] == "50.0"
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "sum by (event_type) (sum_over_time(events[5m]))",  # x100
+            "avg by (event_type) (avg_over_time(events[5m]))",  # x1e8
+            "sum by (event_type) (rate(events[5m]))",  # micro /s
+            "sum by (event_type) (holt_winters(events[5m], 0.3, 0.1))",
+        ],
+    )
+    def test_payload_equals_engine_over_scale(self, server, spark, q):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            parse,
+            result_scale,
+        )
+
+        scale = result_scale(parse(q))
+        assert scale > 1
+        eng = self._engine_values(spark, q)
+        got = self._payload_values(server, q)
+        assert got and got.keys() == eng.keys()
+        for k, v in got.items():
+            assert float(v) == eng[k] / scale
+
+    def test_count_encoding_stays_integer_string(self, server):
+        got = self._payload_values(
+            server, "sum by (event_type) (count_over_time(events[5m]))"
+        )
+        assert got and all("." not in v for v in got.values())
+
+    def test_oversize_post_body_rejected_413(self, server):
+        body = urllib.parse.urlencode(
+            {"query": "x" * (70 * 1024)}
+        ).encode()
+        req = urllib.request.Request(
+            f"{server}/api/v1/query_range", data=body, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                code = resp.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 413

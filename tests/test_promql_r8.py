@@ -1,0 +1,484 @@
+"""Round-8 PromQL front-end additions: raw-unit scalars (the r7
+verdict's item 4 behavior change), holt_winters(), and
+histogram_fraction() — parser boundaries plus compile equivalence
+against independent Python restatements of the kernels."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.plans.promql import (
+    BinQuery,
+    PromQLError,
+    compile_promql,
+    encoding_scale,
+    events_as_series,
+    output_encoding,
+    parse,
+    result_scale,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _series(spark):
+    from clickhouse_metrics_pipeline_spark.tables import _events
+
+    return events_as_series(_events(spark, SF))
+
+
+def _rows(spark):
+    from clickhouse_metrics_pipeline_spark.tables import _events
+
+    ev = _events(spark, SF)
+    return [
+        (r["event_type"], r["user_id"], r["ts"], r["event_id"], r["value"])
+        for r in ev.collect()
+    ]
+
+
+def _epoch(ts) -> int:
+    """Naive session-tz (UTC) wall clock -> epoch seconds without
+    consulting the host timezone (datetime.timestamp() would)."""
+    import datetime as dt
+
+    return int((ts - dt.datetime(1970, 1, 1)).total_seconds())
+
+
+class TestRawUnitScalars:
+    BASE = "sum by (event_type) (sum_over_time(events[6h]))"
+
+    def _base(self, spark):
+        return {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(self.BASE, _series(spark)).collect()
+        }
+
+    def test_compare_threshold_is_raw_units(self, spark):
+        # '> 100' means 100 RAW units = 10000 cents on the cents side
+        base = self._base(spark)
+        hot = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                self.BASE + " > 100", _series(spark)
+            ).collect()
+        }
+        want = {k: v for k, v in base.items() if v > 100 * 100}
+        assert hot == want
+        # the threshold must actually split the data (else the pin is
+        # vacuous) and differ from the r7 encoding-unit reading
+        assert hot and len(hot) < len(base)
+        assert len({k: v for k, v in base.items() if v > 100}) != len(want)
+
+    def test_plus_scales_into_encoding(self, spark):
+        base = self._base(spark)
+        shifted = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                self.BASE + " + 5", _series(spark)
+            ).collect()
+        }
+        assert shifted == {k: v + 500 for k, v in base.items()}
+
+    def test_mul_is_dimensionless(self, spark):
+        base = self._base(spark)
+        tripled = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                self.BASE + " * 3", _series(spark)
+            ).collect()
+        }
+        assert tripled == {k: 3 * v for k, v in base.items()}
+
+    def test_rate_threshold_scales_to_micro(self, spark):
+        # aggregated rate emits micro-units; '> 0' keeps positives
+        # and '>= 1' means one RAW unit/s = 1e6 micro
+        q = "sum by (event_type) (rate(events[1h]))"
+        base = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(q, _series(spark)).collect()
+        }
+        kept = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(q + " >= 1", _series(spark)).collect()
+        }
+        assert kept == {k: v for k, v in base.items() if v >= 10**6}
+
+
+class TestResultScale:
+    @pytest.mark.parametrize(
+        "q,scale",
+        [
+            ("sum by (t) (count_over_time(e[1h]))", 1),
+            ("sum by (t) (sum_over_time(e[1h]))", 100),
+            ("avg by (t) (sum_over_time(e[1h]))", 10**6),
+            ("sum by (t) (rate(e[1h]))", 10**6),
+            ("rate(e[1h])", 1),
+            ("max by (t) (predict_linear(e[1h], 600))", 10**6),
+            ("sum by (t) (holt_winters(e[1h], 0.3, 0.1))", 100),
+            (
+                "histogram_fraction(0, 100, sum by (t) "
+                "(count_over_time(e[1h])))",
+                10**6,
+            ),
+            ("histogram_quantile(0.95, sum by (t) (count_over_time(e[1h])))", 10**4),
+        ],
+    )
+    def test_single_sides(self, q, scale):
+        assert result_scale(parse(q)) == scale
+
+    def test_binops(self):
+        div = parse(
+            "sum by (t) (sum_over_time(e[1h])) / "
+            "sum by (t) (sum_over_time(e[1h]))"
+        )
+        assert isinstance(div, BinQuery) and result_scale(div) == 10**6
+        add = parse(
+            "sum by (t) (sum_over_time(e[1h])) + "
+            "sum by (t) (sum_over_time(e[1h]))"
+        )
+        assert result_scale(add) == 100
+        mul = parse(
+            "sum by (t) (sum_over_time(e[1h])) * "
+            "sum by (t) (sum_over_time(e[1h]))"
+        )
+        assert result_scale(mul) == 100 * 100
+
+    def test_every_encoding_label_has_a_scale(self):
+        # output_encoding's full label range must resolve
+        for q, enc in [
+            ("sum by (t) (stdvar_over_time(e[1h]))", "value2_x10000"),
+            ("avg by (t) (stdvar_over_time(e[1h]))", "value2_x100000000"),
+            ("avg by (t) (count_over_time(e[1h]))", "count_x10000"),
+            ("avg by (t) (quantile_over_time(0.5, e[1h]))", "value_x10000000000"),
+        ]:
+            assert output_encoding(parse(q)) == enc
+            assert encoding_scale(enc) >= 1
+
+
+_HW_SCALE, _HW_SF, _HW_TF = 1000, 300, 100
+
+
+def _hw_fold(ys: list[int]) -> int:
+    """Independent Python restatement of the exact fixed-point
+    recursion (s0=y0, b0=y1-y0; floor at every /1000 rescale)."""
+
+    def fd(x: int) -> int:
+        return x // _HW_SCALE  # python floor division IS the floor
+
+    s, b = ys[0], (ys[1] - ys[0] if len(ys) > 1 else 0)
+    for y in ys[1:]:
+        s2 = fd(_HW_SF * y + (_HW_SCALE - _HW_SF) * (s + b))
+        b = fd(_HW_TF * (s2 - s) + (_HW_SCALE - _HW_TF) * b)
+        s = s2
+    return s
+
+
+class TestHoltWinters:
+    def test_parse(self):
+        q = parse("sum by (event_type) (holt_winters(events[6h], 0.3, 0.1))")
+        assert q.func == "holt_winters" and q.param == 300 and q.param2 == 100
+        assert q.range_s == 21600
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "holt_winters(e[1h], 0.3)",  # missing tf
+            "holt_winters(e[1h], 0.3001, 0.1)",  # not a 0.001 multiple
+            "holt_winters(e[1h], 0, 0.1)",  # out of (0,1)
+            "holt_winters(e[1h], 1.5, 0.1)",
+        ],
+    )
+    def test_rejects(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+    def test_matches_python_fold(self, spark):
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (holt_winters(events[6h], 0.3, 0.1))",
+                _series(spark),
+            ).collect()
+        }
+        span = 21600
+        groups: dict = {}
+        for et, uid, ts, eid, v in _rows(spark):
+            w = _epoch(ts) // span * span
+            groups.setdefault((et, uid, w), []).append(
+                (ts, eid, round(v * 100))
+            )
+        want: dict = {}
+        for (et, uid, w), pts in groups.items():
+            pts.sort()
+            s = _hw_fold([c for _, _, c in pts])
+            want[(et, w)] = want.get((et, w), 0) + s
+        got_by_epoch = {
+            (et, _epoch(b)): v for (et, b), v in got.items()
+        }
+        assert got_by_epoch == want and got_by_epoch
+        # multi-sample windows exist, so the recursion step ran at
+        # least once (deep folds are pinned by the synthetic test)
+        assert any(len(p) >= 2 for p in groups.values())
+
+    def test_deep_fold_matches_python(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        vals = [3.0, 7.5, 2.25, 9.0, 4.0, 4.0, 11.5, 0.5, 6.0, 8.25]
+        rows = [
+            (
+                "events",
+                {"event_type": "a"},
+                t0 + dt.timedelta(minutes=5 * i),
+                v,
+                i,
+            )
+            for i, v in enumerate(vals)
+        ]
+        s = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        got = compile_promql(
+            "sum by (event_type) (holt_winters(events[1h], 0.3, 0.1))", s
+        ).collect()
+        assert [r.value for r in got] == [
+            _hw_fold([round(v * 100) for v in vals])
+        ]
+
+    def test_single_sample_window_emits_y0(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("events", {"event_type": "a"}, dt.datetime(2026, 1, 1), 3.5, 1)
+        ]
+        s = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        got = compile_promql(
+            "sum by (event_type) (holt_winters(events[1h], 0.3, 0.1))", s
+        ).collect()
+        assert [r.value for r in got] == [350]
+
+
+class TestHistogramFraction:
+    Q = (
+        "histogram_fraction({lo}, {hi}, sum by (event_type) "
+        "(count_over_time(events[1h])))"
+    )
+
+    def _want(self, spark, lo, hi):
+        span = 3600
+        agg: dict = {}
+        for et, _, ts, _, v in _rows(spark):
+            w = _epoch(ts) // span * span
+            n, nhi, nlo = agg.get((et, w), (0, 0, 0))
+            agg[(et, w)] = (
+                n + 1,
+                nhi + (1 if (math.isinf(hi) or v <= hi) else 0),
+                nlo + (1 if (lo > 0 and v <= lo) else 0),
+            )
+        return {
+            k: (nhi - nlo) * 1_000_000 // n
+            for k, (n, nhi, nlo) in agg.items()
+        }
+
+    @pytest.mark.parametrize(
+        "lo,hi", [(0, 100.0), (25, 100.0), (50, float("inf"))]
+    )
+    def test_matches_python_counts(self, spark, lo, hi):
+        hi_txt = "Inf" if math.isinf(hi) else str(int(hi))
+        got = {
+            (r.event_type, _epoch(r.bucket_ts)): r.value
+            for r in compile_promql(
+                self.Q.format(lo=lo, hi=hi_txt), _series(spark)
+            ).collect()
+        }
+        assert got == self._want(spark, float(lo), hi) and got
+        assert any(0 < v < 1_000_000 for v in got.values())
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # off-ladder bounds need interpolation: rejected
+            "histogram_fraction(0, 37, sum by (t) (count_over_time(e[1h])))",
+            "histogram_fraction(0.5, 100, sum by (t) (count_over_time(e[1h])))",
+            # lo >= hi
+            "histogram_fraction(100, 50, sum by (t) (count_over_time(e[1h])))",
+            # Inf as lo
+            "histogram_fraction(Inf, 100, sum by (t) (count_over_time(e[1h])))",
+            # wrong inner shape
+            "histogram_fraction(0, 100, max by (t) (count_over_time(e[1h])))",
+            "histogram_fraction(0, 100, sum by (t) (sum_over_time(e[1h])))",
+        ],
+    )
+    def test_rejects(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+
+class TestSetOps:
+    def test_parse_shapes(self):
+        b = parse(
+            "sum by (t) (sum_over_time(e[1h])) and "
+            "sum by (t) (count_over_time(e[1h])) > 4"
+        )
+        assert isinstance(b, BinQuery) and b.op == "and"
+        assert b.rhs.scalar_op == ">" and b.rhs.scalar == 4
+        u = parse(
+            "sum by (t) (count_over_time(e[1h])) unless "
+            "sum by (t) (count_over_time(e[1h] offset 1d))"
+        )
+        assert u.op == "unless" and u.rhs.offset_s == 86400
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # 'or' with mixed encodings
+            "sum by (t) (sum_over_time(e[1h])) or "
+            "sum by (t) (count_over_time(e[1h]))",
+            # bare (unaggregated) side
+            "count_over_time(e[1h]) and sum by (t) (count_over_time(e[1h]))",
+            # by-label mismatch
+            "sum by (a) (count_over_time(e[1h])) and "
+            "sum by (b) (count_over_time(e[1h]))",
+            # range mismatch
+            "sum by (t) (count_over_time(e[1h])) and "
+            "sum by (t) (count_over_time(e[2h]))",
+        ],
+    )
+    def test_rejects(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+    def test_and_is_semi_join_on_filtered_rhs(self, spark):
+        s = _series(spark)
+        counts = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (count_over_time(events[1h]))", s
+            ).collect()
+        }
+        sums = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (sum_over_time(events[1h]))", s
+            ).collect()
+        }
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (sum_over_time(events[1h])) and "
+                "sum by (event_type) (count_over_time(events[1h])) > 2",
+                s,
+            ).collect()
+        }
+        want = {k: v for k, v in sums.items() if counts[k] > 2}
+        assert got == want and got and len(got) < len(sums)
+
+    def test_or_prefers_lhs_and_fills_gaps(self, spark):
+        s = _series(spark)
+        lhs_q = (
+            'sum by (event_type) (sum_over_time(events{user=~"1.*"}[1h]))'
+        )
+        rhs_q = "sum by (event_type) (sum_over_time(events[1h]))"
+        lhs = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(lhs_q, s).collect()
+        }
+        rhs = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(rhs_q, s).collect()
+        }
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                f"{lhs_q} or {rhs_q}", s
+            ).collect()
+        }
+        want = {**rhs, **lhs}  # lhs wins on matched keys
+        assert got == want
+        # both branches exercised: some keys only in rhs, and some
+        # matched keys where the lhs value differs from the rhs
+        assert set(rhs) - set(lhs)
+        assert any(lhs[k] != rhs[k] for k in lhs)
+
+    def test_unless_removes_present_keys(self, spark):
+        s = _series(spark)
+        lhs_q = "sum by (event_type) (count_over_time(events[1h]))"
+        rhs_q = (
+            "sum by (event_type) (count_over_time(events[1h] offset 1d))"
+        )
+        lhs = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(lhs_q, s).collect()
+        }
+        rhs_keys = {
+            (r.event_type, r.bucket_ts)
+            for r in compile_promql(rhs_q, s).collect()
+        }
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(f"{lhs_q} unless {rhs_q}", s).collect()
+        }
+        assert got == {k: v for k, v in lhs.items() if k not in rhs_keys}
+        assert got and len(got) < len(lhs)
+
+
+class TestValueFunctions:
+    def test_parse_and_rejects(self):
+        q = parse("clamp_min(sum by (t) (sum_over_time(e[1h])), 50)")
+        assert q.vfn == "clamp_min" and q.vfn_arg == 50
+        a = parse("abs(min by (t) (delta(e[1h])))")
+        assert a.vfn == "abs" and a.vfn_arg is None
+        for bad in [
+            "clamp_min(count_over_time(e[1h]), 5)",  # unaggregated
+            "clamp_min(sum by (t) (sum_over_time(e[1h])), 1.5)",  # float
+            "abs(absent(e[1h]))",  # absent can't be aggregated
+        ]:
+            with pytest.raises(PromQLError):
+                parse(bad)
+
+    def test_clamp_bound_is_raw_units(self, spark):
+        s = _series(spark)
+        base = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) (sum_over_time(events[1h]))", s
+            ).collect()
+        }
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "clamp_min(sum by (event_type) "
+                "(sum_over_time(events[1h])), 50)",
+                s,
+            ).collect()
+        }
+        # 50 raw units = 5000 cents
+        assert got == {k: max(v, 5000) for k, v in base.items()}
+        assert any(v < 5000 for v in base.values())  # clamp fired
+
+    def test_abs_flips_negative_deltas(self, spark):
+        s = _series(spark)
+        base = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "min by (event_type) (delta(events[1h]))", s
+            ).collect()
+        }
+        got = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "abs(min by (event_type) (delta(events[1h])))", s
+            ).collect()
+        }
+        assert got == {k: abs(v) for k, v in base.items()}
+        assert any(v < 0 for v in base.values())
