@@ -7,7 +7,7 @@ front-end for a well-defined subset, compiled onto the same engine
 kernels the catalog queries use:
 
     expr     := binop | setop | aggop | call | histq | histf | topk
-              | quant
+              | vfn | quant
     setop    := aggop scalar? ('and'|'or'|'unless') aggop scalar?
                 -- vector set operations at the (by-labels, window)
                    key: 'and' keeps lhs rows whose key also exists on
@@ -932,6 +932,36 @@ class _Parser:
 
 def parse(text: str) -> PromQuery | BinQuery:
     return _Parser(_tokenize(text)).parse()
+
+
+def parse_selector(text: str) -> tuple[str, tuple[LabelMatcher, ...]]:
+    """Parse a BARE series selector (``name{label="v", ...}`` — no
+    range, no function) as used by the Prometheus HTTP API's
+    ``match[]`` parameters (/api/v1/series, /api/v1/labels). Returns
+    (metric, matchers) with the same PromQL-anchored regex semantics
+    as the query grammar."""
+    p = _Parser(_tokenize(text))
+    metric = p.eat("ident")
+    matchers: list[LabelMatcher] = []
+    if p.peek() == ("op", "{"):
+        p.eat("op", "{")
+        while p.peek() != ("op", "}"):
+            name = p.eat("ident")
+            op = p.eat("op")
+            if op not in _OPS:
+                raise PromQLError(f"bad matcher op {op!r}")
+            val = _unquote(p.eat("str"))
+            if _OPS[op] in (MatchType.RE, MatchType.NRE):
+                val = f"^(?:{val})$"
+            matchers.append(LabelMatcher(_OPS[op], name, val))
+            if p.peek() == ("op", ","):
+                p.eat("op", ",")
+        p.eat("op", "}")
+    if p.i != len(p.toks):
+        raise PromQLError(
+            f"trailing input in selector from token {p.i}"
+        )
+    return metric, tuple(matchers)
 
 
 def events_as_series(events: DataFrame) -> DataFrame:

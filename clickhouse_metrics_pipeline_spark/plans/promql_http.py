@@ -1,5 +1,18 @@
 """PromQL HTTP query endpoint — the text front-end as an API.
 
+Five Prometheus HTTP API routes (r8 added everything past
+query_range — the endpoints Grafana's datasource health check and
+variable queries call):
+
+- ``GET/POST /api/v1/query_range?query=`` — range matrix (below)
+- ``GET/POST /api/v1/query?query=`` — instant vector: the engine's
+  evaluation model is range-at-window-grain, so the instant answer is
+  each series' LATEST evaluation window
+- ``GET /api/v1/labels`` — distinct label names (+ ``__name__``)
+- ``GET /api/v1/label/<name>/values`` — distinct values of one label
+- ``GET /api/v1/series?match[]=sel`` — distinct matching label sets
+  (bare ``name{...}`` selectors via :func:`plans.promql.parse_selector`)
+
 ``GET/POST /api/v1/query_range?query=<promql>`` compiles the query
 through :func:`plans.promql.compile_promql` and answers the Prometheus
 HTTP API's range-query response shape::
@@ -43,18 +56,147 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
 
+import re
+
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.plans.matchers import (
+    compile_matchers,
+)
 from clickhouse_metrics_pipeline_spark.plans.promql import (
     PromQLError,
     compile_promql,
     parse,
+    parse_selector,
     result_scale,
 )
 
 QUERY_RANGE_PATH = "/api/v1/query_range"
+INSTANT_QUERY_PATH = "/api/v1/query"
+LABELS_PATH = "/api/v1/labels"
+SERIES_PATH = "/api/v1/series"
+_LABEL_VALUES_RE = re.compile(
+    r"^/api/v1/label/([a-zA-Z_][a-zA-Z0-9_]*)/values$"
+)
 
 # POST bodies carry a form-encoded PromQL query — 64 KiB is orders of
 # magnitude above any real query; larger bodies are rejected with 413
 _MAX_BODY_BYTES = 64 * 1024
+
+
+def _match_frame(df: DataFrame, selectors: list[str]) -> DataFrame:
+    """Filter the series frame by the OR of ``match[]`` selectors
+    (Prometheus metadata-API semantics); no selectors = the whole
+    frame. Selector regex matchers carry the PromQL-anchored
+    semantics of the query grammar."""
+    cond = None
+    for s in selectors:
+        metric, matchers = parse_selector(s)
+        c = F.col("metric") == metric
+        if matchers:
+            c = c & compile_matchers(list(matchers))
+        cond = c if cond is None else (cond | c)
+    return df.where(cond) if cond is not None else df
+
+
+def labels_payload(df: DataFrame, selectors: list[str]) -> dict:
+    """GET /api/v1/labels: sorted distinct label names (plus
+    ``__name__``). The distinct is over label NAMES — bounded by
+    schema cardinality, not series count."""
+    rows = (
+        _match_frame(df, selectors)
+        .select(F.explode(F.map_keys("attributes")).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return {
+        "status": "success",
+        "data": sorted({r["k"] for r in rows} | {"__name__"}),
+    }
+
+
+def label_values_payload(
+    df: DataFrame, name: str, selectors: list[str], limit: int
+) -> dict:
+    """GET /api/v1/label/<name>/values: sorted distinct values of one
+    label (``__name__`` = the metric column) under the match[]
+    filter."""
+    col = (
+        F.col("metric")
+        if name == "__name__"
+        else F.element_at("attributes", F.lit(name))
+    )
+    rows = (
+        _match_frame(df, selectors)
+        .select(col.alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .limit(limit + 1)
+        .collect()
+    )
+    payload = {
+        "status": "success",
+        "data": sorted(r["v"] for r in rows[:limit]),
+    }
+    if len(rows) > limit:
+        payload["warnings"] = [f"label values truncated at {limit}"]
+    return payload
+
+
+def series_payload(
+    df: DataFrame, selectors: list[str], limit: int
+) -> dict:
+    """GET /api/v1/series: the distinct label sets matching the
+    (required) match[] selectors, each as a flat map including
+    ``__name__`` — what Grafana's variable queries call."""
+    if not selectors:
+        raise PromQLError("series endpoint requires a match[] selector")
+    # MAP columns cannot feed a distinct (set-op restriction): dedup
+    # on the sorted entry array instead
+    rows = (
+        _match_frame(df, selectors)
+        .select(
+            "metric",
+            F.array_sort(F.map_entries("attributes")).alias("_entries"),
+        )
+        .distinct()
+        .limit(limit + 1)
+        .collect()
+    )
+    data = [
+        {"__name__": r["metric"], **{
+            e["key"]: e["value"] for e in (r["_entries"] or [])
+            if e["value"] is not None
+        }}
+        for r in rows[:limit]
+    ]
+    data.sort(key=lambda d: json.dumps(d, sort_keys=True))
+    payload = {"status": "success", "data": data}
+    if len(rows) > limit:
+        payload["warnings"] = [f"series truncated at {limit}"]
+    return payload
+
+
+def instant_vector_payload(
+    df: DataFrame, limit: int = 100_000, scale: int = 1
+) -> dict:
+    """GET /api/v1/query: the engine's evaluation model is range
+    queries at the window grain, so the instant vector is each
+    series' LATEST evaluation window — one (ts, value) per label
+    set, resultType "vector". Values decode to raw units exactly
+    like the matrix payload."""
+    m = promql_result_payload(df, limit=limit, scale=scale)
+    result = [
+        {"metric": s["metric"], "value": max(s["values"])}
+        for s in m["data"]["result"]
+    ]
+    payload = {
+        "status": "success",
+        "data": {"resultType": "vector", "result": result},
+    }
+    if "warnings" in m:
+        payload["warnings"] = m["warnings"]
+    return payload
 
 
 def promql_result_payload(
@@ -119,14 +261,12 @@ def make_promql_server(
     storage per request like the Remote Read catalog, so freshly
     ingested partitions are visible without a restart."""
 
-    def _answer(handler: BaseHTTPRequestHandler, query: str) -> None:
+    def _send(handler: BaseHTTPRequestHandler, build) -> None:
+        """Run ``build()`` -> payload and write it, mapping parse
+        errors to 400 bad_data and execution failures to 500 like
+        promhttp."""
         try:
-            parsed = parse(query)
-            df = compile_promql(parsed, series_provider())
-            payload = promql_result_payload(
-                df, limit=limit, scale=result_scale(parsed)
-            )
-            code = 200
+            payload, code = build(), 200
         except PromQLError as exc:
             payload = {
                 "status": "error",
@@ -148,23 +288,58 @@ def make_promql_server(
         handler.end_headers()
         handler.wfile.write(body)
 
+    def _answer(
+        handler: BaseHTTPRequestHandler, query: str, instant: bool
+    ) -> None:
+        def build():
+            parsed = parse(query)
+            df = compile_promql(parsed, series_provider())
+            shape = instant_vector_payload if instant else (
+                promql_result_payload
+            )
+            return shape(df, limit=limit, scale=result_scale(parsed))
+
+        _send(handler, build)
+
+    def _route(
+        handler: BaseHTTPRequestHandler, path: str, params: dict
+    ) -> None:
+        selectors = params.get("match[]", [])
+        if path in (QUERY_RANGE_PATH, INSTANT_QUERY_PATH):
+            qs = params.get("query")
+            if not qs:
+                handler.send_error(400, "missing query parameter")
+                return
+            _answer(handler, qs[0], instant=path == INSTANT_QUERY_PATH)
+        elif path == LABELS_PATH:
+            _send(
+                handler,
+                lambda: labels_payload(series_provider(), selectors),
+            )
+        elif path == SERIES_PATH:
+            _send(
+                handler,
+                lambda: series_payload(
+                    series_provider(), selectors, limit
+                ),
+            )
+        elif m := _LABEL_VALUES_RE.match(path):
+            _send(
+                handler,
+                lambda: label_values_payload(
+                    series_provider(), m.group(1), selectors, limit
+                ),
+            )
+        else:
+            handler.send_error(404, "unknown path")
+
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (http.server API name)
             parsed = urllib.parse.urlparse(self.path)
-            if parsed.path != QUERY_RANGE_PATH:
-                self.send_error(404, "unknown path")
-                return
-            params = urllib.parse.parse_qs(parsed.query)
-            qs = params.get("query")
-            if not qs:
-                self.send_error(400, "missing query parameter")
-                return
-            _answer(self, qs[0])
+            _route(self, parsed.path, urllib.parse.parse_qs(parsed.query))
 
         def do_POST(self):  # noqa: N802 — form-encoded body, like promhttp
-            if urllib.parse.urlparse(self.path).path != QUERY_RANGE_PATH:
-                self.send_error(404, "unknown path")
-                return
+            path = urllib.parse.urlparse(self.path).path
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length < 0:
@@ -179,11 +354,7 @@ def make_promql_server(
                 self.send_error(413, "request body too large")
                 return
             params = urllib.parse.parse_qs(self.rfile.read(length).decode())
-            qs = params.get("query")
-            if not qs:
-                self.send_error(400, "missing query parameter")
-                return
-            _answer(self, qs[0])
+            _route(self, path, params)
 
         def log_message(self, fmt, *args):  # quiet: tests drive this
             pass

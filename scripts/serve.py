@@ -171,7 +171,8 @@ def main() -> None:
     threading.Thread(target=promql_srv.serve_forever, daemon=True).start()
     print(
         f"PromQL query API:    GET  localhost:{args.promql_port}"
-        "/api/v1/query_range?query=..."
+        "/api/v1/query_range?query=...  (also /query, /labels, "
+        "/label/<name>/values, /series)"
     )
 
     q = ingest_stream(

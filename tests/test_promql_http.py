@@ -254,3 +254,90 @@ class TestRawUnitDecode:
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 413
+
+
+class TestMetadataEndpoints:
+    """r8: the Prometheus metadata + instant-query routes Grafana's
+    datasource and variable queries call."""
+
+    def test_labels(self, server):
+        code, payload = _get_path(server, "/api/v1/labels")
+        assert code == 200
+        assert payload["data"] == ["__name__", "event_type", "user"]
+
+    def test_label_values_and_name_meta_label(self, server):
+        code, payload = _get_path(server, "/api/v1/label/event_type/values")
+        assert code == 200 and payload["data"] == ["a", "b"]
+        code, payload = _get_path(server, "/api/v1/label/__name__/values")
+        assert code == 200 and payload["data"] == ["events"]
+        code, payload = _get_path(server, "/api/v1/label/nope/values")
+        assert code == 200 and payload["data"] == []
+
+    def test_label_values_with_match(self, server):
+        qs = urllib.parse.urlencode({"match[]": 'events{event_type="a"}'})
+        code, payload = _get_path(
+            server, f"/api/v1/label/user/values?{qs}"
+        )
+        assert code == 200 and payload["data"] == ["u1"]
+
+    def test_series_requires_match_and_filters(self, server):
+        code, payload = _get_path(server, "/api/v1/series")
+        assert code == 400 and payload["errorType"] == "bad_data"
+        qs = urllib.parse.urlencode({"match[]": 'events{event_type=~"a|b"}'})
+        code, payload = _get_path(server, f"/api/v1/series?{qs}")
+        assert code == 200
+        assert payload["data"] == [
+            {"__name__": "events", "event_type": "a", "user": "u1"},
+            {"__name__": "events", "event_type": "b", "user": "u2"},
+        ]
+
+    def test_instant_query_is_latest_window(self, server):
+        q = "sum by (event_type) (count_over_time(events[5m]))"
+        code, inst = _get_path(
+            server,
+            "/api/v1/query?" + urllib.parse.urlencode({"query": q}),
+        )
+        assert code == 200
+        data = inst["data"]
+        assert data["resultType"] == "vector"
+        code, matrix = _get(server, q)
+        by_metric = {
+            json.dumps(s["metric"], sort_keys=True): max(s["values"])
+            for s in matrix["data"]["result"]
+        }
+        got = {
+            json.dumps(s["metric"], sort_keys=True): s["value"]
+            for s in data["result"]
+        }
+        assert got == by_metric and got
+
+    def test_instant_query_decodes_raw_units(self, server):
+        q = "sum by (event_type) (sum_over_time(events[5m]))"
+        code, inst = _get_path(
+            server,
+            "/api/v1/query?" + urllib.parse.urlencode({"query": q}),
+        )
+        assert code == 200
+        # series b: constant 10.0 -> last window sum is raw units
+        vals = {
+            s["metric"]["event_type"]: s["value"][1]
+            for s in inst["data"]["result"]
+        }
+        assert vals["b"] == "10.0"
+
+    def test_bad_selector_maps_to_400(self, server):
+        qs = urllib.parse.urlencode({"match[]": "events{bad"})
+        code, payload = _get_path(server, f"/api/v1/series?{qs}")
+        assert code == 400 and payload["errorType"] == "bad_data"
+
+
+def _get_path(base: str, path_and_query: str):
+    req = urllib.request.Request(f"{base}{path_and_query}", method="GET")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        try:
+            return e.code, json.loads(e.read())
+        except json.JSONDecodeError:
+            return e.code, {}

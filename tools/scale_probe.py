@@ -395,9 +395,46 @@ def op_regression_moments(ev: DataFrame) -> int:
     ).count()
 
 
+def op_hw_fold(ev: DataFrame) -> int:
+    """holt_winters() kernel (r8): one shuffle to (series, window),
+    then a row-local collect_list + array-aggregate fixed-point fold.
+    Per-group work is bounded by samples-per-window (the in-window
+    sample array), so cardinality growth adds groups, not group size
+    — the same bound as every per-series window op."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        "sum by (event_type) (holt_winters(events[1h], 0.3, 0.1))",
+        events_as_series(ev),
+    ).count()
+
+
+def op_setop_match(ev: DataFrame) -> int:
+    """and/unless/or vector set ops (r8): two by-grain aggregated
+    vectors semi/anti-joined on (by-labels, window). Both sides
+    reduce before the join, so the join input is rollup-sized; AQE
+    broadcasts the smaller side. Throughput should track the
+    aggregation, not the join."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        "sum by (event_type) (sum_over_time(events[1h])) and "
+        "sum by (event_type) (count_over_time(events[1h])) > 2",
+        events_as_series(ev),
+    ).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "adjacent_pairs": ("events", op_adjacent_pairs),
+    "hw_fold": ("events", op_hw_fold),
+    "setop_match": ("events", op_setop_match),
     "regression_moments": ("events", op_regression_moments),
     "recording_rules": ("events", op_recording_rules),
     "rate_kernel": ("events", op_rate_kernel),
