@@ -225,3 +225,65 @@ class TestConvertGroupMultiChunkHistogram:
         self._check(pd.concat(out).sort_values("timestamp"))
         # state holds the last RAW cumulative buckets
         assert st.get[1] == 7 and st.get[4] == [3, 7]
+
+
+class TestConvertGroupProperty:
+    """Property pin: for ANY cumulative sum series and ANY chunking /
+    chunk order, _convert_group equals the lag restatement (first
+    point as-is; reset-on-decrease emits raw; otherwise the
+    difference) — the converter/temporality.go:43-79 contract."""
+
+    @staticmethod
+    def _lag_form(values):
+        out = []
+        for i, v in enumerate(values):
+            if i == 0 or (v < values[i - 1]):
+                out.append(float(v))
+            else:
+                out.append(float(v - values[i - 1]))
+        return out
+
+    def test_random_series_and_chunking(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            values=st.lists(
+                st.integers(min_value=0, max_value=10**6),
+                min_size=1,
+                max_size=40,
+            ),
+            data=st.data(),
+        )
+        def run(values, data):
+            points = list(enumerate(values))
+            # random partition of the timeline into chunks, then a
+            # random arrival order of those chunks
+            cuts = data.draw(
+                st.lists(
+                    st.integers(1, max(1, len(points) - 1)),
+                    max_size=4,
+                    unique=True,
+                )
+            )
+            bounds = sorted({0, len(points), *cuts})
+            chunks = [
+                _sum_pdf(points[a:b])
+                for a, b in zip(bounds, bounds[1:])
+            ]
+            order = data.draw(st.permutations(range(len(chunks))))
+            st_ = _FakeState()
+            out = list(
+                _convert_group(
+                    (1,),
+                    iter([chunks[i] for i in order]),
+                    st_,
+                    ttl_ms=None,
+                )
+            )
+            pdf = pd.concat(out).sort_values("timestamp")
+            assert list(pdf["value"]) == self._lag_form(values)
+            assert st_.get[0] == float(values[-1])
+
+        run()
