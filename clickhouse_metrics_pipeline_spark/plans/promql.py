@@ -66,9 +66,26 @@ kernels the catalog queries use:
                    series (PromQL's sum(rate(...))): one row per
                    evaluation window, columns (bucket_ts, value)
     call     := fname '(' (phi ',')? selector range (',' T)? ')'
+              | subq
                 -- the phi argument only for quantile_over_time; the
                    trailing whole-seconds horizon T only for
                    predict_linear
+    subq     := over_time_fn '(' call '[' R ':' S ']' ')'
+                -- PromQL subqueries, subset: the outer function is
+                   one of the seven *_over_time aggregators; the step
+                   S must EQUAL the inner call's range (the engine
+                   evaluates at the window grain, so inner results
+                   exist exactly once per S) and R must be a >1x
+                   multiple of S, e.g.
+                   max_over_time(rate(x[5m])[1h:5m]) — the worst 5m
+                   rate within each hour. Double-valued inners
+                   integerize to micro-units before the outer
+                   aggregation (the by-agg rule); avg_over_time /
+                   avg-agg over micro keep micro precision
+                   (avg_scale=1). No subquery-level offset; the inner
+                   call may carry one. Nested subqueries and
+                   quantile-agg over subqueries are outside the
+                   subset
     range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
               | 'min_over_time' | 'max_over_time' | 'last_over_time'
@@ -211,6 +228,12 @@ binops require both sides to match):
     avg or quantile AGG over an inner encoding E       E x10000
     absent                                             count (0/1)
     binop '/'                                          ppm ratio (x1e6)
+    subquery fn(inner[R:S])                            inner encoding
+                                                       through fn
+                                                       (count fns ->
+                                                       count; avg ->
+                                                       x10000, micro
+                                                       stays micro)
 
 ``encoding_scale`` maps each label to its integer raw-units-per-unit
 factor; ``result_scale`` resolves a whole parsed query (PromQuery or
@@ -347,6 +370,10 @@ class PromQuery:
     # encoding at compile time, like every scalar)
     vfn: str | None = None
     vfn_arg: int | None = None
+    # subquery: func is the OUTER *_over_time function over the inner
+    # call's per-series results; range_s is the subquery range R and
+    # the step S equals inner.range_s (parser-enforced)
+    inner: "PromQuery | None" = None
     # histogram_fraction bounds: ladder values, lo=0.0 meaning -Inf,
     # hi=inf meaning +Inf; None for every other query shape
     frac_lo: float | None = None
@@ -371,6 +398,79 @@ _CMP_OPS = (">", ">=", "<", "<=", "==", "!=")
 _SCALAR_ARITH = ("+", "-", "*")
 
 
+# base per-function encodings and the avg/quantile x10000 promotion
+# (see the output-encoding table in the module docstring)
+_BASE_ENC = {
+    "count_over_time": "count",
+    "present_over_time": "count",
+    "resets": "count",
+    "changes": "count",
+    # population variance in integer cents^2 = raw value^2 x10000
+    "stdvar_over_time": "value2_x10000",
+    # floor-isqrt of the cents^2 variance = stddev in cents
+    "stddev_over_time": "value_x100",
+    "sum_over_time": "value_x100",
+    "min_over_time": "value_x100",
+    "max_over_time": "value_x100",
+    "last_over_time": "value_x100",
+    "delta": "value_x100",
+    "holt_winters": "value_x100",
+    "avg_over_time": "value_x10000",
+    "quantile_over_time": "value_x1000000",
+    "absent": "count",
+}
+_AVG_MAP = {
+    "count": "count_x10000",
+    "value_x100": "value_x1000000",
+    "value_x10000": "value_x100000000",
+    "value_x1000000": "value_x10000000000",
+    "value2_x10000": "value2_x100000000",
+}
+# micro-unit encodings keep their precision through an avg (the
+# _micro_agg avg_scale=1 rule), so they map to themselves
+_MICRO_ENCS = ("rate_micro", "value_micro")
+
+
+def _avg_promote(enc: str) -> str:
+    if enc in _MICRO_ENCS:
+        return enc
+    out = _AVG_MAP.get(enc)
+    if out is None:
+        raise PromQLError(
+            f"avg aggregation over encoding {enc!r} is outside the "
+            "subset (no defined x10000 promotion)"
+        )
+    return out
+
+
+def _subquery_encoding(q: PromQuery) -> str:
+    """Encoding of a subquery result: the inner call's (integerized)
+    encoding pushed through the outer *_over_time function, then the
+    optional by-aggregation — same promotion rules as everywhere."""
+    i = q.inner
+    if i.func in _DOUBLE_FUNCS:
+        inner_enc = (
+            "value_micro" if i.func == "predict_linear" else "rate_micro"
+        )
+    else:
+        inner_enc = _BASE_ENC[i.func]
+    if q.func in ("count_over_time", "present_over_time"):
+        enc = "count"
+    elif q.func == "avg_over_time":
+        enc = _avg_promote(inner_enc)
+    else:  # sum/min/max/last keep the inner encoding
+        enc = inner_enc
+    if q.agg is None or q.agg in ("sum", "min", "max"):
+        return enc
+    if q.agg in ("count", "group"):
+        return "count"
+    if q.agg == "avg":
+        return _avg_promote(enc)
+    raise PromQLError(  # pragma: no cover — quantile rejected at parse
+        f"{q.agg} aggregation over a subquery is outside the subset"
+    )
+
+
 def output_encoding(q: PromQuery) -> str:
     """The value column's encoding label (see the module docstring's
     output-encoding table). Binary ops require both sides to carry the
@@ -381,6 +481,8 @@ def output_encoding(q: PromQuery) -> str:
         return "frac_ppm"  # histogram_fraction
     if q.quantile is not None:
         return "value_x10000"  # histogram_quantile
+    if q.inner is not None:
+        return _subquery_encoding(q)
     if q.func == "predict_linear":
         # double-valued like rate but in RAW VALUE units, not value/s —
         # its own labels so predict+rate binop mixes are rejected
@@ -397,37 +499,13 @@ def output_encoding(q: PromQuery) -> str:
         # sum/min/max stay micro; avg of micro uses avg_scale=1, so
         # the label is micro for every aggregated form
         return "rate_micro"
-    base = {
-        "count_over_time": "count",
-        "present_over_time": "count",
-        "resets": "count",
-        "changes": "count",
-        # population variance in integer cents^2 = raw value^2 x10000
-        "stdvar_over_time": "value2_x10000",
-        # floor-isqrt of the cents^2 variance = stddev in cents
-        "stddev_over_time": "value_x100",
-        "sum_over_time": "value_x100",
-        "min_over_time": "value_x100",
-        "max_over_time": "value_x100",
-        "last_over_time": "value_x100",
-        "delta": "value_x100",
-        "holt_winters": "value_x100",
-        "avg_over_time": "value_x10000",
-        "quantile_over_time": "value_x1000000",
-        "absent": "count",
-    }[q.func]
+    base = _BASE_ENC[q.func]
     if q.agg is None or q.agg in ("sum", "min", "max"):
         return base
     if q.agg in ("count", "group"):
         return "count"
     # avg / quantile aggregation: inner encoding x10000
-    return {
-        "count": "count_x10000",
-        "value_x100": "value_x1000000",
-        "value_x10000": "value_x100000000",
-        "value_x1000000": "value_x10000000000",
-        "value2_x10000": "value2_x100000000",
-    }[base]
+    return _AVG_MAP[base]
 
 
 ENC_SCALE: dict[str, int] = {
@@ -802,11 +880,12 @@ class _Parser:
                     "quantile subset takes integer-valued calls only "
                     "(rate/increase are double-valued)"
                 )
-            if q.param is not None:
+            if q.param is not None or q.inner is not None:
                 raise PromQLError(
                     "quantile by (...) over a parameterized call "
                     "(quantile_over_time / holt_winters / "
-                    "predict_linear) is outside the subset"
+                    "predict_linear) or a subquery is outside the "
+                    "subset"
                 )
             return replace(q, agg="quantile", by=by, param=p100)
         if k == "ident" and v in _AGGS:
@@ -852,6 +931,11 @@ class _Parser:
         if fname == "quantile_over_time":
             param = self._phi_percent()
             self.eat("op", ",")
+        k2, v2 = self.peek()
+        if k2 == "ident" and v2 in _FUNCS:
+            # SUBQUERY: fname(inner_call[R:S]) — the outer *_over_time
+            # function over the inner call's per-series window results
+            return self._subquery(fname)
         metric = self.eat("ident")
         matchers: list[LabelMatcher] = []
         if self.peek() == ("op", "{"):
@@ -904,6 +988,77 @@ class _Parser:
             param=param, param2=param2,
         )
 
+    _SUBQ_OUTER = (
+        "count_over_time",
+        "sum_over_time",
+        "avg_over_time",
+        "min_over_time",
+        "max_over_time",
+        "last_over_time",
+        "present_over_time",
+    )
+
+    def _subquery(self, fname: str) -> PromQuery:
+        """fname(inner_call[R:S]): the outer *_over_time function over
+        the inner call's per-series results. Subset bounds: S must
+        EQUAL the inner call's range (the engine evaluates at the
+        window grain, so inner results exist exactly once per S) and
+        R must be a >1x multiple of S. Double-valued inners
+        (rate family) are integerized to micro-units before the outer
+        aggregation, the same rule as their by-aggregated form."""
+        if fname not in self._SUBQ_OUTER:
+            raise PromQLError(
+                f"subquery outer function must be one of "
+                f"{self._SUBQ_OUTER}, got {fname!r}"
+            )
+        inner = self._call()
+        if inner.func == "absent" or inner.inner is not None:
+            raise PromQLError(
+                "subquery inner must be a bare per-series call "
+                "(absent() is label-less; nesting subqueries is "
+                "outside the subset)"
+            )
+        self.eat("op", "[")
+        rng, step = self._subrange()
+        self.eat("op", "]")
+        self.eat("op", ")")
+        if step != inner.range_s:
+            raise PromQLError(
+                "subquery step must equal the inner call's range "
+                "(the engine evaluates at the window grain), got "
+                f"step {step}s vs inner [{inner.range_s}s]"
+            )
+        if rng % step != 0 or rng <= step:
+            raise PromQLError(
+                f"subquery range must be a >1x multiple of the step, "
+                f"got {rng}s : {step}s"
+            )
+        return PromQuery(
+            fname, inner.metric, inner.matchers, rng, inner=inner
+        )
+
+    def _subrange(self) -> tuple[int, int]:
+        """The [R:S] body. The ident charset lexes 'h:5m' as ONE token
+        (metric names legitimately contain colons), so the range unit
+        and the whole step arrive fused: num '1' + ident 'h:5m'."""
+        raw_n = self.eat("num")
+        tail = self.eat("ident")
+        if ":" not in tail:
+            raise PromQLError(
+                "subquery range needs the [R:S] form (no spaces), "
+                "e.g. [1h:5m]"
+            )
+        unit, step_txt = tail.split(":", 1)
+        m = re.fullmatch(r"(\d+)([mhd])", step_txt)
+        if unit not in self._UNITS or not m:
+            raise PromQLError(
+                f"bad subquery range/step {raw_n}{tail!r} — units m/h/d"
+            )
+        return (
+            int(raw_n) * self._UNITS[unit],
+            int(m.group(1)) * self._UNITS[m.group(2)],
+        )
+
     def _thousandths(self, name: str) -> int:
         """A smoothing factor in (0,1), exact in thousandths — the
         fixed-point grid the holt_winters recursion runs on."""
@@ -931,7 +1086,13 @@ class _Parser:
 
 
 def parse(text: str) -> PromQuery | BinQuery:
-    return _Parser(_tokenize(text)).parse()
+    q = _Parser(_tokenize(text)).parse()
+    if isinstance(q, PromQuery):
+        # force encoding resolution so out-of-subset combinations
+        # (e.g. an avg promotion with no defined scale) fail at parse
+        # time with a PromQLError, not at compile time
+        output_encoding(q)
+    return q
 
 
 def parse_selector(text: str) -> tuple[str, tuple[LabelMatcher, ...]]:
@@ -1350,6 +1511,104 @@ def _absent_plan(q: PromQuery, df_metric: DataFrame) -> DataFrame:
     )
 
 
+def _subquery_plan(q: PromQuery, series: DataFrame) -> DataFrame:
+    """fname(inner[R:S]) (see _Parser._subquery for the subset
+    bounds): compile the inner bare call to per-series (labels,
+    bucket_ts, value) at the S grain, integerize double-valued inners
+    to micro-units (the same rule as their by-aggregated form), then
+    window the inner results at R and apply the outer *_over_time
+    aggregation per series; the optional by-agg rides the standard
+    integer tail. Scale: the outer stage aggregates the inner's
+    ALREADY-REDUCED window results (series x R/S rows per range), so
+    the extra shuffle is rollup-sized regardless of raw volume."""
+    inner = q.inner
+    g = compile_promql(inner, series)
+    micro_inner = inner.func in _DOUBLE_FUNCS
+    if micro_inner:
+        g = g.select(
+            "labels",
+            "bucket_ts",
+            F.round(F.col("value") * 1e6).cast("bigint").alias("value"),
+        )
+    w = F.window("bucket_ts", f"{q.range_s} seconds").alias("w")
+    per = g.groupBy(F.col("labels"), w)
+    if q.func == "count_over_time":
+        gg = per.agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+    elif q.func == "present_over_time":
+        gg = per.agg(F.lit(1).cast("bigint").alias("value"))
+    elif q.func == "last_over_time":
+        gg = per.agg(
+            F.max_by(F.col("value"), F.col("bucket_ts")).alias("value")
+        )
+    elif q.func == "avg_over_time":
+        # micro inners keep their precision (avg_scale=1, the
+        # _micro_agg rule); integer inners promote x10000
+        gg = per.agg(
+            F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")
+        ).select(
+            "labels",
+            "w",
+            _half_up_scaled_mean(
+                F.col("_s"), F.col("_n"), 1 if micro_inner else 10000
+            ).alias("value"),
+        )
+    else:
+        fn = {
+            "sum_over_time": F.sum,
+            "min_over_time": F.min,
+            "max_over_time": F.max,
+        }[q.func]
+        gg = per.agg(fn(F.col("value")).cast("bigint").alias("value"))
+    gg = gg.select(
+        "labels", F.col("w.start").alias("bucket_ts"), "value"
+    )
+    return _sub_tail(q, gg, micro_inner)
+
+
+def _sub_tail(
+    q: PromQuery, g: DataFrame, micro_inner: bool
+) -> DataFrame:
+    """by/without aggregation over per-series subquery results —
+    the standard integer tail with the micro-aware avg scale."""
+    if q.agg is None:
+        return g
+    outer_micro = micro_inner and q.func not in (
+        "count_over_time",
+        "present_over_time",
+    )
+    avg_scale = 1 if outer_micro else 10000
+    if q.without:
+        return _agg_without(q, g, avg_scale=avg_scale)
+    keys = [
+        F.coalesce(
+            F.element_at(F.col("labels"), F.lit(k)), F.lit("")
+        ).alias(k)
+        for k in q.by
+    ]
+    g2 = g.select(*keys, "bucket_ts", "value")
+    if q.agg == "avg":
+        out = g2.groupBy(*q.by, "bucket_ts").agg(
+            F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")
+        )
+        return out.select(
+            *q.by,
+            "bucket_ts",
+            _half_up_scaled_mean(
+                F.col("_s"), F.col("_n"), avg_scale
+            ).alias("value"),
+        )
+    agg_fn = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda _: F.count(F.lit(1)),
+        "group": lambda _: F.min(F.lit(1)),
+    }[q.agg]
+    return g2.groupBy(*q.by, "bucket_ts").agg(
+        agg_fn(F.col("value")).cast("bigint").alias("value")
+    )
+
+
 def _bin_plan(b: BinQuery, series: DataFrame) -> DataFrame:
     """Vector arithmetic: compile both sides, inner-join on
     (by-labels, bucket_ts). '+'/'-'/'*' stay in the sides' integer
@@ -1421,6 +1680,8 @@ def compile_promql(
     q = parse(query) if isinstance(query, str) else query
     if isinstance(q, BinQuery):
         return _bin_plan(q, series)
+    if q.inner is not None:
+        return _post_ops(q, _subquery_plan(q, series))
     df = series.where(F.col("metric") == q.metric)
     if q.offset_s:
         # PromQL offset: evaluate over data older by the offset —

@@ -1669,8 +1669,9 @@ ORACLE_SQL.update(EXTRA8_ORACLE)
 #     promql_delta_by_type, promql_holt_winters,
 #     promql_hist_fraction, promql_hot_windows,
 #     promql_and_threshold, promql_unless_new_activity,
-#     promql_or_fallback, promql_clamp_floor, promql_abs_delta —
-#     all local-gate green).
+#     promql_or_fallback, promql_clamp_floor, promql_abs_delta,
+#     promql_subquery_max_rate, promql_subquery_peak_volume — all
+#     local-gate green).
 # After this window every new-in-r7 row has driver evidence and no
 # green catalog query's evidence is older than r5 except the three
 # named deferrals. Names are frozen; only order changes.

@@ -1,6 +1,6 @@
 """Round-8 catalog extensions.
 
-Two verdict-directed families:
+Three families:
 
 - The streaming HISTOGRAM delta branch (T2/T3) as a driver-graded row
   (VERDICT r7 item 3): ``events_hist_delta_stream`` mirrors the
@@ -19,6 +19,13 @@ Two verdict-directed families:
   events_holt_winters exact fixed-point recursion at the (series,
   window) grain, and ``histogram_fraction()`` onto the
   events_histogram_fraction exact-ppm bucket arithmetic.
+
+- Beyond-the-ask PromQL surface growth, one graded row each: the
+  raw-unit scalar threshold (``promql_hot_windows``, the r8 unit-
+  contract change), vector set operations and/unless/or (the
+  alerting filter idiom), clamp_min/abs value functions, and
+  subqueries ``fn(inner[R:S])`` over both double (rate) and integer
+  (sum_over_time) inners.
 """
 
 from __future__ import annotations
@@ -578,3 +585,98 @@ FROM d GROUP BY 1, 2
 
 EXTRA8_QUERIES["promql_abs_delta"] = promql_abs_delta
 EXTRA8_ORACLE["promql_abs_delta"] = PROMQL_ABS_SQL
+
+
+# --------------------------------------------------------------------------
+# PromQL subqueries: fn(inner[R:S])
+# --------------------------------------------------------------------------
+
+PROMQL_SUBQ_RATE_QUERY = (
+    "max by (event_type) (max_over_time(rate(events[5m])[1h:5m]))"
+)
+
+
+def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery max_over_time(rate(x[5m])[1h:5m]): the WORST
+    5-minute rate inside each hour, per series, max by event_type —
+    the burst-detection idiom subqueries exist for. The inner rate
+    rides the full boundary-extrapolation kernel (functions/rate.py,
+    the events_rate_5m contract), integerizes to micro-units (the
+    by-agg rule), and the outer stage windows the already-reduced
+    per-(series, 5m) results at 1h — rollup-sized regardless of raw
+    volume. Subset bounds: step == inner range, R a multiple of S
+    (see the subq grammar rule)."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_SUBQ_RATE_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+def _promql_subq_rate_sql() -> str:
+    from clickhouse_metrics_pipeline_spark.workloads_ext2 import (
+        EVENTS_RATE_SQL,
+    )
+
+    return f"""
+SELECT event_type,
+       time_bucket(INTERVAL 60 MINUTE, bucket_ts) AS bucket_ts,
+       max(CAST(round(rate * 1000000) AS BIGINT))::BIGINT AS value
+FROM ({EVENTS_RATE_SQL}) rs
+WHERE rate IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+EXTRA8_QUERIES["promql_subquery_max_rate"] = promql_subquery_max_rate
+EXTRA8_ORACLE["promql_subquery_max_rate"] = _promql_subq_rate_sql()
+
+
+PROMQL_SUBQ_PEAK_QUERY = (
+    "sum by (event_type) "
+    "(max_over_time(sum_over_time(events[30m])[3h:30m]))"
+)
+
+
+def promql_subquery_peak_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PromQL subquery over an integer inner:
+    max_over_time(sum_over_time(x[30m])[3h:30m]) — each series' PEAK
+    30-minute value volume (integer cents) within every 3-hour
+    window, summed by event_type: the capacity-headroom panel. Pure
+    integer end to end; the outer max runs over series x 6 inner
+    windows per range."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_SUBQ_PEAK_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_SUBQ_PEAK_SQL = f"""
+WITH inner_w AS (
+  SELECT event_type, user_id,
+         time_bucket(INTERVAL 30 MINUTE, ts) AS sub_ts,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+  FROM {_EV_SQL}
+  GROUP BY 1, 2, 3
+), outer_w AS (
+  SELECT event_type, user_id,
+         time_bucket(INTERVAL 180 MINUTE, sub_ts) AS bucket_ts,
+         max(cents) AS peak
+  FROM inner_w
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, bucket_ts, sum(peak)::BIGINT AS value
+FROM outer_w GROUP BY 1, 2
+"""
+
+EXTRA8_QUERIES["promql_subquery_peak_volume"] = promql_subquery_peak_volume
+EXTRA8_ORACLE["promql_subquery_peak_volume"] = PROMQL_SUBQ_PEAK_SQL

@@ -482,3 +482,121 @@ class TestValueFunctions:
         }
         assert got == {k: abs(v) for k, v in base.items()}
         assert any(v < 0 for v in base.values())
+
+
+class TestSubqueries:
+    def test_parse_shape(self):
+        q = parse("max by (event_type) (max_over_time(rate(events[5m])[1h:5m]))")
+        assert q.func == "max_over_time" and q.range_s == 3600
+        assert q.inner.func == "rate" and q.inner.range_s == 300
+        assert q.agg == "max" and q.by == ("event_type",)
+        assert output_encoding(q) == "rate_micro"
+        assert result_scale(q) == 10**6
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "max_over_time(rate(e[5m])[1h:10m])",  # step != inner range
+            "max_over_time(rate(e[5m])[5m:5m])",  # R == S
+            "max_over_time(rate(e[5m])[17m:5m])",  # R not a multiple
+            "rate(rate(e[5m])[1h:5m])",  # outer not *_over_time
+            "max_over_time(absent(e[5m])[1h:5m])",  # label-less inner
+            # nested subquery
+            "max_over_time(max_over_time(rate(e[5m])[1h:5m])[1d:1h])",
+            # quantile-agg over a subquery
+            "quantile by (t) (0.9, max_over_time(rate(e[5m])[1h:5m]))",
+        ],
+    )
+    def test_rejects(self, bad):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+    def test_integer_inner_matches_python(self, spark):
+        got = {
+            (r.event_type, _epoch(r.bucket_ts)): r.value
+            for r in compile_promql(
+                "sum by (event_type) "
+                "(max_over_time(sum_over_time(events[30m])[3h:30m]))",
+                _series(spark),
+            ).collect()
+        }
+        inner: dict = {}
+        for et, uid, ts, _, v in _rows(spark):
+            sub = _epoch(ts) // 1800 * 1800
+            inner[(et, uid, sub)] = inner.get((et, uid, sub), 0) + round(
+                v * 100
+            )
+        peak: dict = {}
+        for (et, uid, sub), cents in inner.items():
+            w = sub // 10800 * 10800
+            k = (et, uid, w)
+            peak[k] = max(peak.get(k, -(10**18)), cents)
+        want: dict = {}
+        for (et, _, w), p in peak.items():
+            want[(et, w)] = want.get((et, w), 0) + p
+        assert got == want and got
+
+    def test_double_inner_matches_bare_rate_windows(self, spark):
+        # sf0.001 has no 5m window with 2+ samples per series, so
+        # build a dense two-series frame (rate needs >= 2 in-window
+        # samples to extrapolate)
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = []
+        for srs, (et, u) in enumerate([("a", "u1"), ("b", "u2")]):
+            for i in range(36):  # every 100s for an hour
+                rows.append(
+                    (
+                        "events",
+                        {"event_type": et, "user": u},
+                        t0 + dt.timedelta(seconds=100 * i),
+                        float((i * (srs + 2)) % 97),
+                        srs * 1000 + i,
+                    )
+                )
+        s = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        bare = compile_promql("rate(events[5m])", s).collect()
+        per: dict = {}
+        for r in bare:
+            key = (r.labels["event_type"], r.labels["user"])
+            w = _epoch(r.bucket_ts) // 3600 * 3600
+            micro = round(r.value * 10**6)
+            k = (key, w)
+            per[k] = max(per.get(k, -(10**18)), micro)
+        want: dict = {}
+        for ((et, _), w), m in per.items():
+            want[(et, w)] = max(want.get((et, w), -(10**18)), m)
+        got = {
+            (r.event_type, _epoch(r.bucket_ts)): r.value
+            for r in compile_promql(
+                "max by (event_type) (max_over_time(rate(events[5m])[1h:5m]))",
+                s,
+            ).collect()
+        }
+        assert got == want and got
+
+    def test_count_outer_and_scalar(self, spark):
+        s = _series(spark)
+        base = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) "
+                "(count_over_time(sum_over_time(events[30m])[3h:30m]))",
+                s,
+            ).collect()
+        }
+        # count encoding: raw-unit scalar scale 1
+        kept = {
+            (r.event_type, r.bucket_ts): r.value
+            for r in compile_promql(
+                "sum by (event_type) "
+                "(count_over_time(sum_over_time(events[30m])[3h:30m])) > 5",
+                s,
+            ).collect()
+        }
+        assert kept == {k: v for k, v in base.items() if v > 5} and kept
