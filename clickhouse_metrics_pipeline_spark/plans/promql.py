@@ -548,6 +548,18 @@ def result_scale(q) -> int:
     return encoding_scale(output_encoding(q))
 
 
+def evaluation_grain_seconds(q) -> int:
+    """The engine's step in seconds: one emitted sample per window of
+    this size (the range IS the step — see the module docstring's
+    evaluation-model note). BinQuery sides are parser-checked to the
+    same grain, so the lhs speaks for both; a subquery emits at the
+    OUTER range R. The HTTP API compares a client-requested ``step``
+    against this to raise the Prometheus step-mismatch warning."""
+    if isinstance(q, BinQuery):
+        return evaluation_grain_seconds(q.lhs)
+    return q.range_s
+
+
 class PromQLError(ValueError):
     pass
 

@@ -66,6 +66,7 @@ from clickhouse_metrics_pipeline_spark.plans.matchers import (
 from clickhouse_metrics_pipeline_spark.plans.promql import (
     PromQLError,
     compile_promql,
+    evaluation_grain_seconds,
     parse,
     parse_selector,
     result_scale,
@@ -82,6 +83,81 @@ _LABEL_VALUES_RE = re.compile(
 # POST bodies carry a form-encoded PromQL query — 64 KiB is orders of
 # magnitude above any real query; larger bodies are rejected with 413
 _MAX_BODY_BYTES = 64 * 1024
+
+# Prometheus duration literal for the ``step`` parameter (promhttp
+# also accepts bare float seconds)
+_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
+_DURATION_S = {
+    "ms": 0.001,
+    "s": 1.0,
+    "m": 60.0,
+    "h": 3600.0,
+    "d": 86400.0,
+    "w": 604800.0,
+    "y": 31536000.0,
+}
+
+
+def parse_api_time(raw: str, param: str) -> float:
+    """A Prometheus HTTP API timestamp: unix seconds (optionally
+    fractional) or RFC3339 — the two forms promhttp accepts for
+    ``start``/``end``/``time``. Returns epoch seconds (UTC)."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    except ValueError:
+        raise PromQLError(
+            f"invalid {param!r} timestamp: {raw!r} (unix seconds or "
+            "RFC3339)"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def parse_api_step(raw: str) -> float:
+    """The ``step`` parameter: a duration literal (``15s``, ``1m``) or
+    bare float seconds. Must be positive."""
+    try:
+        v = float(raw)
+    except ValueError:
+        m = _DURATION_RE.match(raw)
+        if not m:
+            raise PromQLError(
+                f"invalid 'step' duration: {raw!r}"
+            ) from None
+        v = int(m.group(1)) * _DURATION_S[m.group(2)]
+    if v <= 0:
+        raise PromQLError(f"'step' must be positive, got {raw!r}")
+    return v
+
+
+def clip_time_range(
+    df: DataFrame, start_s: float | None, end_s: float | None
+) -> DataFrame:
+    """Clip a compiled PromQL frame to ``bucket_ts`` in
+    [start, end] — the r8 verdict's item 2: a Grafana pan/zoom sends
+    ``start``/``end`` from its time picker and must get back only
+    that range (previously the endpoint collected the FULL stored
+    history on every request — unbounded payload growth with data
+    volume). The comparison is on the epoch-based
+    ``timestamp_seconds`` literal, so it is session-timezone-safe and
+    Catalyst can fold it into the scan-side filter (partition prune
+    on date-partitioned storage)."""
+    if start_s is not None:
+        df = df.where(
+            F.col("bucket_ts") >= F.timestamp_seconds(F.lit(start_s))
+        )
+    if end_s is not None:
+        df = df.where(
+            F.col("bucket_ts") <= F.timestamp_seconds(F.lit(end_s))
+        )
+    return df
 
 
 def _match_frame(df: DataFrame, selectors: list[str]) -> DataFrame:
@@ -126,11 +202,15 @@ def label_values_payload(
         if name == "__name__"
         else F.element_at("attributes", F.lit(name))
     )
+    # orderBy BEFORE limit: truncation must return a stable sorted
+    # prefix, not an arbitrary partition-order subset (r8 ADVICE item
+    # — Grafana variable queries re-call this and diff the lists)
     rows = (
         _match_frame(df, selectors)
         .select(col.alias("v"))
         .where(F.col("v").isNotNull())
         .distinct()
+        .orderBy("v")
         .limit(limit + 1)
         .collect()
     )
@@ -152,7 +232,8 @@ def series_payload(
     if not selectors:
         raise PromQLError("series endpoint requires a match[] selector")
     # MAP columns cannot feed a distinct (set-op restriction): dedup
-    # on the sorted entry array instead
+    # on the sorted entry array instead. orderBy BEFORE limit so a
+    # truncated response is a stable sorted prefix (r8 ADVICE item)
     rows = (
         _match_frame(df, selectors)
         .select(
@@ -160,6 +241,7 @@ def series_payload(
             F.array_sort(F.map_entries("attributes")).alias("_entries"),
         )
         .distinct()
+        .orderBy("metric", "_entries")
         .limit(limit + 1)
         .collect()
     )
@@ -288,16 +370,85 @@ def make_promql_server(
         handler.end_headers()
         handler.wfile.write(body)
 
+    import inspect
+
+    provider_takes_range = len(
+        inspect.signature(series_provider).parameters
+    ) >= 2
+
+    def _frame(start_s: float | None, end_s: float | None) -> DataFrame:
+        """Fetch the series frame, passing the requested time range
+        through to providers that accept one (serve.py routes the
+        range through the Q1 resolution router); zero-arg providers
+        keep working unchanged."""
+        if provider_takes_range:
+            return series_provider(start_s, end_s)
+        return series_provider()
+
     def _answer(
-        handler: BaseHTTPRequestHandler, query: str, instant: bool
+        handler: BaseHTTPRequestHandler,
+        query: str,
+        params: dict,
+        instant: bool,
     ) -> None:
         def build():
             parsed = parse(query)
-            df = compile_promql(parsed, series_provider())
+            warnings: list[str] = []
+            if instant:
+                # /api/v1/query?time=T: the instant answer is each
+                # series' latest evaluation window AT OR BEFORE T
+                # (windows are [bucket_ts, bucket_ts+grain)), so clamp
+                # bucket_ts <= time before taking the per-series max
+                raw_t = params.get("time", [None])[0]
+                start_s = None
+                end_s = (
+                    parse_api_time(raw_t, "time")
+                    if raw_t is not None
+                    else None
+                )
+            else:
+                raw_start = params.get("start", [None])[0]
+                raw_end = params.get("end", [None])[0]
+                start_s = (
+                    parse_api_time(raw_start, "start")
+                    if raw_start is not None
+                    else None
+                )
+                end_s = (
+                    parse_api_time(raw_end, "end")
+                    if raw_end is not None
+                    else None
+                )
+                if (
+                    start_s is not None
+                    and end_s is not None
+                    and end_s < start_s
+                ):
+                    raise PromQLError(
+                        "end timestamp must not be before start"
+                    )
+                raw_step = params.get("step", [None])[0]
+                if raw_step is not None:
+                    step_s = parse_api_step(raw_step)
+                    grain = evaluation_grain_seconds(parsed)
+                    if step_s != grain:
+                        # the engine evaluates at the window grain
+                        # (the range IS the step); say so instead of
+                        # silently ignoring the client's step
+                        warnings.append(
+                            f"step {raw_step} ignored: this engine "
+                            f"evaluates at the query's window grain "
+                            f"({grain}s); samples are spaced {grain}s"
+                        )
+            df = compile_promql(parsed, _frame(start_s, end_s))
+            df = clip_time_range(df, start_s, end_s)
             shape = instant_vector_payload if instant else (
                 promql_result_payload
             )
-            return shape(df, limit=limit, scale=result_scale(parsed))
+            payload = shape(df, limit=limit, scale=result_scale(parsed))
+            if warnings:
+                payload.setdefault("warnings", []).extend(warnings)
+            return payload
 
         _send(handler, build)
 
@@ -310,24 +461,27 @@ def make_promql_server(
             if not qs:
                 handler.send_error(400, "missing query parameter")
                 return
-            _answer(handler, qs[0], instant=path == INSTANT_QUERY_PATH)
+            _answer(
+                handler, qs[0], params,
+                instant=path == INSTANT_QUERY_PATH,
+            )
         elif path == LABELS_PATH:
             _send(
                 handler,
-                lambda: labels_payload(series_provider(), selectors),
+                lambda: labels_payload(_frame(None, None), selectors),
             )
         elif path == SERIES_PATH:
             _send(
                 handler,
                 lambda: series_payload(
-                    series_provider(), selectors, limit
+                    _frame(None, None), selectors, limit
                 ),
             )
         elif m := _LABEL_VALUES_RE.match(path):
             _send(
                 handler,
                 lambda: label_values_payload(
-                    series_provider(), m.group(1), selectors, limit
+                    _frame(None, None), m.group(1), selectors, limit
                 ),
             )
         else:

@@ -1,0 +1,133 @@
+"""Serving-side series-frame assembly — shared by ``scripts/serve.py``.
+
+Two pieces the one-binary server needs to answer PromQL HTTP queries
+over the ingest sink's stored table, extracted here (r9) so they are
+unit-testable outside the script:
+
+- :func:`as_metrics_raw` — adapt the sink's stored shape (split
+  ``buckets_le``/``buckets_count`` arrays, no exp-histogram columns)
+  back to the ``metrics_raw`` shape the rollup operators consume.
+- :func:`routed_series_frame` — the r8 verdict's item 5: pick a
+  resolution through the Q1 router (``plans/router.py``, the
+  ``selectTable`` ladder of ``promread/handler.go:304-321``) from the
+  request's [start, end] span and project THAT table to the PromQL
+  compiler's series-frame contract. Remote Read has routed through
+  the rollup hierarchy since r7; this gives the PromQL text API the
+  same storage behavior — a >24 h Grafana span reads ``metrics_1h``
+  (one row per series-hour), not a full raw scan.
+
+Value projection at rollup resolutions uses ``value_last`` — the same
+convention as the Remote Read path (``plans/remote_read.py:85``
+``value_col`` fallback): the rollup's deterministic ``anyLast``
+(A3, ``schema.sql:155``) is the sample each coarser table stores for
+the scalar column. Window aggregates recompute per query on top of
+these grain-spaced samples, so a sum-over-window at the 1h grain sees
+one sample per hour — the documented downsampled-read semantics of
+the reference's resolution ladder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from clickhouse_metrics_pipeline_spark.plans.router import select_resolution
+
+_SERIES_FRAME_COLS = ("metric", "attributes", "ts", "value")
+
+
+def as_metrics_raw(df: DataFrame) -> DataFrame:
+    """Adapt the ingest sink's stored shape (split bucket arrays, no
+    exp-histogram columns) back to the metrics_raw shape the rollup
+    operators consume."""
+    if "buckets" not in df.columns and "buckets_le" in df.columns:
+        df = df.withColumn(
+            "buckets",
+            F.when(
+                F.col("buckets_le").isNotNull(),
+                F.zip_with(
+                    "buckets_le",
+                    "buckets_count",
+                    lambda le, c: F.struct(
+                        le.alias("le"), c.alias("count")
+                    ),
+                ),
+            ),
+        )
+    exp_defaults = [
+        ("exp_scale", "int"),
+        ("exp_zero_count", "bigint"),
+        ("exp_zero_threshold", "double"),
+        ("exp_positive_buckets", "array<struct<index:int,count:bigint>>"),
+        ("exp_negative_buckets", "array<struct<index:int,count:bigint>>"),
+    ]
+    for c, t in exp_defaults:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df
+
+
+def serving_resolution(
+    start_s: float | None, end_s: float | None, now_ms: int | None = None
+) -> str:
+    """Table name for a PromQL request's [start, end] span. No range
+    (the pre-r9 request shape) keeps the raw-table behavior via the
+    router's (0, 0) convention."""
+    return select_resolution(
+        int((start_s or 0) * 1000), int((end_s or 0) * 1000), now_ms
+    )
+
+
+def routed_series_frame(
+    raw: DataFrame,
+    start_s: float | None = None,
+    end_s: float | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Project the stored table — at the router-chosen resolution —
+    to the PromQL compiler's series-frame contract
+    ``(metric, attributes, ts, value)``.
+
+    The rollup tables are derived from raw on demand (a durable
+    deployment reads the incremental rollup tables instead,
+    ``operators.rollup.incremental_rollup_job``); the raw path is a
+    straight column projection, so Catalyst still pushes the
+    compiler's selector filters into the parquet scan.
+    """
+    table = serving_resolution(start_s, end_s, now_ms)
+    if table == "metrics_raw":
+        return raw.select(
+            "metric",
+            "attributes",
+            F.col("timestamp").alias("ts"),
+            "value",
+        )
+    from clickhouse_metrics_pipeline_spark.operators.rollup import (
+        build_rollup_hierarchy,
+    )
+
+    rolled = build_rollup_hierarchy(as_metrics_raw(raw))[table]
+    return rolled.select(
+        "metric",
+        "attributes",
+        F.col("timestamp").alias("ts"),
+        F.col("value_last").alias("value"),
+    )
+
+
+def is_empty_storage_error(exc: Exception) -> bool:
+    """True only for the 'no data committed yet' schema-inference
+    failures of ``spark.read.parquet`` (empty dir / only
+    ``_spark_metadata``). Genuine storage failures — corrupt files,
+    permission errors — must NOT be swallowed into a 'success, no
+    data' payload (r8 ADVICE item): the caller re-raises those so the
+    HTTP layer answers 500."""
+    if not isinstance(exc, AnalysisException):
+        return False
+    msg = str(exc)
+    return (
+        "UNABLE_TO_INFER_SCHEMA" in msg
+        or "PATH_NOT_FOUND" in msg
+        or "unable to infer schema" in msg.lower()
+    )

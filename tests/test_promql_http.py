@@ -341,3 +341,218 @@ def _get_path(base: str, path_and_query: str):
             return e.code, json.loads(e.read())
         except json.JSONDecodeError:
             return e.code, {}
+
+
+class TestTimeRangeParams:
+    """r9 (r8 verdict item 2): /api/v1/query_range honors start/end/
+    step and /api/v1/query honors time= — previously every pan/zoom
+    request collected the FULL stored history regardless of the
+    requested range."""
+
+    Q = "sum by (event_type) (count_over_time(events[1m]))"
+    T0 = int(dt.datetime(2026, 1, 1).timestamp())
+
+    def _range(self, server, q, **params):
+        qs = urllib.parse.urlencode({"query": q, **params})
+        return _get_path(server, f"/api/v1/query_range?{qs}")
+
+    @staticmethod
+    def _values(payload):
+        return {
+            json.dumps(s["metric"], sort_keys=True): s["values"]
+            for s in payload["data"]["result"]
+        }
+
+    def test_start_end_slices_matrix_to_engine_filter(self, server):
+        # the sliced matrix must equal the full matrix filtered to
+        # ts in [start, end] — the engine-frame-filtered twin
+        _, full = self._range(server, self.Q)
+        start, end = self.T0 + 60, self.T0 + 180
+        code, sliced = self._range(server, self.Q, start=start, end=end)
+        assert code == 200
+        expected = {
+            k: [v for v in vs if start <= v[0] <= end]
+            for k, vs in self._values(full).items()
+        }
+        expected = {k: vs for k, vs in expected.items() if vs}
+        assert self._values(sliced) == expected
+        assert all(len(vs) == 3 for vs in self._values(sliced).values())
+
+    def test_range_covering_everything_is_identity(self, server):
+        _, full = self._range(server, self.Q)
+        code, wide = self._range(
+            server, self.Q,
+            start=self.T0 - 86400, end=self.T0 + 86400,
+        )
+        assert code == 200
+        assert self._values(wide) == self._values(full)
+
+    def test_rfc3339_matches_unix_form(self, server):
+        _, by_unix = self._range(
+            server, self.Q, start=self.T0 + 60, end=self.T0 + 180
+        )
+        code, by_rfc = self._range(
+            server, self.Q,
+            start="2026-01-01T00:01:00Z",
+            end="2026-01-01T00:03:00Z",
+        )
+        assert code == 200
+        assert self._values(by_rfc) == self._values(by_unix)
+
+    def test_end_before_start_is_400(self, server):
+        code, payload = self._range(
+            server, self.Q, start=self.T0 + 100, end=self.T0
+        )
+        assert code == 400 and payload["errorType"] == "bad_data"
+
+    def test_bad_timestamp_is_400(self, server):
+        code, payload = self._range(server, self.Q, start="yesterday")
+        assert code == 400 and payload["errorType"] == "bad_data"
+
+    def test_step_mismatch_warns_matching_step_silent(self, server):
+        # grain of [1m] is 60s: step=30 warns, step=60 / "1m" don't
+        code, p = self._range(server, self.Q, step="30")
+        assert code == 200
+        assert any("step" in w for w in p.get("warnings", []))
+        for ok_step in ("60", "1m"):
+            code, p = self._range(server, self.Q, step=ok_step)
+            assert code == 200 and "warnings" not in p
+
+    def test_bad_step_is_400(self, server):
+        code, p = self._range(server, self.Q, step="fast")
+        assert code == 400 and p["errorType"] == "bad_data"
+        code, p = self._range(server, self.Q, step="0")
+        assert code == 400 and p["errorType"] == "bad_data"
+
+    def test_instant_time_pins_the_window(self, server):
+        # time = t0+2m: the instant vector is each series' latest
+        # window AT OR BEFORE that moment, not the global latest
+        q = self.Q
+        path = "/api/v1/query?" + urllib.parse.urlencode(
+            {"query": q, "time": self.T0 + 120}
+        )
+        code, inst = _get_path(server, path)
+        assert code == 200
+        got = {
+            s["metric"]["event_type"]: s["value"]
+            for s in inst["data"]["result"]
+        }
+        # counts are 1 per 1m window; the pinned window is t0+120
+        assert got == {
+            "a": [self.T0 + 120, "1"],
+            "b": [self.T0 + 120, "1"],
+        }
+
+    def test_instant_time_before_data_is_empty(self, server):
+        path = "/api/v1/query?" + urllib.parse.urlencode(
+            {"query": self.Q, "time": self.T0 - 3600}
+        )
+        code, inst = _get_path(server, path)
+        assert code == 200 and inst["data"]["result"] == []
+
+
+class TestApiTimeParsers:
+    def test_parse_api_time_forms(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            PromQLError,
+        )
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            parse_api_time,
+        )
+
+        assert parse_api_time("1767225600", "start") == 1767225600.0
+        assert parse_api_time("1767225600.5", "start") == 1767225600.5
+        assert (
+            parse_api_time("2026-01-01T00:00:00Z", "start")
+            == dt.datetime(
+                2026, 1, 1, tzinfo=dt.timezone.utc
+            ).timestamp()
+        )
+        # naive RFC3339 is read as UTC (session timezone)
+        assert parse_api_time(
+            "2026-01-01T00:00:00", "start"
+        ) == parse_api_time("2026-01-01T00:00:00Z", "start")
+        with pytest.raises(PromQLError):
+            parse_api_time("not-a-time", "start")
+
+    def test_parse_api_step_forms(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            PromQLError,
+        )
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            parse_api_step,
+        )
+
+        assert parse_api_step("60") == 60.0
+        assert parse_api_step("1m") == 60.0
+        assert parse_api_step("2h") == 7200.0
+        assert parse_api_step("500ms") == 0.5
+        for bad in ("fast", "0", "-5", "1x"):
+            with pytest.raises(PromQLError):
+                parse_api_step(bad)
+
+    def test_evaluation_grain_seconds(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            evaluation_grain_seconds,
+            parse,
+        )
+
+        assert evaluation_grain_seconds(
+            parse("sum by (a) (count_over_time(m[5m]))")
+        ) == 300
+        # binop sides are parser-checked to the same grain
+        assert evaluation_grain_seconds(
+            parse(
+                "sum by (a) (sum_over_time(m[1h])) / "
+                "sum by (a) (sum_over_time(n[1h]))"
+            )
+        ) == 3600
+        # a subquery emits at the OUTER range R
+        assert evaluation_grain_seconds(
+            parse("max_over_time(rate(m[5m])[1h:5m])")
+        ) == 3600
+
+
+class TestDeterministicTruncation:
+    """r8 ADVICE item: a truncated metadata response must be a stable
+    sorted prefix, not an arbitrary partition-order subset."""
+
+    def test_label_values_truncate_to_sorted_prefix(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            label_values_payload,
+        )
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            ("events", {"user": f"u{i:03d}"}, t0, 1.0, i)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        ).repartition(8)
+        p = label_values_payload(df, "user", [], limit=5)
+        assert p["data"] == [f"u{i:03d}" for i in range(5)]
+        assert p.get("warnings")
+
+    def test_series_truncate_to_sorted_prefix(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            series_payload,
+        )
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            ("events", {"user": f"u{i:03d}"}, t0, 1.0, i)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        ).repartition(8)
+        p = series_payload(df, ["events"], limit=4)
+        assert [d["user"] for d in p["data"]] == [
+            f"u{i:03d}" for i in range(4)
+        ]
+        assert p.get("warnings")

@@ -1,0 +1,177 @@
+"""Serving-side series-frame assembly (plans/serving.py): the r8
+verdict's item 5 — the PromQL HTTP path routes through the Q1
+resolution router like Remote Read has since r7 — plus the stored-
+shape adapter and the empty-vs-broken storage error split (r8 ADVICE
+item)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from clickhouse_metrics_pipeline_spark.plans.serving import (
+    as_metrics_raw,
+    is_empty_storage_error,
+    routed_series_frame,
+    serving_resolution,
+)
+from clickhouse_metrics_pipeline_spark.schema import METRICS_RAW_SCHEMA
+
+T0 = dt.datetime(2026, 1, 1)
+_MS = 1000
+
+
+def _epoch_ms(t: dt.datetime) -> int:
+    return int((t - dt.datetime(1970, 1, 1)).total_seconds() * _MS)
+
+
+def _raw(spark, minutes: int = 120):
+    """One gauge sample per minute per series — at this density the 1m
+    rollup's value_last equals the raw sample, so window aggregates
+    agree exactly across resolutions (the consistency pin below)."""
+    rows = []
+    for i in range(minutes):
+        for et, base in (("a", 0.0), ("b", 1000.0)):
+            rows.append(
+                (
+                    "ws", hash(et) % 1000, "events", "svc",
+                    T0 + dt.timedelta(minutes=i),
+                    1, 0, False,          # gauge, unspecified, non-mono
+                    base + float(i),      # value
+                    None, None, None,     # count, sum, buckets
+                    None, None, None, None, None,  # exp-histogram
+                    {"event_type": et},   # attributes
+                    None, None,           # exemplars, _ttl
+                )
+            )
+    return spark.createDataFrame(rows, METRICS_RAW_SCHEMA)
+
+
+class TestServingResolution:
+    NOW = _epoch_ms(T0 + dt.timedelta(hours=2))
+
+    def test_no_range_keeps_raw(self):
+        assert serving_resolution(None, None, self.NOW) == "metrics_raw"
+
+    def test_recent_short_span_is_raw(self):
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        assert (
+            serving_resolution(end - 1800, end, self.NOW)
+            == "metrics_raw"
+        )
+
+    def test_two_hour_span_routes_to_1m(self):
+        start = T0.timestamp()
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        assert serving_resolution(start, end, self.NOW) == "metrics_1m"
+
+    def test_multi_day_span_routes_to_5m(self):
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        assert (
+            serving_resolution(end - 2 * 86400, end, self.NOW)
+            == "metrics_5m"
+        )
+
+    def test_month_span_or_old_age_routes_to_1h(self):
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        assert (
+            serving_resolution(end - 30 * 86400, end, self.NOW)
+            == "metrics_1h"
+        )
+        # old but short: age beyond the 5m retention -> 1h
+        old = end - 100 * 86400
+        assert (
+            serving_resolution(old, old + 600, self.NOW) == "metrics_1h"
+        )
+
+
+class TestRoutedSeriesFrame:
+    NOW = _epoch_ms(T0 + dt.timedelta(hours=2))
+
+    def test_raw_route_is_straight_projection(self, spark):
+        raw = _raw(spark, minutes=5)
+        out = routed_series_frame(raw, None, None, self.NOW)
+        assert out.columns == ["metric", "attributes", "ts", "value"]
+        rows = {(r.ts, r.attributes["event_type"]): r.value
+                for r in out.collect()}
+        assert rows[(T0 + dt.timedelta(minutes=3), "a")] == 3.0
+        assert len(rows) == 10
+
+    def test_rollup_route_value_consistency_at_window_grain(self, spark):
+        # the same PromQL query over the raw-routed and the 1m-routed
+        # frames must agree at the window grain (one sample per
+        # minute -> value_last is lossless)
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            compile_promql,
+        )
+
+        raw = _raw(spark)
+        start = T0.timestamp()
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        assert serving_resolution(start, end, self.NOW) == "metrics_1m"
+        q = "sum by (event_type) (sum_over_time(events[1h]))"
+
+        def _vals(frame):
+            return {
+                (r.event_type, r.bucket_ts): r.value
+                for r in compile_promql(q, frame).collect()
+            }
+
+        got_raw = _vals(routed_series_frame(raw, None, None, self.NOW))
+        got_1m = _vals(routed_series_frame(raw, start, end, self.NOW))
+        assert got_1m == got_raw and len(got_1m) == 4
+
+    def test_rollup_route_downsamples_row_count(self, spark):
+        # 5m route: one stored sample per (series, 5m window)
+        raw = _raw(spark)
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        start = end - 2 * 86400
+        assert serving_resolution(start, end, self.NOW) == "metrics_5m"
+        out = routed_series_frame(raw, start, end, self.NOW)
+        assert out.count() == 2 * 24  # 2 series x 24 five-minute windows
+        # value_last of each window = its final minute's sample
+        vals = {
+            (r.attributes["event_type"], r.ts): r.value
+            for r in out.collect()
+        }
+        assert vals[("a", T0)] == 4.0
+        assert vals[("b", T0 + dt.timedelta(minutes=115))] == 1119.0
+
+
+class TestStoredShapeAdapter:
+    def test_split_bucket_arrays_are_zipped(self, spark):
+        df = spark.createDataFrame(
+            [("events", [1.0, 5.0], [3, 7]), ("events", None, None)],
+            "metric string, buckets_le array<double>, "
+            "buckets_count array<bigint>",
+        )
+        out = as_metrics_raw(df)
+        assert "buckets" in out.columns
+        rows = out.select("buckets").collect()
+        zipped = [r.buckets for r in rows if r.buckets is not None]
+        assert [
+            [(b["le"], b["count"]) for b in z] for z in zipped
+        ] == [[(1.0, 3), (5.0, 7)]]
+        # exp-histogram defaults are added for the rollup contract
+        for c in ("exp_scale", "exp_zero_count", "exp_positive_buckets"):
+            assert c in out.columns
+
+    def test_metrics_raw_shape_passes_through(self, spark):
+        raw = _raw(spark, minutes=1)
+        assert as_metrics_raw(raw).columns == raw.columns
+
+
+class TestEmptyStorageErrorSplit:
+    def test_empty_dir_read_is_classified_empty(self, spark, tmp_path):
+        d = tmp_path / "nothing"
+        d.mkdir()
+        with pytest.raises(Exception) as e:
+            spark.read.parquet(str(d)).collect()
+        assert is_empty_storage_error(e.value)
+
+    def test_other_errors_are_not_swallowed(self):
+        assert not is_empty_storage_error(ValueError("boom"))
+        assert not is_empty_storage_error(
+            PermissionError("permission denied")
+        )
