@@ -1650,6 +1650,14 @@ from clickhouse_metrics_pipeline_spark.workloads_ext8 import (  # noqa: E402
 QUERIES.update(EXTRA8_QUERIES)
 ORACLE_SQL.update(EXTRA8_ORACLE)
 
+from clickhouse_metrics_pipeline_spark.workloads_ext9 import (  # noqa: E402
+    EXTRA9_ORACLE,
+    EXTRA9_QUERIES,
+)
+
+QUERIES.update(EXTRA9_QUERIES)
+ORACLE_SQL.update(EXTRA9_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 9)
 # --------------------------------------------------------------------------

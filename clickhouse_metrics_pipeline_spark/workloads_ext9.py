@@ -1,0 +1,307 @@
+"""Round-9 catalog extensions.
+
+Two families, both closing r8 verdict items on the PromQL front-end:
+
+- **Vector matching from text** (verdict item 3 — the biggest
+  remaining text-path gap for real dashboards): ``on(...)`` with bare
+  ``group_left`` for the share-of-total ratio
+  (``promql_share_of_type``), ``group_left(label)`` label-pull
+  against an info metric (``promql_tier_enrich`` — the enrichment
+  idiom ``events_user_enrich_topk`` grades as a kernel, now compiled
+  from PromQL text), and ``and on(...)`` set-op matching with a
+  coarser rhs key (``promql_and_on_hot_types``). Each has an
+  independent hand-written DuckDB twin; parse-time rejection of
+  encoding- and key-incompatible matches is pinned in
+  ``tests/test_promql_matching.py``.
+
+- **Stored-bucket histogram_quantile from text** (verdict item 4):
+  ``promql_stored_bucket_p95`` compiles
+  ``histogram_quantile(0.95, sum by (t) (count_over_time(x[1d])))``
+  against a series frame carrying the metrics_raw bucket arrays
+  (``schema.sql:33-36``) — the reference's stored-histogram read path
+  (``promread/handler.go:177-205``,
+  ``test/validate_percentiles.go:135-208``) reached from PromQL text
+  onto the exact-integer prometheus-mode walk.
+
+Scale notes: every row follows the compiled-PromQL template —
+selector pushdown, ONE shuffle to the (by-labels, window) grain, then
+a tiny aggregated-vector join (AQE broadcasts the smaller side). The
+stored-bucket row's explode is O(le)=6 per sample with map-side
+partial sums — the A5 rollup-merge shape, not a fan-out hazard.
+``py=0`` throughout (no Python rows cross the wire).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+    hist_walk_prom_scaled_sql,
+)
+from clickhouse_metrics_pipeline_spark.tables import _events
+
+_EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+EXTRA9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA9_ORACLE: dict[str, str] = {}
+
+
+# --------------------------------------------------------------------------
+# Vector matching: on(...) + group_left (r8 verdict item 3)
+# --------------------------------------------------------------------------
+
+PROMQL_SHARE_QUERY = (
+    "sum by (event_type, user) (count_over_time(events[1d])) "
+    "/ on(event_type) group_left "
+    "sum by (event_type) (count_over_time(events[1d]))"
+)
+
+
+def promql_share_of_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare ``group_left`` many-to-one ratio from text: each (type,
+    user, day) count divided by its type-day total — the
+    share-of-total panel every dashboard has
+    (``instance_cpu / on(job) group_left sum by (job) (...)``).
+    The match key (event_type) is a strict subset of the lhs by-tuple;
+    the rhs aggregates by exactly the key, so it is key-unique by
+    construction and no runtime uniqueness assert is needed. '/'
+    emits truncated ppm; with count encodings on both sides the
+    scales cancel and the ppm IS the raw share. Plan: two branches of
+    ONE events scan reduced to their by-grains, then a broadcast-
+    sized join on (event_type, bucket_ts)."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_SHARE_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_SHARE_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         count(*)::BIGINT AS c
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+), per_type AS (
+  SELECT event_type, bucket_ts, sum(c)::BIGINT AS tc
+  FROM per_user GROUP BY 1, 2
+)
+SELECT p.event_type, p."user", p.bucket_ts,
+       ((p.c * 1000000) // t.tc)::BIGINT AS value
+FROM per_user p JOIN per_type t USING (event_type, bucket_ts)
+"""
+
+EXTRA9_QUERIES["promql_share_of_type"] = promql_share_of_type
+EXTRA9_ORACLE["promql_share_of_type"] = PROMQL_SHARE_SQL
+
+
+PROMQL_ENRICH_QUERY = (
+    "sum by (user) (sum_over_time(events[1d])) "
+    "* on(user) group_left(tier) "
+    "max by (user, tier) (count_over_time(user_info[1d]))"
+)
+
+
+def _series_with_user_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events series frame unioned with a synthesized ``user_info``
+    info metric: one sample per (user, day) with a deterministic
+    ``tier`` label (t0/t1/t2 by user_id % 3) and value 1 — the
+    Prometheus info-metric convention (node_uname_info and friends)."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        events_as_series,
+    )
+
+    ev = _events(spark, sf_dir)
+    day = F.window("ts", "1 day")["start"]
+    info = (
+        ev.select(F.col("user_id"), day.alias("day"))
+        .distinct()
+        .select(
+            F.lit("user_info").alias("metric"),
+            F.map_from_arrays(
+                F.array(F.lit("user"), F.lit("tier")),
+                F.array(
+                    F.col("user_id").cast("string"),
+                    F.concat(
+                        F.lit("t"), (F.col("user_id") % 3).cast("string")
+                    ),
+                ),
+            ).alias("attributes"),
+            F.col("day").alias("ts"),
+            F.lit(1.0).alias("value"),
+            # unique per sample (one row per user-day); ties cannot
+            # occur within a window, so any injective id works
+            F.xxhash64("user_id", "day").alias("sample_id"),
+        )
+    )
+    return events_as_series(ev).unionByName(info)
+
+
+def promql_tier_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``group_left(tier)`` label-pull from text: per-user daily cents
+    totals enriched with the tier label of the ``user_info`` info
+    metric — ``metric * on(user) group_left(tier) info`` , the
+    enrichment idiom the driver-green events_user_enrich_topk kernel
+    implements by hand. Exercises: the mixed-encoding '*' relaxation
+    (cents x count is a dimensionless multiply; result_scale is the
+    product of the side scales), the rhs key-uniqueness runtime
+    assert (rhs aggregates by key+tier, so uniqueness per user-day is
+    a data property, asserted with a window count — real PromQL's
+    "multiple matches" error), and label pull into the output
+    columns."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_ENRICH_QUERY, _series_with_user_info(spark, sf_dir)
+    )
+
+
+PROMQL_ENRICH_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS "user",
+       't' || CAST(user_id % 3 AS VARCHAR) AS tier,
+       time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+       sum({_CENTS})::BIGINT AS value
+FROM {_EV_SQL} GROUP BY 1, 2, 3
+"""
+
+EXTRA9_QUERIES["promql_tier_enrich"] = promql_tier_enrich
+EXTRA9_ORACLE["promql_tier_enrich"] = PROMQL_ENRICH_SQL
+
+
+PROMQL_AND_ON_QUERY = (
+    "sum by (event_type, user) (count_over_time(events[1d])) "
+    "and on(event_type) "
+    "sum by (event_type) (count_over_time(events[1d])) > 70"
+)
+
+
+def promql_and_on_hot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op vector matching from text: keep per-(type, user) daily
+    counts only where the TYPE's daily total exceeds 70 — ``lhs and
+    on(key) rhs > N``, the alerting idiom with a coarser rhs key (the
+    r8 set-op rows required identical by-tuples). The rhs comparison
+    binds tighter than 'and' (real PromQL precedence) and filters the
+    rhs vector in RAW units before the semi join on (event_type,
+    bucket_ts). At sf0.01 the threshold keeps 50 of 150 type-days."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_AND_ON_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_AND_ON_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         count(*)::BIGINT AS value
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+), hot AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts
+  FROM {_EV_SQL} GROUP BY 1, 2 HAVING count(*) > 70
+)
+SELECT p.* FROM per_user p JOIN hot USING (event_type, bucket_ts)
+"""
+
+EXTRA9_QUERIES["promql_and_on_hot_types"] = promql_and_on_hot_types
+EXTRA9_ORACLE["promql_and_on_hot_types"] = PROMQL_AND_ON_SQL
+
+
+# --------------------------------------------------------------------------
+# histogram_quantile over STORED bucket arrays (r8 verdict item 4)
+# --------------------------------------------------------------------------
+
+PROMQL_STORED_BUCKET_QUERY = (
+    "histogram_quantile(0.95, "
+    "sum by (event_type) (count_over_time(hist_requests[1d])))"
+)
+
+_LES = [10.0, 25.0, 50.0, 100.0, 200.0, 500.0]
+
+
+def _bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reshaped as a metrics_raw-style STORED-histogram frame:
+    each event carries the fixed le ladder (schema.sql bounds) as
+    split ``buckets_le``/``buckets_count`` arrays — the ingest sink's
+    stored shape — with deterministic per-bucket delta counts
+    ``(event_id + j*user_id) % 5`` so the merged histograms are
+    non-trivial and the DuckDB twin can restate them with a CROSS
+    JOIN over the ladder."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.lit("hist_requests").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type")), F.array(F.col("event_type"))
+        ).alias("attributes"),
+        F.col("ts"),
+        F.col("value"),
+        F.array(*[F.lit(le) for le in _LES]).alias("buckets_le"),
+        F.array(
+            *[
+                ((F.col("event_id") + F.lit(j) * F.col("user_id")) % 5)
+                .cast("bigint")
+                for j in range(len(_LES))
+            ]
+        ).alias("buckets_count"),
+    )
+
+
+def promql_stored_bucket_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile from text over STORED bucket arrays: the
+    series frame carries metrics_raw bucket columns, so the compiled
+    plan explodes the (delta) arrays, sums counts per (event_type,
+    day, le) — the A5 rollup-merge shape, one map-side-combinable
+    shuffle — and walks the merged histogram with the exact-integer
+    prometheus-mode kernel (functions/histogram.py
+    bucket_percentile_scaled, the H1 driver-green walk). Closes the
+    reference's stored-histogram read loop
+    (promread/handler.go:177-205, validate_percentiles.go:135-208)
+    from PromQL text. Output BIGINT p95 x10000."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_STORED_BUCKET_QUERY, _bucket_series_frame(spark, sf_dir)
+    )
+
+
+PROMQL_STORED_BUCKET_SQL = f"""
+WITH le(j, le) AS (
+  VALUES (0, 10.0), (1, 25.0), (2, 50.0),
+         (3, 100.0), (4, 200.0), (5, 500.0)
+), counts AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         le.le AS le,
+         sum((event_id + le.j * user_id) % 5)::BIGINT AS cnt
+  FROM {_EV_SQL} CROSS JOIN le
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT event_type, bucket_ts, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts
+                        ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS total,
+         lag(le, 1, 0.0) OVER (PARTITION BY event_type, bucket_ts
+                               ORDER BY le) AS prev
+  FROM counts
+)
+SELECT event_type, bucket_ts,
+       {hist_walk_prom_scaled_sql(95)} AS value
+FROM w GROUP BY event_type, bucket_ts
+"""
+
+EXTRA9_QUERIES["promql_stored_bucket_p95"] = promql_stored_bucket_p95
+EXTRA9_ORACLE["promql_stored_bucket_p95"] = PROMQL_STORED_BUCKET_SQL

@@ -1,0 +1,353 @@
+"""PromQL vector matching (r9 — plans/promql.py on/ignoring +
+group_left) and the stored-bucket histogram_quantile path: compile
+behavior on small fixtures, parse-time rejection of key- and
+encoding-incompatible matches, and the group_left many-to-many
+runtime error."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from clickhouse_metrics_pipeline_spark.plans.promql import (
+    BinQuery,
+    PromQLError,
+    compile_promql,
+    evaluation_grain_seconds,
+    match_key,
+    parse,
+    result_scale,
+)
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows, sid = [], 0
+    for et, users in (("a", ["u1", "u2"]), ("b", ["u3"])):
+        for u in users:
+            for i in range(4):
+                rows.append(
+                    (
+                        "events",
+                        {"event_type": et, "user": u},
+                        T0 + dt.timedelta(minutes=10 * i),
+                        2.0,
+                        sid,
+                    )
+                )
+                sid += 1
+    return spark.createDataFrame(
+        rows,
+        "metric string, attributes map<string,string>, "
+        "ts timestamp, value double, sample_id long",
+    )
+
+
+@pytest.fixture(scope="module")
+def series_with_info(spark, series):
+    info = [
+        ("user_info", {"user": u, "tier": t}, T0, 1.0, 1000 + i)
+        for i, (u, t) in enumerate(
+            [("u1", "gold"), ("u2", "free"), ("u3", "gold")]
+        )
+    ]
+    return series.unionByName(
+        spark.createDataFrame(
+            info,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+    )
+
+
+class TestParse:
+    def test_on_group_left_fields(self):
+        q = parse(
+            "sum by (event_type, user) (count_over_time(e[1h])) "
+            "/ on(event_type) group_left "
+            "sum by (event_type) (count_over_time(e[1h]))"
+        )
+        assert isinstance(q, BinQuery)
+        assert q.match_on == ("event_type",)
+        assert q.group_left == ()
+        assert match_key(q) == ("event_type",)
+
+    def test_group_left_labels(self):
+        q = parse(
+            "sum by (user) (count_over_time(e[1h])) "
+            "* on(user) group_left(tier) "
+            "max by (user, tier) (count_over_time(i[1h]))"
+        )
+        assert q.group_left == ("tier",)
+        assert result_scale(q) == 1  # count x count
+
+    def test_ignoring_key_derivation(self):
+        q = parse(
+            "sum by (event_type) (count_over_time(e[1h])) "
+            "+ ignoring(nosuch) "
+            "sum by (event_type) (count_over_time(e[1h]))"
+        )
+        assert q.match_ignoring == ("nosuch",)
+        assert match_key(q) == ("event_type",)
+        assert evaluation_grain_seconds(q) == 3600
+
+    def test_mixed_encoding_star_count_side_allowed(self):
+        # cents * count is a dimensionless multiply; scale = 100 * 1
+        q = parse(
+            "sum by (user) (sum_over_time(e[1h])) "
+            "* on(user) group_left(tier) "
+            "max by (user, tier) (count_over_time(i[1h]))"
+        )
+        assert result_scale(q) == 100
+
+    @pytest.mark.parametrize(
+        "bad, msg",
+        [
+            # on-labels must be within the lhs by-tuple
+            (
+                "sum by (event_type) (count_over_time(e[1h])) "
+                "/ on(user) sum by (user) (count_over_time(e[1h]))",
+                "subset of the left",
+            ),
+            # many-to-one without group_left
+            (
+                "sum by (event_type, user) (count_over_time(e[1h])) "
+                "/ on(event_type) "
+                "sum by (event_type) (count_over_time(e[1h]))",
+                "one-to-one",
+            ),
+            # encoding mismatch under '/'
+            (
+                "sum by (t) (sum_over_time(e[1h])) "
+                "/ on(t) sum by (t) (count_over_time(e[1h]))",
+                "same output encoding",
+            ),
+            # 'or' takes no match modifier
+            (
+                "sum by (t) (count_over_time(e[1h])) "
+                "or on(t) sum by (t) (count_over_time(e[1h]))",
+                "'or' with on",
+            ),
+            # group_right rejected with the swap hint
+            (
+                "sum by (t) (count_over_time(e[1h])) "
+                "/ on(t) group_right "
+                "sum by (t) (count_over_time(e[1h]))",
+                "group_right",
+            ),
+            # group_left on a set op
+            (
+                "sum by (t, u) (count_over_time(e[1h])) "
+                "and on(t) group_left "
+                "sum by (t) (count_over_time(e[1h]))",
+                "set operations",
+            ),
+            # pulled labels must come from the rhs by-tuple
+            (
+                "sum by (u) (count_over_time(e[1h])) "
+                "* on(u) group_left(tier) "
+                "sum by (u) (count_over_time(i[1h]))",
+                "exactly the match key plus",
+            ),
+            # pulled label colliding with an lhs label
+            (
+                "sum by (u, tier) (count_over_time(e[1h])) "
+                "* on(u) group_left(tier) "
+                "sum by (u, tier) (count_over_time(i[1h]))",
+                "collide",
+            ),
+            # ignoring everything -> empty key
+            (
+                "sum by (t) (count_over_time(e[1h])) "
+                "/ ignoring(t) sum by (t) (count_over_time(e[1h]))",
+                "empty",
+            ),
+            # mismatched ranges still rejected with a modifier
+            (
+                "sum by (t) (count_over_time(e[1h])) "
+                "+ on(t) sum by (t) (count_over_time(e[2h]))",
+                "same range",
+            ),
+        ],
+    )
+    def test_rejections(self, bad, msg):
+        with pytest.raises(PromQLError, match=msg):
+            parse(bad)
+
+
+class TestCompile:
+    def test_share_ratio_bare_group_left(self, series):
+        q = (
+            "sum by (event_type, user) (count_over_time(events[1h])) "
+            "/ on(event_type) group_left "
+            "sum by (event_type) (count_over_time(events[1h]))"
+        )
+        out = compile_promql(q, series)
+        assert out.columns == ["event_type", "user", "bucket_ts", "value"]
+        got = {
+            (r.event_type, r.user): r.value for r in out.collect()
+        }
+        # type a: two users with 4 samples each -> 50% shares; type b
+        # has one user -> 100%
+        assert got == {
+            ("a", "u1"): 500_000,
+            ("a", "u2"): 500_000,
+            ("b", "u3"): 1_000_000,
+        }
+        assert result_scale(parse(q)) == 10**6
+
+    def test_group_left_label_pull(self, series_with_info):
+        q = (
+            "sum by (user) (sum_over_time(events[1h])) "
+            "* on(user) group_left(tier) "
+            "max by (user, tier) (count_over_time(user_info[1h]))"
+        )
+        out = compile_promql(q, series_with_info)
+        assert out.columns == ["user", "tier", "bucket_ts", "value"]
+        got = {(r.user, r.tier): r.value for r in out.collect()}
+        # 4 samples x 2.0 = 800 cents, multiplied by the info count 1
+        assert got == {
+            ("u1", "gold"): 800,
+            ("u2", "free"): 800,
+            ("u3", "gold"): 800,
+        }
+
+    def test_group_left_many_to_many_raises(self, spark, series):
+        # two info rows for u1 within one window -> the rhs window
+        # count assert fires (real PromQL's "multiple matches" error)
+        dup = spark.createDataFrame(
+            [
+                ("user_info", {"user": "u1", "tier": "gold"}, T0, 1.0, 1),
+                ("user_info", {"user": "u1", "tier": "free"}, T0, 1.0, 2),
+            ],
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        q = (
+            "sum by (user) (count_over_time(events[1h])) "
+            "* on(user) group_left(tier) "
+            "max by (user, tier) (count_over_time(user_info[1h]))"
+        )
+        with pytest.raises(Exception, match="multiple right-side"):
+            compile_promql(q, series.unionByName(dup)).collect()
+
+    def test_and_on_coarser_rhs_key(self, series):
+        q = (
+            "sum by (event_type, user) (count_over_time(events[1h])) "
+            "and on(event_type) "
+            "sum by (event_type) (count_over_time(events[1h])) > 6"
+        )
+        got = {
+            (r.event_type, r.user): r.value
+            for r in compile_promql(q, series).collect()
+        }
+        # only type a's total (8) clears 6; lhs rows keep their counts
+        assert got == {("a", "u1"): 4, ("a", "u2"): 4}
+
+    def test_unless_on(self, series):
+        q = (
+            "sum by (event_type, user) (count_over_time(events[1h])) "
+            "unless on(event_type) "
+            "sum by (event_type) (count_over_time(events[1h])) > 6"
+        )
+        got = {
+            (r.event_type, r.user): r.value
+            for r in compile_promql(q, series).collect()
+        }
+        assert got == {("b", "u3"): 4}
+
+    def test_ignoring_one_to_one(self, series):
+        q = (
+            "sum by (event_type) (count_over_time(events[1h])) "
+            "- ignoring(nosuch) "
+            "sum by (event_type) (count_over_time(events[1h]))"
+        )
+        vals = {
+            r.event_type: r.value
+            for r in compile_promql(q, series).collect()
+        }
+        assert vals == {"a": 0, "b": 0}
+
+    def test_function_named_metric_still_parses(self, spark):
+        # r8 ADVICE item: a metric literally named 'rate' must stay
+        # queryable — subquery detection now needs '(' after the ident
+        df = spark.createDataFrame(
+            [("rate", {"k": "x"}, T0, 1.0, 1)],
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        rows = compile_promql("avg_over_time(rate[1h])", df).collect()
+        assert len(rows) == 1 and rows[0].value == 10000
+
+
+class TestStoredBucketQuantile:
+    def _frame(self, spark, split: bool):
+        rows = []
+        for i in range(8):
+            rows.append(
+                (
+                    "hist_requests",
+                    {"svc": "s1"},
+                    T0 + dt.timedelta(minutes=i),
+                    0.0,
+                    [10.0, 25.0, 50.0],
+                    [1, 2, 1],
+                )
+            )
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, "
+            "buckets_le array<double>, buckets_count array<bigint>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        if split:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select(
+            "metric", "attributes", "ts", "value",
+            F.zip_with(
+                "buckets_le",
+                "buckets_count",
+                lambda le, c: F.struct(
+                    le.alias("le"), c.alias("count")
+                ),
+            ).alias("buckets"),
+        )
+
+    @pytest.mark.parametrize("split", [True, False])
+    def test_stored_buckets_route_and_walk(self, spark, split):
+        # merged per window: counts (8, 16, 8) on le (10, 25, 50);
+        # p50 target = 16 of 32 -> ends exactly at the 25-bucket:
+        # prev 10 + (16-8)/16 * (25-10) = 17.5 -> 175000 x10000
+        q = (
+            "histogram_quantile(0.50, "
+            "sum by (svc) (count_over_time(hist_requests[1h])))"
+        )
+        out = compile_promql(q, self._frame(spark, split))
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0].svc == "s1"
+        assert rows[0].value == 175_000
+
+    def test_raw_value_path_unchanged_without_bucket_columns(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("hist_requests", {"svc": "s1"},
+                 T0 + dt.timedelta(minutes=i), float(v), i)
+                for i, v in enumerate([5, 15, 30, 60])
+            ],
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        q = (
+            "histogram_quantile(0.50, "
+            "sum by (svc) (count_over_time(hist_requests[1h])))"
+        )
+        rows = compile_promql(q, df).collect()
+        # ladder-bucketed raw values: counts (1,1,1,1) on le
+        # (10,25,50,100); p50 target 2 -> prev 10 + 1/1*(25-10) = 25
+        assert rows[0].value == 250_000
