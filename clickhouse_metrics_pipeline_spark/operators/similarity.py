@@ -366,12 +366,20 @@ def lsh_ann_pairs(
     spark = df.sparkSession
     # probe past NULL embeddings (F.size(NULL) is NULL -> the old
     # int(probe[0]) raised TypeError on a NULL first row; r7 ADVICE)
-    probe = (
-        df.where(F.col(vec_col).isNotNull())
+    # and anchor on the MODAL dimension of a bounded sample rather
+    # than the first row (r8 ADVICE): if the probe row happened to be
+    # the ragged outlier, the ragged-drop filter below silently
+    # discarded the bulk of valid embeddings. A 1001-row mode cannot
+    # be captured by a stray outlier unless the corpus is mostly that
+    # shape; bounded collect, so no full scan at 100 TB.
+    sizes = [
+        r[0]
+        for r in df.where(F.col(vec_col).isNotNull())
         .select(F.size(vec_col))
-        .first()
-    )
-    if probe is None:
+        .limit(1001)
+        .collect()
+    ]
+    if not sizes:
         # empty input: keep the old lazy behavior — an empty result
         # with the output schema, no plane bank, no crash
         return df.limit(0).select(
@@ -379,7 +387,12 @@ def lsh_ann_pairs(
             F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("cosine_sim"),
         )
-    dim = int(probe[0])
+    from collections import Counter
+
+    # most-common dimension; deterministic tiebreak to the smallest
+    dim = int(
+        max(Counter(sizes).items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    )
     # ragged dimensions would crash np.vstack inside the signature
     # kernel with an opaque worker error; NULL/mismatched rows cannot
     # participate in a fixed-plane LSH anyway — drop them explicitly

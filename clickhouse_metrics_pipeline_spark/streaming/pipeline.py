@@ -1400,7 +1400,12 @@ def holt_winters_stream(
             )
             out.append(row)
 
-        pdf = _whole_group(pdfs, [ts_col])
+        # value_col tiebreak (r8 ADVICE item): equal-timestamp rows
+        # otherwise keep post-shuffle arrival order, which Spark does
+        # not guarantee across runs. The in-bucket fold is a SUM (open_y
+        # += c, order-free), so this is determinism hygiene rather than
+        # a result change — it restores the r7 (ts, value) ordering.
+        pdf = _whole_group(pdfs, [ts_col, value_col])
         if pdf is not None:
             secs = pdf[ts_col].values.astype("datetime64[s]").astype("int64")
             cents = (

@@ -287,3 +287,147 @@ class TestConvertGroupProperty:
             assert st_.get[0] == float(values[-1])
 
         run()
+
+
+def _hist_pdf_ragged(points):
+    """Histogram rows with a PER-ROW bucket ladder (or no buckets):
+    points = (i, count, sum, les_or_None, counts_or_None)."""
+    return pd.DataFrame(
+        [
+            {
+                "series_hash": 2,
+                "timestamp": _ts(i),
+                "metric": "h",
+                "workspaceId": "w",
+                "serviceName": "s",
+                "metric_type": METRIC_TYPE_HISTOGRAM,
+                "temporality": TEMPORALITY_CUMULATIVE,
+                "is_monotonic": False,
+                "value": None,
+                "count": c,
+                "sum": float(s),
+                "buckets_le": None if les is None else list(les),
+                "buckets_count": None if bc is None else list(bc),
+                "attributes": {},
+                "exemplars": None,
+            }
+            for i, c, s, les, bc in points
+        ]
+    )
+
+
+class TestConvertGroupHistogramProperty:
+    """r8 verdict item 6: the histogram branch of _convert_group under
+    ARBITRARY (count, sum, buckets) sequences — including resets,
+    zero-count/zero-sum edge cases hitting the LastCount>0 / LastSum>0
+    guards, per-row ladders, and missing bucket arrays — and ARBITRARY
+    chunking / chunk arrival order, pinned against an independent lag
+    restatement of converter/temporality.go:81-105."""
+
+    @staticmethod
+    def _lag_form(seq):
+        """seq: list of (count, sum, les_or_None, counts_or_None) ->
+        expected (count, sum, bucket_counts) per emitted row."""
+        out = []
+        prev_c, prev_s, prev_b = 0, 0.0, {}
+        first = True
+        for c, s, les, bc in seq:
+            if first or c < prev_c:
+                # first point as-is (temporality_test.go:51) or reset
+                # on count decrease: emitted raw
+                out.append((c, float(s), None if bc is None else list(bc)))
+            else:
+                dc = c - prev_c if prev_c > 0 else c
+                ds = float(s - prev_s) if prev_s > 0 else float(s)
+                if bc is None:
+                    db = None
+                else:
+                    db = [
+                        cnt - prev_b[le] if le in prev_b else cnt
+                        for le, cnt in zip(les, bc)
+                    ]
+                out.append((dc, ds, db))
+            prev_c, prev_s = c, s
+            if bc is not None:
+                prev_b = dict(zip(les, bc))
+            first = False
+        return out
+
+    def test_random_histograms_and_chunking(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ladder = st.lists(
+            st.sampled_from([1.0, 2.0, 5.0]),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        ).map(sorted)
+
+        def point(les):
+            return st.tuples(
+                st.integers(min_value=0, max_value=10**6),  # count
+                st.integers(min_value=0, max_value=10**6),  # sum
+                st.just(les),
+                st.lists(
+                    st.integers(min_value=0, max_value=10**6),
+                    min_size=len(les) if les else 0,
+                    max_size=len(les) if les else 0,
+                ).map(lambda counts: counts if les else None),
+            )
+
+        seq_strategy = st.lists(
+            st.one_of(st.just(None), ladder).flatmap(point),
+            min_size=1,
+            max_size=25,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(seq=seq_strategy, data=st.data())
+        def run(seq, data):
+            points = [
+                (i, c, s, les, bc)
+                for i, (c, s, les, bc) in enumerate(seq)
+            ]
+            cuts = data.draw(
+                st.lists(
+                    st.integers(1, max(1, len(points) - 1)),
+                    max_size=4,
+                    unique=True,
+                )
+            )
+            bounds = sorted({0, len(points), *cuts})
+            chunks = [
+                _hist_pdf_ragged(points[a:b])
+                for a, b in zip(bounds, bounds[1:])
+            ]
+            order = data.draw(st.permutations(range(len(chunks))))
+            st_ = _FakeState()
+            out = list(
+                _convert_group(
+                    (2,),
+                    iter([chunks[i] for i in order]),
+                    st_,
+                    ttl_ms=None,
+                )
+            )
+            pdf = pd.concat(out).sort_values("timestamp")
+            got = [
+                (
+                    int(r["count"]),
+                    float(r["sum"]),
+                    None
+                    if r["buckets_count"] is None
+                    else [int(x) for x in r["buckets_count"]],
+                )
+                for _, r in pdf.iterrows()
+            ]
+            assert got == self._lag_form(
+                [(c, s, les, bc) for _, c, s, les, bc in points]
+            )
+            assert set(pdf["temporality"]) == {TEMPORALITY_DELTA}
+            # state carries the last RAW cumulative point
+            last_c, last_s = points[-1][1], points[-1][2]
+            assert st_.get[1] == last_c and st_.get[2] == float(last_s)
+
+        run()

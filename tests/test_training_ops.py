@@ -675,3 +675,27 @@ class TestProductQuantization:
         assert out.count() == 0
         with pytest.raises(AssertionError):
             lsh_ann_pairs(empty, planes_per_table=63)
+
+
+def test_lsh_pairs_modal_dim_survives_ragged_first_row(spark):
+    """r8 ADVICE item: the LSH dimension anchors to the MODAL
+    dimension of a bounded probe sample, not the first non-null row —
+    a single ragged outlier arriving first must not silently drop the
+    whole valid corpus."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        lsh_ann_pairs,
+    )
+
+    rows = [(0, [1.0, 2.0, 3.0])]  # ragged outlier, id 0, dim 3
+    # ten dim-4 rows, two of them identical -> a guaranteed pair
+    base = [1.0, 0.5, -0.25, 2.0]
+    rows += [(i, [v + (0.0 if i in (1, 2) else i) for v in base])
+             for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_ann_pairs(df, threshold=0.999).collect()
+    }
+    assert (1, 2) in got or (2, 1) in got
+    # the dim-3 outlier cannot participate
+    assert all(0 not in p for p in got)
