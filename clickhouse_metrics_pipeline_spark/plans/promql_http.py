@@ -23,9 +23,22 @@ HTTP API's range-query response shape::
                           "values": [[<unix_sec>, "<value>"], ...]}]}}
 
 so existing Prometheus API clients (Grafana's datasource, promtool)
-can parse the payload. Step semantics follow the engine's evaluation
-model — the range IS the step (one sample per window; see the grammar
-comment in ``plans/promql.py``). Values are decoded to RAW sample-
+can parse the payload.
+
+Time-range parameters (r9 — the r8 verdict's item 2): ``start``/
+``end`` (unix seconds or RFC3339) clip the matrix to the requested
+range BEFORE collect — a Grafana pan/zoom gets its range back, not
+the full stored history — and route the serving path's resolution
+choice when the series provider accepts a range (scripts/serve.py
+passes it through the Q1 router). ``step`` semantics: the engine
+evaluates one sample per window (the range IS the step; see the
+grammar comment in ``plans/promql.py``), so step == grain is the
+native density, a grain-multiple step DOWNSAMPLES to every
+(step/grain)-th epoch-aligned window, and any other step returns the
+full-density matrix with a warning. ``/api/v1/query`` honors
+``time=`` by clamping to windows at or before it.
+
+Values are decoded to RAW sample-
 value units at JSON stringification (r8, the r7 verdict's item 4: a
 real Grafana pointed at this endpoint must read ``sum(rate(...))``
 as 1/s, not micro-units): the emitted integer is divided by
@@ -394,6 +407,7 @@ def make_promql_server(
         def build():
             parsed = parse(query)
             warnings: list[str] = []
+            raw_step = None
             if instant:
                 # /api/v1/query?time=T: the instant answer is each
                 # series' latest evaluation window AT OR BEFORE T
@@ -428,20 +442,37 @@ def make_promql_server(
                         "end timestamp must not be before start"
                     )
                 raw_step = params.get("step", [None])[0]
-                if raw_step is not None:
-                    step_s = parse_api_step(raw_step)
-                    grain = evaluation_grain_seconds(parsed)
-                    if step_s != grain:
-                        # the engine evaluates at the window grain
-                        # (the range IS the step); say so instead of
-                        # silently ignoring the client's step
+            df = compile_promql(parsed, _frame(start_s, end_s))
+            df = clip_time_range(df, start_s, end_s)
+            if not instant and raw_step is not None:
+                step_s = parse_api_step(raw_step)
+                grain = evaluation_grain_seconds(parsed)
+                if step_s != grain:
+                    if step_s % grain == 0 and step_s > grain:
+                        # a coarser grain-multiple step DOWNSAMPLES:
+                        # windows are epoch-aligned multiples of the
+                        # grain, so keeping bucket_ts % step == 0
+                        # returns every (step/grain)-th window — what
+                        # a Grafana zoom-out (step=4h over a 5m-grain
+                        # query) expects instead of the full-density
+                        # matrix
+                        df = df.where(
+                            F.unix_timestamp("bucket_ts")
+                            % int(step_s) == 0
+                        )
+                    else:
+                        # sub-grain or non-multiple steps cannot be
+                        # honored — the engine evaluates at the window
+                        # grain (the range IS the step); say so
+                        # instead of silently ignoring the client's
+                        # step
                         warnings.append(
                             f"step {raw_step} ignored: this engine "
                             f"evaluates at the query's window grain "
-                            f"({grain}s); samples are spaced {grain}s"
+                            f"({grain}s); grain-multiple steps "
+                            f"downsample, others return the full "
+                            f"{grain}s-spaced matrix"
                         )
-            df = compile_promql(parsed, _frame(start_s, end_s))
-            df = clip_time_range(df, start_s, end_s)
             shape = instant_vector_payload if instant else (
                 promql_result_payload
             )

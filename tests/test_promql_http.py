@@ -410,13 +410,31 @@ class TestTimeRangeParams:
         assert code == 400 and payload["errorType"] == "bad_data"
 
     def test_step_mismatch_warns_matching_step_silent(self, server):
-        # grain of [1m] is 60s: step=30 warns, step=60 / "1m" don't
-        code, p = self._range(server, self.Q, step="30")
-        assert code == 200
-        assert any("step" in w for w in p.get("warnings", []))
+        # grain of [1m] is 60s: sub-grain step=30 and non-multiple
+        # step=90 warn; step=60 / "1m" are the native density
+        for bad_step in ("30", "90"):
+            code, p = self._range(server, self.Q, step=bad_step)
+            assert code == 200
+            assert any("step" in w for w in p.get("warnings", []))
         for ok_step in ("60", "1m"):
             code, p = self._range(server, self.Q, step=ok_step)
             assert code == 200 and "warnings" not in p
+
+    def test_grain_multiple_step_downsamples(self, server):
+        # step=2m over the 1m grain: every other epoch-aligned window,
+        # no warning
+        _, full = self._range(server, self.Q)
+        code, ds = self._range(server, self.Q, step="2m")
+        assert code == 200 and "warnings" not in ds
+        expected = {
+            k: [v for v in vs if v[0] % 120 == 0]
+            for k, vs in self._values(full).items()
+        }
+        expected = {k: vs for k, vs in expected.items() if vs}
+        assert self._values(ds) == expected
+        assert all(
+            len(vs) == 3 for vs in self._values(ds).values()
+        )  # 6 windows -> 3 kept
 
     def test_bad_step_is_400(self, server):
         code, p = self._range(server, self.Q, step="fast")
