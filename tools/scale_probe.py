@@ -430,11 +430,32 @@ def op_setop_match(ev: DataFrame) -> int:
     ).count()
 
 
+def op_group_left(ev: DataFrame) -> int:
+    """on(...) group_left vector matching (r9): the share-of-total
+    ratio — a fine-grained by-vector joined to its coarser total on
+    the on-key. Both sides reduce to their by-grains before the join
+    (one events scan feeds both branches), the rhs is key-unique by
+    construction, and AQE broadcasts it; throughput should track the
+    finer aggregation, not the join."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        "sum by (event_type, user) (count_over_time(events[1h])) "
+        "/ on(event_type) group_left "
+        "sum by (event_type) (count_over_time(events[1h]))",
+        events_as_series(ev),
+    ).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "adjacent_pairs": ("events", op_adjacent_pairs),
     "hw_fold": ("events", op_hw_fold),
     "setop_match": ("events", op_setop_match),
+    "group_left": ("events", op_group_left),
     "regression_moments": ("events", op_regression_moments),
     "recording_rules": ("events", op_recording_rules),
     "rate_kernel": ("events", op_rate_kernel),
