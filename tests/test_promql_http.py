@@ -574,3 +574,45 @@ class TestDeterministicTruncation:
             f"u{i:03d}" for i in range(4)
         ]
         assert p.get("warnings")
+
+
+class TestRangeAwareProvider:
+    """r9 (r8 verdict item 5, HTTP side): a series provider that
+    accepts (start_s, end_s) — like scripts/serve.py's router-backed
+    frame — receives the request's parsed range; zero-arg providers
+    keep working (every other test in this file uses one)."""
+
+    def test_provider_receives_parsed_range(self, spark):
+        import threading
+
+        df = _series(spark)
+        seen = []
+
+        def provider(start_s, end_s):
+            seen.append((start_s, end_s))
+            return df
+
+        srv = make_promql_server(provider, port=0, limit=1000)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            t0 = int(dt.datetime(2026, 1, 1).timestamp())
+            q = "sum by (event_type) (count_over_time(events[5m]))"
+            qs = urllib.parse.urlencode(
+                {"query": q, "start": t0, "end": t0 + 300}
+            )
+            code, _ = _get_path(base, f"/api/v1/query_range?{qs}")
+            assert code == 200
+            assert seen[-1] == (float(t0), float(t0 + 300))
+            # instant: time= lands in end_s (the clamp bound)
+            qs = urllib.parse.urlencode({"query": q, "time": t0 + 120})
+            code, _ = _get_path(base, f"/api/v1/query?{qs}")
+            assert code == 200
+            assert seen[-1] == (None, float(t0 + 120))
+            # metadata routes pass no range
+            code, _ = _get_path(base, "/api/v1/labels")
+            assert code == 200
+            assert seen[-1] == (None, None)
+        finally:
+            srv.shutdown()
