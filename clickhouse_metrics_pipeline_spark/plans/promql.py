@@ -7,7 +7,7 @@ front-end for a well-defined subset, compiled onto the same engine
 kernels the catalog queries use:
 
     expr     := binop | setop | aggop | call | histq | histf | topk
-              | vfn | quant
+              | vfn | lblfn | quant
     matchmod := ('on'|'ignoring') '(' label (',' label)* ')'
                 ('group_left' ('(' label (',' label)* ')')?)?
                 -- r9 vector matching (the r8 verdict's item 3). The
@@ -48,6 +48,15 @@ kernels the catalog queries use:
                    encodings are required. scalar here is the
                    raw-unit trailing form below
     binop    := aggop ('/'|'+'|'-'|'*') matchmod? aggop
+              | aggop ('>'|'>='|'<'|'<='|'=='|'!=') matchmod? aggop
+                -- r9 VECTOR comparison: keeps the lhs rows (values
+                   unchanged, PromQL filter semantics) where the
+                   comparison against the matched rhs row holds — the
+                   current-vs-baseline alerting idiom (today's counts
+                   > the same window offset 1d). Sides must carry the
+                   SAME output encoding so the integer comparison is
+                   the raw-unit comparison; on/ignoring + group_left
+                   compose exactly as for arithmetic
               | aggop ('+'|'-'|'*') INT
               | aggop ('>'|'>='|'<'|'<='|'=='|'!=') INT
                 -- scalar forms: comparisons FILTER the vector (PromQL
@@ -209,6 +218,20 @@ kernels the catalog queries use:
                    scaled into the side's encoding at compile time
                    (same rule as the trailing scalar). Encoding
                    unchanged
+    lblfn    := 'label_replace' '(' aggop ',' STR ',' STR ',' STR
+                ',' STR ')'
+              | 'label_join' '(' aggop ',' STR ',' STR (',' STR)+ ')'
+                -- r9 label manipulation over an agg-by vector,
+                   row-local, value untouched.
+                   label_replace(v, dst, repl, src, regex): dst = the
+                   replacement with $1..$N group refs when src FULLY
+                   matches the anchored regex, else dst's previous
+                   value; absent labels read as "" (the by-key
+                   convention; PromQL's empty-dst-removes-label maps
+                   to ""). Bad regexes fail at parse time.
+                   label_join(v, dst, sep, src...): dst = the src
+                   values joined by sep. dst may overwrite an
+                   existing by-label or append a new output column
     quant    := 'quantile' 'by' '(' label... ')' '(' phi ',' call ')'
                 -- exact linear-interpolated quantile of the per-series
                    integer values, emitted as BIGINT value*10000
@@ -403,6 +426,12 @@ class PromQuery:
     # call's per-series results; range_s is the subquery range R and
     # the step S equals inner.range_s (parser-enforced)
     inner: "PromQuery | None" = None
+    # outer label function (r9): 'label_replace' with
+    # lbl_args = (dst, replacement, src, regex), or 'label_join' with
+    # lbl_args = (dst, sep, src1, ...). Applied to the aggregated
+    # vector's label columns; encoding unchanged
+    lbl_fn: str | None = None
+    lbl_args: tuple[str, ...] | None = None
     # histogram_fraction bounds: ladder values, lo=0.0 meaning -Inf,
     # hi=inf meaning +Inf; None for every other query shape
     frac_lo: float | None = None
@@ -689,9 +718,14 @@ class _Parser:
             self.i + 1 < len(self.toks)
             and self.toks[self.i + 1][0] == "num"
         )
+        # only claim the operator when a NUMBER follows — a vector rhs
+        # (comparison filter / arithmetic between vectors) parses in
+        # the binop branches instead (r9: vector comparisons exist, so
+        # `> sum by (...)` is no longer a parse error here)
         if not (
             k2 == "op"
-            and (v2 in _CMP_OPS or (v2 in _ARITH_OPS and scalar_next))
+            and scalar_next
+            and (v2 in _CMP_OPS or v2 in _ARITH_OPS)
         ):
             return q
         self.eat("op")
@@ -795,6 +829,61 @@ class _Parser:
             if self.i != len(self.toks):
                 raise PromQLError(f"trailing input from token {self.i}")
             return q
+        if k == "ident" and v in ("label_replace", "label_join"):
+            # label_replace(v, "dst", "repl", "src", "regex") /
+            # label_join(v, "dst", "sep", "src", ...): PromQL's label
+            # manipulation over an agg-by vector (r9). The regex is
+            # fully anchored like every PromQL regex; $1..$N group
+            # refs in the replacement; a no-match keeps the previous
+            # dst value (absent labels read as "", the by-key
+            # convention)
+            self.eat("ident")
+            self.eat("op", "(")
+            q = self._aggop_or_call()
+            args = []
+            while self.peek() == ("op", ","):
+                self.eat("op", ",")
+                args.append(_unquote(self.eat("str")))
+            self.eat("op", ")")
+            if q.agg is None or q.without or not q.by:
+                raise PromQLError(
+                    f"{v}() subset applies to agg by (...) vectors "
+                    "(its job is rewriting the by-label columns)"
+                )
+            want = 4 if v == "label_replace" else None
+            if (want and len(args) != want) or (
+                want is None and len(args) < 2
+            ):
+                raise PromQLError(
+                    f"{v}() takes "
+                    + ("(dst, replacement, src, regex)"
+                       if v == "label_replace"
+                       else "(dst, sep, src, ...)")
+                    + f" string arguments, got {len(args)}"
+                )
+            dst = args[0]
+            if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+                raise PromQLError(
+                    f"{v}() destination {dst!r} is not a valid label "
+                    "name"
+                )
+            if dst in ("bucket_ts", "value"):
+                raise PromQLError(
+                    f"{v}() destination {dst!r} collides with the "
+                    "output's reserved columns"
+                )
+            if v == "label_replace":
+                # fail at parse time on a bad regex, like real PromQL
+                try:
+                    re.compile(args[3])
+                except re.error as exc:
+                    raise PromQLError(
+                        f"label_replace regex {args[3]!r}: {exc}"
+                    ) from None
+            q = replace(q, lbl_fn=v, lbl_args=tuple(args))
+            if self.i != len(self.toks):
+                raise PromQLError(f"trailing input from token {self.i}")
+            return q
         if k == "ident" and v == "histogram_fraction":
             self.eat("ident")
             self.eat("op", "(")
@@ -894,6 +983,39 @@ class _Parser:
                         "docstring ('*' additionally accepts a "
                         "count-encoded side as a dimensionless "
                         "multiplier)"
+                    )
+                if self.i != len(self.toks):
+                    raise PromQLError(
+                        f"trailing input from token {self.i}"
+                    )
+                return b
+            if k2 == "op" and v2 in _CMP_OPS and q.scalar_op is None:
+                # VECTOR comparison filter (r9): lhs op rhs between two
+                # aggregated vectors keeps the lhs rows (values
+                # unchanged, PromQL filter semantics) where the
+                # comparison holds against the matched rhs row — the
+                # current-vs-baseline alerting idiom (e.g. today's
+                # counts > the same window offset 1d). The scalar form
+                # (`> INT`) was already consumed by _maybe_scalar, so
+                # reaching here means the rhs is a vector. Sides must
+                # carry the SAME output encoding (a comparison across
+                # scales would be silently wrong); on/ignoring +
+                # group_left compose exactly as for arithmetic.
+                self.eat("op")
+                on, ignoring, gl = self._match_modifier()
+                rhs = self._maybe_scalar(self._aggop_or_call())
+                b = BinQuery(
+                    q, v2, rhs,
+                    match_on=on, match_ignoring=ignoring, group_left=gl,
+                )
+                self._check_binop(b, "comparison")
+                enc_l, enc_r = output_encoding(q), output_encoding(rhs)
+                if enc_l != enc_r:
+                    raise PromQLError(
+                        "vector comparison sides must carry the same "
+                        f"output encoding (got {enc_l} vs {enc_r}) — "
+                        "comparing across scaled units would be "
+                        "silently wrong"
                     )
                 if self.i != len(self.toks):
                     raise PromQLError(
@@ -1911,6 +2033,23 @@ def _bin_plan(b: BinQuery, series: DataFrame) -> DataFrame:
             ),
         )
     j = lhs.join(rhs, keys)
+    if b.op in _CMP_OPS:
+        # vector comparison filter: keep lhs rows (values unchanged)
+        # where the comparison against the matched rhs row holds —
+        # parse-time equal encodings make the integer comparison the
+        # raw-unit comparison
+        cond = {
+            ">": F.col("_l") > F.col("_r"),
+            ">=": F.col("_l") >= F.col("_r"),
+            "<": F.col("_l") < F.col("_r"),
+            "<=": F.col("_l") <= F.col("_r"),
+            "==": F.col("_l") == F.col("_r"),
+            "!=": F.col("_l") != F.col("_r"),
+        }[b.op]
+        out_cols = list(b.lhs.by) + extras + ["bucket_ts"]
+        return j.where(cond).select(
+            *out_cols, F.col("_l").cast("bigint").alias("value")
+        )
     if b.op == "/":
         j = j.where(F.col("_r") != 0)
         sign = F.when(
@@ -2350,8 +2489,54 @@ def _apply_vfn(q: PromQuery, out: DataFrame) -> DataFrame:
 def _post_ops(q: PromQuery, out: DataFrame) -> DataFrame:
     """Every aggregated output path funnels through here: the value
     function innermost (it wraps the agg in the grammar), then topk
-    (PromQL's topk sees the raw vector), then the scalar form."""
-    return _apply_scalar(q, _apply_topk(q, _apply_vfn(q, out)))
+    (PromQL's topk sees the raw vector), then the scalar form, then
+    the label function outermost (it rewrites the surviving rows'
+    label columns, values untouched)."""
+    return _apply_lblfn(
+        q, _apply_scalar(q, _apply_topk(q, _apply_vfn(q, out)))
+    )
+
+
+def _apply_lblfn(q: PromQuery, out: DataFrame) -> DataFrame:
+    """label_replace / label_join over the aggregated vector (r9):
+    row-local column expressions, zero extra shuffles.
+
+    label_replace(v, dst, repl, src, regex): when src's value FULLY
+    matches the anchored regex, dst = the replacement with $1..$N
+    group refs (Spark regexp_replace's Java substitution — the same
+    $N syntax PromQL uses); otherwise dst keeps its previous value.
+    Absent labels read as "" on both the src and dst sides — the same
+    convention _by_keys uses for missing attribute keys; PromQL's
+    "empty dst removes the label" maps to the "" value.
+
+    label_join(v, dst, sep, src...): dst = the src values joined by
+    sep (absent = ""). The dst column is appended (or overwritten in
+    place when it names an existing by-label); the value column and
+    encoding are untouched."""
+    if q.lbl_fn is None:
+        return out
+    args = q.lbl_args
+    dst = args[0]
+
+    def _lbl(name: str) -> Column:
+        return F.col(name) if name in q.by else F.lit("")
+
+    if q.lbl_fn == "label_replace":
+        _, repl, src, regex = args
+        anchored = f"^(?:{regex})$"
+        dst_val = F.when(
+            _lbl(src).rlike(anchored),
+            F.regexp_replace(_lbl(src), anchored, repl),
+        ).otherwise(_lbl(dst))
+    else:  # label_join
+        sep, srcs = args[1], args[2:]
+        dst_val = F.concat_ws(sep, *[_lbl(s) for s in srcs])
+    label_cols = [
+        dst_val.alias(c) if c == dst else F.col(c) for c in q.by
+    ]
+    if dst not in q.by:
+        label_cols.append(dst_val.alias(dst))
+    return out.select(*label_cols, "bucket_ts", "value")
 
 
 # fan-out of the local pre-prune phase in _apply_topk: each evaluation

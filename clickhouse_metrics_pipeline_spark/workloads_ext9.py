@@ -1,6 +1,7 @@
 """Round-9 catalog extensions.
 
-Two families, both closing r8 verdict items on the PromQL front-end:
+Three families on the PromQL front-end — the first two close r8
+verdict items, the third is beyond-the-ask dashboard surface:
 
 - **Vector matching from text** (verdict item 3 — the biggest
   remaining text-path gap for real dashboards): ``on(...)`` with bare
@@ -22,6 +23,16 @@ Two families, both closing r8 verdict items on the PromQL front-end:
   (``promread/handler.go:177-205``,
   ``test/validate_percentiles.go:135-208``) reached from PromQL text
   onto the exact-integer prometheus-mode walk.
+
+- **Vector comparison + label functions**: ``lhs > rhs`` between
+  aggregated vectors (the current-vs-baseline alerting idiom,
+  ``promql_growth_types`` — day-over-day growth via an offset rhs),
+  ``label_replace`` (``promql_label_replace_env`` — Grafana's
+  relabeling staple, anchored regex + $N group refs), and
+  ``label_join`` (``promql_label_join_key`` — the canonical series
+  key). Comparisons keep lhs values (PromQL filter semantics) and
+  require equal encodings; label functions are row-local column
+  expressions.
 
 Scale notes: every row follows the compiled-PromQL template —
 selector pushdown, ONE shuffle to the (by-labels, window) grain, then
@@ -305,3 +316,122 @@ FROM w GROUP BY event_type, bucket_ts
 
 EXTRA9_QUERIES["promql_stored_bucket_p95"] = promql_stored_bucket_p95
 EXTRA9_ORACLE["promql_stored_bucket_p95"] = PROMQL_STORED_BUCKET_SQL
+
+
+# --------------------------------------------------------------------------
+# Vector comparison + label functions (r9 beyond-the-ask additions)
+# --------------------------------------------------------------------------
+
+PROMQL_GROWTH_QUERY = (
+    "sum by (event_type) (count_over_time(events[1d])) "
+    "> sum by (event_type) (count_over_time(events[1d] offset 1d))"
+)
+
+
+def promql_growth_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR comparison filter from text — the current-vs-baseline
+    alerting idiom: keep (type, day) rows whose count exceeds the
+    same window evaluated over day-older data. PromQL filter
+    semantics: the surviving rows keep the LHS values unchanged; the
+    parse-time equal-encoding rule makes the integer comparison the
+    raw-unit comparison. Plan: two branches of one events scan reduce
+    to the by-grain, broadcast join on (event_type, bucket_ts),
+    row-local filter. First-day windows have no offset twin and drop
+    (inner join) — both engines restate that."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_GROWTH_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_GROWTH_SQL = f"""
+WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS w,
+         count(*)::BIGINT AS c
+  FROM {_EV_SQL} GROUP BY 1, 2
+)
+SELECT a.event_type, a.w AS bucket_ts, a.c AS value
+FROM c a JOIN c b
+  ON a.event_type = b.event_type AND b.w = a.w - INTERVAL 1 DAY
+WHERE a.c > b.c
+"""
+
+EXTRA9_QUERIES["promql_growth_types"] = promql_growth_types
+EXTRA9_ORACLE["promql_growth_types"] = PROMQL_GROWTH_SQL
+
+
+PROMQL_LBL_REPLACE_QUERY = (
+    'label_replace(sum by (event_type) (count_over_time(events[1d])), '
+    '"env", "prod-$1", "event_type", "(c.*)")'
+)
+
+
+def promql_label_replace_env(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """label_replace() from text — Grafana's relabeling staple: a new
+    ``env`` label rendered from the fully-anchored regex match of
+    event_type ($1 group ref; Spark regexp_replace's Java $N
+    substitution IS PromQL's syntax), "" where the regex does not
+    match (the absent-label convention). Row-local column expression,
+    zero extra shuffles, value column untouched."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_LBL_REPLACE_QUERY,
+        events_as_series(_events(spark, sf_dir)),
+    )
+
+
+PROMQL_LBL_REPLACE_SQL = f"""
+SELECT event_type,
+       CASE WHEN regexp_matches(event_type, '^(?:c.*)$')
+            THEN 'prod-' || event_type ELSE '' END AS env,
+       time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+       count(*)::BIGINT AS value
+FROM {_EV_SQL} GROUP BY 1, 2, 3
+"""
+
+EXTRA9_QUERIES["promql_label_replace_env"] = promql_label_replace_env
+EXTRA9_ORACLE["promql_label_replace_env"] = PROMQL_LBL_REPLACE_SQL
+
+
+PROMQL_LBL_JOIN_QUERY = (
+    'label_join(sum by (event_type, user) '
+    '(count_over_time(events[1d])), '
+    '"series_key", ":", "event_type", "user")'
+)
+
+
+def promql_label_join_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_join() from text: a synthetic ``series_key`` label joined
+    from the by-labels with a separator — the canonical-key idiom for
+    legend formatting and joins in downstream tooling. Row-local
+    concat_ws, absent labels read as ""."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_LBL_JOIN_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_LBL_JOIN_SQL = f"""
+SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+       event_type || ':' || CAST(user_id AS VARCHAR) AS series_key,
+       time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+       count(*)::BIGINT AS value
+FROM {_EV_SQL} GROUP BY 1, 2, 3, 4
+"""
+
+EXTRA9_QUERIES["promql_label_join_key"] = promql_label_join_key
+EXTRA9_ORACLE["promql_label_join_key"] = PROMQL_LBL_JOIN_SQL

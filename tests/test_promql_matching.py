@@ -351,3 +351,129 @@ class TestStoredBucketQuantile:
         # ladder-bucketed raw values: counts (1,1,1,1) on le
         # (10,25,50,100); p50 target 2 -> prev 10 + 1/1*(25-10) = 25
         assert rows[0].value == 250_000
+
+
+class TestVectorComparison:
+    """r9: lhs op rhs between aggregated vectors — PromQL comparison
+    filter semantics (keep lhs rows, values unchanged)."""
+
+    def test_greater_than_keeps_lhs_values(self, series):
+        q = (
+            "sum by (event_type) (sum_over_time(events[1h])) "
+            "> sum by (event_type) (sum_over_time(events[1h]))"
+        )
+        # a vector is never strictly greater than itself
+        assert compile_promql(q, series).count() == 0
+        q2 = (
+            "sum by (event_type) (sum_over_time(events[1h])) "
+            ">= sum by (event_type) (sum_over_time(events[1h]))"
+        )
+        got = {
+            r.event_type: r.value
+            for r in compile_promql(q2, series).collect()
+        }
+        # lhs cents survive unchanged: a = 8 samples x 2.0, b = 4 x 2.0
+        assert got == {"a": 1600, "b": 800}
+
+    def test_comparison_with_group_left_baseline(self, series):
+        # per-(type, user) count vs the type total: strictly smaller
+        # for shared types, equal (not <) for the single-user type
+        q = (
+            "sum by (event_type, user) (count_over_time(events[1h])) "
+            "< on(event_type) group_left "
+            "sum by (event_type) (count_over_time(events[1h]))"
+        )
+        got = {
+            (r.event_type, r.user)
+            for r in compile_promql(q, series).collect()
+        }
+        assert got == {("a", "u1"), ("a", "u2")}
+
+    def test_scalar_comparison_still_parses(self):
+        q = parse("sum by (t) (count_over_time(e[1h])) > 5")
+        assert not isinstance(q, BinQuery) and q.scalar_op == ">"
+
+    def test_encoding_mismatch_rejected(self):
+        with pytest.raises(PromQLError, match="same\\s+output encoding"):
+            parse(
+                "sum by (t) (sum_over_time(e[1h])) "
+                "> sum by (t) (count_over_time(e[1h]))"
+            )
+
+    def test_result_scale_keeps_lhs_encoding(self):
+        q = parse(
+            "sum by (t) (sum_over_time(e[1h])) "
+            "> sum by (t) (sum_over_time(e[1h] offset 1h))"
+        )
+        assert result_scale(q) == 100  # cents
+
+
+class TestLabelFunctions:
+    def test_label_replace_match_and_miss(self, series):
+        q = (
+            'label_replace(sum by (event_type) '
+            '(count_over_time(events[1h])), '
+            '"env", "prod-$1", "event_type", "(a.*)")'
+        )
+        out = compile_promql(q, series)
+        assert out.columns == ["event_type", "env", "bucket_ts", "value"]
+        got = {r.event_type: r.env for r in out.collect()}
+        assert got == {"a": "prod-a", "b": ""}
+
+    def test_label_replace_overwrites_existing_label(self, series):
+        q = (
+            'label_replace(sum by (event_type) '
+            '(count_over_time(events[1h])), '
+            '"event_type", "X", "event_type", "b")'
+        )
+        got = {
+            r.event_type for r in compile_promql(q, series).collect()
+        }
+        assert got == {"a", "X"}
+
+    def test_label_join(self, series):
+        q = (
+            'label_join(sum by (event_type, user) '
+            '(count_over_time(events[1h])), '
+            '"key", "|", "user", "event_type")'
+        )
+        out = compile_promql(q, series)
+        assert out.columns == [
+            "event_type", "user", "key", "bucket_ts", "value",
+        ]
+        assert {r.key for r in out.collect()} == {
+            "u1|a", "u2|a", "u3|b",
+        }
+
+    @pytest.mark.parametrize(
+        "bad, msg",
+        [
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"9x", "v", "t", ".*")',
+                "valid label name",
+            ),
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"bucket_ts", "v", "t", ".*")',
+                "reserved",
+            ),
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"d", "v", "t", "(oops")',
+                "regex",
+            ),
+            (
+                'label_replace(sum(count_over_time(e[1h])), '
+                '"d", "v", "t", ".*")',
+                "agg by",
+            ),
+            (
+                'label_join(sum by (t) (count_over_time(e[1h])), "d")',
+                "string arguments",
+            ),
+        ],
+    )
+    def test_rejections(self, bad, msg):
+        with pytest.raises(PromQLError, match=msg):
+            parse(bad)
