@@ -7,7 +7,13 @@ front-end for a well-defined subset, compiled onto the same engine
 kernels the catalog queries use:
 
     expr     := binop | setop | aggop | call | histq | histf | topk
-              | vfn | lblfn | quant
+              | vfn | lblfn | cvals | quant
+    cvals    := 'count_values' '(' STR ',' aggop ')'
+                -- r9: group the aggregated vector by its VALUE per
+                   window; output labels = just the new label (the
+                   stringified integer value — canonical under the
+                   exactness contract), value = the series count.
+                   Count encoding
     matchmod := ('on'|'ignoring') '(' label (',' label)* ')'
                 ('group_left' ('(' label (',' label)* ')')?)?
                 -- r9 vector matching (the r8 verdict's item 3). The
@@ -129,7 +135,7 @@ kernels the catalog queries use:
               | 'min_over_time' | 'max_over_time' | 'last_over_time'
               | 'present_over_time' | 'quantile_over_time' | 'delta'
               | 'rate' | 'increase' | 'irate' | 'absent'
-              | 'resets' | 'changes'
+              | 'absent_over_time' | 'resets' | 'changes'
               | 'stdvar_over_time' | 'stddev_over_time' | 'deriv'
               | 'predict_linear' | 'holt_winters'
                 -- holt_winters(sel[r], sf, tf): double exponential
@@ -278,7 +284,7 @@ binops require both sides to match):
     histogram_fraction                                 fraction ppm (x1e6)
     holt_winters                                       cents (x100)
     avg or quantile AGG over an inner encoding E       E x10000
-    absent                                             count (0/1)
+    absent / absent_over_time                          count (0/1)
     binop '/'                                          ppm ratio (x1e6)
     subquery fn(inner[R:S])                            inner encoding
                                                        through fn
@@ -361,6 +367,7 @@ _FUNCS = (
     "increase",
     "irate",
     "absent",
+    "absent_over_time",
     "resets",
     "changes",
     "stdvar_over_time",
@@ -426,6 +433,11 @@ class PromQuery:
     # call's per-series results; range_s is the subquery range R and
     # the step S equals inner.range_s (parser-enforced)
     inner: "PromQuery | None" = None
+    # count_values("dst", v) (r9): group the aggregated vector per
+    # (bucket_ts, value); the output carries dst = the stringified
+    # value and value = the number of series that held it. Count
+    # encoding by construction
+    count_values_label: str | None = None
     # outer label function (r9): 'label_replace' with
     # lbl_args = (dst, replacement, src, regex), or 'label_join' with
     # lbl_args = (dst, sep, src1, ...). Applied to the aggregated
@@ -500,6 +512,7 @@ _BASE_ENC = {
     "avg_over_time": "value_x10000",
     "quantile_over_time": "value_x1000000",
     "absent": "count",
+    "absent_over_time": "count",
 }
 _AVG_MAP = {
     "count": "count_x10000",
@@ -559,6 +572,8 @@ def output_encoding(q: PromQuery) -> str:
     SAME label — mixing e.g. cents with value*10000 would produce
     silently wrong numbers vs PromQL; with equal labels the scales
     cancel under '/' and add consistently under '+'/'-'."""
+    if q.count_values_label is not None:
+        return "count"  # count_values emits series-counts
     if q.frac_lo is not None:
         return "frac_ppm"  # histogram_fraction
     if q.quantile is not None:
@@ -803,6 +818,37 @@ class _Parser:
                     "scalar aggregation have no orderable by-columns)"
                 )
             q = replace(q, outer=v, k=int(raw_k))
+            if self.i != len(self.toks):
+                raise PromQLError(f"trailing input from token {self.i}")
+            return q
+        if k == "ident" and v == "count_values":
+            # count_values("dst", aggop): group the aggregated vector
+            # by its VALUE per window — the value-distribution panel
+            # (how many series sat at each level). Subset: groups by
+            # value only (no by/without on the outer op); output
+            # labels = just dst (stringified value), count encoding
+            self.eat("ident")
+            self.eat("op", "(")
+            dst = _unquote(self.eat("str"))
+            self.eat("op", ",")
+            q = self._aggop_or_call()
+            self.eat("op", ")")
+            if q.agg is None or q.without or not q.by:
+                raise PromQLError(
+                    "count_values() subset applies to agg by (...) "
+                    "vectors"
+                )
+            if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+                raise PromQLError(
+                    f"count_values() label {dst!r} is not a valid "
+                    "label name"
+                )
+            if dst in ("bucket_ts", "value"):
+                raise PromQLError(
+                    f"count_values() label {dst!r} collides with the "
+                    "output's reserved columns"
+                )
+            q = replace(q, count_values_label=dst)
             if self.i != len(self.toks):
                 raise PromQLError(f"trailing input from token {self.i}")
             return q
@@ -1205,9 +1251,9 @@ class _Parser:
 
     def _aggable_call(self) -> PromQuery:
         q = self._call()
-        if q.func == "absent":
+        if q.func in ("absent", "absent_over_time"):
             raise PromQLError(
-                "absent() cannot be aggregated — its vector is "
+                f"{q.func}() cannot be aggregated — its vector is "
                 "label-less (one 0/1 row per window)"
             )
         return q
@@ -1313,7 +1359,7 @@ class _Parser:
                 f"{self._SUBQ_OUTER}, got {fname!r}"
             )
         inner = self._call()
-        if inner.func == "absent" or inner.inner is not None:
+        if inner.func in ("absent", "absent_over_time") or inner.inner is not None:
             raise PromQLError(
                 "subquery inner must be a bare per-series call "
                 "(absent() is label-less; nesting subqueries is "
@@ -2106,9 +2152,12 @@ def compile_promql(
         df = df.withColumn(
             "ts", F.col("ts") + F.expr(f"INTERVAL {q.offset_s} SECONDS")
         )
-    if q.func == "absent":
+    if q.func in ("absent", "absent_over_time"):
         # needs the metric frame BEFORE matcher filtering for the grid
-        # bounds; matchers apply inside (to the presence set only)
+        # bounds; matchers apply inside (to the presence set only).
+        # absent_over_time IS absent in this engine: evaluation is
+        # per-window already, so "no samples in the window" and "no
+        # samples over the trailing range" coincide at the grain (r9)
         return _absent_plan(q, df)
     if q.matchers:
         df = df.where(compile_matchers(list(q.matchers)))
@@ -2492,9 +2541,26 @@ def _post_ops(q: PromQuery, out: DataFrame) -> DataFrame:
     (PromQL's topk sees the raw vector), then the scalar form, then
     the label function outermost (it rewrites the surviving rows'
     label columns, values untouched)."""
-    return _apply_lblfn(
-        q, _apply_scalar(q, _apply_topk(q, _apply_vfn(q, out)))
+    return _apply_count_values(
+        q,
+        _apply_lblfn(
+            q, _apply_scalar(q, _apply_topk(q, _apply_vfn(q, out)))
+        ),
     )
+
+
+def _apply_count_values(q: PromQuery, out: DataFrame) -> DataFrame:
+    """count_values("dst", v) (r9): one groupBy on (value, bucket_ts)
+    over the already-aggregated vector — rollup-sized input, map-side
+    combinable, the value-distribution panel. dst carries the
+    stringified integer value (the exactness contract makes that
+    string canonical); value becomes the series count."""
+    if q.count_values_label is None:
+        return out
+    dst = q.count_values_label
+    return out.groupBy(
+        F.col("value").cast("string").alias(dst), "bucket_ts"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("value"))
 
 
 def _apply_lblfn(q: PromQuery, out: DataFrame) -> DataFrame:

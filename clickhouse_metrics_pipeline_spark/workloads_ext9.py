@@ -435,3 +435,45 @@ FROM {_EV_SQL} GROUP BY 1, 2, 3, 4
 
 EXTRA9_QUERIES["promql_label_join_key"] = promql_label_join_key
 EXTRA9_ORACLE["promql_label_join_key"] = PROMQL_LBL_JOIN_SQL
+
+
+PROMQL_COUNT_VALUES_QUERY = (
+    'count_values("daily_count", '
+    "sum by (event_type, user) (count_over_time(events[1d])))"
+)
+
+
+def promql_value_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """count_values() from text — the value-distribution panel: per
+    day, how many (type, user) series produced each daily event
+    count. One extra groupBy on (value, bucket_ts) over the
+    already-aggregated vector (rollup-sized input, map-side
+    combinable); the new label carries the stringified integer value,
+    which the exactness contract makes canonical across engines."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_COUNT_VALUES_QUERY,
+        events_as_series(_events(spark, sf_dir)),
+    )
+
+
+PROMQL_COUNT_VALUES_SQL = f"""
+WITH per AS (
+  SELECT event_type, user_id,
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         count(*)::BIGINT AS c
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+)
+SELECT CAST(c AS VARCHAR) AS daily_count, bucket_ts,
+       count(*)::BIGINT AS value
+FROM per GROUP BY 1, 2
+"""
+
+EXTRA9_QUERIES["promql_value_distribution"] = promql_value_distribution
+EXTRA9_ORACLE["promql_value_distribution"] = PROMQL_COUNT_VALUES_SQL

@@ -477,3 +477,51 @@ class TestLabelFunctions:
     def test_rejections(self, bad, msg):
         with pytest.raises(PromQLError, match=msg):
             parse(bad)
+
+
+class TestCountValuesAndAbsentOverTime:
+    def test_count_values_distribution(self, series):
+        q = (
+            'count_values("n", sum by (event_type, user) '
+            "(count_over_time(events[1h])))"
+        )
+        out = compile_promql(q, series)
+        assert out.columns == ["n", "bucket_ts", "value"]
+        # three series, all with 4 samples -> one bucket n="4" with 3
+        got = {(r.n, r.value) for r in out.collect()}
+        assert got == {("4", 3)}
+        assert result_scale(parse(q)) == 1
+
+    def test_absent_over_time_is_absent_at_the_grain(self, series):
+        q1 = 'absent_over_time(events{event_type="zzz"}[1h])'
+        q2 = 'absent(events{event_type="zzz"}[1h])'
+        r1 = [tuple(r) for r in compile_promql(q1, series).collect()]
+        r2 = [tuple(r) for r in compile_promql(q2, series).collect()]
+        assert r1 == r2 and len(r1) == 1
+
+    @pytest.mark.parametrize(
+        "bad, msg",
+        [
+            (
+                'count_values("9x", sum by (t) '
+                "(count_over_time(e[1h])))",
+                "valid label name",
+            ),
+            (
+                'count_values("value", sum by (t) '
+                "(count_over_time(e[1h])))",
+                "reserved",
+            ),
+            (
+                'count_values("v", sum(count_over_time(e[1h])))',
+                "agg by",
+            ),
+            (
+                "sum by (t) (absent_over_time(e[1h]))",
+                "cannot be aggregated",
+            ),
+        ],
+    )
+    def test_rejections(self, bad, msg):
+        with pytest.raises(PromQLError, match=msg):
+            parse(bad)
