@@ -64,10 +64,13 @@ kernels the catalog queries use:
                    the raw-unit comparison; on/ignoring + group_left
                    compose exactly as for arithmetic
               | aggop ('+'|'-'|'*') INT
-              | aggop ('>'|'>='|'<'|'<='|'=='|'!=') INT
+              | aggop ('>'|'>='|'<'|'<='|'=='|'!=') 'bool'? INT
                 -- scalar forms: comparisons FILTER the vector (PromQL
                    instant-vector comparison semantics) and keep the
-                   value column unchanged. The scalar is interpreted
+                   value column unchanged; with the 'bool' modifier
+                   (r9) every row survives and the value becomes the
+                   0/1 truth of the comparison (count encoding — avg
+                   over the flags is the breach ratio, the SLO idiom). The scalar is interpreted
                    in RAW SAMPLE-VALUE units (real PromQL semantics —
                    an r8 behavior change from the r7
                    scalar-in-encoding-units contract): '> 100' after
@@ -418,9 +421,12 @@ class PromQuery:
     # stays empty; the output keeps the pruned labels map)
     without: tuple[str, ...] = field(default_factory=tuple)
     # trailing scalar form: '> 100' filters, '* 3' rescales (INT only;
-    # raw-unit semantics — see _apply_scalar)
+    # raw-unit semantics — see _apply_scalar). scalar_bool marks the
+    # PromQL 'bool' modifier: the comparison KEEPS every row and the
+    # value becomes 0/1 (count encoding) — the SLO-flag idiom
     scalar_op: str | None = None
     scalar: int | None = None
+    scalar_bool: bool = False
     # second numeric argument: holt_winters' tf in thousandths (param
     # carries sf in thousandths)
     param2: int | None = None
@@ -574,6 +580,8 @@ def output_encoding(q: PromQuery) -> str:
     cancel under '/' and add consistently under '+'/'-'."""
     if q.count_values_label is not None:
         return "count"  # count_values emits series-counts
+    if q.scalar_bool:
+        return "count"  # 'bool' comparisons emit 0/1 flags
     if q.frac_lo is not None:
         return "frac_ppm"  # histogram_fraction
     if q.quantile is not None:
@@ -729,21 +737,37 @@ class _Parser:
         from dataclasses import replace
 
         k2, v2 = self.peek()
-        scalar_next = (
-            self.i + 1 < len(self.toks)
-            and self.toks[self.i + 1][0] == "num"
+        nxt1 = (
+            self.toks[self.i + 1]
+            if self.i + 1 < len(self.toks)
+            else (None, None)
         )
-        # only claim the operator when a NUMBER follows — a vector rhs
-        # (comparison filter / arithmetic between vectors) parses in
-        # the binop branches instead (r9: vector comparisons exist, so
-        # `> sum by (...)` is no longer a parse error here)
+        nxt2 = (
+            self.toks[self.i + 2]
+            if self.i + 2 < len(self.toks)
+            else (None, None)
+        )
+        scalar_next = nxt1[0] == "num"
+        # PromQL 'bool' modifier: '> bool 10' — comparisons only
+        bool_next = nxt1 == ("ident", "bool") and nxt2[0] == "num"
+        # only claim the operator when a NUMBER (or 'bool' NUMBER)
+        # follows — a vector rhs (comparison filter / arithmetic
+        # between vectors) parses in the binop branches instead (r9:
+        # vector comparisons exist, so `> sum by (...)` is no longer
+        # a parse error here)
         if not (
             k2 == "op"
-            and scalar_next
-            and (v2 in _CMP_OPS or v2 in _ARITH_OPS)
+            and (
+                (scalar_next and (v2 in _CMP_OPS or v2 in _ARITH_OPS))
+                or (bool_next and v2 in _CMP_OPS)
+            )
         ):
             return q
         self.eat("op")
+        sbool = False
+        if self.peek() == ("ident", "bool"):
+            self.eat("ident")
+            sbool = True
         raw = self.eat("num")
         if "." in raw:
             raise PromQLError(
@@ -759,7 +783,7 @@ class _Parser:
             raise PromQLError(
                 "scalar ops apply to aggregated vectors only"
             )
-        return replace(q, scalar_op=v2, scalar=int(raw))
+        return replace(q, scalar_op=v2, scalar=int(raw), scalar_bool=sbool)
 
     def _frac_bound(
         self, *, allow_zero: bool = False, allow_inf: bool = False
@@ -2499,7 +2523,14 @@ def _apply_scalar(q: PromQuery, out: DataFrame) -> DataFrame:
     encoding scale is a power of ten."""
     if q.scalar_op is None:
         return out
-    scale = encoding_scale(output_encoding(q))
+    from dataclasses import replace as _replace
+
+    # the threshold scales by the PRE-bool encoding: output_encoding
+    # reports count for a bool query (that IS the output), but the
+    # comparison itself runs in the side's own units
+    scale = encoding_scale(
+        output_encoding(_replace(q, scalar_bool=False))
+    )
     v = F.col("value")
     sc = F.lit(
         q.scalar * (1 if q.scalar_op == "*" else scale)
@@ -2509,6 +2540,13 @@ def _apply_scalar(q: PromQuery, out: DataFrame) -> DataFrame:
             ">": v > sc, ">=": v >= sc, "<": v < sc,
             "<=": v <= sc, "==": v == sc, "!=": v != sc,
         }[q.scalar_op]
+        if q.scalar_bool:
+            # PromQL 'bool': keep every row, value becomes the 0/1
+            # truth of the comparison (count encoding)
+            return out.withColumn(
+                "value",
+                F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+            )
         return out.where(cond)
     expr = {"+": v + sc, "-": v - sc, "*": v * sc}[q.scalar_op]
     return out.withColumn("value", expr.cast("bigint"))
@@ -2520,12 +2558,19 @@ def _apply_vfn(q: PromQuery, out: DataFrame) -> DataFrame:
     row-local integer expressions; the encoding is unchanged."""
     if q.vfn is None:
         return out
+    from dataclasses import replace as _replace
+
     v = F.col("value")
     if q.vfn == "abs":
         expr = F.abs(v)
     else:
+        # vfn applies BEFORE a trailing bool comparison, so its bound
+        # scales by the pre-bool encoding
         bound = F.lit(
-            q.vfn_arg * encoding_scale(output_encoding(q))
+            q.vfn_arg
+            * encoding_scale(
+                output_encoding(_replace(q, scalar_bool=False))
+            )
         )
         expr = (
             F.greatest(v, bound)

@@ -1681,12 +1681,13 @@ ORACLE_SQL.update(EXTRA9_ORACLE)
 #     promql_wow_ratio 0.79, docs_minhash_lsh 0.74,
 #     promql_topk_types 0.72, q20_potential_part_promotion 0.72,
 #     exp_hist_merge 0.69, events_recording_rules 0.66,
-#     q4_order_priority 0.65) together with the EIGHT rows added in
+#     q4_order_priority 0.65) together with the NINE rows added in
 #     r9 (all local-gate green, driver-graded r10):
 #     promql_share_of_type, promql_tier_enrich,
 #     promql_and_on_hot_types, promql_stored_bucket_p95,
 #     promql_growth_types, promql_label_replace_env,
-#     promql_label_join_key, promql_value_distribution.
+#     promql_label_join_key, promql_value_distribution,
+#     promql_hot_type_flags.
 # After this window every r8 addition and the three r5-stale heavies
 # have driver evidence; the only rows older than r7 are the 15 named
 # r6 deferrals. Names are frozen; only order changes.

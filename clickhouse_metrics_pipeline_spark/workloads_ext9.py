@@ -477,3 +477,35 @@ FROM per GROUP BY 1, 2
 
 EXTRA9_QUERIES["promql_value_distribution"] = promql_value_distribution
 EXTRA9_ORACLE["promql_value_distribution"] = PROMQL_COUNT_VALUES_SQL
+
+
+PROMQL_BOOL_QUERY = (
+    "sum by (event_type) (count_over_time(events[1d])) > bool 70"
+)
+
+
+def promql_hot_type_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL ``bool`` modifier from text — the SLO-flag idiom:
+    every (type, day) row survives and the value becomes the 0/1
+    truth of "daily count > 70" (count encoding; avg over these flags
+    IS the breach ratio). The threshold still reads in RAW units via
+    the PRE-bool encoding; only the output changes shape."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_BOOL_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+PROMQL_BOOL_SQL = f"""
+SELECT event_type,
+       time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+       (CASE WHEN count(*) > 70 THEN 1 ELSE 0 END)::BIGINT AS value
+FROM {_EV_SQL} GROUP BY 1, 2
+"""
+
+EXTRA9_QUERIES["promql_hot_type_flags"] = promql_hot_type_flags
+EXTRA9_ORACLE["promql_hot_type_flags"] = PROMQL_BOOL_SQL

@@ -525,3 +525,43 @@ class TestCountValuesAndAbsentOverTime:
     def test_rejections(self, bad, msg):
         with pytest.raises(PromQLError, match=msg):
             parse(bad)
+
+
+class TestBoolModifier:
+    def test_bool_keeps_rows_and_flags(self, series):
+        q = (
+            "sum by (event_type) (sum_over_time(events[1h])) "
+            "> bool 10"
+        )
+        out = compile_promql(q, series)
+        got = {
+            r.event_type: r.value for r in out.collect()
+        }
+        # a: 16.0 raw > 10 -> 1; b: 8.0 raw -> 0 (row KEPT)
+        assert got == {"a": 1, "b": 0}
+        assert result_scale(parse(q)) == 1
+
+    def test_plain_comparison_still_filters(self, series):
+        q = "sum by (event_type) (sum_over_time(events[1h])) > 10"
+        got = {
+            r.event_type: r.value
+            for r in compile_promql(q, series).collect()
+        }
+        assert got == {"a": 1600}  # cents, b filtered out
+
+    def test_bool_flags_compose_with_set_ops(self, series):
+        # a bool lhs is count-encoded, so it can feed 'and' etc.
+        q = (
+            "sum by (event_type) (sum_over_time(events[1h])) "
+            "> bool 10 and "
+            "sum by (event_type) (count_over_time(events[1h]))"
+        )
+        got = {
+            r.event_type: r.value
+            for r in compile_promql(q, series).collect()
+        }
+        assert got == {"a": 1, "b": 0}
+
+    def test_bool_with_arith_rejected(self):
+        with pytest.raises(PromQLError, match="unsupported function"):
+            parse("sum by (t) (count_over_time(e[1h])) + bool 3")
