@@ -12,6 +12,10 @@ variable queries call):
 - ``GET /api/v1/label/<name>/values`` — distinct values of one label
 - ``GET /api/v1/series?match[]=sel`` — distinct matching label sets
   (bare ``name{...}`` selectors via :func:`plans.promql.parse_selector`)
+- ``GET /api/v1/status/buildinfo`` / ``GET /-/healthy`` /
+  ``GET /api/v1/metadata`` — the version, liveness, and metric-
+  metadata probes Grafana's datasource health check and metric
+  browser hit (r9)
 
 ``GET/POST /api/v1/query_range?query=<promql>`` compiles the query
 through :func:`plans.promql.compile_promql` and answers the Prometheus
@@ -89,6 +93,14 @@ QUERY_RANGE_PATH = "/api/v1/query_range"
 INSTANT_QUERY_PATH = "/api/v1/query"
 LABELS_PATH = "/api/v1/labels"
 SERIES_PATH = "/api/v1/series"
+# Grafana's datasource health check + metric browser (r9): buildinfo
+# answers the version probe, /-/healthy the liveness probe, and
+# /api/v1/metadata lists metric names (HELP/TYPE are not stored, so
+# each entry is the honest empty list — exactly what Prometheus
+# returns for metrics scraped without metadata)
+BUILDINFO_PATH = "/api/v1/status/buildinfo"
+HEALTHY_PATH = "/-/healthy"
+METADATA_PATH = "/api/v1/metadata"
 _LABEL_VALUES_RE = re.compile(
     r"^/api/v1/label/([a-zA-Z_][a-zA-Z0-9_]*)/values$"
 )
@@ -269,6 +281,28 @@ def series_payload(
     payload = {"status": "success", "data": data}
     if len(rows) > limit:
         payload["warnings"] = [f"series truncated at {limit}"]
+    return payload
+
+
+def metadata_payload(df: DataFrame, limit: int) -> dict:
+    """GET /api/v1/metadata: metric name -> metadata entries. The
+    engine stores no HELP/TYPE text, so each known metric maps to []
+    — the same shape Prometheus serves for metadata-less scrapes;
+    Grafana's metric browser only needs the keys. Sorted prefix under
+    the limit (the deterministic-truncation contract)."""
+    rows = (
+        df.select("metric")
+        .distinct()
+        .orderBy("metric")
+        .limit(limit + 1)
+        .collect()
+    )
+    payload = {
+        "status": "success",
+        "data": {r["metric"]: [] for r in rows[:limit]},
+    }
+    if len(rows) > limit:
+        payload["warnings"] = [f"metadata truncated at {limit}"]
     return payload
 
 
@@ -515,6 +549,33 @@ def make_promql_server(
                     _frame(None, None), m.group(1), selectors, limit
                 ),
             )
+        elif path == METADATA_PATH:
+            _send(
+                handler,
+                lambda: metadata_payload(_frame(None, None), limit),
+            )
+        elif path == BUILDINFO_PATH:
+            # static payload, no Spark work: the fields Grafana's
+            # health check reads
+            _send(
+                handler,
+                lambda: {
+                    "status": "success",
+                    "data": {
+                        "version": "2.45.0",
+                        "application": "clickhouse-metrics-pipeline-"
+                                       "spark promql api",
+                        "features": {},
+                    },
+                },
+            )
+        elif path == HEALTHY_PATH:
+            body = b"OK"
+            handler.send_response(200)
+            handler.send_header("Content-Type", "text/plain")
+            handler.send_header("Content-Length", str(len(body)))
+            handler.end_headers()
+            handler.wfile.write(body)
         else:
             handler.send_error(404, "unknown path")
 

@@ -616,3 +616,25 @@ class TestRangeAwareProvider:
             assert seen[-1] == (None, None)
         finally:
             srv.shutdown()
+
+
+class TestHealthAndMetadataRoutes:
+    """r9: the routes Grafana's datasource health check and metric
+    browser hit — buildinfo, liveness, and metric metadata."""
+
+    def test_buildinfo(self, server):
+        code, p = _get_path(server, "/api/v1/status/buildinfo")
+        assert code == 200 and p["status"] == "success"
+        assert "version" in p["data"]
+
+    def test_healthy_plaintext(self, server):
+        import urllib.request
+
+        with urllib.request.urlopen(f"{server}/-/healthy") as resp:
+            assert resp.status == 200
+            assert resp.read() == b"OK"
+
+    def test_metadata_lists_metrics_with_empty_entries(self, server):
+        code, p = _get_path(server, "/api/v1/metadata")
+        assert code == 200
+        assert p["data"] == {"events": []}
