@@ -1,8 +1,9 @@
 """PromQL HTTP query endpoint — the text front-end as an API.
 
-Five Prometheus HTTP API routes (r8 added everything past
-query_range — the endpoints Grafana's datasource health check and
-variable queries call):
+Eight Prometheus HTTP API routes (r8 added the query/label/series
+metadata set, r9 the health/buildinfo/metadata probes — everything
+Grafana's datasource health check, variable queries, and metric
+browser call):
 
 - ``GET/POST /api/v1/query_range?query=`` — range matrix (below)
 - ``GET/POST /api/v1/query?query=`` — instant vector: the engine's
