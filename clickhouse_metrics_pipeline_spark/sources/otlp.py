@@ -38,7 +38,8 @@ _KV = T.ArrayType(
                 T.StructType(
                     [
                         T.StructField("stringValue", T.StringType()),
-                        T.StructField("intValue", T.LongType()),
+                        # int64 -> protojson string; cast on use
+                        T.StructField("intValue", T.StringType()),
                         T.StructField("doubleValue", T.DoubleType()),
                         T.StructField("boolValue", T.BooleanType()),
                     ]
@@ -54,8 +55,8 @@ _EXEMPLAR = T.ArrayType(
             T.StructField("spanId", T.StringType()),
             T.StructField("traceId", T.StringType()),
             T.StructField("asDouble", T.DoubleType()),
-            T.StructField("asInt", T.LongType()),
-            T.StructField("timeUnixNano", T.LongType()),
+            T.StructField("asInt", T.StringType()),
+            T.StructField("timeUnixNano", T.StringType()),
             T.StructField("filteredAttributes", _KV),
         ]
     )
@@ -64,9 +65,9 @@ _EXEMPLAR = T.ArrayType(
 _NUMBER_DP = T.ArrayType(
     T.StructType(
         [
-            T.StructField("timeUnixNano", T.LongType()),
+            T.StructField("timeUnixNano", T.StringType()),
             T.StructField("asDouble", T.DoubleType()),
-            T.StructField("asInt", T.LongType()),
+            T.StructField("asInt", T.StringType()),
             T.StructField("attributes", _KV),
             T.StructField("exemplars", _EXEMPLAR),
         ]
@@ -76,10 +77,10 @@ _NUMBER_DP = T.ArrayType(
 _HIST_DP = T.ArrayType(
     T.StructType(
         [
-            T.StructField("timeUnixNano", T.LongType()),
-            T.StructField("count", T.LongType()),
+            T.StructField("timeUnixNano", T.StringType()),
+            T.StructField("count", T.StringType()),
             T.StructField("sum", T.DoubleType()),
-            T.StructField("bucketCounts", T.ArrayType(T.LongType())),
+            T.StructField("bucketCounts", T.ArrayType(T.StringType())),
             T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
             T.StructField("attributes", _KV),
             T.StructField("exemplars", _EXEMPLAR),
@@ -90,18 +91,18 @@ _HIST_DP = T.ArrayType(
 _EXP_HIST_DP = T.ArrayType(
     T.StructType(
         [
-            T.StructField("timeUnixNano", T.LongType()),
-            T.StructField("count", T.LongType()),
+            T.StructField("timeUnixNano", T.StringType()),
+            T.StructField("count", T.StringType()),
             T.StructField("sum", T.DoubleType()),
             T.StructField("scale", T.IntegerType()),
-            T.StructField("zeroCount", T.LongType()),
+            T.StructField("zeroCount", T.StringType()),
             T.StructField("zeroThreshold", T.DoubleType()),
             T.StructField(
                 "positive",
                 T.StructType(
                     [
                         T.StructField("offset", T.IntegerType()),
-                        T.StructField("bucketCounts", T.ArrayType(T.LongType())),
+                        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
                     ]
                 ),
             ),
@@ -110,7 +111,7 @@ _EXP_HIST_DP = T.ArrayType(
                 T.StructType(
                     [
                         T.StructField("offset", T.IntegerType()),
-                        T.StructField("bucketCounts", T.ArrayType(T.LongType())),
+                        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
                     ]
                 ),
             ),
@@ -122,8 +123,8 @@ _EXP_HIST_DP = T.ArrayType(
 _SUMMARY_DP = T.ArrayType(
     T.StructType(
         [
-            T.StructField("timeUnixNano", T.LongType()),
-            T.StructField("count", T.LongType()),
+            T.StructField("timeUnixNano", T.StringType()),
+            T.StructField("count", T.StringType()),
             T.StructField("sum", T.DoubleType()),
             T.StructField("attributes", _KV),
         ]
@@ -247,8 +248,11 @@ def _attrs_to_map(attrs: Column) -> Column:
 
 
 def _ts(nanos: Column) -> Column:
-    # OTLP nanos -> microsecond TimestampType (DateTime64(6) equivalent)
-    return F.timestamp_micros((nanos / 1000).cast("bigint"))
+    # OTLP nanos -> microsecond TimestampType (DateTime64(6) equivalent).
+    # protojson serializes int64/fixed64 as JSON STRINGS (the OTLP/JSON
+    # spec), so the read schema keeps these fields as strings and this
+    # cast accepts both the numeric and the quoted form (r9)
+    return F.timestamp_micros((nanos.cast("bigint") / 1000).cast("bigint"))
 
 
 def _exemplars(raw: Column) -> Column:
@@ -364,8 +368,11 @@ def flatten_otlp(requests: DataFrame, workspace_id: str = "default") -> DataFram
     )
     buckets = F.zip_with(
         bounds_with_inf,
-        F.coalesce(F.col("dp.bucketCounts"), F.array().cast("array<bigint>")),
-        lambda le, c: F.struct(le.alias("le"), F.coalesce(c, F.lit(0)).alias("count")),
+        F.coalesce(F.col("dp.bucketCounts"), F.array().cast("array<string>")),
+        lambda le, c: F.struct(
+            le.alias("le"),
+            F.coalesce(c.cast("bigint"), F.lit(0).cast("bigint")).alias("count"),
+        ),
     )
     hist_rows = hists.select(
         *common(
@@ -375,9 +382,9 @@ def flatten_otlp(requests: DataFrame, workspace_id: str = "default") -> DataFram
             F.col("dp.attributes"),
         ),
         F.lit(None).cast("double").alias("value"),
-        F.col("dp.count").alias("count"),
+        F.col("dp.count").cast("bigint").alias("count"),
         F.col("dp.sum").alias("sum"),
-        F.when(F.size(F.coalesce(F.col("dp.bucketCounts"), F.array().cast("array<bigint>"))) > 0, buckets)
+        F.when(F.size(F.coalesce(F.col("dp.bucketCounts"), F.array().cast("array<string>"))) > 0, buckets)
         .otherwise(null_buckets)
         .alias("buckets"),
         *nulls_exp_scalar,
@@ -393,11 +400,14 @@ def flatten_otlp(requests: DataFrame, workspace_id: str = "default") -> DataFram
     )
 
     def dense_buckets(side: str) -> Column:
-        bc = F.coalesce(F.col(f"dp.{side}.bucketCounts"), F.array().cast("array<bigint>"))
+        bc = F.coalesce(F.col(f"dp.{side}.bucketCounts"), F.array().cast("array<string>"))
         off = F.coalesce(F.col(f"dp.{side}.offset"), F.lit(0))
         arr = F.transform(
             bc,
-            lambda c, i: F.struct((off + i).cast("int").alias("index"), c.alias("count")),
+            lambda c, i: F.struct(
+                (off + i).cast("int").alias("index"),
+                c.cast("bigint").alias("count"),
+            ),
         )
         return F.when(F.size(bc) > 0, F.filter(arr, lambda x: x["count"] > 0)).otherwise(null_exp)
 
@@ -409,11 +419,13 @@ def flatten_otlp(requests: DataFrame, workspace_id: str = "default") -> DataFram
             F.col("dp.attributes"),
         ),
         F.lit(None).cast("double").alias("value"),
-        F.col("dp.count").alias("count"),
+        F.col("dp.count").cast("bigint").alias("count"),
         F.col("dp.sum").alias("sum"),
         null_buckets.alias("buckets"),
         F.coalesce(F.col("dp.scale"), F.lit(0)).alias("exp_scale"),
-        F.coalesce(F.col("dp.zeroCount"), F.lit(0)).alias("exp_zero_count"),
+        F.coalesce(
+            F.col("dp.zeroCount").cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("exp_zero_count"),
         F.coalesce(F.col("dp.zeroThreshold"), F.lit(0.0)).alias("exp_zero_threshold"),
         dense_buckets("positive").alias("exp_positive_buckets"),
         dense_buckets("negative").alias("exp_negative_buckets"),
@@ -429,7 +441,7 @@ def flatten_otlp(requests: DataFrame, workspace_id: str = "default") -> DataFram
     summary_rows = summaries.select(
         *common(METRIC_TYPE_SUMMARY, F.lit(0), F.lit(False), F.col("dp.attributes")),
         F.lit(None).cast("double").alias("value"),
-        F.col("dp.count").alias("count"),
+        F.col("dp.count").cast("bigint").alias("count"),
         F.col("dp.sum").alias("sum"),
         null_buckets.alias("buckets"),
         *nulls_exp_scalar,

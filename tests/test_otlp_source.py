@@ -11,7 +11,10 @@ exemplar conversion with int/double coercion.
 
 from __future__ import annotations
 
+import json
 import math
+
+from pyspark.sql import functions as F
 
 from clickhouse_metrics_pipeline_spark.schema import (
     METRIC_TYPE_EXP_HISTOGRAM,
@@ -132,7 +135,14 @@ def _request():
 
 
 def _flatten(spark):
-    df = spark.createDataFrame([_request()], OTLP_EXPORT_SCHEMA)
+    # route through the JSON reader like production ingest does (r9:
+    # the int64 fields read as strings per protojson, so a raw python
+    # dict with ints no longer matches the read schema directly)
+    df = (
+        spark.createDataFrame([(json.dumps(_request()),)], "value STRING")
+        .select(F.from_json("value", OTLP_EXPORT_SCHEMA).alias("r"))
+        .select("r.*")
+    )
     return {r.metric: r for r in flatten_otlp(df, workspace_id="w1").collect()}
 
 
@@ -199,3 +209,54 @@ def test_roundtrips_through_otlp_json(spark):
     )
     out = flatten_otlp(df)
     assert out.count() == 5
+
+
+def test_protojson_string_int64_form_parses_identically(spark):
+    """r9: spec-compliant OTLP/JSON (protojson) serializes int64 and
+    fixed64 fields — timeUnixNano, asInt, count, zeroCount,
+    bucketCounts, intValue — as JSON STRINGS. The read schema keeps
+    those fields as strings and casts on use, so the quoted form must
+    flatten to EXACTLY the rows of the numeric form (previously the
+    quoted form read as NULL and the validator silently dropped the
+    samples)."""
+
+    def stringify(obj):
+        int64_keys = {
+            "timeUnixNano", "asInt", "count", "zeroCount", "intValue",
+        }
+        if isinstance(obj, dict):
+            out = {}
+            for k, v in obj.items():
+                if k in int64_keys and isinstance(v, int):
+                    out[k] = str(v)
+                elif k == "bucketCounts" and isinstance(v, list):
+                    out[k] = [str(x) for x in v]
+                else:
+                    out[k] = stringify(v)
+            return out
+        if isinstance(obj, list):
+            return [stringify(x) for x in obj]
+        return obj
+
+    def flatten_payload(payload):
+        df = (
+            spark.createDataFrame([(json.dumps(payload),)], "value STRING")
+            .select(F.from_json("value", OTLP_EXPORT_SCHEMA).alias("r"))
+            .select("r.*")
+        )
+        return {
+            r.metric: r
+            for r in flatten_otlp(df, workspace_id="w1").collect()
+        }
+
+    numeric = flatten_payload(_request())
+    quoted = flatten_payload(stringify(_request()))
+    assert set(numeric) == set(quoted) and numeric
+    for m in numeric:
+        a, b = numeric[m], quoted[m]
+        assert a.timestamp == b.timestamp and a.timestamp is not None
+        assert a.value == b.value and a["count"] == b["count"]
+        assert a.buckets == b.buckets
+        assert a.exp_zero_count == b.exp_zero_count
+        assert a.exp_positive_buckets == b.exp_positive_buckets
+        assert a.attributes == b.attributes
