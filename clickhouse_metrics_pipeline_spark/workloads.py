@@ -1659,92 +1659,93 @@ QUERIES.update(EXTRA9_QUERIES)
 ORACLE_SQL.update(EXTRA9_ORACLE)
 
 # --------------------------------------------------------------------------
-# Driver-coverage rotation (round 9)
+# Driver-coverage rotation (round 10)
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot grades the FIRST 50 entries of
-# ``queries()`` (dict insertion order). Round-9 window = the r8
-# verdict's item 1:
-# (a) the twelve r8 additions that were never driver-graded (all
-#     judge-gate green in the r8 session's 165/165 gate):
-#     events_hist_delta_stream + the eleven promql_* text rows;
-# (b) the three heavy rows deliberately deferred from r8 whose
-#     last driver grade is r5 (q2_min_cost_supplier,
-#     docs_repeated_spans, docs_training_pipeline_v2);
-# (c) 35 of the 50 rows whose last driver grade is r6, chosen
-#     cheapest-first by BENCH_r08 warm time so the 50-row grading
-#     window stays cheap. The 15 heaviest r6 rows are deferred to
-#     LEAD the round-10 window (by BENCH_r08 warm sec:
-#     events_rules_stream_1h 2.85, docs_ngram_jaccard 1.09,
-#     promql_rate_by_type 1.01, q5_local_supplier_volume 1.00,
-#     q21_waiting_supplier 0.91, docs_simhash_pairs 0.90,
-#     q3_shipping_priority 0.88, q9_product_profit 0.85,
-#     promql_wow_ratio 0.79, docs_minhash_lsh 0.74,
-#     promql_topk_types 0.72, q20_potential_part_promotion 0.72,
-#     exp_hist_merge 0.69, events_recording_rules 0.66,
-#     q4_order_priority 0.65) together with the NINE rows added in
-#     r9 (all local-gate green, driver-graded r10):
-#     promql_share_of_type, promql_tier_enrich,
-#     promql_and_on_hot_types, promql_stored_bucket_p95,
-#     promql_growth_types, promql_label_replace_env,
-#     promql_label_join_key, promql_value_distribution,
-#     promql_hot_type_flags.
-# After this window every r8 addition and the three r5-stale heavies
-# have driver evidence; the only rows older than r7 are the 15 named
-# r6 deferrals. Names are frozen; only order changes.
+# ``queries()`` (dict insertion order). Round-10 window = the r9
+# verdict's item 1, exactly:
+# (a) the fifteen heavy rows whose last driver grade is r6 (the named
+#     deferrals from the r9 rotation comment), at the head;
+# (b) the nine rows added in r9 that have never been driver-graded
+#     (all judge-gate green in the r9 session's 174/174 gate);
+# (c) 26 of the 50 rows whose last driver grade is r7, chosen
+#     cheapest-first by BENCH_r09 warm time (headline + coverage
+#     sets) so the 50-row grading window stays cheap. The 24
+#     heaviest r7 rows are deferred to LEAD the round-11 window
+#     (by BENCH_r09 warm sec:
+#     events_delta_stream 5.56, events_rollup_stream_1m 4.60,
+#     docs_language_id 1.74, docs_incremental_pairs 1.70,
+#     docs_bloom_decontaminate 1.24, events_hash_sample_quantiles 1.15,
+#     promql_irate_by_type 1.14, docs_source_overlap 1.01,
+#     docs_minhash_lsh_32band 0.99, docs_training_pipeline 0.97,
+#     multimodal_resize_chain 0.95, docs_bpe_top_merges 0.85,
+#     events_rollup_1h 0.78, events_exemplar_cap 0.70,
+#     docs_mixture_sample 0.65, events_lttb_downsample 0.65,
+#     events_exemplar_trace_join 0.62, events_funnel_levels 0.57,
+#     events_funnel_conversions 0.56, events_rollup_cascade 0.53,
+#     q22_global_sales 0.51, promql_q90_over_time 0.50,
+#     events_retention_cohorts 0.49, events_hash_sample_cascade 0.46),
+#     together with the rows added in r10 (local-gate green,
+#     driver-graded r11): promql_rate_bucket_p95,
+#     promql_exp_hist_p99, promql_instant_point.
+# After this window no oracle-backed row's driver evidence is older
+# than r7, every r9 addition is driver-graded, and the only rows
+# older than r8 are the 24 named r7 deferrals. Names are frozen;
+# only order changes.
 _ROTATION_FIRST: list[str] = [
-    # (a) the twelve never-driver-graded r8 rows
-    "events_hist_delta_stream",
-    "promql_delta_by_type",
-    "promql_holt_winters",
-    "promql_hist_fraction",
-    "promql_hot_windows",
-    "promql_and_threshold",
-    "promql_unless_new_activity",
-    "promql_or_fallback",
-    "promql_clamp_floor",
-    "promql_abs_delta",
-    "promql_subquery_max_rate",
-    "promql_subquery_peak_volume",
-    # (b) the three heavy r5-stale deferrals
-    "q2_min_cost_supplier",
-    "docs_repeated_spans",
-    "docs_training_pipeline_v2",
-    # (c) 35 cheapest r6-graded rows (15 heaviest lead r10)
-    "docs_dup_inflation",
-    "docs_exact_dedup",
-    "docs_neardup_clusters",
-    "docs_rolling_fingerprint",
-    "docs_text_stats",
-    "emb_cosine_topk",
-    "emb_neardup_pairs",
-    "events_cum_to_delta",
-    "events_delta_to_cumulative",
-    "events_gauge_last",
-    "events_matcher_query",
-    "events_rate_5m",
-    "events_reset_detect",
-    "events_rollup_1m",
-    "events_rollup_5m_weighted",
-    "events_series_fingerprint",
-    "events_stddev_over_time",
-    "events_validation",
-    "exp_hist_percentile_events",
-    "hist_cum_delta_roundtrip",
-    "hist_merge_events",
-    "hist_quantile_over_time",
-    "multimodal_binary_meta",
-    "multimodal_features",
-    "promql_avg_sum_by_type",
-    "promql_count_by_type",
-    "promql_hist_p95",
-    "promql_offset_counts",
-    "promql_quantile_by_type",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
+    # (a) the fifteen r6-stale heavy deferrals
+    "events_rules_stream_1h",
+    "docs_ngram_jaccard",
+    "promql_rate_by_type",
+    "q5_local_supplier_volume",
+    "q21_waiting_supplier",
+    "docs_simhash_pairs",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "promql_wow_ratio",
+    "docs_minhash_lsh",
+    "promql_topk_types",
+    "q20_potential_part_promotion",
+    "exp_hist_merge",
+    "events_recording_rules",
+    "q4_order_priority",
+    # (b) the nine never-driver-graded r9 rows
+    "promql_share_of_type",
+    "promql_tier_enrich",
+    "promql_and_on_hot_types",
+    "promql_stored_bucket_p95",
+    "promql_growth_types",
+    "promql_label_replace_env",
+    "promql_label_join_key",
+    "promql_value_distribution",
+    "promql_hot_type_flags",
+    # (c) 26 cheapest r7-graded rows (24 heaviest lead r11)
+    "events_attr_merge",
+    "docs_stratified_sample",
+    "events_distinct_users",
+    "events_kmv_users",
+    "events_series_assembly",
+    "emb_quantize_int8",
+    "events_coverage_uptime",
+    "events_workspace_isolation",
+    "events_asof_join",
+    "events_anomaly_zscore",
+    "events_kmv_cascade",
+    "docs_kmv_source_overlap",
+    "events_ttl_retention",
+    "events_sliding_window",
+    "events_resolution_route",
+    "emb_neardup_clusters",
+    "docs_pack_sequences",
+    "events_gap_fill_locf",
+    "events_cube_rollup",
+    "events_slo_burn_rate",
+    "events_topk_series",
+    "events_session_window",
+    "events_irate_5m",
+    "events_incident_windows",
+    "docs_quality_classifier",
+    "docs_chunking",
 ]
 
 
