@@ -198,6 +198,7 @@ def incremental_rollup_job(
     out_path: str,
     grain: str = "1 minute",
     lookback_days: int = 1,
+    adapt=None,
 ) -> list[str]:
     """Roll up only what changed: the reference's MV freshness guards
     (WHERE timestamp >= now() - INTERVAL 1 DAY, schema.sql:183,274,365)
@@ -210,6 +211,12 @@ def incremental_rollup_job(
     this is the difference between re-aggregating the full history
     nightly and touching ~1/455th of it; late data older than the
     lookback is dropped by design, mirroring the reference's guard.
+
+    ``adapt`` (optional) maps the stored sink shape back to the
+    metrics_raw shape the rollup consumes (``plans.serving
+    .as_metrics_raw`` for the ingest sink's split bucket arrays) —
+    applied after the partition-pruned read, so pruning still happens
+    on the raw scan.
 
     Returns the list of processed dates (empty = nothing to do)."""
     import datetime as dt
@@ -225,6 +232,8 @@ def incremental_rollup_job(
     todo = sorted((raw_dates - done) | stale)
 
     raw = spark.read.parquet(raw_path).where(F.col("date").isin(todo))
+    if adapt is not None:
+        raw = adapt(raw)
     out = rollup_raw_to_1m(raw, grain).withColumn("date", F.to_date("timestamp"))
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key)

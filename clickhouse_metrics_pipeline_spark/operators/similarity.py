@@ -366,19 +366,22 @@ def lsh_ann_pairs(
     spark = df.sparkSession
     # probe past NULL embeddings (F.size(NULL) is NULL -> the old
     # int(probe[0]) raised TypeError on a NULL first row; r7 ADVICE)
-    # and anchor on the MODAL dimension of a bounded sample rather
-    # than the first row (r8 ADVICE): if the probe row happened to be
-    # the ragged outlier, the ragged-drop filter below silently
-    # discarded the bulk of valid embeddings. A 1001-row mode cannot
-    # be captured by a stray outlier unless the corpus is mostly that
-    # shape; bounded collect, so no full scan at 100 TB.
-    sizes = [
-        r[0]
-        for r in df.where(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col))
-        .limit(1001)
+    # and anchor on the MODAL dimension (r8 ADVICE): if the probe row
+    # happened to be the ragged outlier, the ragged-drop filter below
+    # silently discarded the bulk of valid embeddings. r9 ADVICE item:
+    # the old limit(1001) sample had no ordering, so in a genuinely
+    # mixed-dimension corpus the winner — and therefore which rows get
+    # dropped — depended on partition order. EXACT dimension
+    # frequencies instead: one groupBy over the int size column (a
+    # map-side-combinable aggregate whose result is one row per
+    # distinct dimension — bounded by construction), deterministic on
+    # any cluster layout.
+    sizes = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(vec_col).alias("_dim"))
+        .count()
         .collect()
-    ]
+    )
     if not sizes:
         # empty input: keep the old lazy behavior — an empty result
         # with the output schema, no plane bank, no crash
@@ -387,11 +390,9 @@ def lsh_ann_pairs(
             F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("cosine_sim"),
         )
-    from collections import Counter
-
     # most-common dimension; deterministic tiebreak to the smallest
     dim = int(
-        max(Counter(sizes).items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        max(sizes, key=lambda r: (r["count"], -r["_dim"]))["_dim"]
     )
     # ragged dimensions would crash np.vstack inside the signature
     # kernel with an opaque worker error; NULL/mismatched rows cannot

@@ -674,6 +674,74 @@ class PromQLError(ValueError):
     pass
 
 
+# label_replace executes with Java regex (rlike / regexp_replace), but
+# the cheap parse-time syntax gate is Python's re.compile. r9 ADVICE
+# item: constructs Python accepts but Java rejects or reinterprets must
+# fail the PARSE (HTTP 400), not blow up in the executor (HTTP 500).
+# The checked common subset below is literal in both dialects and in
+# PromQL's RE2.
+_PY_ONLY_REGEX = (
+    ("(?P<", "Python-only named group (?P<name>...)"),
+    ("(?P=", "Python-only named backreference (?P=name)"),
+    ("(?#", "Python-only inline comment (?#...)"),
+    ("(?(", "Python-only conditional group (?(id)...)"),
+    ("\\Z", r"\Z differs between dialects (use $)"),
+)
+
+
+def _validate_label_replace(regex: str, repl: str) -> None:
+    """Parse-time validation of label_replace's regex AND replacement
+    against the EXECUTING dialect's rules (r9 ADVICE item).
+
+    Regex: must compile under Python re (the syntax gate) and avoid
+    the Python-only constructs Java regex rejects or reinterprets.
+    Replacement: Java's Matcher.appendReplacement treats ``$`` as a
+    group reference and ``\\`` as an escape — a lone ``$`` or a stray
+    backslash is an executor-side IllegalArgumentException. The subset
+    accepted here: ``$N`` with N a group that exists in the pattern,
+    ``\\$`` / ``\\\\`` escapes, and plain literals."""
+    try:
+        ngroups = re.compile(regex).groups
+    except re.error as exc:
+        raise PromQLError(
+            f"label_replace regex {regex!r}: {exc}"
+        ) from None
+    for marker, why in _PY_ONLY_REGEX:
+        if marker in regex:
+            raise PromQLError(
+                f"label_replace regex {regex!r}: {why} is outside the "
+                "dialect-portable subset (executed with Java regex)"
+            )
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "\\":
+            if i + 1 >= len(repl) or repl[i + 1] not in ("$", "\\"):
+                raise PromQLError(
+                    f"label_replace replacement {repl!r}: backslash "
+                    "must escape '$' or '\\' (Java replacement rules)"
+                )
+            i += 2
+            continue
+        if ch == "$":
+            m = re.match(r"\$(\d+)", repl[i:])
+            if not m:
+                raise PromQLError(
+                    f"label_replace replacement {repl!r}: '$' must be "
+                    "a $N group reference or escaped as \\$ (Java "
+                    "replacement rules)"
+                )
+            if int(m.group(1)) > ngroups:
+                raise PromQLError(
+                    f"label_replace replacement {repl!r}: group "
+                    f"${m.group(1)} exceeds the pattern's "
+                    f"{ngroups} group(s)"
+                )
+            i += m.end()
+            continue
+        i += 1
+
+
 _ESCAPES = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r"}
 
 
@@ -944,12 +1012,11 @@ class _Parser:
                 )
             if v == "label_replace":
                 # fail at parse time on a bad regex, like real PromQL
-                try:
-                    re.compile(args[3])
-                except re.error as exc:
-                    raise PromQLError(
-                        f"label_replace regex {args[3]!r}: {exc}"
-                    ) from None
+                # — validated against the EXECUTING Java dialect's
+                # rules, including the replacement string (r9 ADVICE
+                # item: Python-only syntax or a stray $/\ used to pass
+                # this gate and 500 in the executor)
+                _validate_label_replace(args[3], args[1])
             q = replace(q, lbl_fn=v, lbl_args=tuple(args))
             if self.i != len(self.toks):
                 raise PromQLError(f"trailing input from token {self.i}")
@@ -1614,7 +1681,30 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     from clickhouse_metrics_pipeline_spark.workloads import _le_expr
 
     if "buckets" in df.columns or "buckets_le" in df.columns:
-        return _stored_bucket_quantile_plan(q, df)
+        # r9 ADVICE item: routing on column PRESENCE alone sent a
+        # quantile over a bucket-less metric (a gauge/sum selected out
+        # of a metrics_raw-shaped frame, where the bucket columns
+        # exist but are all NULL for that metric) to the stored path,
+        # which silently answered EMPTY. Probe whether the matched
+        # series actually carry a non-empty bucket array — one
+        # limit(1) jobette over the already metric+matcher-filtered
+        # frame, pushed-down and early-exiting — and fall back to the
+        # raw-value ladder (the pre-r9 behavior) when they don't.
+        if "buckets" in df.columns:
+            pairs = F.col("buckets")
+        else:
+            pairs = F.zip_with(
+                "buckets_le",
+                "buckets_count",
+                lambda le, c: F.struct(le.alias("le"), c.alias("count")),
+            )
+        probe = (
+            df.where(pairs.isNotNull() & (F.size(pairs) > 0))
+            .limit(1)
+            .count()
+        )
+        if probe:
+            return _stored_bucket_quantile_plan(q, df)
     bucket = F.window("ts", f"{q.range_s} seconds")
     per_le = (
         df.select(

@@ -486,13 +486,29 @@ def make_promql_server(
                     if step_s % grain == 0 and step_s > grain:
                         # a coarser grain-multiple step DOWNSAMPLES:
                         # windows are epoch-aligned multiples of the
-                        # grain, so keeping bucket_ts % step == 0
-                        # returns every (step/grain)-th window — what
-                        # a Grafana zoom-out (step=4h over a 5m-grain
-                        # query) expects instead of the full-density
-                        # matrix
+                        # grain, so keeping every (step/grain)-th
+                        # window returns what a Grafana zoom-out
+                        # (step=4h over a 5m-grain query) expects
+                        # instead of the full-density matrix.
+                        # r9 ADVICE item: Prometheus aligns evaluation
+                        # steps to the request's START, not the epoch
+                        # — phase the modulo from the first window at
+                        # or after start (windows themselves stay
+                        # grain-aligned), so panning a dashboard keeps
+                        # the samples anchored to its time picker.
+                        # Epoch alignment only remains when the
+                        # request carries no start.
+                        anchor = 0
+                        if start_s is not None:
+                            anchor = int(
+                                -(-int(start_s) // int(grain))
+                                * int(grain)
+                            )
                         df = df.where(
-                            F.unix_timestamp("bucket_ts")
+                            (
+                                F.unix_timestamp("bucket_ts")
+                                - F.lit(anchor)
+                            )
                             % int(step_s) == 0
                         )
                     else:

@@ -436,6 +436,25 @@ class TestTimeRangeParams:
             len(vs) == 3 for vs in self._values(ds).values()
         )  # 6 windows -> 3 kept
 
+    def test_downsample_phase_aligns_to_start(self, server):
+        # r9 ADVICE item: Prometheus aligns evaluation steps to the
+        # request's START. step=2m from an odd-minute start keeps the
+        # windows at start, start+2m, ... — not the epoch-even ones.
+        _, full = self._range(server, self.Q)
+        start = self.T0 + 60  # odd minute: epoch-phase would skip it
+        code, ds = self._range(
+            server, self.Q, start=start, end=self.T0 + 86400, step="2m"
+        )
+        assert code == 200 and "warnings" not in ds
+        expected = {
+            k: [v for v in vs if v[0] >= start and (v[0] - start) % 120 == 0]
+            for k, vs in self._values(full).items()
+        }
+        expected = {k: vs for k, vs in expected.items() if vs}
+        got = self._values(ds)
+        assert got == expected
+        assert {v[0] % 120 for vs in got.values() for v in vs} == {60}
+
     def test_bad_step_is_400(self, server):
         code, p = self._range(server, self.Q, step="fast")
         assert code == 400 and p["errorType"] == "bad_data"

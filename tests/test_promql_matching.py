@@ -352,6 +352,46 @@ class TestStoredBucketQuantile:
         # (10,25,50,100); p50 target 2 -> prev 10 + 1/1*(25-10) = 25
         assert rows[0].value == 250_000
 
+    @pytest.mark.parametrize("split", [True, False])
+    def test_bucketless_metric_falls_back_to_raw_ladder(
+        self, spark, split
+    ):
+        # r9 ADVICE item: in a metrics_raw-shaped frame (bucket
+        # columns PRESENT) a quantile over a metric whose rows are all
+        # NULL-bucketed (a gauge) must fall back to the raw-value
+        # ladder, not silently return empty
+        rows = [
+            ("gauge_ms", {"svc": "s1"},
+             T0 + dt.timedelta(minutes=i), float(v), None, None)
+            for i, v in enumerate([5, 15, 30, 60])
+        ]
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, "
+            "buckets_le array<double>, buckets_count array<bigint>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        if not split:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                "metric", "attributes", "ts", "value",
+                F.zip_with(
+                    "buckets_le",
+                    "buckets_count",
+                    lambda le, c: F.struct(
+                        le.alias("le"), c.alias("count")
+                    ),
+                ).alias("buckets"),
+            )
+        q = (
+            "histogram_quantile(0.50, "
+            "sum by (svc) (count_over_time(gauge_ms[1h])))"
+        )
+        out = compile_promql(q, df).collect()
+        # same answer as the bucket-column-free frame above
+        assert len(out) == 1 and out[0].value == 250_000
+
 
 class TestVectorComparison:
     """r9: lhs op rhs between aggregated vectors — PromQL comparison
@@ -472,11 +512,58 @@ class TestLabelFunctions:
                 'label_join(sum by (t) (count_over_time(e[1h])), "d")',
                 "string arguments",
             ),
+            # r9 ADVICE item: the regex executes under Java regex —
+            # Python-only syntax must fail the PARSE (400), not the
+            # executor (500)
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"d", "v", "t", "(?P<name>a)")',
+                "dialect-portable",
+            ),
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"d", "v", "t", "(?#note)a")',
+                "dialect-portable",
+            ),
+            # and the replacement follows Java's appendReplacement
+            # rules: lone $ / stray backslash / out-of-range $N are
+            # executor-side IllegalArgumentExceptions without this gate
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"d", "costs 5$", "t", ".*")',
+                "group reference",
+            ),
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"d", "a\\\\b", "t", ".*")',
+                "backslash",
+            ),
+            (
+                'label_replace(sum by (t) (count_over_time(e[1h])), '
+                '"d", "$2", "t", "(a)")',
+                "exceeds",
+            ),
         ],
     )
     def test_rejections(self, bad, msg):
         with pytest.raises(PromQLError, match=msg):
             parse(bad)
+
+    def test_escaped_dollar_and_backslash_replacements_execute(
+        self, series
+    ):
+        # the allowed escapes survive the gate AND the Java executor:
+        # \$ -> literal $, \\ -> literal backslash, $1 -> group text
+        q = (
+            'label_replace(sum by (event_type) '
+            '(count_over_time(events[1h])), '
+            '"d", "\\\\$$1\\\\\\\\x", "event_type", "(.*)")'
+        )
+        out = compile_promql(q, series)
+        vals = {r.event_type: r.d for r in out.collect()}
+        assert vals and all(
+            v == f"${k}\\x" for k, v in vals.items()
+        )
 
 
 class TestCountValuesAndAbsentOverTime:

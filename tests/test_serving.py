@@ -15,6 +15,7 @@ from clickhouse_metrics_pipeline_spark.plans.serving import (
     is_empty_storage_error,
     routed_series_frame,
     serving_resolution,
+    stored_rollup_reader,
 )
 from clickhouse_metrics_pipeline_spark.schema import METRICS_RAW_SCHEMA
 
@@ -85,6 +86,25 @@ class TestServingResolution:
             serving_resolution(old, old + 600, self.NOW) == "metrics_1h"
         )
 
+    def test_instant_time_routes_by_point_not_epoch(self):
+        # r9 ADVICE item (high): an instant query sends only time=T
+        # (start=None). It must route as the point's 5m-lookback span,
+        # NOT as a from-epoch span that always lands on metrics_1h.
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        assert serving_resolution(None, end, self.NOW) == "metrics_raw"
+        # a 2-day-old instant point routes by its age like any span
+        assert (
+            serving_resolution(None, end - 2 * 86400, self.NOW)
+            == "metrics_1m"
+        )
+        # a 100-day-old instant point is beyond the 5m retention
+        assert (
+            serving_resolution(None, end - 100 * 86400, self.NOW)
+            == "metrics_1h"
+        )
+        # no time at all keeps the raw-table convention
+        assert serving_resolution(None, None, self.NOW) == "metrics_raw"
+
 
 class TestRoutedSeriesFrame:
     NOW = _epoch_ms(T0 + dt.timedelta(hours=2))
@@ -137,6 +157,93 @@ class TestRoutedSeriesFrame:
         }
         assert vals[("a", T0)] == 4.0
         assert vals[("b", T0 + dt.timedelta(minutes=115))] == 1119.0
+
+
+class TestStoredRollupServing:
+    """r9 verdict item 2: when the rollup ladder is MATERIALIZED (the
+    incremental partition job), the routed serving path must READ the
+    stored table — not re-derive metrics_1m/5m/1h from a full raw scan
+    per request (the reference's selectTable reads a precomputed MV,
+    promread/handler.go:304-321)."""
+
+    NOW = _epoch_ms(T0 + dt.timedelta(hours=2))
+
+    @pytest.fixture()
+    def stores(self, spark, tmp_path):
+        from clickhouse_metrics_pipeline_spark.operators.rollup import (
+            incremental_rollup_job,
+        )
+        import pyspark.sql.functions as F
+
+        raw_path = str(tmp_path / "metrics_raw")
+        _raw(spark).withColumn(
+            "date", F.to_date("timestamp")
+        ).write.partitionBy("date").parquet(raw_path)
+        paths = {
+            t: str(tmp_path / t)
+            for t in ("metrics_1m", "metrics_5m", "metrics_1h")
+        }
+        for table, grain in (
+            ("metrics_1m", "1 minute"),
+            ("metrics_5m", "5 minutes"),
+            ("metrics_1h", "1 hour"),
+        ):
+            done = incremental_rollup_job(
+                spark, raw_path, paths[table], grain=grain,
+                adapt=as_metrics_raw,
+            )
+            assert done  # processed the fixture's date partitions
+        return spark.read.parquet(raw_path), paths
+
+    def test_rollup_route_scans_the_stored_table(self, spark, stores):
+        raw, paths = stores
+        start = T0.timestamp()
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        assert serving_resolution(start, end, self.NOW) == "metrics_1m"
+        out = routed_series_frame(
+            raw, start, end, self.NOW,
+            stored=stored_rollup_reader(spark, paths),
+        )
+        # plan pin: every scanned file is under the STORED 1m table
+        files = out.inputFiles()
+        assert files and all(paths["metrics_1m"] in f for f in files)
+
+    def test_stored_equals_derived_at_the_window_grain(self, spark, stores):
+        raw, paths = stores
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        start = end - 2 * 86400  # -> metrics_5m
+        derived = routed_series_frame(raw, start, end, self.NOW)
+        stored = routed_series_frame(
+            raw, start, end, self.NOW,
+            stored=stored_rollup_reader(spark, paths),
+        )
+
+        def _vals(df):
+            return {
+                (r.metric, r.attributes["event_type"], r.ts): r.value
+                for r in df.collect()
+            }
+
+        got = _vals(stored)
+        assert got == _vals(derived) and len(got) == 2 * 24
+
+    def test_absent_store_falls_back_to_derivation(self, spark, tmp_path):
+        raw = _raw(spark)
+        end = (T0 + dt.timedelta(hours=2)).timestamp()
+        reader = stored_rollup_reader(
+            spark, {"metrics_1m": str(tmp_path / "missing")}
+        )
+        assert reader("metrics_1m") is None
+        out = routed_series_frame(
+            raw, T0.timestamp(), end, self.NOW, stored=reader
+        )
+        assert out.count() == 2 * 120  # derived 1m frame
+
+    def test_empty_store_dir_is_none_not_error(self, spark, tmp_path):
+        d = tmp_path / "metrics_1m"
+        d.mkdir()
+        reader = stored_rollup_reader(spark, {"metrics_1m": str(d)})
+        assert reader("metrics_1m") is None
 
 
 class TestStoredShapeAdapter:

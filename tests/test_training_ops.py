@@ -699,3 +699,34 @@ def test_lsh_pairs_modal_dim_survives_ragged_first_row(spark):
     assert (1, 2) in got or (2, 1) in got
     # the dim-3 outlier cannot participate
     assert all(0 not in p for p in got)
+
+
+def test_lsh_modal_dim_is_exact_not_sample_order_dependent(spark):
+    """r9 ADVICE item: the modal dimension comes from EXACT groupBy
+    frequencies, not an unordered limit(1001) sample — in a corpus
+    with >1001 rows of a minority dimension arriving first, a sampled
+    probe could crown the wrong dimension depending on partition
+    order."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        lsh_ann_pairs,
+    )
+
+    # 1200 dim-3 rows FIRST (would fill any 1001-row head sample),
+    # then 1500 dim-4 rows: the true mode is dim 4
+    rows = [(i, [float(i % 7), 1.0, -1.0]) for i in range(1200)]
+    base = [1.0, 0.5, -0.25, 2.0]
+    rows += [
+        (2000 + i, [v + (0.0 if i in (1, 2) else i) for v in base])
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1)  # single partition: the old sample saw only dim-3
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_ann_pairs(df, threshold=0.999).collect()
+    }
+    # the two identical dim-4 rows pair up; dim-3 rows are the dropped
+    # minority
+    assert (2001, 2002) in got or (2002, 2001) in got
+    assert all(a >= 2000 and b >= 2000 for a, b in got)
