@@ -1052,12 +1052,30 @@ class _Parser:
             self.eat("op", ",")
             q = self._aggop_or_call()
             self.eat("op", ")")
-            if q.agg != "sum" or q.func != "count_over_time" or q.without:
+            if (
+                q.agg != "sum"
+                or q.func not in ("count_over_time", "rate")
+                or q.without
+            ):
                 raise PromQLError(
                     "histogram_quantile subset requires the merged-"
                     "histogram shape: sum by (...) "
-                    "(count_over_time(selector[range])) — the without-"
-                    "form has no by-columns to group the histograms on"
+                    "(count_over_time(selector[range])) or, over "
+                    "stored CUMULATIVE bucket arrays, sum by (...) "
+                    "(rate(selector[range])) — the without-form has "
+                    "no by-columns to group the histograms on"
+                )
+            if q.func == "rate" and "le" in q.by:
+                # r10: in this engine le is the bucket-array dimension
+                # and is consumed by the walk, never a by-column — the
+                # canonical 'sum by (le)' spelling over per-le _bucket
+                # series maps to the bare array form (documented
+                # divergence, same as the count_over_time path)
+                raise PromQLError(
+                    "histogram_quantile(φ, sum by (le) (rate(...))): "
+                    "le is the stored bucket-array dimension here — "
+                    "drop it from the by-clause (grouping happens per "
+                    "le internally before the quantile walk)"
                 )
             # replace(), not a positional rebuild: the inner call may
             # carry offset_s
@@ -1631,14 +1649,7 @@ def _stored_bucket_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
 
     bucket = F.window("ts", f"{q.range_s} seconds")
-    if "buckets" in df.columns:
-        pairs = F.col("buckets")
-    else:
-        pairs = F.zip_with(
-            "buckets_le",
-            "buckets_count",
-            lambda le, c: F.struct(le.alias("le"), c.alias("count")),
-        )
+    pairs = _bucket_pairs_col(df)
     per_le = (
         df.where(pairs.isNotNull() & (F.size(pairs) > 0))
         .select(
@@ -1663,6 +1674,189 @@ def _stored_bucket_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_pairs_col(df: DataFrame):
+    """The zipped (le, count) bucket-array column of a series frame
+    carrying either the metrics_raw ``buckets`` shape or the ingest
+    sink's split ``buckets_le``/``buckets_count`` arrays; None when the
+    frame has no bucket columns at all."""
+    if "buckets" in df.columns:
+        return F.col("buckets")
+    if "buckets_le" in df.columns:
+        return F.zip_with(
+            "buckets_le",
+            "buckets_count",
+            lambda le, c: F.struct(le.alias("le"), c.alias("count")),
+        )
+    return None
+
+
+def _stored_bucket_rate_quantile_plan(
+    q: PromQuery, df: DataFrame
+) -> DataFrame:
+    """histogram_quantile(φ, sum by (L) (rate(x[r]))) over stored
+    CUMULATIVE bucket arrays (r10, the r9 verdict's item 3) — the
+    canonical Grafana latency-panel idiom
+    ``histogram_quantile(0.95, sum by (le) (rate(x_bucket[5m])))``
+    re-expressed over this engine's array-valued histogram storage
+    (real Prometheus reads per-le ``_bucket`` counter series; the
+    reference re-cumulates stored buckets for exactly that read loop,
+    ``promread/handler.go:177-205``).
+
+    Axis conventions: the stored arrays are TIME-cumulative counters
+    with le-DELTA buckets (the engine's array form — H4/H5 convert the
+    le axis, T1/T2 the time axis). Each per-bucket counter is rated
+    directly, so the walk consumes le-delta rate "counts" exactly like
+    the count_over_time path consumes le-delta sample counts. Real
+    Prometheus rates le-CUMULATIVE ``_bucket`` series and walks those;
+    the two agree except where the boundary extrapolation's per-series
+    zero-clamp is nonlinear across buckets — the per-bucket form is
+    the exactness-contract choice (documented divergence).
+
+    Pipeline, all built-ins (py=0):
+    1. explode the cumulative bucket arrays → one row per (series,
+       sample, le);
+    2. per (series, le, window): the Prometheus extrapolatedRate
+       (``functions/rate.py`` — the driver-green events_rate_5m
+       kernel), lag-partitioned on (canonical series key, le);
+    3. each per-(series, le) rate re-expressed as BIGINT micro-units
+       (round(rate·1e6)) so the cross-series ``sum by (L)`` is
+       integer and order-free (the _micro_agg contract);
+    4. per-le micro-rate sums become the merged histogram's counts;
+       the exact-integer prometheus-mode H1 walk emits the quantile.
+       Rank interpolation is scale-free (counts appear in ratios), so
+       micro-rate counts walk identically to sample counts.
+
+    Output: (by-labels, bucket_ts, value BIGINT quantile×10000) — the
+    same contract as the count_over_time quantile forms.
+
+    Scale: shuffle 1 lands on (series⊗le, window) — the rate kernel's
+    single shuffle, fan-out bounded by the ladder width; shuffle 2 is
+    the map-side-combinable (by, window, le) partial sum; the
+    collect_list per (by, window) gathers O(ladder) rows. No UDFs, no
+    collects."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        series_key,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        bucket_percentile_scaled,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.rate import (
+        rate_over_window,
+    )
+
+    pairs = _bucket_pairs_col(df)
+    if pairs is None:
+        raise PromQLError(
+            "the rate() form of histogram_quantile reads stored "
+            "cumulative bucket arrays; this series frame carries no "
+            "bucket columns — use the count_over_time form over raw "
+            "sample values instead"
+        )
+    has_sid = "sample_id" in df.columns
+    tb = F.col("sample_id") if has_sid else F.lit(0)
+    exploded = (
+        df.where(pairs.isNotNull() & (F.size(pairs) > 0))
+        .select(
+            *_by_keys(q),
+            series_key("metric", "attributes").alias("_sk"),
+            F.col("ts"),
+            tb.alias("_tb"),
+            F.explode(pairs).alias("b"),
+        )
+        .select(
+            *q.by,
+            "_sk",
+            "ts",
+            "_tb",
+            F.col("b.le").alias("le"),
+            F.col("b.count").cast("double").alias("_cum"),
+        )
+    )
+    rated = rate_over_window(
+        exploded,
+        [*q.by, "_sk", "le"],
+        q.range_s,
+        value_col="_cum",
+        tiebreak_col="_tb",
+        window_cols=["_sk", "le"],
+    )
+    per_le = (
+        rated.where(F.col("rate").isNotNull())
+        .select(
+            *q.by,
+            "bucket_ts",
+            "le",
+            F.round(F.col("rate") * 1e6).cast("bigint").alias("_r"),
+        )
+        .groupBy(*q.by, "bucket_ts", "le")
+        .agg(F.sum("_r").alias("count"))
+    )
+    merged = per_le.groupBy(*q.by, "bucket_ts").agg(
+        F.array_sort(F.collect_list(F.struct("le", "count"))).alias(
+            "buckets"
+        )
+    )
+    return merged.select(
+        *q.by,
+        "bucket_ts",
+        bucket_percentile_scaled(
+            "buckets", q.quantile, interpolation="prometheus"
+        ).alias("value"),
+    )
+
+
+def _exp_hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """histogram_quantile(φ, sum by (L) (count_over_time(sel[r])))
+    over rows carrying EXP-histogram columns (r10, the r9 verdict's
+    item 4) — the native-histogram read path: real Prometheus exposes
+    native histograms through the same ``histogram_quantile`` call,
+    with the merge happening inside the evaluation.
+
+    Routes onto the two driver-green kernels: the H7 merge per
+    (by-labels, window) — every histogram downscaled to the group's
+    min scale by floor-div index shift (the documented fix of the
+    reference's trunc-div, ``percentile.go:260-271``) with per-index
+    partial sums — then the H6 unified walk (negatives desc, zero,
+    positives asc; hit bucket's midpoint, no interpolation,
+    ``percentile.go:159-210``).
+
+    Output: BIGINT round(midpoint × 10000), keeping the quantile
+    encoding contract (at min-scale 0 midpoints are 1.5·2^idx —
+    exactly representable, so the rounding is engine-invariant).
+
+    Scale: the merge is the A6 rollup shape — explode to (group,
+    sign, index), map-side-combinable sum, re-collect O(indexes) rows
+    per group. No UDFs, no collects."""
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        exp_histogram_percentile,
+        merge_exp_histograms_agg,
+    )
+
+    bucket = F.window("ts", f"{q.range_s} seconds")
+    g = df.where(F.col("exp_scale").isNotNull()).select(
+        *_by_keys(q),
+        bucket["start"].alias("bucket_ts"),
+        "exp_scale",
+        "exp_zero_count",
+        "exp_zero_threshold",
+        "exp_positive_buckets",
+        "exp_negative_buckets",
+    )
+    merged = merge_exp_histograms_agg(g, [*q.by, "bucket_ts"])
+    val = exp_histogram_percentile(
+        "exp_scale",
+        "exp_zero_count",
+        "exp_positive_buckets",
+        "exp_negative_buckets",
+        float(q.quantile),
+    )
+    return merged.select(
+        *q.by,
+        "bucket_ts",
+        F.round(val * F.lit(10000)).cast("bigint").alias("value"),
+    )
+
+
 def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     """histogram_quantile(phi, sum by (L) (count_over_time(sel[r]))):
     the merged-histogram walk. When the series frame carries raw
@@ -1680,7 +1874,13 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
     from clickhouse_metrics_pipeline_spark.workloads import _le_expr
 
-    if "buckets" in df.columns or "buckets_le" in df.columns:
+    if q.func == "rate":
+        # parser-gated: only reachable as histogram_quantile(φ,
+        # sum by (L) (rate(sel[r]))) — the stored-CUMULATIVE-bucket
+        # read path (r10)
+        return _stored_bucket_rate_quantile_plan(q, df)
+    pairs = _bucket_pairs_col(df)
+    if pairs is not None:
         # r9 ADVICE item: routing on column PRESENCE alone sent a
         # quantile over a bucket-less metric (a gauge/sum selected out
         # of a metrics_raw-shaped frame, where the bucket columns
@@ -1690,14 +1890,6 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         # limit(1) jobette over the already metric+matcher-filtered
         # frame, pushed-down and early-exiting — and fall back to the
         # raw-value ladder (the pre-r9 behavior) when they don't.
-        if "buckets" in df.columns:
-            pairs = F.col("buckets")
-        else:
-            pairs = F.zip_with(
-                "buckets_le",
-                "buckets_count",
-                lambda le, c: F.struct(le.alias("le"), c.alias("count")),
-            )
         probe = (
             df.where(pairs.isNotNull() & (F.size(pairs) > 0))
             .limit(1)
@@ -1705,6 +1897,34 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         )
         if probe:
             return _stored_bucket_quantile_plan(q, df)
+    if "exp_positive_buckets" in df.columns:
+        # exp-histogram read path (r10): same bounded presence probe —
+        # only matched metrics that actually store exp buckets route
+        # to the H7+H6 plan; gauges fall through to the raw ladder
+        probe = (
+            df.where(
+                F.col("exp_scale").isNotNull()
+                & (
+                    (
+                        F.coalesce(
+                            F.size("exp_positive_buckets"), F.lit(0)
+                        )
+                        > 0
+                    )
+                    | (
+                        F.coalesce(
+                            F.size("exp_negative_buckets"), F.lit(0)
+                        )
+                        > 0
+                    )
+                    | (F.coalesce(F.col("exp_zero_count"), F.lit(0)) > 0)
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if probe:
+            return _exp_hist_quantile_plan(q, df)
     bucket = F.window("ts", f"{q.range_s} seconds")
     per_le = (
         df.select(

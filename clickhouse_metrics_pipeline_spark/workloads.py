@@ -1658,6 +1658,18 @@ from clickhouse_metrics_pipeline_spark.workloads_ext9 import (  # noqa: E402
 QUERIES.update(EXTRA9_QUERIES)
 ORACLE_SQL.update(EXTRA9_ORACLE)
 
+# round-10 extensions: rate() inside stored-bucket histogram_quantile
+# (the canonical Grafana idiom over cumulative bucket counters),
+# exp-histograms reachable from PromQL text (native-histogram read
+# path), and the raw-ladder quantile fallback pinned as a graded row
+from clickhouse_metrics_pipeline_spark.workloads_ext10 import (  # noqa: E402
+    EXTRA10_ORACLE,
+    EXTRA10_QUERIES,
+)
+
+QUERIES.update(EXTRA10_QUERIES)
+ORACLE_SQL.update(EXTRA10_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 10)
 # --------------------------------------------------------------------------
@@ -1687,7 +1699,7 @@ ORACLE_SQL.update(EXTRA9_ORACLE)
 #     events_retention_cohorts 0.49, events_hash_sample_cascade 0.46),
 #     together with the rows added in r10 (local-gate green,
 #     driver-graded r11): promql_rate_bucket_p95,
-#     promql_exp_hist_p99, promql_instant_point.
+#     promql_exp_hist_p99, promql_quantile_raw_fallback.
 # After this window no oracle-backed row's driver evidence is older
 # than r7, every r9 addition is driver-graded, and the only rows
 # older than r8 are the 24 named r7 deferrals. Names are frozen;

@@ -1,0 +1,381 @@
+"""Round-10 catalog extensions.
+
+Three rows closing the r9 verdict's last text-path gaps:
+
+- **rate() inside stored-bucket histogram_quantile** (verdict item 3
+  — the canonical Grafana latency-panel idiom):
+  ``promql_rate_bucket_p95`` compiles
+  ``histogram_quantile(0.95, sum by (t) (rate(x[1d])))`` against a
+  series frame carrying TIME-cumulative bucket-counter arrays — per
+  (series, le) extrapolatedRate (the driver-green ``functions/rate.py``
+  kernel), micro-unit integer re-expression, cross-series sum, then
+  the exact-integer prometheus-mode H1 walk. Real Prometheus rates
+  le-CUMULATIVE ``_bucket`` series; this engine's arrays are le-delta,
+  so each per-bucket counter is rated directly (documented divergence,
+  ``plans/promql._stored_bucket_rate_quantile_plan``).
+
+- **Exp-histograms from PromQL text** (verdict item 4 — the
+  native-histogram read path): ``promql_exp_hist_p99`` routes
+  ``histogram_quantile(0.99, sum by (t) (count_over_time(x[1d])))``
+  over a frame carrying exp-histogram columns onto the H7 min-scale
+  merge (floor-div downscale) + H6 midpoint walk
+  (``functions/histogram.py:393``, both driver-green as kernels).
+
+- **Raw-ladder fallback pin** (r9 ADVICE item as a graded row):
+  ``promql_quantile_raw_fallback`` runs a quantile over a frame whose
+  bucket columns EXIST but are NULL for the matched metric — the
+  compile-time probe must fall back to the raw-value ladder path
+  instead of answering empty.
+
+Scale notes: the rate-bucket row's shuffle 1 lands on (series x le,
+window) — the rate kernel's single shuffle with ladder-bounded
+fan-out; shuffle 2 is the map-side-combinable (by, window, le) sum.
+The exp row is the A6 rollup-merge shape (explode, per-index partial
+sums). ``py=0`` throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.oracle_fragments import (
+    LE_SQL,
+    hist_walk_prom_scaled_sql,
+)
+from clickhouse_metrics_pipeline_spark.tables import _events
+
+_EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
+
+EXTRA10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA10_ORACLE: dict[str, str] = {}
+
+
+# --------------------------------------------------------------------------
+# histogram_quantile over rate() of stored CUMULATIVE buckets (r9 item 3)
+# --------------------------------------------------------------------------
+
+PROMQL_RATE_BUCKET_QUERY = (
+    "histogram_quantile(0.95, "
+    "sum by (event_type) (rate(hist_requests[1d])))"
+)
+
+_LES10 = [10.0, 25.0, 50.0, 100.0, 200.0, 500.0]
+
+
+def _cum_bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reshaped as a stored CUMULATIVE-histogram frame: one
+    series per (event_type, host=user_id%4), each sample carrying the
+    fixed le ladder with per-bucket TIME-CUMULATIVE counters
+    ``(unix(ts) * (1 + j + host)) div 7`` — monotone in ts per series
+    (rate's counter contract), consistent across rows sharing a
+    timestamp, and restatable in DuckDB with integer arithmetic.
+    event_id rides along as sample_id (the rate kernel's tiebreak)."""
+    ev = _events(spark, sf_dir)
+    host = (F.col("user_id") % 4).cast("string")
+    counts = F.array(
+        *[
+            F.expr(
+                f"CAST((unix_timestamp(ts) * (1 + {j} + user_id % 4)) "
+                "DIV 7 AS BIGINT)"
+            )
+            for j in range(len(_LES10))
+        ]
+    )
+    return ev.select(
+        F.lit("hist_requests").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type"), F.lit("host")),
+            F.array(F.col("event_type"), host),
+        ).alias("attributes"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id").alias("sample_id"),
+        F.array(*[F.lit(le) for le in _LES10]).alias("buckets_le"),
+        counts.alias("buckets_count"),
+    )
+
+
+def promql_rate_bucket_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.95, sum by (t) (rate(x[1d]))) from text
+    over stored cumulative bucket arrays — per-(series, le) Prometheus
+    extrapolatedRate, BIGINT micro-unit sum across series, then the
+    exact-integer prometheus walk. Closes the canonical-dashboard form
+    the r9 verdict named as the most common real string not yet
+    parseable (the reference's read loop re-cumulates stored buckets
+    for exactly this, promread/handler.go:177-205). Output BIGINT
+    p95 x10000."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_RATE_BUCKET_QUERY, _cum_bucket_series_frame(spark, sf_dir)
+    )
+
+
+def _rate_bucket_sql() -> str:
+    les = ", ".join(
+        f"({j}, {le})" for j, le in enumerate(_LES10)
+    )
+    return f"""
+WITH le(j, le) AS (
+  VALUES {les}
+), base AS (
+  SELECT event_type, (user_id % 4) AS h, le.le AS le, le.j AS j,
+         ts, event_id,
+         (((epoch_us(ts) // 1000000) * (1 + le.j + (user_id % 4)))
+          // 7)::DOUBLE AS v,
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         lag((((epoch_us(ts) // 1000000) * (1 + le.j + (user_id % 4)))
+              // 7)::DOUBLE) OVER wb AS prev_v,
+         row_number() OVER wb AS rn_a,
+         row_number() OVER (PARTITION BY event_type, user_id % 4, le.j,
+                                         time_bucket(INTERVAL 1 DAY, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM {_EV_SQL} CROSS JOIN le
+  WINDOW wb AS (PARTITION BY event_type, user_id % 4, le.j,
+                             time_bucket(INTERVAL 1 DAY, ts)
+                ORDER BY ts, event_id)
+), agg AS (
+  SELECT event_type, h, le, bucket_ts,
+         count(*) AS n_samples,
+         max(CASE WHEN rn_a = 1 THEN v END) AS first_v,
+         max(CASE WHEN rn_d = 1 THEN v END) AS last_v,
+         epoch_us(min(ts)) / 1e6 AS first_s,
+         epoch_us(max(ts)) / 1e6 AS last_s,
+         sum(CASE WHEN prev_v IS NOT NULL AND v < prev_v
+                  THEN prev_v ELSE 0.0 END) AS corr
+  FROM base GROUP BY 1, 2, 3, 4
+), ext AS (
+  SELECT *,
+         epoch(bucket_ts)::DOUBLE AS range_start,
+         last_v - first_v + corr AS result_v,
+         last_s - first_s AS sampled,
+         (last_s - first_s) / (n_samples - 1) AS avg_iv
+  FROM agg
+), ext2 AS (
+  SELECT *,
+         (CASE WHEN result_v > 0 AND first_v >= 0
+                    AND sampled * (first_v / result_v)
+                        < first_s - range_start
+               THEN sampled * (first_v / result_v)
+               ELSE first_s - range_start END) AS dur_start,
+         range_start + 86400.0 - last_s AS dur_end
+  FROM ext
+), rates AS (
+  SELECT event_type, bucket_ts, le,
+         CASE WHEN n_samples >= 2 AND sampled > 0 THEN
+           round(result_v
+                 * ((sampled
+                     + (CASE WHEN dur_start < avg_iv * 1.1
+                             THEN dur_start ELSE avg_iv / 2 END)
+                     + (CASE WHEN dur_end < avg_iv * 1.1
+                             THEN dur_end ELSE avg_iv / 2 END))
+                    / sampled)
+                 / 86400.0, 6)
+         END AS rate
+  FROM ext2
+), counts AS (
+  SELECT event_type, bucket_ts, le,
+         sum(CAST(round(rate * 1000000) AS BIGINT))::BIGINT AS cnt
+  FROM rates WHERE rate IS NOT NULL
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT event_type, bucket_ts, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts
+                        ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS total,
+         lag(le, 1, 0.0) OVER (PARTITION BY event_type, bucket_ts
+                               ORDER BY le) AS prev
+  FROM counts
+)
+SELECT event_type, bucket_ts,
+       {hist_walk_prom_scaled_sql(95)} AS value
+FROM w GROUP BY event_type, bucket_ts
+"""
+
+
+EXTRA10_QUERIES["promql_rate_bucket_p95"] = promql_rate_bucket_p95
+EXTRA10_ORACLE["promql_rate_bucket_p95"] = _rate_bucket_sql()
+
+
+# --------------------------------------------------------------------------
+# Exp-histograms from PromQL text (r9 verdict item 4)
+# --------------------------------------------------------------------------
+
+PROMQL_EXP_HIST_QUERY = (
+    "histogram_quantile(0.99, "
+    "sum by (event_type) (count_over_time(exp_requests[1d])))"
+)
+
+
+def _exp_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reshaped as an exp-histogram series frame: scale
+    alternates 0/1 by user (so the merge exercises the H7 min-scale
+    floor-div downscale), two positive buckets per sample at indexes
+    (event_id%4, event_id%4+2) with small deterministic counts, and a
+    0/1 zero-count — all integer-restatable in DuckDB."""
+    ev = _events(spark, sf_dir)
+    i0 = (F.col("event_id") % 4).cast("int")
+    c0 = ((F.col("event_id") + F.col("user_id")) % 3 + 1).cast("bigint")
+    c1 = (F.col("user_id") % 5 + 1).cast("bigint")
+    return ev.select(
+        F.lit("exp_requests").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type")), F.array(F.col("event_type"))
+        ).alias("attributes"),
+        F.col("ts"),
+        F.col("value"),
+        (F.col("user_id") % 2).cast("int").alias("exp_scale"),
+        (F.col("event_id") % 2).cast("bigint").alias("exp_zero_count"),
+        F.lit(0.0).alias("exp_zero_threshold"),
+        F.array(
+            F.struct(i0.alias("index"), c0.alias("count")),
+            F.struct((i0 + 2).alias("index"), c1.alias("count")),
+        ).alias("exp_positive_buckets"),
+        F.lit(None)
+        .cast("array<struct<index:int,count:bigint>>")
+        .alias("exp_negative_buckets"),
+    )
+
+
+def promql_exp_hist_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile from text over EXP-histogram columns: the
+    native-histogram read path (real Prometheus exposes native
+    histograms through the same histogram_quantile call). Routes onto
+    the driver-green H7 merge (min-scale floor-div downscale,
+    functions/histogram.py:393) and H6 midpoint walk per (event_type,
+    day). Output BIGINT round(midpoint x10000) — scale-0 midpoints are
+    1.5*2^idx, exactly representable."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_EXP_HIST_QUERY, _exp_series_frame(spark, sf_dir)
+    )
+
+
+_EXP_HIST_P99_SQL = f"""
+WITH base AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         (user_id % 2)::INT AS scale,
+         (event_id % 2)::BIGINT AS zc,
+         (event_id % 4)::INT AS i0,
+         ((event_id + user_id) % 3 + 1)::BIGINT AS c0,
+         ((user_id % 5) + 1)::BIGINT AS c1
+  FROM {_EV_SQL}
+), ms AS (
+  SELECT event_type, bucket_ts, min(scale) AS min_scale
+  FROM base GROUP BY 1, 2
+), expl AS (
+  SELECT b.event_type, b.bucket_ts, ms.min_scale,
+         floor(b.i0 / pow(2, b.scale - ms.min_scale))::INT AS idx,
+         b.c0 AS cnt
+  FROM base b JOIN ms USING (event_type, bucket_ts)
+  UNION ALL
+  SELECT b.event_type, b.bucket_ts, ms.min_scale,
+         floor((b.i0 + 2) / pow(2, b.scale - ms.min_scale))::INT,
+         b.c1
+  FROM base b JOIN ms USING (event_type, bucket_ts)
+), pos AS (
+  SELECT event_type, bucket_ts, min_scale, idx, sum(cnt)::BIGINT AS cnt
+  FROM expl GROUP BY 1, 2, 3, 4
+), zeros AS (
+  SELECT event_type, bucket_ts, sum(zc)::BIGINT AS cnt
+  FROM base GROUP BY 1, 2
+), uni AS (
+  SELECT event_type, bucket_ts, 0.0 AS v, cnt, -1e9 AS ord
+  FROM zeros
+  UNION ALL
+  SELECT event_type, bucket_ts,
+         (pow(pow(2, pow(2, -min_scale)), idx)
+          + pow(pow(2, pow(2, -min_scale)), idx + 1)) / 2 AS v,
+         cnt, idx::DOUBLE AS ord
+  FROM pos
+), w AS (
+  SELECT event_type, bucket_ts, v, cnt, ord,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts
+                        ORDER BY ord) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS total
+  FROM uni
+)
+SELECT event_type, bucket_ts,
+       CAST(round(arg_min(v, ord)
+                  FILTER (WHERE cum >= total * 99 / 100.0) * 10000)
+            AS BIGINT) AS value
+FROM w GROUP BY event_type, bucket_ts
+"""
+
+EXTRA10_QUERIES["promql_exp_hist_p99"] = promql_exp_hist_p99
+EXTRA10_ORACLE["promql_exp_hist_p99"] = _EXP_HIST_P99_SQL
+
+
+# --------------------------------------------------------------------------
+# Raw-ladder fallback as a graded row (r9 ADVICE item)
+# --------------------------------------------------------------------------
+
+PROMQL_RAW_FALLBACK_QUERY = (
+    "histogram_quantile(0.90, "
+    "sum by (event_type) (count_over_time(gauge_like[1d])))"
+)
+
+
+def _null_bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A metrics_raw-shaped frame (bucket columns PRESENT) whose
+    matched metric carries no bucket arrays at all — the gauge case
+    the r9 ADVICE item named."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.lit("gauge_like").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type")), F.array(F.col("event_type"))
+        ).alias("attributes"),
+        F.col("ts"),
+        F.col("value"),
+        F.lit(None).cast("array<double>").alias("buckets_le"),
+        F.lit(None).cast("array<bigint>").alias("buckets_count"),
+    )
+
+
+def promql_quantile_raw_fallback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r9 ADVICE item pinned as a graded row: a quantile over a
+    bucket-column-bearing frame whose metric has only NULL bucket
+    arrays must compile to the raw-value ladder plan (the compile-time
+    limit(1) probe), answering the same merged-histogram walk the
+    bucket-free frame gets — never an empty result."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_RAW_FALLBACK_QUERY, _null_bucket_series_frame(spark, sf_dir)
+    )
+
+
+_RAW_FALLBACK_SQL = f"""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         {LE_SQL} AS le, count(*)::BIGINT AS cnt
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+), w AS (
+  SELECT event_type, bucket_ts, le, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts
+                        ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS total,
+         lag(le, 1, 0.0) OVER (PARTITION BY event_type, bucket_ts
+                               ORDER BY le) AS prev
+  FROM b
+)
+SELECT event_type, bucket_ts,
+       {hist_walk_prom_scaled_sql(90)} AS value
+FROM w GROUP BY event_type, bucket_ts
+"""
+
+EXTRA10_QUERIES["promql_quantile_raw_fallback"] = promql_quantile_raw_fallback
+EXTRA10_ORACLE["promql_quantile_raw_fallback"] = _RAW_FALLBACK_SQL

@@ -353,6 +353,129 @@ class TestStoredBucketQuantile:
         assert rows[0].value == 250_000
 
     @pytest.mark.parametrize("split", [True, False])
+    def test_rate_form_over_cumulative_buckets(self, spark, split):
+        """r10 (r9 verdict item 3): histogram_quantile(φ, sum by (L)
+        (rate(x[r]))) over TIME-cumulative stored bucket arrays — the
+        canonical Grafana idiom. Hand-computed: two hosts, 4 samples
+        over [T0, T0+1h), per-bucket counters growing (0,10,20,30) /
+        (0,20,40,60) / (0,30,60,90) on le (10,25,50). Each bucket's
+        extrapolatedRate: Δ=30/60/90 over sampled 2700 s, ext_end=900
+        → ×4/3 → /3600 → 0.011111/0.022222/0.033333; micro-units
+        11111/22222/33333, summed over 2 hosts; p50 walk lands exactly
+        on le=25 → 250000 (×10000)."""
+        import pyspark.sql.functions as F
+
+        rows = []
+        for host in ("h1", "h2"):
+            for i in range(4):
+                rows.append(
+                    (
+                        "hist_requests",
+                        {"svc": "s1", "host": host},
+                        T0 + dt.timedelta(seconds=900 * i),
+                        0.0,
+                        [10.0, 25.0, 50.0],
+                        [10 * i, 20 * i, 30 * i],
+                    )
+                )
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, "
+            "buckets_le array<double>, buckets_count array<bigint>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        if not split:
+            df = df.select(
+                "metric", "attributes", "ts", "value",
+                F.zip_with(
+                    "buckets_le",
+                    "buckets_count",
+                    lambda le, c: F.struct(
+                        le.alias("le"), c.alias("count")
+                    ),
+                ).alias("buckets"),
+            )
+        q = (
+            "histogram_quantile(0.50, "
+            "sum by (svc) (rate(hist_requests[1h])))"
+        )
+        out = compile_promql(q, df).collect()
+        assert len(out) == 1
+        assert out[0].svc == "s1" and out[0].value == 250_000
+
+    def test_exp_hist_route_merges_and_walks(self, spark):
+        """r10 (r9 verdict item 4): a frame carrying exp-histogram
+        columns routes histogram_quantile to the H7 merge + H6 walk.
+        Hand-computed: one scale-0 row with positive (2, 4) and one
+        scale-1 row with positive (4, 4) — downscaled to scale 0 the
+        index shifts to 2 — merge to {2: 8} plus zero_count 2; p50
+        target = 5 of 10 lands in index 2 → midpoint (2²+2³)/2 = 6.0
+        → 60000 ×10000."""
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, exp_scale int, "
+            "exp_zero_count bigint, exp_zero_threshold double, "
+            "exp_positive_buckets array<struct<index:int,count:bigint>>, "
+            "exp_negative_buckets array<struct<index:int,count:bigint>>"
+        )
+        rows = [
+            ("exp_m", {"svc": "s1"}, T0, 0.0, 0, 1,
+             0.0, [(2, 4)], None),
+            ("exp_m", {"svc": "s1"}, T0 + dt.timedelta(minutes=1),
+             0.0, 1, 1, 0.0, [(4, 4)], None),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        q = (
+            "histogram_quantile(0.50, "
+            "sum by (svc) (count_over_time(exp_m[1h])))"
+        )
+        out = compile_promql(q, df).collect()
+        assert len(out) == 1
+        assert out[0].svc == "s1" and out[0].value == 60_000
+
+    def test_exp_columns_without_exp_data_fall_back_to_ladder(
+        self, spark
+    ):
+        # a gauge in a frame that HAS exp columns (all NULL) must use
+        # the raw-value ladder, same as the classic-bucket fallback
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, exp_scale int, "
+            "exp_zero_count bigint, exp_zero_threshold double, "
+            "exp_positive_buckets array<struct<index:int,count:bigint>>, "
+            "exp_negative_buckets array<struct<index:int,count:bigint>>"
+        )
+        rows = [
+            ("g", {"svc": "s1"}, T0 + dt.timedelta(minutes=i),
+             float(v), None, None, None, None, None)
+            for i, v in enumerate([5, 15, 30, 60])
+        ]
+        df = spark.createDataFrame(rows, schema)
+        q = (
+            "histogram_quantile(0.50, "
+            "sum by (svc) (count_over_time(g[1h])))"
+        )
+        out = compile_promql(q, df).collect()
+        assert len(out) == 1 and out[0].value == 250_000
+
+    def test_rate_form_requires_bucket_columns(self, spark):
+        df = spark.createDataFrame(
+            [("m", {"svc": "s"}, T0, 1.0)],
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double",
+        )
+        q = "histogram_quantile(0.5, sum by (svc) (rate(m[1h])))"
+        with pytest.raises(PromQLError, match="cumulative bucket"):
+            compile_promql(q, df)
+
+    def test_rate_form_rejects_le_in_by(self):
+        with pytest.raises(PromQLError, match="bucket-array dimension"):
+            parse(
+                "histogram_quantile(0.95, "
+                "sum by (le) (rate(x_bucket[5m])))"
+            )
+
+    @pytest.mark.parametrize("split", [True, False])
     def test_bucketless_metric_falls_back_to_raw_ladder(
         self, spark, split
     ):
