@@ -159,6 +159,166 @@ class TestParserProperties:
             assert q.offset_s > 0
 
 
+class TestBinopMatrixProperty:
+    """r10 (r9 verdict item 5): the r9 binop surface — on/ignoring ×
+    group_left × set ops × comparisons × encodings — generated as a
+    hypothesis property. Every structurally or encoding-invalid
+    combination must raise at PARSE time (the _check_binop rejection
+    matrix plus the per-op encoding rules in plans/promql.py); every
+    valid one must round-trip into a BinQuery carrying the generated
+    fields. Covers all three _bin_plan entry arms (set-op, arithmetic,
+    comparison)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _POOL = ["event_type", "user", "env"]
+    # encoding of sum by (...) (fn(...)): count / cents / micro
+    _FN_ENC = {
+        "count_over_time": "count",
+        "sum_over_time": "value_x100",
+        "rate": "rate_micro",
+    }
+    _SET = {"and", "or", "unless"}
+    _CMP = {">", ">=", "<", "<=", "==", "!="}
+
+    @staticmethod
+    def _expect_valid(op, enc_l, enc_r, lby, rby, on, ignoring, gl,
+                      same_range):
+        set_ops = {"and", "or", "unless"}
+        if not same_range:
+            return False
+        if op in set_ops and gl is not None:
+            return False
+        if on is None and ignoring is None:
+            if tuple(lby) != tuple(rby):
+                return False
+        else:
+            if op == "or":
+                return False
+            key = (
+                tuple(on)
+                if on is not None
+                else tuple(x for x in lby if x not in ignoring)
+            )
+            if not key:
+                return False
+            if on is not None and not set(key) <= set(lby):
+                return False
+            if op in set_ops:
+                if not set(key) <= set(rby):
+                    return False
+            elif gl is None:
+                if set(lby) != set(key) or set(rby) != set(key):
+                    return False
+            else:
+                extras = tuple(gl)
+                if set(extras) & (set(lby) | set(key)):
+                    return False
+                if set(rby) != set(key) | set(extras):
+                    return False
+        if op == "*":
+            return enc_l == enc_r or "count" in (enc_l, enc_r)
+        if op in ("and", "unless"):
+            return True
+        # '/', '+', '-', 'or', and every comparison: equal encodings
+        return enc_l == enc_r
+
+    _lbls = st.lists(
+        st.sampled_from(_POOL), min_size=1, max_size=2, unique=True
+    )
+
+    @given(
+        op=st.sampled_from(
+            ["/", "+", "-", "*", ">", ">=", "<", "<=", "==", "!=",
+             "and", "or", "unless"]
+        ),
+        lf=st.sampled_from(sorted(_FN_ENC)),
+        rf=st.sampled_from(sorted(_FN_ENC)),
+        lby=_lbls,
+        rby=_lbls,
+        mod=st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(["on", "ignoring"]), _lbls),
+        ),
+        gl=st.one_of(
+            st.none(),
+            st.just(()),
+            st.lists(
+                st.sampled_from(_POOL), min_size=1, max_size=1
+            ).map(tuple),
+        ),
+        same_range=st.booleans(),
+    )
+    @settings(max_examples=400, deadline=None)
+    def test_binop_matrix(
+        self, op, lf, rf, lby, rby, mod, gl, same_range
+    ):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            BinQuery,
+        )
+
+        if mod is None:
+            gl = None  # grammar: group_left only follows on/ignoring
+        on = tuple(mod[1]) if mod is not None and mod[0] == "on" else None
+        ignoring = (
+            tuple(mod[1])
+            if mod is not None and mod[0] == "ignoring"
+            else None
+        )
+        dur_r = "1h" if same_range else "2h"
+        lhs = f"sum by ({', '.join(lby)}) ({lf}(events[1h]))"
+        rhs = f"sum by ({', '.join(rby)}) ({rf}(e2[{dur_r}]))"
+        mod_txt = ""
+        if mod is not None:
+            mod_txt = f"{mod[0]}({', '.join(mod[1])}) "
+            if gl == ():
+                mod_txt += "group_left "
+            elif gl:
+                mod_txt += f"group_left({', '.join(gl)}) "
+        text = f"{lhs} {op} {mod_txt}{rhs}"
+        want = self._expect_valid(
+            op, self._FN_ENC[lf], self._FN_ENC[rf],
+            lby, rby, on, ignoring, gl, same_range,
+        )
+        try:
+            b = parse(text)
+            ok = True
+        except PromQLError:
+            ok = False
+        assert ok == want, text
+        if ok:
+            assert isinstance(b, BinQuery)
+            assert b.op == op
+            assert b.match_on == on and b.match_ignoring == ignoring
+            assert b.group_left == gl
+            assert b.lhs.by == tuple(lby) and b.rhs.by == tuple(rby)
+
+    @given(
+        cmp=st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
+        use_bool=st.booleans(),
+        thr=st.integers(0, 10**6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_scalar_comparison_and_bool_round_trip(
+        self, cmp, use_bool, thr
+    ):
+        # the scalar half of the r9 surface: `> INT` filters, `> bool
+        # INT` emits 0/1 flags — both parse into PromQuery fields, and
+        # bool flips the output encoding to count
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            output_encoding,
+        )
+
+        kw = "bool " if use_bool else ""
+        q = parse(
+            f"sum by (event_type) (count_over_time(events[1h])) "
+            f"{cmp} {kw}{thr}"
+        )
+        assert q.scalar_op == cmp and q.scalar_bool == use_bool
+        if use_bool:
+            assert output_encoding(q) == "count"
+
+
 class TestCompile:
     def _series(self, spark):
         # the series-frame contract is a micros TIMESTAMP ts — use the
