@@ -450,12 +450,93 @@ def op_group_left(ev: DataFrame) -> int:
     ).count()
 
 
+def op_rate_bucket_walk(ev: DataFrame) -> int:
+    """rate() inside stored-bucket histogram_quantile (r10): explode
+    the ladder to (series x le) — fan-out bounded by the 6-entry
+    ladder — one rate-kernel shuffle on (series, le, window),
+    map-side-combinable micro-unit sums per (by, window, le), then an
+    O(ladder) collect per group for the walk. Throughput should track
+    the rate kernel at ~1/6 the rows/sec (the ladder fan-out), flat
+    in cardinality."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads_ext10 import _LES10
+
+    host = (F.col("user_id") % 4).cast("string")
+    counts = F.array(
+        *[
+            F.expr(
+                f"CAST((unix_timestamp(ts) * (1 + {j} + user_id % 4)) "
+                "DIV 7 AS BIGINT)"
+            )
+            for j in range(len(_LES10))
+        ]
+    )
+    frame = ev.select(
+        F.lit("hist_requests").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type"), F.lit("host")),
+            F.array(F.col("event_type"), host),
+        ).alias("attributes"),
+        "ts",
+        "value",
+        F.col("event_id").alias("sample_id"),
+        F.array(*[F.lit(le) for le in _LES10]).alias("buckets_le"),
+        counts.alias("buckets_count"),
+    )
+    return compile_promql(
+        "histogram_quantile(0.95, "
+        "sum by (event_type) (rate(hist_requests[1d])))",
+        frame,
+    ).count()
+
+
+def op_exp_quantile(ev: DataFrame) -> int:
+    """exp-histogram quantile from text (r10): the A6 merge shape —
+    explode per-sample exp buckets to (group, sign, index), map-side
+    partial sums, re-collect O(indexes) per group, midpoint walk.
+    State per group is bounded by the index range, not row count."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    i0 = (F.col("event_id") % 4).cast("int")
+    c0 = ((F.col("event_id") + F.col("user_id")) % 3 + 1).cast("bigint")
+    c1 = (F.col("user_id") % 5 + 1).cast("bigint")
+    frame = ev.select(
+        F.lit("exp_requests").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type")), F.array(F.col("event_type"))
+        ).alias("attributes"),
+        "ts",
+        "value",
+        (F.col("user_id") % 2).cast("int").alias("exp_scale"),
+        (F.col("event_id") % 2).cast("bigint").alias("exp_zero_count"),
+        F.lit(0.0).alias("exp_zero_threshold"),
+        F.array(
+            F.struct(i0.alias("index"), c0.alias("count")),
+            F.struct((i0 + 2).alias("index"), c1.alias("count")),
+        ).alias("exp_positive_buckets"),
+        F.lit(None)
+        .cast("array<struct<index:int,count:bigint>>")
+        .alias("exp_negative_buckets"),
+    )
+    return compile_promql(
+        "histogram_quantile(0.99, "
+        "sum by (event_type) (count_over_time(exp_requests[1d])))",
+        frame,
+    ).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "adjacent_pairs": ("events", op_adjacent_pairs),
     "hw_fold": ("events", op_hw_fold),
     "setop_match": ("events", op_setop_match),
     "group_left": ("events", op_group_left),
+    "rate_bucket_walk": ("events", op_rate_bucket_walk),
+    "exp_quantile": ("events", op_exp_quantile),
     "regression_moments": ("events", op_regression_moments),
     "recording_rules": ("events", op_recording_rules),
     "rate_kernel": ("events", op_rate_kernel),
