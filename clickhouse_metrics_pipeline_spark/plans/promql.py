@@ -133,7 +133,10 @@ kernels the catalog queries use:
                    call may carry one. Nested subqueries and
                    quantile-agg over subqueries are outside the
                    subset
-    range    := '[' N ('m'|'h'|'d') ']' ('offset' N ('m'|'h'|'d'))?
+    range    := '[' N ('m'|'h'|'d') ']'
+                (('offset' N ('m'|'h'|'d')) | ('@' UNIX_SECONDS))*
+                -- each at most once, either order; '@ T' pins
+                   evaluation to the grid window containing T (r10)
     fname    := 'count_over_time' | 'sum_over_time' | 'avg_over_time'
               | 'min_over_time' | 'max_over_time' | 'last_over_time'
               | 'present_over_time' | 'quantile_over_time' | 'delta'
@@ -391,7 +394,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
     r"|(?P<num>\d+(?:\.\d+)?)"
-    r"|(?P<op>=~|!~|!=|==|>=|<=|=|>|<|\{|\}|\(|\)|\[|\]|,|/|\+|-|\*))"
+    r"|(?P<op>=~|!~|!=|==|>=|<=|=|>|<|\{|\}|\(|\)|\[|\]|,|/|\+|-|\*|@))"
 )
 
 _OPS = {"=": MatchType.EQ, "!=": MatchType.NEQ, "=~": MatchType.RE, "!~": MatchType.NRE}
@@ -454,6 +457,14 @@ class PromQuery:
     # hi=inf meaning +Inf; None for every other query shape
     frac_lo: float | None = None
     frac_hi: float | None = None
+    # '@ T' modifier (r10): pin evaluation to the single window of the
+    # tumbling grid containing unix-second T — sel[r] @ T evaluates
+    # the window [floor(T/r)*r, ...+r), the grid form of PromQL's
+    # fixed evaluation timestamp. Composes with offset (the pinned
+    # window reads data older by the offset, like real PromQL's
+    # offset-after-@). Whole-query subset: rejected inside binop
+    # sides and subqueries
+    at_s: int | None = None
 
 
 @dataclass(frozen=True)
@@ -1225,6 +1236,13 @@ class _Parser:
                     "agg by (...) expression (the by-tuple is "
                     "the vector-matching key)"
                 )
+            if side.at_s is not None:
+                raise PromQLError(
+                    f"@ on a {what} {name} side is outside the subset "
+                    "— pinning one side's window while the other "
+                    "evaluates the full grid would join mismatched "
+                    "evaluation times"
+                )
         if b.lhs.range_s != b.rhs.range_s:
             raise PromQLError(
                 f"{what} sides must use the same range so "
@@ -1416,9 +1434,25 @@ class _Parser:
         range_s = self._duration()
         self.eat("op", "]")
         offset_s = 0
-        if self.peek() == ("ident", "offset"):
-            self.eat("ident", "offset")
-            offset_s = self._duration()
+        at_s = None
+        # offset and @ may appear in either order, each at most once
+        # (real PromQL accepts both orders)
+        while True:
+            if self.peek() == ("ident", "offset") and offset_s == 0:
+                self.eat("ident", "offset")
+                offset_s = self._duration()
+                continue
+            if self.peek() == ("op", "@") and at_s is None:
+                self.eat("op", "@")
+                raw_at = self.eat("num")
+                if "." in raw_at:
+                    raise PromQLError(
+                        "@ timestamp must be whole unix seconds, got "
+                        f"{raw_at!r}"
+                    )
+                at_s = int(raw_at)
+                continue
+            break
         param2 = None
         if fname == "predict_linear":
             # trailing horizon argument: predict_linear(sel[r], T) —
@@ -1441,7 +1475,7 @@ class _Parser:
         self.eat("op", ")")
         return PromQuery(
             fname, metric, tuple(matchers), range_s, offset_s=offset_s,
-            param=param, param2=param2,
+            param=param, param2=param2, at_s=at_s,
         )
 
     _SUBQ_OUTER = (
@@ -1473,6 +1507,11 @@ class _Parser:
                 "subquery inner must be a bare per-series call "
                 "(absent() is label-less; nesting subqueries is "
                 "outside the subset)"
+            )
+        if inner.at_s is not None:
+            raise PromQLError(
+                "@ inside a subquery is outside the subset — pin the "
+                "whole query instead (sel[r] @ T at the top level)"
             )
         self.eat("op", "[")
         rng, step = self._subrange()
@@ -2474,6 +2513,20 @@ def compile_promql(
     ``bucket_ts``, and ``value`` (BIGINT; see the exactness contract
     in the module docstring)."""
     q = parse(query) if isinstance(query, str) else query
+    if isinstance(q, PromQuery) and q.at_s is not None:
+        # '@ T' (r10): compile the un-pinned query, then keep only the
+        # tumbling-grid window containing T. Filtering the OUTPUT grid
+        # is semantically exact for every plan (bucket_ts IS the
+        # evaluation window) and avoids per-plan special cases; the
+        # filter sits on a groupBy key, so Catalyst pushes it below
+        # the aggregation where the plan shape allows.
+        from dataclasses import replace
+
+        base = compile_promql(replace(q, at_s=None), series)
+        w = (q.at_s // q.range_s) * q.range_s
+        return base.where(
+            F.col("bucket_ts") == F.timestamp_seconds(F.lit(w))
+        )
     if isinstance(q, BinQuery):
         return _bin_plan(q, series)
     if q.inner is not None:

@@ -1,6 +1,7 @@
 """Round-10 catalog extensions.
 
-Three rows closing the r9 verdict's last text-path gaps:
+Four rows: three closing the r9 verdict's last text-path gaps, plus
+the ``@`` modifier (a named subset residual) beyond the ask:
 
 - **rate() inside stored-bucket histogram_quantile** (verdict item 3
   — the canonical Grafana latency-panel idiom):
@@ -26,6 +27,11 @@ Three rows closing the r9 verdict's last text-path gaps:
   bucket columns EXIST but are NULL for the matched metric — the
   compile-time probe must fall back to the raw-value ladder path
   instead of answering empty.
+
+- **`@` modifier** (``promql_at_modifier``): ``sel[r] @ T`` pins
+  evaluation to the grid window containing T — compiled as a
+  bucket_ts filter on the output grid (a groupBy key, so Catalyst
+  pushes it below the aggregation).
 
 Scale notes: the rate-bucket row's shuffle 1 lands on (series x le,
 window) — the rate kernel's single shuffle with ladder-bounded
@@ -379,3 +385,46 @@ FROM w GROUP BY event_type, bucket_ts
 
 EXTRA10_QUERIES["promql_quantile_raw_fallback"] = promql_quantile_raw_fallback
 EXTRA10_ORACLE["promql_quantile_raw_fallback"] = _RAW_FALLBACK_SQL
+
+
+# --------------------------------------------------------------------------
+# '@' modifier (r10 beyond-the-ask: closes a named subset residual)
+# --------------------------------------------------------------------------
+
+
+def promql_at_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``@`` from text: ``sel[1d] @ T`` pins evaluation to the
+    tumbling-grid window containing unix-second T (the grid form of
+    PromQL's fixed evaluation timestamp — r9 verdict's residual list).
+    T is the corpus max(ts) (one bounded agg collect, the same pattern
+    the streaming rows' watermark cutoff uses), so the row grades the
+    final day's counts against a twin that restates the same pin."""
+    import datetime as dt
+
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    ev = _events(spark, sf_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    t = int((max_ts - dt.datetime(1970, 1, 1)).total_seconds())
+    return compile_promql(
+        f"sum by (event_type) (count_over_time(events[1d] @ {t}))",
+        events_as_series(ev),
+    )
+
+
+_AT_MODIFIER_SQL = f"""
+WITH mx AS (
+  SELECT time_bucket(INTERVAL 1 DAY, max(ts)) AS w FROM {_EV_SQL}
+)
+SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+       count(*)::BIGINT AS value
+FROM {_EV_SQL}
+WHERE time_bucket(INTERVAL 1 DAY, ts) = (SELECT w FROM mx)
+GROUP BY 1, 2
+"""
+
+EXTRA10_QUERIES["promql_at_modifier"] = promql_at_modifier
+EXTRA10_ORACLE["promql_at_modifier"] = _AT_MODIFIER_SQL

@@ -159,6 +159,69 @@ class TestParserProperties:
             assert q.offset_s > 0
 
 
+class TestAtModifier:
+    """r10: sel[r] @ T pins evaluation to the tumbling-grid window
+    containing unix-second T, composing with offset in either order;
+    subquery/binop placements are rejected (subset)."""
+
+    def test_parse_both_orders(self):
+        a = parse("sum by (t) (count_over_time(e[1h] @ 1767225600))")
+        assert a.at_s == 1767225600 and a.offset_s == 0
+        b = parse(
+            "sum by (t) "
+            "(count_over_time(e[1h] @ 1767225600 offset 2h))"
+        )
+        c = parse(
+            "sum by (t) "
+            "(count_over_time(e[1h] offset 2h @ 1767225600))"
+        )
+        assert b.at_s == c.at_s == 1767225600
+        assert b.offset_s == c.offset_s == 7200
+
+    def test_rejections(self):
+        with pytest.raises(PromQLError, match="whole unix seconds"):
+            parse("count_over_time(e[1h] @ 17.5)")
+        with pytest.raises(PromQLError, match="subquery"):
+            parse("max_over_time(rate(e[5m] @ 17)[1h:5m])")
+        with pytest.raises(PromQLError, match="outside the subset"):
+            parse(
+                "sum by (t) (count_over_time(e[1h] @ 17)) / "
+                "sum by (t) (count_over_time(e[1h]))"
+            )
+
+    def test_compile_keeps_only_the_pinned_window(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            ("e", {"t": "a"}, t0 + dt.timedelta(minutes=90 * i), 1.0)
+            for i in range(4)  # windows h0, h1, h3 (two rows in h1+h3)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double",
+        )
+        t = int(
+            (t0 + dt.timedelta(minutes=100) - dt.datetime(1970, 1, 1))
+            .total_seconds()
+        )  # inside hour-window 1
+        pinned = compile_promql(
+            f"sum by (t) (count_over_time(e[1h] @ {t}))", df
+        ).collect()
+        assert len(pinned) == 1
+        assert pinned[0].bucket_ts == t0 + dt.timedelta(hours=1)
+        assert pinned[0].value == 1  # the 90-minute sample
+        # equals the full grid filtered to that window
+        full = {
+            r.bucket_ts: r.value
+            for r in compile_promql(
+                "sum by (t) (count_over_time(e[1h]))", df
+            ).collect()
+        }
+        assert full[pinned[0].bucket_ts] == pinned[0].value
+
+
 class TestBinopMatrixProperty:
     """r10 (r9 verdict item 5): the r9 binop surface — on/ignoring ×
     group_left × set ops × comparisons × encodings — generated as a
