@@ -165,6 +165,42 @@ def routed_series_frame(
     )
 
 
+class StoredFirstCatalog:
+    """Remote Read's :class:`plans.remote_read.MetricsCatalog` shape
+    for a live deployment (r10, extracted from ``scripts/serve.py`` so
+    the stored-table preference is unit-testable): re-lists the raw
+    parquet path per request (a cached DataFrame pins its first scan's
+    file listing), serves rollup resolutions from the STORED parquet
+    the incremental jobs maintain — the reference's ``selectTable``
+    reads a precomputed MV table (``promread/handler.go:304-321``) —
+    and falls back to on-demand derivation only before the first
+    rollup job has committed."""
+
+    def __init__(self, spark, raw_path: str, stored=None) -> None:
+        self._spark = spark
+        self._raw_path = raw_path
+        self._stored = stored
+
+    def get(self, name: str) -> DataFrame:
+        if not os.path.isdir(self._raw_path):
+            raise KeyError(f"table {name} not available yet")
+        if name != "metrics_raw" and self._stored is not None:
+            rolled = self._stored(name)
+            if rolled is not None:
+                return rolled
+        raw = self._spark.read.parquet(self._raw_path)
+        if name == "metrics_raw":
+            return raw
+        from clickhouse_metrics_pipeline_spark.operators.rollup import (
+            build_rollup_hierarchy,
+        )
+
+        hierarchy = build_rollup_hierarchy(as_metrics_raw(raw))
+        if name not in hierarchy:
+            raise KeyError(f"table {name} not registered")
+        return hierarchy[name]
+
+
 def is_empty_storage_error(exc: Exception) -> bool:
     """True only for the 'no data committed yet' schema-inference
     failures of ``spark.read.parquet`` (empty dir / only

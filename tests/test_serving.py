@@ -245,6 +245,37 @@ class TestStoredRollupServing:
         reader = stored_rollup_reader(spark, {"metrics_1m": str(d)})
         assert reader("metrics_1m") is None
 
+    def test_catalog_prefers_stored_tables(self, spark, stores, tmp_path):
+        # the Remote Read half of the same fix: serve.py's catalog
+        # (StoredFirstCatalog) answers rollup resolutions from the
+        # stored parquet, deriving from raw only when absent
+        from clickhouse_metrics_pipeline_spark.plans.serving import (
+            StoredFirstCatalog,
+        )
+
+        raw, paths = stores
+        raw_path = raw.inputFiles()[0].split("/date=")[0].replace(
+            "file:", ""
+        )
+        cat = StoredFirstCatalog(
+            spark, raw_path, stored_rollup_reader(spark, paths)
+        )
+        got = cat.get("metrics_1h")
+        files = got.inputFiles()
+        assert files and all(paths["metrics_1h"] in f for f in files)
+        # raw stays raw; a missing store falls back to derivation
+        assert "value" in cat.get("metrics_raw").columns
+        cat2 = StoredFirstCatalog(
+            spark, raw_path,
+            stored_rollup_reader(spark, {"metrics_1h": str(tmp_path / "x")}),
+        )
+        derived = cat2.get("metrics_1h")
+        assert derived.count() == cat.get("metrics_1h").count()
+        with pytest.raises(KeyError):
+            StoredFirstCatalog(spark, str(tmp_path / "gone")).get(
+                "metrics_raw"
+            )
+
 
 class TestStoredShapeAdapter:
     def test_split_bucket_arrays_are_zipped(self, spark):
