@@ -465,6 +465,12 @@ class PromQuery:
     # offset-after-@). Whole-query subset: rejected inside binop
     # sides and subqueries
     at_s: int | None = None
+    # sort()/sort_desc() (r10): presentation order of the INSTANT
+    # vector payload ('asc' | 'desc' by value, deterministic label
+    # tiebreak). Like real Prometheus, a range query ignores it —
+    # matrices sort by series identity; the plan itself is unchanged
+    # (the driver/oracle comparison is order-free by design)
+    sort_dir: str | None = None
 
 
 @dataclass(frozen=True)
@@ -903,6 +909,18 @@ class _Parser:
         from dataclasses import replace
 
         k, v = self.peek()
+        if k == "ident" and v in ("sort", "sort_desc"):
+            # sort()/sort_desc() (r10): instant-payload presentation
+            # order only — wraps the whole query, plan unchanged
+            self.eat("ident")
+            self.eat("op", "(")
+            q = self._maybe_scalar(self._aggop_or_call())
+            self.eat("op", ")")
+            if self.i != len(self.toks):
+                raise PromQLError(f"trailing input from token {self.i}")
+            return replace(
+                q, sort_dir="desc" if v == "sort_desc" else "asc"
+            )
         if k == "ident" and v in ("topk", "bottomk"):
             self.eat("ident")
             self.eat("op", "(")

@@ -308,18 +308,30 @@ def metadata_payload(df: DataFrame, limit: int) -> dict:
 
 
 def instant_vector_payload(
-    df: DataFrame, limit: int = 100_000, scale: int = 1
+    df: DataFrame, limit: int = 100_000, scale: int = 1,
+    order: str | None = None,
 ) -> dict:
     """GET /api/v1/query: the engine's evaluation model is range
     queries at the window grain, so the instant vector is each
     series' LATEST evaluation window — one (ts, value) per label
     set, resultType "vector". Values decode to raw units exactly
-    like the matrix payload."""
+    like the matrix payload. ``order`` ('asc'|'desc', r10) is PromQL's
+    sort()/sort_desc(): order the vector by value with a
+    deterministic label-JSON tiebreak (real PromQL ties are
+    nondeterministic — the exactness contract's choice)."""
     m = promql_result_payload(df, limit=limit, scale=scale)
     result = [
         {"metric": s["metric"], "value": max(s["values"])}
         for s in m["data"]["result"]
     ]
+    if order in ("asc", "desc"):
+        result.sort(
+            key=lambda e: (
+                float(e["value"][1]),
+                json.dumps(e["metric"], sort_keys=True),
+            ),
+            reverse=order == "desc",
+        )
     payload = {
         "status": "success",
         "data": {"resultType": "vector", "result": result},
@@ -524,10 +536,19 @@ def make_promql_server(
                             f"downsample, others return the full "
                             f"{grain}s-spaced matrix"
                         )
-            shape = instant_vector_payload if instant else (
-                promql_result_payload
-            )
-            payload = shape(df, limit=limit, scale=result_scale(parsed))
+            if instant:
+                payload = instant_vector_payload(
+                    df,
+                    limit=limit,
+                    scale=result_scale(parsed),
+                    order=getattr(parsed, "sort_dir", None),
+                )
+            else:
+                # like real Prometheus, sort()/sort_desc() has no
+                # effect on range queries — matrices keep series order
+                payload = promql_result_payload(
+                    df, limit=limit, scale=result_scale(parsed)
+                )
             if warnings:
                 payload.setdefault("warnings", []).extend(warnings)
             return payload

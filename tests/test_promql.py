@@ -189,6 +189,28 @@ class TestAtModifier:
                 "sum by (t) (count_over_time(e[1h]))"
             )
 
+    def test_sort_wrappers_parse_and_leave_the_plan_alone(self, spark):
+        # r10: sort()/sort_desc() are presentation order for the
+        # instant payload; the compiled frame is identical
+        a = parse("sort(sum by (t) (count_over_time(e[1h])))")
+        d = parse("sort_desc(sum by (t) (count_over_time(e[1h])) > 2)")
+        assert a.sort_dir == "asc" and d.sort_dir == "desc"
+        assert d.scalar_op == ">"
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("e", {"t": "a"}, dt.datetime(2026, 1, 1), 1.0)],
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double",
+        )
+        plain = compile_promql(
+            "sum by (t) (count_over_time(e[1h]))", df
+        ).collect()
+        wrapped = compile_promql(
+            "sort_desc(sum by (t) (count_over_time(e[1h])))", df
+        ).collect()
+        assert plain == wrapped
+
     def test_compile_keeps_only_the_pinned_window(self, spark):
         import datetime as dt
 

@@ -325,6 +325,43 @@ class TestMetadataEndpoints:
         }
         assert vals["b"] == "10.0"
 
+    def test_sort_orders_the_instant_vector(self, server):
+        # r10: sort()/sort_desc() order the instant vector by value;
+        # range queries ignore it (real Prometheus behavior)
+        # latest 5m window sums: a = 6.0, b = 10.0 — distinct values
+        q = "sum by (event_type) (sum_over_time(events[5m]))"
+        for fn, expect_desc in (("sort", False), ("sort_desc", True)):
+            code, inst = _get_path(
+                server,
+                "/api/v1/query?"
+                + urllib.parse.urlencode({"query": f"{fn}({q})"}),
+            )
+            assert code == 200
+            vals = [
+                float(s["value"][1]) for s in inst["data"]["result"]
+            ]
+            assert len(vals) >= 2 and len(set(vals)) >= 2
+            assert vals == sorted(vals, reverse=expect_desc)
+        # the plain form equals the sorted set (same members)
+        code, plain = _get_path(
+            server,
+            "/api/v1/query?" + urllib.parse.urlencode({"query": q}),
+        )
+        code2, asc = _get_path(
+            server,
+            "/api/v1/query?"
+            + urllib.parse.urlencode({"query": f"sort({q})"}),
+        )
+        key = lambda s: json.dumps(s, sort_keys=True)  # noqa: E731
+        assert sorted(map(key, plain["data"]["result"])) == sorted(
+            map(key, asc["data"]["result"])
+        )
+        # range query: sort accepted, matrix unchanged
+        code3, m1 = _get(server, q)
+        code4, m2 = _get(server, f"sort_desc({q})")
+        assert code3 == code4 == 200
+        assert m1["data"] == m2["data"]
+
     def test_bad_selector_maps_to_400(self, server):
         qs = urllib.parse.urlencode({"match[]": "events{bad"})
         code, payload = _get_path(server, f"/api/v1/series?{qs}")
