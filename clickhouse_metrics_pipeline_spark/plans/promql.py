@@ -888,11 +888,17 @@ class _Parser:
             return 0.0
         if val in BOUNDS:
             return val
+        if 0 < val < max(BOUNDS) and val == int(val):
+            # off-ladder INTEGER bounds (r10): in-bucket linear
+            # interpolation — still exact, because the interpolated
+            # count is the rational (cum_before·D + cnt·(B−prev)) / D
+            # with integer terms (see _hist_fraction_plan)
+            return val
         raise PromQLError(
-            f"histogram_fraction bounds must sit on the le ladder "
-            f"{BOUNDS} (or 0 / Inf), got {val} — off-ladder bounds "
-            "would need in-bucket interpolation, outside the exactness "
-            "contract"
+            f"histogram_fraction bounds must be 0 / Inf, a ladder "
+            f"value {BOUNDS}, or an INTEGER inside the ladder range "
+            f"(in-bucket interpolation) — got {val}; non-integer or "
+            f"beyond-ladder bounds are outside the exactness contract"
         )
 
     def _phi_percent(self) -> int:
@@ -2010,34 +2016,80 @@ def _hist_fraction_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     """histogram_fraction(lo, hi, sum by (L) (count_over_time(...))):
     the fraction of the merged histogram's samples in (lo, hi] as
     truncated parts-per-million — the events_histogram_fraction
-    kernel's exact-ppm arithmetic per (by-labels, window). Both
-    bounds sit ON the fixed le ladder (parser-enforced), where the
-    bucket cumulative count IS the exact count of samples <= bound,
-    so the engine counts raw samples directly — equal to the stored-
-    bucket walk by construction, no interpolation anywhere. One
-    shuffle to the by-grain with map-side partial counts."""
+    kernel's exact-ppm arithmetic per (by-labels, window).
+
+    Bounds ON the fixed le ladder count raw samples directly (the
+    bucket cumulative count IS the exact count of samples <= bound —
+    equal to the stored-bucket walk by construction). Off-ladder
+    INTEGER bounds inside the ladder range (r10, closing a named
+    subset residual) interpolate linearly within their bucket the way
+    real histogram_fraction does over classic buckets, still exactly:
+    interp(B) = (cum_before·D + cnt·(B − prev)) / D with D = le −
+    prev, all integer terms, so the two-bound difference is the
+    single rational (X_hi·D_lo − X_lo·D_hi) / (n·D_hi·D_lo), floored
+    to ppm through the exact DECIMAL(38,0) divider (numerator ≤
+    n·500²·1e6 — 38 digits holds to astronomic n). On-ladder bounds
+    are the D = 1 special case, so the pre-r10 results are unchanged.
+    One shuffle to the by-grain with map-side partial counts."""
+    import bisect
+
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
-    in_hi = (
-        F.lit(1)
-        if q.frac_hi == float("inf")
-        else F.when(F.col("value") <= q.frac_hi, 1).otherwise(0)
-    )
-    in_lo = (
-        F.lit(0)
-        if q.frac_lo == 0.0
-        else F.when(F.col("value") <= q.frac_lo, 1).otherwise(0)
-    )
+    finite = sorted(BOUNDS)
+
+    def _dec(col):
+        return col.cast("decimal(38,0)")
+
+    def side(bound: float, name: str):
+        """-> (agg columns, X numerator builder, integer denominator);
+        interp(bound) = X / D in sample-count units."""
+        if bound == float("inf"):
+            return [], lambda: _dec(F.col("_n")), 1
+        if bound == 0.0:
+            return [], lambda: F.lit(0).cast("decimal(38,0)"), 1
+        if bound in finite:
+            col = (
+                F.sum(F.when(F.col("value") <= bound, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_c_{name}")
+            )
+            return [col], lambda: _dec(F.col(f"_c_{name}")), 1
+        i = bisect.bisect_left(finite, bound)
+        prev = 0.0 if i == 0 else finite[i - 1]
+        le = finite[i]
+        d = int(le - prev)
+        off = int(bound - prev)
+        cb = (
+            F.sum(F.when(F.col("value") <= prev, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_cb_{name}")
+        )
+        ct = (
+            F.sum(
+                F.when(
+                    (F.col("value") > prev) & (F.col("value") <= le), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"_ct_{name}")
+        )
+        return (
+            [cb, ct],
+            lambda: _dec(F.col(f"_cb_{name}")) * F.lit(d)
+            + _dec(F.col(f"_ct_{name}")) * F.lit(off),
+            d,
+        )
+
+    hi_cols, x_hi, d_hi = side(q.frac_hi, "hi")
+    lo_cols, x_lo, d_lo = side(q.frac_lo, "lo")
     g = df.groupBy(*_by_keys(q), bucket).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(in_hi).cast("bigint").alias("_hi"),
-        F.sum(in_lo).cast("bigint").alias("_lo"),
+        F.count(F.lit(1)).alias("_n"), *hi_cols, *lo_cols
     )
+    num = (x_hi() * F.lit(d_lo) - x_lo() * F.lit(d_hi)) * F.lit(1_000_000)
+    den = _dec(F.col("_n")) * F.lit(d_hi * d_lo)
     return g.select(
         *q.by,
         F.col("w.start").alias("bucket_ts"),
-        _floordiv_exact(
-            (F.col("_hi") - F.col("_lo")) * F.lit(1_000_000), F.col("_n")
-        ).alias("value"),
+        _floordiv_exact(num, den).alias("value"),
     )
 
 

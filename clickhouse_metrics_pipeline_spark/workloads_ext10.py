@@ -428,3 +428,59 @@ GROUP BY 1, 2
 
 EXTRA10_QUERIES["promql_at_modifier"] = promql_at_modifier
 EXTRA10_ORACLE["promql_at_modifier"] = _AT_MODIFIER_SQL
+
+
+# --------------------------------------------------------------------------
+# Off-ladder histogram_fraction bounds (r10: closes a named residual)
+# --------------------------------------------------------------------------
+
+PROMQL_FRAC_INTERP_QUERY = (
+    "histogram_fraction(30, 150, "
+    "sum by (event_type) (count_over_time(events[1d])))"
+)
+
+
+def promql_hist_fraction_interp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_fraction with OFF-LADDER integer bounds (30 sits 5/25
+    into the (25,50] bucket, 150 sits 50/100 into (100,200]):
+    in-bucket linear interpolation the way real histogram_fraction
+    reads classic buckets, kept exact — interp(B) = (cum_before·D +
+    cnt·(B−prev)) / D with integer terms, the two-bound difference one
+    rational floored to ppm through the DECIMAL(38,0) divider
+    (plans/promql._hist_fraction_plan; on-ladder bounds are the D=1
+    special case, so the r8 row's results are untouched)."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_FRAC_INTERP_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+# hi=150: bucket (100,200], D=100, offset 50; lo=30: (25,50], D=25,
+# offset 5. ppm = (X_hi*25 - X_lo*100) * 1e6 // (n * 2500)
+_FRAC_INTERP_SQL = f"""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         count(*)::HUGEINT AS n,
+         sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)::HUGEINT AS cb_hi,
+         sum(CASE WHEN value > 100 AND value <= 200
+                  THEN 1 ELSE 0 END)::HUGEINT AS ct_hi,
+         sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END)::HUGEINT AS cb_lo,
+         sum(CASE WHEN value > 25 AND value <= 50
+                  THEN 1 ELSE 0 END)::HUGEINT AS ct_lo
+  FROM {_EV_SQL} GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts,
+       (((cb_hi * 100 + ct_hi * 50) * 25
+         - (cb_lo * 25 + ct_lo * 5) * 100) * 1000000
+        // (n * 2500))::BIGINT AS value
+FROM b
+"""
+
+EXTRA10_QUERIES["promql_hist_fraction_interp"] = promql_hist_fraction_interp
+EXTRA10_ORACLE["promql_hist_fraction_interp"] = _FRAC_INTERP_SQL

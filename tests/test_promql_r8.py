@@ -304,11 +304,44 @@ class TestHistogramFraction:
         assert got == self._want(spark, float(lo), hi) and got
         assert any(0 < v < 1_000_000 for v in got.values())
 
+    def test_offladder_bounds_interpolate_exactly(self, spark):
+        """r10: off-ladder INTEGER bounds interpolate within their
+        bucket — hand-computed: values (5, 20, 40, 60) in one window,
+        ladder bucket (25, 50] holds one sample. hi=30 sits 5/25 into
+        it: interp = 2 + 1·5/25 = 2.2 of 4 → 550000 ppm; the
+        complement (30, Inf] is 450000; (30, 40] spans 10/25 of the
+        same bucket's one sample → 100000."""
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            ("events", {"event_type": "x"},
+             t0 + dt.timedelta(minutes=i), float(v), i)
+            for i, v in enumerate([5, 20, 40, 60])
+        ]
+        s = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+
+        def frac(lo, hi):
+            got = compile_promql(self.Q.format(lo=lo, hi=hi), s).collect()
+            assert len(got) == 1
+            return got[0].value
+
+        assert frac(0, 30) == 550_000
+        assert frac(30, "Inf") == 450_000
+        assert frac(30, 40) == 100_000
+        # on-ladder results are the D=1 special case — unchanged
+        assert frac(0, 25) == 500_000
+
     @pytest.mark.parametrize(
         "bad",
         [
-            # off-ladder bounds need interpolation: rejected
-            "histogram_fraction(0, 37, sum by (t) (count_over_time(e[1h])))",
+            # non-integer / beyond-ladder bounds: rejected
+            "histogram_fraction(0, 37.5, sum by (t) (count_over_time(e[1h])))",
+            "histogram_fraction(0, 600, sum by (t) (count_over_time(e[1h])))",
             "histogram_fraction(0.5, 100, sum by (t) (count_over_time(e[1h])))",
             # lo >= hi
             "histogram_fraction(100, 50, sum by (t) (count_over_time(e[1h])))",
