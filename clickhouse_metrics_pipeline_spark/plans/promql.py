@@ -1809,11 +1809,15 @@ def _stored_bucket_rate_quantile_plan(
 
     pairs = _bucket_pairs_col(df)
     if pairs is None:
+        if "exp_positive_buckets" in df.columns:
+            # native-histogram rate (r10): cumulative exp-histogram
+            # counters route to the exp rate+merge+walk composition
+            return _exp_rate_quantile_plan(q, df)
         raise PromQLError(
             "the rate() form of histogram_quantile reads stored "
-            "cumulative bucket arrays; this series frame carries no "
-            "bucket columns — use the count_over_time form over raw "
-            "sample values instead"
+            "cumulative bucket arrays (classic or exp); this series "
+            "frame carries neither — use the count_over_time form "
+            "over raw sample values instead"
         )
     has_sid = "sample_id" in df.columns
     tb = F.col("sample_id") if has_sid else F.lit(0)
@@ -1865,6 +1869,162 @@ def _stored_bucket_rate_quantile_plan(
         bucket_percentile_scaled(
             "buckets", q.quantile, interpolation="prometheus"
         ).alias("value"),
+    )
+
+
+def _exp_rate_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """histogram_quantile(φ, sum by (L) (rate(x[r]))) over
+    TIME-cumulative EXP-histogram columns (r10) — the native-histogram
+    rate read, the composition of this round's two new paths: every
+    per-(series, sign, index) counter (positive/negative buckets AND
+    the zero counter) is rated with the Prometheus extrapolatedRate
+    kernel, re-expressed as BIGINT micro-units, merged across series
+    at the group's min scale (floor-div index shift — the H7 rule),
+    and walked with the H6 midpoint walk. Rates are additive, so
+    downscale-then-sum of per-bucket rates equals rating the
+    downscaled counters (linearity); the walk is scale-free in the
+    counts (ratios only).
+
+    Scale: shuffle 1 on (series ⊗ sign ⊗ index, window) — fan-out
+    bounded by the per-sample index count; shuffle 2 the map-side
+    combinable (by, window, sign, index) sum; O(indexes) collect per
+    group. ``py=0`` throughout."""
+    from pyspark.sql.window import Window
+
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        series_key,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        exp_histogram_percentile,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.rate import (
+        rate_over_window,
+    )
+
+    has_sid = "sample_id" in df.columns
+    tb = F.col("sample_id") if has_sid else F.lit(0)
+    base = df.where(F.col("exp_scale").isNotNull()).select(
+        *_by_keys(q),
+        series_key("metric", "attributes").alias("_sk"),
+        F.col("ts"),
+        tb.alias("_tb"),
+        F.col("exp_scale"),
+        F.col("exp_zero_count"),
+        F.col("exp_positive_buckets"),
+        F.col("exp_negative_buckets"),
+    )
+
+    def _signed(col: str, sign: int):
+        return F.transform(
+            F.coalesce(F.col(col), F.array().cast(
+                "array<struct<index:int,count:bigint>>"
+            )),
+            lambda x: F.struct(
+                F.lit(sign).alias("sign"),
+                x["index"].alias("index"),
+                x["count"].alias("count"),
+            ),
+        )
+
+    zero = F.array(
+        F.struct(
+            F.lit(0).alias("sign"),
+            F.lit(0).alias("index"),
+            F.coalesce(F.col("exp_zero_count"), F.lit(0))
+            .cast("bigint")
+            .alias("count"),
+        )
+    )
+    exploded = base.select(
+        *q.by,
+        "_sk",
+        "ts",
+        "_tb",
+        "exp_scale",
+        F.explode(
+            F.concat(
+                _signed("exp_positive_buckets", 1),
+                _signed("exp_negative_buckets", -1),
+                zero,
+            )
+        ).alias("b"),
+    ).select(
+        *q.by,
+        "_sk",
+        "ts",
+        "_tb",
+        "exp_scale",
+        F.col("b.sign").alias("sign"),
+        F.col("b.index").alias("index"),
+        F.col("b.count").cast("double").alias("_cum"),
+    )
+    rated = rate_over_window(
+        exploded,
+        [*q.by, "_sk", "exp_scale", "sign", "index"],
+        q.range_s,
+        value_col="_cum",
+        tiebreak_col="_tb",
+        window_cols=["_sk", "sign", "index"],
+    )
+    micro = rated.where(F.col("rate").isNotNull()).select(
+        *q.by,
+        "bucket_ts",
+        "exp_scale",
+        "sign",
+        "index",
+        F.round(F.col("rate") * 1e6).cast("bigint").alias("_r"),
+    )
+    # min-scale merge across series (H7): shift BEFORE the sum so the
+    # per-index partial is map-side combinable at the common scale
+    w = Window.partitionBy(*q.by, "bucket_ts")
+    shifted = (
+        micro.withColumn("_min_scale", F.min("exp_scale").over(w))
+        .withColumn(
+            "index",
+            F.when(F.col("sign") == 0, F.lit(0)).otherwise(
+                F.floor(
+                    F.col("index").cast("double")
+                    / F.pow(
+                        F.lit(2.0),
+                        (
+                            F.col("exp_scale") - F.col("_min_scale")
+                        ).cast("double"),
+                    )
+                ).cast("int")
+            ),
+        )
+    )
+    per_idx = shifted.groupBy(
+        *q.by, "bucket_ts", "_min_scale", "sign", "index"
+    ).agg(F.sum("_r").alias("count"))
+    rolled = per_idx.groupBy(
+        *q.by, "bucket_ts", F.col("_min_scale").alias("exp_scale")
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("sign") == 1, F.struct("index", "count"))
+            )
+        ).alias("exp_positive_buckets"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("sign") == -1, F.struct("index", "count"))
+            )
+        ).alias("exp_negative_buckets"),
+        F.sum(
+            F.when(F.col("sign") == 0, F.col("count")).otherwise(0)
+        ).alias("exp_zero_count"),
+    )
+    val = exp_histogram_percentile(
+        "exp_scale",
+        "exp_zero_count",
+        "exp_positive_buckets",
+        "exp_negative_buckets",
+        float(q.quantile),
+    )
+    return rolled.select(
+        *q.by,
+        "bucket_ts",
+        F.round(val * F.lit(10000)).cast("bigint").alias("value"),
     )
 
 

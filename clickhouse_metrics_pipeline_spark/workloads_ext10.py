@@ -484,3 +484,195 @@ FROM b
 
 EXTRA10_QUERIES["promql_hist_fraction_interp"] = promql_hist_fraction_interp
 EXTRA10_ORACLE["promql_hist_fraction_interp"] = _FRAC_INTERP_SQL
+
+
+# --------------------------------------------------------------------------
+# Native-histogram rate: histogram_quantile over rate() of exp histograms
+# --------------------------------------------------------------------------
+
+PROMQL_EXP_RATE_QUERY = (
+    "histogram_quantile(0.95, "
+    "sum by (event_type) (rate(exp_requests_cum[1d])))"
+)
+
+
+def _cum_exp_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reshaped as TIME-cumulative exp-histogram series: one
+    series per (event_type, host=user_id%4) at a per-series-constant
+    scale host%2, two positive bucket counters at indexes (host,
+    host+2) growing ``(unix·(1+j+host)) div 7`` and a zero counter
+    growing ``(unix·(1+host)) div 11`` — all monotone per series and
+    integer-restatable in DuckDB."""
+    ev = _events(spark, sf_dir)
+    host = (F.col("user_id") % 4).cast("string")
+
+    def cum(j: int) -> F.Column:
+        return F.expr(
+            f"CAST((unix_timestamp(ts) * (1 + {j} + user_id % 4)) "
+            "DIV 7 AS BIGINT)"
+        )
+
+    i0 = (F.col("user_id") % 4).cast("int")
+    return ev.select(
+        F.lit("exp_requests_cum").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type"), F.lit("host")),
+            F.array(F.col("event_type"), host),
+        ).alias("attributes"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id").alias("sample_id"),
+        ((F.col("user_id") % 4) % 2).cast("int").alias("exp_scale"),
+        F.expr(
+            "CAST((unix_timestamp(ts) * (1 + user_id % 4)) "
+            "DIV 11 AS BIGINT)"
+        ).alias("exp_zero_count"),
+        F.lit(0.0).alias("exp_zero_threshold"),
+        F.array(
+            F.struct(i0.alias("index"), cum(0).alias("count")),
+            F.struct((i0 + 2).alias("index"), cum(1).alias("count")),
+        ).alias("exp_positive_buckets"),
+        F.lit(None)
+        .cast("array<struct<index:int,count:bigint>>")
+        .alias("exp_negative_buckets"),
+    )
+
+
+def promql_exp_rate_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-histogram rate from text — the composition of this
+    round's two paths: histogram_quantile(0.95, sum by (t)
+    (rate(exp[1d]))) rates every per-(series, sign, index) cumulative
+    counter (incl. the zero counter) with the extrapolatedRate kernel,
+    merges the BIGINT micro-rates across series at the group's min
+    scale (H7 floor-div shift), and walks with the H6 midpoint walk
+    (plans/promql._exp_rate_quantile_plan). Output BIGINT
+    round(midpoint x10000)."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_EXP_RATE_QUERY, _cum_exp_series_frame(spark, sf_dir)
+    )
+
+
+_EXP_RATE_SQL = f"""
+WITH slots AS (
+  SELECT event_type, (user_id % 4) AS h, ((user_id % 4) % 2) AS scale,
+         1 AS sign, (user_id % 4) AS idx, ts, event_id,
+         (((epoch_us(ts) // 1000000) * (1 + 0 + (user_id % 4)))
+          // 7)::DOUBLE AS v
+  FROM {_EV_SQL}
+  UNION ALL
+  SELECT event_type, (user_id % 4), ((user_id % 4) % 2),
+         1, (user_id % 4) + 2, ts, event_id,
+         (((epoch_us(ts) // 1000000) * (1 + 1 + (user_id % 4)))
+          // 7)::DOUBLE
+  FROM {_EV_SQL}
+  UNION ALL
+  SELECT event_type, (user_id % 4), ((user_id % 4) % 2),
+         0, 0, ts, event_id,
+         (((epoch_us(ts) // 1000000) * (1 + (user_id % 4)))
+          // 11)::DOUBLE
+  FROM {_EV_SQL}
+), base AS (
+  SELECT event_type, h, scale, sign, idx, ts, event_id, v,
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         lag(v) OVER wb AS prev_v,
+         row_number() OVER wb AS rn_a,
+         row_number() OVER (PARTITION BY event_type, h, sign, idx,
+                                         time_bucket(INTERVAL 1 DAY, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM slots
+  WINDOW wb AS (PARTITION BY event_type, h, sign, idx,
+                             time_bucket(INTERVAL 1 DAY, ts)
+                ORDER BY ts, event_id)
+), agg AS (
+  SELECT event_type, h, scale, sign, idx, bucket_ts,
+         count(*) AS n_samples,
+         max(CASE WHEN rn_a = 1 THEN v END) AS first_v,
+         max(CASE WHEN rn_d = 1 THEN v END) AS last_v,
+         epoch_us(min(ts)) / 1e6 AS first_s,
+         epoch_us(max(ts)) / 1e6 AS last_s,
+         sum(CASE WHEN prev_v IS NOT NULL AND v < prev_v
+                  THEN prev_v ELSE 0.0 END) AS corr
+  FROM base GROUP BY 1, 2, 3, 4, 5, 6
+), ext AS (
+  SELECT *,
+         epoch(bucket_ts)::DOUBLE AS range_start,
+         last_v - first_v + corr AS result_v,
+         last_s - first_s AS sampled,
+         (last_s - first_s) / (n_samples - 1) AS avg_iv
+  FROM agg
+), ext2 AS (
+  SELECT *,
+         (CASE WHEN result_v > 0 AND first_v >= 0
+                    AND sampled * (first_v / result_v)
+                        < first_s - range_start
+               THEN sampled * (first_v / result_v)
+               ELSE first_s - range_start END) AS dur_start,
+         range_start + 86400.0 - last_s AS dur_end
+  FROM ext
+), rates AS (
+  SELECT event_type, bucket_ts, scale, sign, idx,
+         CASE WHEN n_samples >= 2 AND sampled > 0 THEN
+           round(result_v
+                 * ((sampled
+                     + (CASE WHEN dur_start < avg_iv * 1.1
+                             THEN dur_start ELSE avg_iv / 2 END)
+                     + (CASE WHEN dur_end < avg_iv * 1.1
+                             THEN dur_end ELSE avg_iv / 2 END))
+                    / sampled)
+                 / 86400.0, 6)
+         END AS rate
+  FROM ext2
+), micro AS (
+  SELECT event_type, bucket_ts, scale, sign, idx,
+         CAST(round(rate * 1000000) AS BIGINT) AS r
+  FROM rates WHERE rate IS NOT NULL
+), ms AS (
+  SELECT event_type, bucket_ts, min(scale) AS min_scale
+  FROM micro GROUP BY 1, 2
+), shifted AS (
+  SELECT m.event_type, m.bucket_ts, ms.min_scale, m.sign,
+         CASE WHEN m.sign = 0 THEN 0
+              ELSE floor(m.idx / pow(2, m.scale - ms.min_scale))::INT
+         END AS idx,
+         m.r
+  FROM micro m JOIN ms USING (event_type, bucket_ts)
+), pos AS (
+  SELECT event_type, bucket_ts, min_scale, idx, sum(r)::BIGINT AS cnt
+  FROM shifted WHERE sign = 1 GROUP BY 1, 2, 3, 4
+), grp AS (
+  SELECT DISTINCT event_type, bucket_ts, min_scale FROM shifted
+), zeros AS (
+  SELECT g.event_type, g.bucket_ts,
+         coalesce(z.cnt, 0)::BIGINT AS cnt
+  FROM grp g LEFT JOIN (
+    SELECT event_type, bucket_ts, sum(r) AS cnt
+    FROM shifted WHERE sign = 0 GROUP BY 1, 2
+  ) z USING (event_type, bucket_ts)
+), uni AS (
+  SELECT event_type, bucket_ts, 0.0 AS v, cnt, -1e9 AS ord FROM zeros
+  UNION ALL
+  SELECT event_type, bucket_ts,
+         (pow(pow(2, pow(2, -min_scale)), idx)
+          + pow(pow(2, pow(2, -min_scale)), idx + 1)) / 2 AS v,
+         cnt, idx::DOUBLE AS ord
+  FROM pos
+), w AS (
+  SELECT event_type, bucket_ts, v, cnt, ord,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts
+                        ORDER BY ord) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS total
+  FROM uni
+)
+SELECT event_type, bucket_ts,
+       CAST(round(arg_min(v, ord)
+                  FILTER (WHERE cum >= total * 95 / 100.0) * 10000)
+            AS BIGINT) AS value
+FROM w GROUP BY event_type, bucket_ts
+"""
+
+EXTRA10_QUERIES["promql_exp_rate_p95"] = promql_exp_rate_p95
+EXTRA10_ORACLE["promql_exp_rate_p95"] = _EXP_RATE_SQL

@@ -468,6 +468,40 @@ class TestStoredBucketQuantile:
         with pytest.raises(PromQLError, match="cumulative bucket"):
             compile_promql(q, df)
 
+    def test_exp_rate_form_rates_merges_and_walks(self, spark):
+        """r10: rate() over TIME-cumulative EXP histograms — the
+        native-histogram Grafana idiom. Hand-computed: host h1 at
+        scale 0 (idx2 counter Δ30 → micro-rate 11111, idx4 Δ60 →
+        22222, zero Δ15 → 5556), host h2 at scale 1 (idx4 Δ120 →
+        44444, zero flat → 0). Min scale 0 shifts h2's idx4 to 2;
+        merged counts {zero: 5556, idx2: 55555, idx4: 22222}, total
+        83333. p50 target 41666.5 lands on idx2 → midpoint
+        (2²+2³)/2 = 6.0 → 60000 ×10000."""
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long, "
+            "exp_scale int, exp_zero_count bigint, "
+            "exp_zero_threshold double, "
+            "exp_positive_buckets array<struct<index:int,count:bigint>>, "
+            "exp_negative_buckets array<struct<index:int,count:bigint>>"
+        )
+        rows = []
+        for i in range(4):
+            ts = T0 + dt.timedelta(minutes=15 * i)
+            rows.append(
+                ("exp_m", {"svc": "s1", "host": "h1"}, ts, 0.0, i,
+                 0, 5 * i, 0.0, [(2, 10 * i), (4, 20 * i)], None)
+            )
+            rows.append(
+                ("exp_m", {"svc": "s1", "host": "h2"}, ts, 0.0, 10 + i,
+                 1, 0, 0.0, [(4, 40 * i)], None)
+            )
+        df = spark.createDataFrame(rows, schema)
+        q = "histogram_quantile(0.50, sum by (svc) (rate(exp_m[1h])))"
+        out = compile_promql(q, df).collect()
+        assert len(out) == 1
+        assert out[0].svc == "s1" and out[0].value == 60_000
+
     def test_rate_form_rejects_le_in_by(self):
         with pytest.raises(PromQLError, match="bucket-array dimension"):
             parse(
