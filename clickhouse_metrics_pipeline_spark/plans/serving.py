@@ -38,6 +38,22 @@ from clickhouse_metrics_pipeline_spark.plans.router import select_resolution
 
 _SERIES_FRAME_COLS = ("metric", "attributes", "ts", "value")
 
+# histogram storage columns passed through to the PromQL compiler when
+# the routed table carries them (r10): a text histogram_quantile /
+# rate-form then reads the STORED histograms (split arrays at raw,
+# merged ``buckets`` at rollup grains, exp columns where kept) instead
+# of ladder-bucketing scalar values
+_HIST_PASSTHROUGH = (
+    "buckets",
+    "buckets_le",
+    "buckets_count",
+    "exp_scale",
+    "exp_zero_count",
+    "exp_zero_threshold",
+    "exp_positive_buckets",
+    "exp_negative_buckets",
+)
+
 # Prometheus's default lookback delta: an instant query at time=T
 # evaluates over [T - 5m, T].
 _INSTANT_LOOKBACK_S = 300.0
@@ -144,11 +160,13 @@ def routed_series_frame(
     """
     table = serving_resolution(start_s, end_s, now_ms)
     if table == "metrics_raw":
+        extra = [c for c in _HIST_PASSTHROUGH if c in raw.columns]
         return raw.select(
             "metric",
             "attributes",
             F.col("timestamp").alias("ts"),
             "value",
+            *extra,
         )
     rolled = stored(table) if stored is not None else None
     if rolled is None:
@@ -157,11 +175,13 @@ def routed_series_frame(
         )
 
         rolled = build_rollup_hierarchy(as_metrics_raw(raw))[table]
+    extra = [c for c in _HIST_PASSTHROUGH if c in rolled.columns]
     return rolled.select(
         "metric",
         "attributes",
         F.col("timestamp").alias("ts"),
         F.col("value_last").alias("value"),
+        *extra,
     )
 
 

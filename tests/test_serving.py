@@ -112,11 +112,52 @@ class TestRoutedSeriesFrame:
     def test_raw_route_is_straight_projection(self, spark):
         raw = _raw(spark, minutes=5)
         out = routed_series_frame(raw, None, None, self.NOW)
-        assert out.columns == ["metric", "attributes", "ts", "value"]
+        # contract columns first; histogram storage columns ride along
+        # (r10) so text quantiles can read STORED buckets over HTTP
+        assert out.columns[:4] == ["metric", "attributes", "ts", "value"]
+        assert "buckets" in out.columns and "exp_scale" in out.columns
         rows = {(r.ts, r.attributes["event_type"]): r.value
                 for r in out.collect()}
         assert rows[(T0 + dt.timedelta(minutes=3), "a")] == 3.0
         assert len(rows) == 10
+
+    def test_raw_route_serves_stored_buckets_to_text_quantiles(
+        self, spark
+    ):
+        # a stored-histogram metric queried through the ROUTED frame
+        # answers from its bucket arrays, not the raw-value ladder
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            compile_promql,
+        )
+        from clickhouse_metrics_pipeline_spark.schema import (
+            METRICS_RAW_SCHEMA,
+        )
+
+        rows = []
+        for i in range(10):
+            rows.append(
+                (
+                    "ws", 7, "lat_ms", "svc",
+                    T0 + dt.timedelta(minutes=i),
+                    3, 2, False,  # histogram-ish row
+                    None, 4, 100.0,
+                    [(10.0, 1), (25.0, 2), (50.0, 1)],
+                    None, None, None, None, None,
+                    {"event_type": "h"},
+                    None, None,
+                )
+            )
+        raw = spark.createDataFrame(rows, METRICS_RAW_SCHEMA)
+        frame = routed_series_frame(raw, None, None, self.NOW)
+        got = compile_promql(
+            "histogram_quantile(0.50, sum by (event_type) "
+            "(count_over_time(lat_ms[1h])))",
+            frame,
+        ).collect()
+        # merged per window: (10, 25, 50) x (10, 20, 10); p50 target
+        # 20 of 40 ends exactly at the 25 bucket:
+        # 10 + (20-10)/20*(25-10) = 17.5 -> 175000 x10000
+        assert len(got) == 1 and got[0].value == 175_000
 
     def test_rollup_route_value_consistency_at_window_grain(self, spark):
         # the same PromQL query over the raw-routed and the 1m-routed
