@@ -205,13 +205,23 @@ kernels the catalog queries use:
     histq    := 'histogram_quantile' '(' phi ',' aggop ')'
                 -- phi a whole-percent quantile in (0,1); the inner
                    aggop must be sum by (...) (count_over_time(...))
+                   over raw values or stored bucket/exp arrays, or
+                   sum by (...) (rate(...)) over TIME-cumulative
+                   stored bucket/exp arrays (r10)
+    histcomp := ('histogram_count'|'histogram_sum')
+                '(' ('rate'|'increase') '(' selector range ')' ')'
+                -- r10: rate the stored histogram's count/sum
+                   component counter (the native-histogram component
+                   reads); aggregable like any rate
     histf    := 'histogram_fraction' '(' lo ',' hi ',' aggop ')'
                 -- the fraction of the merged histogram's samples
                    with lo < value <= hi, as truncated
                    parts-per-million (the events_histogram_fraction
                    kernel's exact-ppm arithmetic per (by-labels,
                    window)). Same inner shape as histq. lo/hi must
-                   sit ON the fixed le ladder (10/25/50/100/200/500),
+                   sit ON the fixed le ladder (10/25/50/100/200/500)
+                   or be an INTEGER inside the ladder range (r10:
+                   exact in-bucket linear interpolation),
                    with lo = 0 meaning -Inf and hi = 'Inf' meaning
                    +Inf — at ladder bounds the bucket walk is an
                    exact count (no interpolation), so the engine
@@ -471,6 +481,12 @@ class PromQuery:
     # matrices sort by series identity; the plan itself is unchanged
     # (the driver/oracle comparison is order-free by design)
     sort_dir: str | None = None
+    # histogram_count()/histogram_sum() (r10): rate the named stored
+    # histogram COMPONENT counter ('count' | 'sum' column of a
+    # metrics_raw-shaped frame) instead of the value column — the
+    # native-histogram component reads. Parser-bound to wrap
+    # rate()/increase() only
+    hist_component: str | None = None
 
 
 @dataclass(frozen=True)
@@ -1100,6 +1116,12 @@ class _Parser:
                     "(rate(selector[range])) — the without-form has "
                     "no by-columns to group the histograms on"
                 )
+            if q.hist_component is not None:
+                raise PromQLError(
+                    "histogram_quantile over histogram_count/"
+                    "histogram_sum makes no sense — the component "
+                    "rate is a scalar series, not a histogram"
+                )
             if q.func == "rate" and "le" in q.by:
                 # r10: in this engine le is the bucket-array dimension
                 # and is consumed by the walk, never a by-column — the
@@ -1410,7 +1432,27 @@ class _Parser:
         return q
 
     def _call(self) -> PromQuery:
+        from dataclasses import replace
+
         fname = self.eat("ident")
+        if fname in ("histogram_count", "histogram_sum"):
+            # native-histogram component reads (r10):
+            # histogram_count(rate(x[r])) rates the stored histogram's
+            # observation-count counter, histogram_sum its sum counter
+            # — the component column swaps in for value at compile
+            self.eat("op", "(")
+            inner = self._call()
+            self.eat("op", ")")
+            if inner.func not in ("rate", "increase") or (
+                inner.inner is not None
+            ):
+                raise PromQLError(
+                    f"{fname}() subset wraps rate()/increase() of a "
+                    "stored-histogram selector (the component is a "
+                    "cumulative counter; other calls read the value "
+                    "column directly)"
+                )
+            return replace(inner, hist_component=fname.split("_", 1)[1])
         if fname not in _FUNCS:
             raise PromQLError(
                 f"unsupported function {fname!r} (subset: {_FUNCS})"
@@ -2778,6 +2820,19 @@ def compile_promql(
         return _absent_plan(q, df)
     if q.matchers:
         df = df.where(compile_matchers(list(q.matchers)))
+    if q.hist_component is not None:
+        # histogram_count()/histogram_sum() (r10): swap the stored
+        # component counter in for value, then the plan IS the rate
+        # plan — parser-bound to rate/increase
+        comp = q.hist_component
+        if comp not in df.columns:
+            raise PromQLError(
+                f"histogram_{comp}() needs a '{comp}' column on the "
+                "series frame (the metrics_raw stored-histogram shape)"
+            )
+        df = df.where(F.col(comp).isNotNull()).withColumn(
+            "value", F.col(comp).cast("double")
+        )
     if q.frac_lo is not None:
         return _hist_fraction_plan(q, df)
     if q.quantile is not None:

@@ -1701,7 +1701,8 @@ ORACLE_SQL.update(EXTRA10_ORACLE)
 #     driver-graded r11): promql_rate_bucket_p95,
 #     promql_exp_hist_p99, promql_quantile_raw_fallback,
 #     promql_at_modifier, promql_hist_fraction_interp,
-#     promql_exp_rate_p95.
+#     promql_exp_rate_p95, promql_hist_count_rate,
+#     promql_hist_sum_rate.
 # After this window no oracle-backed row's driver evidence is older
 # than r7, every r9 addition is driver-graded, and the only rows
 # older than r8 are the 24 named r7 deferrals. Names are frozen;

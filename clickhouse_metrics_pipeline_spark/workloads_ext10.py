@@ -676,3 +676,140 @@ FROM w GROUP BY event_type, bucket_ts
 
 EXTRA10_QUERIES["promql_exp_rate_p95"] = promql_exp_rate_p95
 EXTRA10_ORACLE["promql_exp_rate_p95"] = _EXP_RATE_SQL
+
+
+# --------------------------------------------------------------------------
+# Native-histogram component rates: histogram_count / histogram_sum
+# --------------------------------------------------------------------------
+
+
+def _cum_count_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reshaped as stored-histogram rows whose count/sum
+    component counters are TIME-cumulative: count grows
+    ``(unix·(1+host)) div 7``, sum ``(unix·(2+host)) div 9`` — both
+    monotone per (event_type, host=user_id%4) series and
+    integer-restatable in DuckDB."""
+    ev = _events(spark, sf_dir)
+    host = (F.col("user_id") % 4).cast("string")
+    return ev.select(
+        F.lit("hist_cs").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type"), F.lit("host")),
+            F.array(F.col("event_type"), host),
+        ).alias("attributes"),
+        F.col("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_id").alias("sample_id"),
+        F.expr(
+            "CAST((unix_timestamp(ts) * (1 + user_id % 4)) "
+            "DIV 7 AS BIGINT)"
+        ).alias("count"),
+        F.expr(
+            "CAST((unix_timestamp(ts) * (2 + user_id % 4)) "
+            "DIV 9 AS BIGINT)"
+        ).cast("double").alias("sum"),
+    )
+
+
+def promql_hist_count_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_count(rate(x[1d])) from text — the native-histogram
+    observations-per-second panel: the stored histogram's cumulative
+    COUNT counter swaps in for value, then the plan IS the
+    extrapolatedRate kernel with the micro-unit by-sum
+    (plans/promql compile, hist_component). Twin restates the same
+    counter in SQL."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        "sum by (event_type) (histogram_count(rate(hist_cs[1d])))",
+        _cum_count_sum_frame(spark, sf_dir),
+    )
+
+
+def promql_hist_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_sum(rate(x[1d])) from text — the native-histogram
+    sum-per-second read (mean latency's numerator), same compile path
+    as histogram_count over the SUM component counter."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        "sum by (event_type) (histogram_sum(rate(hist_cs[1d])))",
+        _cum_count_sum_frame(spark, sf_dir),
+    )
+
+
+def _component_rate_sql(mult_add: int, div: int) -> str:
+    """Rate-kernel twin over the cumulative component counter
+    ``(epoch·(mult_add + host)) // div`` per (event_type, host, day),
+    micro-unit summed by event_type."""
+    return f"""
+WITH base AS (
+  SELECT event_type, (user_id % 4) AS h, ts, event_id,
+         (((epoch_us(ts) // 1000000) * ({mult_add} + (user_id % 4)))
+          // {div})::DOUBLE AS v,
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         lag((((epoch_us(ts) // 1000000) * ({mult_add} + (user_id % 4)))
+              // {div})::DOUBLE) OVER wb AS prev_v,
+         row_number() OVER wb AS rn_a,
+         row_number() OVER (PARTITION BY event_type, user_id % 4,
+                                         time_bucket(INTERVAL 1 DAY, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM {_EV_SQL}
+  WINDOW wb AS (PARTITION BY event_type, user_id % 4,
+                             time_bucket(INTERVAL 1 DAY, ts)
+                ORDER BY ts, event_id)
+), agg AS (
+  SELECT event_type, h, bucket_ts,
+         count(*) AS n_samples,
+         max(CASE WHEN rn_a = 1 THEN v END) AS first_v,
+         max(CASE WHEN rn_d = 1 THEN v END) AS last_v,
+         epoch_us(min(ts)) / 1e6 AS first_s,
+         epoch_us(max(ts)) / 1e6 AS last_s,
+         sum(CASE WHEN prev_v IS NOT NULL AND v < prev_v
+                  THEN prev_v ELSE 0.0 END) AS corr
+  FROM base GROUP BY 1, 2, 3
+), ext AS (
+  SELECT *,
+         epoch(bucket_ts)::DOUBLE AS range_start,
+         last_v - first_v + corr AS result_v,
+         last_s - first_s AS sampled,
+         (last_s - first_s) / (n_samples - 1) AS avg_iv
+  FROM agg
+), ext2 AS (
+  SELECT *,
+         (CASE WHEN result_v > 0 AND first_v >= 0
+                    AND sampled * (first_v / result_v)
+                        < first_s - range_start
+               THEN sampled * (first_v / result_v)
+               ELSE first_s - range_start END) AS dur_start,
+         range_start + 86400.0 - last_s AS dur_end
+  FROM ext
+), rates AS (
+  SELECT event_type, bucket_ts,
+         CASE WHEN n_samples >= 2 AND sampled > 0 THEN
+           round(result_v
+                 * ((sampled
+                     + (CASE WHEN dur_start < avg_iv * 1.1
+                             THEN dur_start ELSE avg_iv / 2 END)
+                     + (CASE WHEN dur_end < avg_iv * 1.1
+                             THEN dur_end ELSE avg_iv / 2 END))
+                    / sampled)
+                 / 86400.0, 6)
+         END AS rate
+  FROM ext2
+)
+SELECT event_type, bucket_ts,
+       sum(CAST(round(rate * 1000000) AS BIGINT))::BIGINT AS value
+FROM rates WHERE rate IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+EXTRA10_QUERIES["promql_hist_count_rate"] = promql_hist_count_rate
+EXTRA10_ORACLE["promql_hist_count_rate"] = _component_rate_sql(1, 7)
+EXTRA10_QUERIES["promql_hist_sum_rate"] = promql_hist_sum_rate
+EXTRA10_ORACLE["promql_hist_sum_rate"] = _component_rate_sql(2, 9)

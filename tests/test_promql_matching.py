@@ -468,6 +468,52 @@ class TestStoredBucketQuantile:
         with pytest.raises(PromQLError, match="cumulative bucket"):
             compile_promql(q, df)
 
+    def test_histogram_component_rates(self, spark):
+        """r10: histogram_count/histogram_sum rate the stored
+        histogram's component counters. Hand-computed: count counter
+        (0,10,20,30) over [T0, T0+1h) → extrapolated Δ40/3600 →
+        11111 micro; sum counter (0,30,60,90) → 33333."""
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long, "
+            "count bigint, sum double"
+        )
+        rows = [
+            ("h", {"svc": "s1"}, T0 + dt.timedelta(seconds=900 * i),
+             None, i, 10 * i, 30.0 * i)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, schema)
+        got_c = compile_promql(
+            "sum by (svc) (histogram_count(rate(h[1h])))", df
+        ).collect()
+        got_s = compile_promql(
+            "sum by (svc) (histogram_sum(rate(h[1h])))", df
+        ).collect()
+        assert [r.value for r in got_c] == [11_111]
+        assert [r.value for r in got_s] == [33_333]
+
+    def test_histogram_component_rejections(self, spark):
+        with pytest.raises(PromQLError, match="wraps rate"):
+            parse(
+                "sum by (t) (histogram_count(count_over_time(h[1h])))"
+            )
+        with pytest.raises(PromQLError, match="makes no sense"):
+            parse(
+                "histogram_quantile(0.9, sum by (t) "
+                "(histogram_count(rate(h[1h]))))"
+            )
+        # frame without the component column: clear compile error
+        df = spark.createDataFrame(
+            [("h", {"svc": "s"}, T0, 1.0)],
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double",
+        )
+        with pytest.raises(PromQLError, match="'count' column"):
+            compile_promql(
+                "sum by (svc) (histogram_count(rate(h[1h])))", df
+            )
+
     def test_exp_rate_form_rates_merges_and_walks(self, spark):
         """r10: rate() over TIME-cumulative EXP histograms — the
         native-histogram Grafana idiom. Hand-computed: host h1 at
