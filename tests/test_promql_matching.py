@@ -493,6 +493,31 @@ class TestStoredBucketQuantile:
         assert [r.value for r in got_c] == [11_111]
         assert [r.value for r in got_s] == [33_333]
 
+    def test_mean_latency_composes_from_components(self, spark):
+        """The canonical mean-latency panel composes from the two
+        component rates with the existing '/' binop (both sides
+        rate_micro): histogram_sum(rate)/histogram_count(rate) — ppm
+        of sum-units per observation. Counters: count Δ40, sum Δ120
+        over the same window → extrapolated rates cancel the window
+        factors → mean = 3.0 → 3_000_000 ppm."""
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long, "
+            "count bigint, sum double"
+        )
+        rows = [
+            ("h", {"svc": "s1"}, T0 + dt.timedelta(seconds=900 * i),
+             None, i, 10 * i, 30.0 * i)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, schema)
+        q = (
+            "sum by (svc) (histogram_sum(rate(h[1h]))) / "
+            "sum by (svc) (histogram_count(rate(h[1h])))"
+        )
+        got = compile_promql(q, df).collect()
+        assert [(r.svc, r.value) for r in got] == [("s1", 3_000_000)]
+
     def test_histogram_component_rejections(self, spark):
         with pytest.raises(PromQLError, match="wraps rate"):
             parse(
