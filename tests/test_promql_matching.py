@@ -518,6 +518,33 @@ class TestStoredBucketQuantile:
         got = compile_promql(q, df).collect()
         assert [(r.svc, r.value) for r in got] == [("s1", 3_000_000)]
 
+    def test_component_composes_with_at_and_sort(self, spark):
+        # grammar interplay: the component selector keeps the inner
+        # call's @ pin, and sort() wraps the aggregated form
+        q = parse(
+            "sort_desc(sum by (svc) "
+            "(histogram_count(rate(h[1h] @ 1767225600))))"
+        )
+        assert q.hist_component == "count"
+        assert q.at_s == 1767225600 and q.sort_dir == "desc"
+        schema = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long, "
+            "count bigint, sum double"
+        )
+        rows = [
+            ("h", {"svc": "s1"}, T0 + dt.timedelta(seconds=900 * i),
+             None, i, 10 * i, 30.0 * i)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, schema)
+        t = int((T0 - dt.datetime(1970, 1, 1)).total_seconds()) + 100
+        got = compile_promql(
+            f"sum by (svc) (histogram_count(rate(h[1h] @ {t})))", df
+        ).collect()
+        # pinned to the window containing T0+100s = the data's window
+        assert [(r.svc, r.value) for r in got] == [("s1", 11_111)]
+
     def test_histogram_component_rejections(self, spark):
         with pytest.raises(PromQLError, match="wraps rate"):
             parse(
