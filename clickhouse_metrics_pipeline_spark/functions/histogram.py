@@ -390,6 +390,76 @@ def exp_histogram_percentile(
     return F.when(total > 0, walk).otherwise(F.lit(None).cast("double"))
 
 
+def exp_histogram_fraction(
+    scale: Column | str,
+    zero_count: Column | str,
+    positive_buckets: Column | str,
+    negative_buckets: Column | str,
+    lo: float,
+    hi: float,
+) -> Column:
+    """Fraction of an exponential histogram's observations in
+    (lo, hi], as truncated parts-per-million BIGINT (r11, the r10
+    verdict's item 6 — the native-histogram completion of
+    histogram_fraction; Prometheus supports the same call on native
+    histograms).
+
+    Bound conventions follow the classic plan's parser contract:
+    ``lo == 0.0`` is the -Inf sentinel (nothing subtracted),
+    ``hi == inf`` is everything. For a finite bound B > 0,
+    mass(<= B) counts all negative buckets and the zero bucket (their
+    mass sits at/below 0 — the H6 walk's zero-midpoint convention)
+    plus, per positive bucket (base^i, base^(i+1)] with
+    base = 2^(2^-scale): the full count when the upper edge <= B,
+    none when the lower edge >= B, and linear in-bucket interpolation
+    count*(B - lower)/(upper - lower) for the straddling bucket —
+    the same linear rule classic histogram_fraction applies within a
+    bucket. Bucket edges are powers of two at the merged scale, so
+    with integer bounds the interpolation terms are exactly
+    representable doubles and the ppm floor is engine-invariant
+    (the DuckDB twin restates the identical expression).
+    Empty histogram -> NULL."""
+    sc = _col(scale)
+    zc = F.coalesce(_col(zero_count), F.lit(0).cast("bigint"))
+    pos = F.coalesce(_col(positive_buckets), F.array())
+    neg = F.coalesce(_col(negative_buckets), F.array())
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -sc.cast("double")))
+    neg_total = F.aggregate(
+        neg, F.lit(0).cast("bigint"), lambda a, x: a + x["count"]
+    )
+    pos_total = F.aggregate(
+        pos, F.lit(0).cast("bigint"), lambda a, x: a + x["count"]
+    )
+    total = (zc + neg_total + pos_total).cast("double")
+
+    def mass_le(bound: float) -> Column:
+        if bound == float("inf"):
+            return total
+        if bound == 0.0:  # the parser's -Inf sentinel
+            return F.lit(0.0)
+        b = F.lit(float(bound))
+
+        def contrib(a: Column, x) -> Column:
+            lower = F.pow(base, x["index"].cast("double"))
+            upper = F.pow(base, x["index"].cast("double") + 1)
+            c = x["count"].cast("double")
+            return a + (
+                F.when(upper <= b, c)
+                .when(lower >= b, F.lit(0.0))
+                .otherwise(c * (b - lower) / (upper - lower))
+            )
+
+        return (
+            (zc + neg_total).cast("double")
+            + F.aggregate(pos, F.lit(0.0), contrib)
+        )
+
+    ppm = F.floor((mass_le(hi) - mass_le(lo)) * F.lit(1_000_000.0) / total)
+    return F.when(total > 0, ppm.cast("bigint")).otherwise(
+        F.lit(None).cast("bigint")
+    )
+
+
 def merge_exp_histograms_agg(
     df: DataFrame, group_cols: list[str]
 ) -> DataFrame:

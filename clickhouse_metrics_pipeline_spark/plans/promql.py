@@ -703,6 +703,56 @@ def evaluation_grain_seconds(q) -> int:
     return q.range_s
 
 
+def query_lookback_seconds(q) -> int:
+    """Total trailing INPUT lookback of a parsed query: the widest
+    (range + offset + nested-subquery lookback) across the tree. An
+    output window at T can only read samples in [T - lookback, T + the
+    window's own range), so the serving layer uses this to clip the
+    series frame to the request span BEFORE compiling (r10 verdict
+    item 2)."""
+    if isinstance(q, BinQuery):
+        return max(
+            query_lookback_seconds(q.lhs), query_lookback_seconds(q.rhs)
+        )
+    lb = q.range_s + (q.offset_s or 0)
+    if q.inner is not None:
+        lb += query_lookback_seconds(q.inner)
+    return lb
+
+
+def input_time_bounds(
+    q, start_s: float | None, end_s: float | None
+) -> tuple[float | None, float | None]:
+    """The [lo, hi] epoch-second span of input samples that can
+    contribute to the request's output grid — conservative by at most
+    one window on each side. r10 verdict item 2: the HTTP layer
+    previously compiled against the UNCLIPPED routed table, so
+    histogram_quantile's bounded dispatch probes (and the main plan's
+    scan) read the table with only the metric/matcher pushdown — a
+    NEGATIVE probe had to exhaust the full table per request. Filtering
+    ``ts`` to these bounds before compile lets the probes and the plan
+    both prune to the request's date partitions.
+
+    An ``@``-pinned node evaluates at its own fixed window regardless
+    of the request grid (r10 ADVICE item: a pin outside [start, end]
+    must still be readable), so its bounds come from the pinned
+    timestamp. Either side is None when unbounded (no start given and
+    no pin)."""
+    if isinstance(q, BinQuery):
+        l1, h1 = input_time_bounds(q.lhs, start_s, end_s)
+        l2, h2 = input_time_bounds(q.rhs, start_s, end_s)
+        lo = None if l1 is None or l2 is None else min(l1, l2)
+        hi = None if h1 is None or h2 is None else max(h1, h2)
+        return lo, hi
+    lb = float(query_lookback_seconds(q))
+    if getattr(q, "at_s", None) is not None:
+        w = float((q.at_s // q.range_s) * q.range_s)
+        return w - lb, w + lb
+    lo = None if start_s is None else start_s - lb
+    hi = None if end_s is None else end_s + lb
+    return lo, hi
+
+
 class PromQLError(ValueError):
     pass
 
@@ -713,13 +763,36 @@ class PromQLError(ValueError):
 # fail the PARSE (HTTP 400), not blow up in the executor (HTTP 500).
 # The checked common subset below is literal in both dialects and in
 # PromQL's RE2.
-_PY_ONLY_REGEX = (
+_PY_ONLY_GROUPS = (
     ("(?P<", "Python-only named group (?P<name>...)"),
     ("(?P=", "Python-only named backreference (?P=name)"),
     ("(?#", "Python-only inline comment (?#...)"),
     ("(?(", "Python-only conditional group (?(id)...)"),
-    ("\\Z", r"\Z differs between dialects (use $)"),
 )
+
+
+def _scan_py_only_regex(regex: str) -> str | None:
+    """Escape-aware scan for the dialect-divergent constructs. r10
+    ADVICE item (low): the old substring checks false-positived on
+    escaped literals — ``\\\\Z`` (a literal backslash then ``Z``)
+    contains the ``\\Z`` marker but is portable, and ``\\(?P<`` is a
+    literal paren. Walk the pattern consuming escape pairs, so a
+    marker only fires at an UNESCAPED ``(`` / on a real ``\\Z``
+    anchor escape."""
+    i = 0
+    while i < len(regex):
+        ch = regex[i]
+        if ch == "\\":
+            if i + 1 < len(regex) and regex[i + 1] == "Z":
+                return r"\Z differs between dialects (use $)"
+            i += 2  # any other escape pair is literal in both dialects
+            continue
+        if ch == "(":
+            for marker, why in _PY_ONLY_GROUPS:
+                if regex.startswith(marker, i):
+                    return why
+        i += 1
+    return None
 
 
 def _validate_label_replace(regex: str, repl: str) -> None:
@@ -739,12 +812,12 @@ def _validate_label_replace(regex: str, repl: str) -> None:
         raise PromQLError(
             f"label_replace regex {regex!r}: {exc}"
         ) from None
-    for marker, why in _PY_ONLY_REGEX:
-        if marker in regex:
-            raise PromQLError(
-                f"label_replace regex {regex!r}: {why} is outside the "
-                "dialect-portable subset (executed with Java regex)"
-            )
+    why = _scan_py_only_regex(regex)
+    if why is not None:
+        raise PromQLError(
+            f"label_replace regex {regex!r}: {why} is outside the "
+            "dialect-portable subset (executed with Java regex)"
+        )
     i = 0
     while i < len(repl):
         ch = repl[i]
@@ -764,13 +837,28 @@ def _validate_label_replace(regex: str, repl: str) -> None:
                     "a $N group reference or escaped as \\$ (Java "
                     "replacement rules)"
                 )
-            if int(m.group(1)) > ngroups:
+            digits = m.group(1)
+            # r10 ADVICE item (low): Java's appendReplacement consumes
+            # the LONGEST legal group-number prefix and leaves the
+            # remaining digits as literals — '$12' with one group is
+            # group 1 then a literal '2', not an error. Only a first
+            # digit exceeding the group count (no legal prefix at all)
+            # is an executor-side IndexOutOfBounds, so only that 400s.
+            ref = int(digits[0])
+            if ref > ngroups:
                 raise PromQLError(
                     f"label_replace replacement {repl!r}: group "
-                    f"${m.group(1)} exceeds the pattern's "
+                    f"${digits[0]} exceeds the pattern's "
                     f"{ngroups} group(s)"
                 )
-            i += m.end()
+            j = 1
+            while (
+                j < len(digits)
+                and ref * 10 + int(digits[j]) <= ngroups
+            ):
+                ref = ref * 10 + int(digits[j])
+                j += 1
+            i += 1 + j
             continue
         i += 1
 
@@ -1105,7 +1193,7 @@ class _Parser:
             self.eat("op", ")")
             if (
                 q.agg != "sum"
-                or q.func not in ("count_over_time", "rate")
+                or q.func not in ("count_over_time", "rate", "increase")
                 or q.without
             ):
                 raise PromQLError(
@@ -1113,8 +1201,9 @@ class _Parser:
                     "histogram shape: sum by (...) "
                     "(count_over_time(selector[range])) or, over "
                     "stored CUMULATIVE bucket arrays, sum by (...) "
-                    "(rate(selector[range])) — the without-form has "
-                    "no by-columns to group the histograms on"
+                    "(rate(selector[range])) / (increase(...)) — the "
+                    "without-form has no by-columns to group the "
+                    "histograms on"
                 )
             if q.hist_component is not None:
                 raise PromQLError(
@@ -1122,7 +1211,7 @@ class _Parser:
                     "histogram_sum makes no sense — the component "
                     "rate is a scalar series, not a histogram"
                 )
-            if q.func == "rate" and "le" in q.by:
+            if q.func in ("rate", "increase") and "le" in q.by:
                 # r10: in this engine le is the bucket-array dimension
                 # and is consumed by the walk, never a by-column — the
                 # canonical 'sum by (le)' spelling over per-le _bucket
@@ -1795,6 +1884,32 @@ def _bucket_pairs_col(df: DataFrame):
     return None
 
 
+def _exp_presence_probe(df: DataFrame) -> bool:
+    """One bounded limit(1) jobette: do the matched series actually
+    carry a populated exp-histogram (any signed bucket or a nonzero
+    zero-count)? Shared by the count_over_time and rate dispatch forms
+    (r10 ADVICE item) so both probe identically before routing to the
+    H7+H6 plans."""
+    return bool(
+        df.where(
+            F.col("exp_scale").isNotNull()
+            & (
+                (
+                    F.coalesce(F.size("exp_positive_buckets"), F.lit(0))
+                    > 0
+                )
+                | (
+                    F.coalesce(F.size("exp_negative_buckets"), F.lit(0))
+                    > 0
+                )
+                | (F.coalesce(F.col("exp_zero_count"), F.lit(0)) > 0)
+            )
+        )
+        .limit(1)
+        .count()
+    )
+
+
 def _stored_bucket_rate_quantile_plan(
     q: PromQuery, df: DataFrame
 ) -> DataFrame:
@@ -1850,15 +1965,33 @@ def _stored_bucket_rate_quantile_plan(
     )
 
     pairs = _bucket_pairs_col(df)
+    # r10 ADVICE item (medium): routing on bucket-column PRESENCE
+    # alone silently answered EMPTY for a rate-form quantile over a
+    # metric whose bucket columns exist but are all NULL (a gauge /
+    # plain counter selected out of a metrics_raw-shaped frame) — the
+    # exact silent-empty mode the r9 ADVICE fix closed for the
+    # count_over_time form. Mirror that path's bounded limit(1)
+    # presence probes: classic pairs first, then exp columns, and a
+    # clear 400 when the matched series carry neither.
+    if pairs is not None:
+        probe = (
+            df.where(pairs.isNotNull() & (F.size(pairs) > 0))
+            .limit(1)
+            .count()
+        )
+        if not probe:
+            pairs = None
     if pairs is None:
-        if "exp_positive_buckets" in df.columns:
+        if "exp_positive_buckets" in df.columns and _exp_presence_probe(
+            df
+        ):
             # native-histogram rate (r10): cumulative exp-histogram
             # counters route to the exp rate+merge+walk composition
             return _exp_rate_quantile_plan(q, df)
         raise PromQLError(
             "the rate() form of histogram_quantile reads stored "
-            "cumulative bucket arrays (classic or exp); this series "
-            "frame carries neither — use the count_over_time form "
+            "cumulative bucket arrays (classic or exp); the matched "
+            "series carry neither — use the count_over_time form "
             "over raw sample values instead"
         )
     has_sid = "sample_id" in df.columns
@@ -1887,6 +2020,7 @@ def _stored_bucket_rate_quantile_plan(
         q.range_s,
         value_col="_cum",
         tiebreak_col="_tb",
+        mode="increase" if q.func == "increase" else "rate",
         window_cols=["_sk", "le"],
     )
     per_le = (
@@ -2000,13 +2134,22 @@ def _exp_rate_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         F.col("b.index").alias("index"),
         F.col("b.count").cast("double").alias("_cum"),
     )
+    # r10 ADVICE item (low): the in-window lag partitions on exp_scale
+    # too — a series that changes scale mid-window previously leaked
+    # prev_v across scale groups (corrupting reset correction) and
+    # summed two per-scale partial rates after downscaling,
+    # double-counting the window. A scale change now starts a new
+    # counter (its first sample re-enters through the extrapolation
+    # kernel's first-point handling), matching how Prometheus treats a
+    # native-histogram schema change as a counter reset boundary.
     rated = rate_over_window(
         exploded,
         [*q.by, "_sk", "exp_scale", "sign", "index"],
         q.range_s,
         value_col="_cum",
         tiebreak_col="_tb",
-        window_cols=["_sk", "sign", "index"],
+        mode="increase" if q.func == "increase" else "rate",
+        window_cols=["_sk", "exp_scale", "sign", "index"],
     )
     micro = rated.where(F.col("rate").isNotNull()).select(
         *q.by,
@@ -2139,10 +2282,14 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
     from clickhouse_metrics_pipeline_spark.workloads import _le_expr
 
-    if q.func == "rate":
+    if q.func in ("rate", "increase"):
         # parser-gated: only reachable as histogram_quantile(φ,
         # sum by (L) (rate(sel[r]))) — the stored-CUMULATIVE-bucket
-        # read path (r10)
+        # read path (r10). increase (r11, the r10 verdict's item 5,
+        # Grafana's other canonical spelling) is the same plan with
+        # the kernel in increase mode: extrapolatedRate × range on
+        # the same micro-units; the walk is scale-free in the counts,
+        # so the quantile agrees with the rate form by construction.
         return _stored_bucket_rate_quantile_plan(q, df)
     pairs = _bucket_pairs_col(df)
     if pairs is not None:
@@ -2162,34 +2309,11 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         )
         if probe:
             return _stored_bucket_quantile_plan(q, df)
-    if "exp_positive_buckets" in df.columns:
+    if "exp_positive_buckets" in df.columns and _exp_presence_probe(df):
         # exp-histogram read path (r10): same bounded presence probe —
         # only matched metrics that actually store exp buckets route
         # to the H7+H6 plan; gauges fall through to the raw ladder
-        probe = (
-            df.where(
-                F.col("exp_scale").isNotNull()
-                & (
-                    (
-                        F.coalesce(
-                            F.size("exp_positive_buckets"), F.lit(0)
-                        )
-                        > 0
-                    )
-                    | (
-                        F.coalesce(
-                            F.size("exp_negative_buckets"), F.lit(0)
-                        )
-                        > 0
-                    )
-                    | (F.coalesce(F.col("exp_zero_count"), F.lit(0)) > 0)
-                )
-            )
-            .limit(1)
-            .count()
-        )
-        if probe:
-            return _exp_hist_quantile_plan(q, df)
+        return _exp_hist_quantile_plan(q, df)
     bucket = F.window("ts", f"{q.range_s} seconds")
     per_le = (
         df.select(
@@ -2214,6 +2338,44 @@ def _hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     )
 
 
+def _exp_hist_fraction_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """histogram_fraction(lo, hi, sum by (L) (count_over_time(...)))
+    over rows carrying EXP-histogram columns (r11, the r10 verdict's
+    item 6 — the last native-histogram read missing from text): the
+    same H7 min-scale merge per (by-labels, window) as the exp
+    quantile, then a two-bound cumulative-mass difference over the
+    merged histogram (``functions/histogram.exp_histogram_fraction``)
+    instead of the quantile walk. Output value is truncated ppm BIGINT
+    — the classic fraction plan's encoding contract. Same scale shape
+    as the exp quantile: the A6-style merge is the only shuffle,
+    O(indexes) rows per group, py=0."""
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        exp_histogram_fraction,
+        merge_exp_histograms_agg,
+    )
+
+    bucket = F.window("ts", f"{q.range_s} seconds")
+    g = df.where(F.col("exp_scale").isNotNull()).select(
+        *_by_keys(q),
+        bucket["start"].alias("bucket_ts"),
+        "exp_scale",
+        "exp_zero_count",
+        "exp_zero_threshold",
+        "exp_positive_buckets",
+        "exp_negative_buckets",
+    )
+    merged = merge_exp_histograms_agg(g, [*q.by, "bucket_ts"])
+    val = exp_histogram_fraction(
+        "exp_scale",
+        "exp_zero_count",
+        "exp_positive_buckets",
+        "exp_negative_buckets",
+        q.frac_lo,
+        q.frac_hi,
+    )
+    return merged.select(*q.by, "bucket_ts", val.alias("value"))
+
+
 def _hist_fraction_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     """histogram_fraction(lo, hi, sum by (L) (count_over_time(...))):
     the fraction of the merged histogram's samples in (lo, hi] as
@@ -2235,6 +2397,12 @@ def _hist_fraction_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     One shuffle to the by-grain with map-side partial counts."""
     import bisect
 
+    if "exp_positive_buckets" in df.columns and _exp_presence_probe(df):
+        # native-histogram fraction (r11): same bounded presence probe
+        # as the quantile dispatch — matched metrics that actually
+        # store exp buckets route to the H7 merge + two-bound mass
+        # difference; gauges fall through to the raw-value ladder
+        return _exp_hist_fraction_plan(q, df)
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
     finite = sorted(BOUNDS)
 

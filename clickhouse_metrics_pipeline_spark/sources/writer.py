@@ -213,17 +213,25 @@ def _rewrite_partition_swap(fs, hpath, base_path, name, df, job: str, tmp_suffix
     part = f"{base_path}/{name}"
     tmp = f"{base_path}/.{name}__rewrite_tmp"
     trash = f"{base_path}/.{name}__rewrite_old"
-    # a leftover trash/tmp dir means a previous rewrite crashed
-    # mid-swap; renaming onto it would return false forever, so
-    # fail loudly with the recovery path instead of looping
-    for stale in (trash, tmp):
-        if fs.exists(hpath(stale)):
-            raise IOError(
-                f"{job}: stale artifact {stale} from an "
-                "interrupted rewrite; inspect it (it holds the "
-                "pre-rewrite rows if it is the __rewrite_old dir), "
-                f"then delete it and re-run the {job}"
-            )
+    # a leftover trash dir means a previous rewrite crashed MID-SWAP:
+    # it may hold the only copy of the pre-rewrite rows, so renaming
+    # onto it (which would return false forever) or deleting it is
+    # never safe — fail loudly with the recovery path.
+    if fs.exists(hpath(trash)):
+        raise IOError(
+            f"{job}: stale artifact {trash} from an interrupted "
+            "rewrite; inspect it (it holds the pre-rewrite rows), "
+            f"then delete it and re-run the {job}"
+        )
+    # r10 verdict item 3: tmp WITHOUT trash is unambiguous — the crash
+    # happened between the tmp write and the first rename, so the live
+    # partition is intact and the tmp holds only an incomplete
+    # replacement. Auto-delete it and proceed instead of poisoning
+    # every subsequent micro-batch until a human intervenes
+    # (tests/test_streaming.py plants a stale tmp and asserts the next
+    # sink batch self-heals).
+    if fs.exists(hpath(tmp)):
+        fs.delete(hpath(tmp), True)
     df.write.mode("overwrite").parquet(tmp + tmp_suffix)
     # swap via a trash rename, never delete-before-rename: a
     # crash between the two renames leaves the old data intact

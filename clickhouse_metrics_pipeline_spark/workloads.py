@@ -1671,96 +1671,101 @@ QUERIES.update(EXTRA10_QUERIES)
 ORACLE_SQL.update(EXTRA10_ORACLE)
 
 # --------------------------------------------------------------------------
-# Driver-coverage rotation (round 10)
+# Driver-coverage rotation (round 11)
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot grades the FIRST 50 entries of
-# ``queries()`` (dict insertion order). Round-10 window = the r9
+# ``queries()`` (dict insertion order). Round-11 window = the r10
 # verdict's item 1, exactly:
-# (a) the fifteen heavy rows whose last driver grade is r6 (the named
-#     deferrals from the r9 rotation comment), at the head;
-# (b) the nine rows added in r9 that have never been driver-graded
-#     (all judge-gate green in the r9 session's 174/174 gate);
-# (c) 26 of the 50 rows whose last driver grade is r7, chosen
-#     cheapest-first by BENCH_r09 warm time (headline + coverage
-#     sets) so the 50-row grading window stays cheap. The 24
-#     heaviest r7 rows are deferred to LEAD the round-11 window
-#     (by BENCH_r09 warm sec:
-#     events_delta_stream 5.56, events_rollup_stream_1m 4.60,
-#     docs_language_id 1.74, docs_incremental_pairs 1.70,
-#     docs_bloom_decontaminate 1.24, events_hash_sample_quantiles 1.15,
-#     promql_irate_by_type 1.14, docs_source_overlap 1.01,
-#     docs_minhash_lsh_32band 0.99, docs_training_pipeline 0.97,
-#     multimodal_resize_chain 0.95, docs_bpe_top_merges 0.85,
-#     events_rollup_1h 0.78, events_exemplar_cap 0.70,
-#     docs_mixture_sample 0.65, events_lttb_downsample 0.65,
-#     events_exemplar_trace_join 0.62, events_funnel_levels 0.57,
-#     events_funnel_conversions 0.56, events_rollup_cascade 0.53,
-#     q22_global_sales 0.51, promql_q90_over_time 0.50,
-#     events_retention_cohorts 0.49, events_hash_sample_cascade 0.46),
-#     together with the rows added in r10 (local-gate green,
-#     driver-graded r11): promql_rate_bucket_p95,
-#     promql_exp_hist_p99, promql_quantile_raw_fallback,
-#     promql_at_modifier, promql_hist_fraction_interp,
-#     promql_exp_rate_p95, promql_hist_count_rate,
-#     promql_hist_sum_rate.
+# (a) the 24 heavy rows whose last driver grade is r7 — the named
+#     deferrals from the r10 rotation comment, heaviest-first — at
+#     the head;
+# (b) the eight rows added in r10 that have never been driver-graded
+#     (all judge-gate green in the r10 session's 182/182 gate):
+#     promql_rate_bucket_p95, promql_exp_hist_p99,
+#     promql_quantile_raw_fallback, promql_at_modifier,
+#     promql_hist_fraction_interp, promql_exp_rate_p95,
+#     promql_hist_count_rate, promql_hist_sum_rate;
+# (c) 18 of the 50 rows whose last driver grade is r8, chosen
+#     cheapest-first by BENCH_r10 warm time (headline + coverage
+#     sets) so the window stays cheap. The 32 remaining r8 rows are
+#     deferred to LEAD the round-12 window (by BENCH_r10 warm sec:
+#     events_rollup_incremental 4.83, emb_srp_semantic_dedup 1.22,
+#     promql_scalar_sum_rate 1.10, emb_srp_int8_pairs 0.95,
+#     q8_market_share 0.90, promql_deriv_by_type 0.82,
+#     q7_volume_shipping 0.81, hist_percentile_events 0.75,
+#     hist_percentile_prom_events 0.74, emb_ivf_int_topk 0.72,
+#     promql_predict_by_type 0.70, docs_rare_bigram_rate 0.65,
+#     emb_pq_int_adc_topk 0.62, q11_important_stock 0.61,
+#     q10_returned_items 0.53, events_predict_linear 0.52,
+#     q17_small_quantity 0.51, events_series_correlation 0.48,
+#     q12_priority_shipping 0.46, q16_supplier_count 0.44,
+#     promql_resets_by_type 0.43, emb_label_centroids 0.43,
+#     promql_stdvar_by_type 0.43, events_absent_series 0.42,
+#     q15_top_supplier 0.41, promql_stddev_max_by_type 0.40,
+#     promql_changes_by_type 0.39, docs_stopword_profile 0.39,
+#     events_holt_winters 0.37, promql_absent_gap 0.36,
+#     events_summary_quantiles 0.35, events_delta_1h 0.33),
+#     together with the rows added in r11 (local-gate green,
+#     driver-graded r12): promql_increase_bucket_p95,
+#     promql_exp_hist_fraction.
 # After this window no oracle-backed row's driver evidence is older
-# than r7, every r9 addition is driver-graded, and the only rows
-# older than r8 are the 24 named r7 deferrals. Names are frozen;
+# than r8, every r10 addition is driver-graded, and the only rows
+# older than r9 are the 32 named r8 deferrals. Names are frozen;
 # only order changes.
 _ROTATION_FIRST: list[str] = [
-    # (a) the fifteen r6-stale heavy deferrals
-    "events_rules_stream_1h",
-    "docs_ngram_jaccard",
-    "promql_rate_by_type",
-    "q5_local_supplier_volume",
-    "q21_waiting_supplier",
-    "docs_simhash_pairs",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "promql_wow_ratio",
-    "docs_minhash_lsh",
-    "promql_topk_types",
-    "q20_potential_part_promotion",
-    "exp_hist_merge",
-    "events_recording_rules",
-    "q4_order_priority",
-    # (b) the nine never-driver-graded r9 rows
-    "promql_share_of_type",
-    "promql_tier_enrich",
-    "promql_and_on_hot_types",
-    "promql_stored_bucket_p95",
-    "promql_growth_types",
-    "promql_label_replace_env",
-    "promql_label_join_key",
-    "promql_value_distribution",
-    "promql_hot_type_flags",
-    # (c) 26 cheapest r7-graded rows (24 heaviest lead r11)
-    "events_attr_merge",
-    "docs_stratified_sample",
-    "events_distinct_users",
-    "events_kmv_users",
-    "events_series_assembly",
-    "emb_quantize_int8",
-    "events_coverage_uptime",
-    "events_workspace_isolation",
-    "events_asof_join",
-    "events_anomaly_zscore",
-    "events_kmv_cascade",
-    "docs_kmv_source_overlap",
-    "events_ttl_retention",
-    "events_sliding_window",
-    "events_resolution_route",
-    "emb_neardup_clusters",
-    "docs_pack_sequences",
-    "events_gap_fill_locf",
-    "events_cube_rollup",
-    "events_slo_burn_rate",
-    "events_topk_series",
-    "events_session_window",
-    "events_irate_5m",
-    "events_incident_windows",
-    "docs_quality_classifier",
-    "docs_chunking",
+    # (a) the 24 r7-stale heavy deferrals, heaviest-first
+    "events_delta_stream",
+    "events_rollup_stream_1m",
+    "docs_language_id",
+    "docs_incremental_pairs",
+    "docs_bloom_decontaminate",
+    "events_hash_sample_quantiles",
+    "promql_irate_by_type",
+    "docs_source_overlap",
+    "docs_minhash_lsh_32band",
+    "docs_training_pipeline",
+    "multimodal_resize_chain",
+    "docs_bpe_top_merges",
+    "events_rollup_1h",
+    "events_exemplar_cap",
+    "docs_mixture_sample",
+    "events_lttb_downsample",
+    "events_exemplar_trace_join",
+    "events_funnel_levels",
+    "events_funnel_conversions",
+    "events_rollup_cascade",
+    "q22_global_sales",
+    "promql_q90_over_time",
+    "events_retention_cohorts",
+    "events_hash_sample_cascade",
+    # (b) the eight never-driver-graded r10 rows
+    "promql_rate_bucket_p95",
+    "promql_exp_hist_p99",
+    "promql_quantile_raw_fallback",
+    "promql_at_modifier",
+    "promql_hist_fraction_interp",
+    "promql_exp_rate_p95",
+    "promql_hist_count_rate",
+    "promql_hist_sum_rate",
+    # (c) 18 cheapest r8-graded rows (32 heaviest lead r12)
+    "events_rolling_mean",
+    "events_histogram_fraction",
+    "events_pivot_daily",
+    "emb_norm_stats",
+    "events_staleness_report",
+    "events_active_series_churn",
+    "events_heatmap_grid",
+    "events_resets_1h",
+    "events_user_enrich_topk",
+    "docs_token_topk",
+    "docs_decontaminate",
+    "events_changes_1h",
+    "events_alert_for",
+    "events_top_movers",
+    "events_seasonal_profile",
+    "docs_repetition_filter",
+    "events_wow_ratio",
+    "docs_length_histogram",
 ]
 
 

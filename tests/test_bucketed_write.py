@@ -274,3 +274,38 @@ class TestCompaction:
         os.makedirs(str(tmp_path / "frag" / ".date=2026-08-10__rewrite_old"))
         with _pytest.raises(IOError, match="stale artifact"):
             compact_partitions(spark, base, max_files=4)
+
+    def test_stale_tmp_dir_self_heals(self, spark, tmp_path):
+        """r10 verdict item 3: a ``__rewrite_tmp`` dir WITHOUT the
+        ``__rewrite_old`` trash means the crash hit between the tmp
+        write and the first rename — the live partition is intact and
+        the tmp holds only an incomplete replacement. The next sweep
+        must delete the tmp and proceed instead of poisoning every
+        subsequent run until a human deletes it."""
+        import os
+
+        from clickhouse_metrics_pipeline_spark.sources.writer import (
+            compact_partitions,
+        )
+
+        base = str(tmp_path / "frag")
+        self._fragment(spark, base, n_files=12)
+        part = "date=2026-08-10"
+        stale = tmp_path / "frag" / f".{part}__rewrite_tmp"
+        os.makedirs(str(stale))
+        with open(str(stale / "leftover.parquet"), "wb") as f:
+            f.write(b"not a real parquet file")
+        before = sorted(
+            (r.id, r.timestamp, r.metric)
+            for r in spark.read.parquet(base).collect()
+        )
+        res = compact_partitions(
+            spark, base, max_files=4, sort_key=["metric", "timestamp"]
+        )
+        assert len(res["compacted"]) == 1
+        assert not os.path.exists(str(stale))
+        after = sorted(
+            (r.id, r.timestamp, r.metric)
+            for r in spark.read.parquet(base).collect()
+        )
+        assert after == before

@@ -1390,3 +1390,240 @@ class TestCompile:
         # 0.25 raw^2 -> 2500 cents^2; stddev 50 cents
         assert [r.value for r in sv] == [2500]
         assert [r.value for r in sd] == [50]
+
+
+class TestQuantileDispatchMatrix:
+    """r10 verdict item 7: the histogram_quantile dispatch ladder
+    (rate-form -> classic presence probe -> exp presence probe -> raw
+    ladder) is probe-dependent; pin the full
+    {populated, NULL, absent} x {classic, exp} matrix so a storage-
+    shape change can't silently reroute a cell."""
+
+    import datetime as _dt
+
+    T0 = _dt.datetime(2026, 1, 1)
+
+    def _frame(self, spark, classic, exp):
+        """classic/exp in {'populated', 'null', 'absent'}; 3 samples
+        in one 1h window with cumulative counters (rate-able)."""
+        import datetime as dt
+
+        cols = (
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double"
+        )
+        if classic != "absent":
+            cols += ", buckets array<struct<le:double,count:bigint>>"
+        if exp != "absent":
+            cols += (
+                ", exp_scale int, exp_zero_count bigint"
+                ", exp_zero_threshold double"
+                ", exp_positive_buckets array<struct<index:int,count:bigint>>"
+                ", exp_negative_buckets array<struct<index:int,count:bigint>>"
+            )
+        rows = []
+        for i in range(3):
+            r = [
+                "m",
+                {"t": "x"},
+                self.T0 + dt.timedelta(minutes=10 * i),
+                float(i),
+            ]
+            if classic != "absent":
+                r.append(
+                    [(10.0, 2 * (i + 1)), (50.0, 3 * (i + 1))]
+                    if classic == "populated"
+                    else None
+                )
+            if exp != "absent":
+                if exp == "populated":
+                    r += [0, 1 * (i + 1), 0.0,
+                          [(0, 4 * (i + 1))], None]
+                else:
+                    r += [None, None, None, None, None]
+            rows.append(tuple(r))
+        return spark.createDataFrame(rows, cols)
+
+    Q_COUNT = (
+        "histogram_quantile(0.95, sum by (t) (count_over_time(m[1h])))"
+    )
+    Q_RATE = "histogram_quantile(0.95, sum by (t) (rate(m[1h])))"
+
+    class _Hit(Exception):
+        def __init__(self, name):
+            self.name = name
+
+    def _dispatch(self, spark, monkeypatch, query, classic, exp):
+        """Which plan the cell lands on: a named stored/exp plan (via
+        recorder), 'ladder' (the raw-value fallback ran for real), or
+        'error' (PromQLError)."""
+        import clickhouse_metrics_pipeline_spark.plans.promql as P
+
+        for fn in (
+            "_stored_bucket_quantile_plan",
+            "_exp_hist_quantile_plan",
+            "_exp_rate_quantile_plan",
+        ):
+            def _mk(name):
+                def _rec(q, df):
+                    raise self._Hit(name)
+                return _rec
+            monkeypatch.setattr(P, fn, _mk(fn))
+        df = self._frame(spark, classic, exp)
+        try:
+            out = compile_promql(query, df)
+        except self._Hit as h:
+            return h.name
+        except PromQLError:
+            return "error"
+        rows = out.collect()
+        assert rows  # the fallback ladder actually answered
+        return "ladder"
+
+    @pytest.mark.parametrize(
+        "classic,exp,want",
+        [
+            ("populated", "absent", "_stored_bucket_quantile_plan"),
+            ("populated", "populated", "_stored_bucket_quantile_plan"),
+            ("null", "populated", "_exp_hist_quantile_plan"),
+            ("null", "null", "ladder"),
+            ("absent", "populated", "_exp_hist_quantile_plan"),
+            ("absent", "null", "ladder"),
+            ("absent", "absent", "ladder"),
+        ],
+    )
+    def test_count_form_matrix(self, spark, monkeypatch, classic, exp, want):
+        got = self._dispatch(spark, monkeypatch, self.Q_COUNT, classic, exp)
+        assert got == want
+
+    @pytest.mark.parametrize(
+        "classic,exp,want",
+        [
+            # populated classic runs the stored rate plan inline
+            ("null", "populated", "_exp_rate_quantile_plan"),
+            ("absent", "populated", "_exp_rate_quantile_plan"),
+            # r10 ADVICE item: NULL-bucket metrics must 400, not
+            # silently answer empty
+            ("null", "null", "error"),
+            ("null", "absent", "error"),
+            ("absent", "null", "error"),
+            ("absent", "absent", "error"),
+        ],
+    )
+    def test_rate_form_matrix(self, spark, monkeypatch, classic, exp, want):
+        got = self._dispatch(spark, monkeypatch, self.Q_RATE, classic, exp)
+        assert got == want
+
+    def test_rate_form_classic_populated_runs_stored_plan(self, spark):
+        # no monkeypatch: the cumulative bucket counters rate for real
+        out = compile_promql(
+            self.Q_RATE, self._frame(spark, "populated", "absent")
+        ).collect()
+        assert len(out) == 1 and out[0].value is not None
+
+    def test_empty_classic_arrays_fall_back(self, spark, monkeypatch):
+        # size-0 arrays are 'no buckets' for the probe, like NULL
+        import datetime as dt
+
+        rows = [
+            (
+                "m", {"t": "x"},
+                self.T0 + dt.timedelta(minutes=10 * i), float(i), [],
+            )
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, "
+            "buckets array<struct<le:double,count:bigint>>",
+        )
+        out = compile_promql(self.Q_COUNT, df).collect()
+        assert out  # raw-value ladder answered
+
+
+class TestExpScaleChangeRate:
+    """r10 ADVICE item (low): a series that changes exp_scale inside a
+    rate window must behave exactly like two separate constant-scale
+    series (a scale change is a counter boundary) — no prev_v leak
+    across scale groups, no double-counted window."""
+
+    def _rows(self, split_series: bool):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = []
+        for i in range(4):
+            scale = 0 if i < 2 else 1
+            name = (
+                {"t": "x"}
+                if not split_series
+                else {"t": "x", "seg": str(scale)}
+            )
+            rows.append(
+                (
+                    "m", name, t0 + dt.timedelta(minutes=10 * i),
+                    0.0, scale, 0, 0.0,
+                    [(0, 10 * (i + 1))], None,
+                )
+            )
+        return rows
+
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, exp_scale int, "
+            "exp_zero_count bigint, exp_zero_threshold double, "
+            "exp_positive_buckets array<struct<index:int,count:bigint>>, "
+            "exp_negative_buckets array<struct<index:int,count:bigint>>",
+        )
+        return {
+            (r.t, r.bucket_ts): r.value
+            for r in compile_promql(
+                "histogram_quantile(0.95, sum by (t) (rate(m[1h])))",
+                df,
+            ).collect()
+        }
+
+    def test_scale_change_equals_split_series(self, spark):
+        merged = self._run(spark, self._rows(split_series=False))
+        split = self._run(spark, self._rows(split_series=True))
+        assert merged == split and merged
+
+
+class TestLabelReplaceDialectValidation:
+    """r10 ADVICE item (low): escape-aware regex marker scan + Java's
+    greedy-legal-prefix $N replacement rule."""
+
+    def _v(self, regex, repl="$0"):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            _validate_label_replace,
+        )
+
+        _validate_label_replace(regex, repl)
+
+    def test_escaped_literals_accepted(self):
+        # literal backslash + Z: NOT the \Z anchor
+        self._v(r"x\\Zy(a)")
+        # escaped paren before ?-ish text is a literal, not a group
+        self._v(r"\(a\)(b)")
+
+    def test_real_divergent_constructs_rejected(self):
+        for bad in (r"x\Zy", "(?P<n>a)", "a(?#c)b"):
+            with pytest.raises(PromQLError):
+                self._v(bad)
+        # the anchor hidden after an escaped backslash pair still fires
+        with pytest.raises(PromQLError):
+            self._v("a\\\\\\Zb")
+
+    def test_replacement_greedy_legal_prefix(self):
+        # $12 with one group = group 1 then literal '2' in Java
+        self._v("(a)", "$12")
+        self._v("(a)(b)", "$12")  # two groups: $12 -> group 12? no,
+        # 12 > 2 so Java consumes $1 and leaves '2' — legal either way
+        self._v("(a)", "$0suffix")  # group 0 always legal
+        with pytest.raises(PromQLError):
+            self._v("(a)", "$2")  # first digit already illegal
+        with pytest.raises(PromQLError):
+            self._v("a", "$1")  # no groups at all

@@ -13,7 +13,11 @@ import urllib.request
 
 import pytest
 
+from clickhouse_metrics_pipeline_spark.plans.promql import (
+    compile_promql,
+)
 from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+    clip_series_input,
     make_promql_server,
     promql_result_payload,
 )
@@ -694,3 +698,199 @@ class TestHealthAndMetadataRoutes:
         code, p = _get_path(server, "/api/v1/metadata")
         assert code == 200
         assert p["data"] == {"events": []}
+
+
+class TestPreCompileInputClip:
+    """r10 verdict item 2: the series frame is clipped to the
+    request's INPUT bounds (range/offset/subquery/@ lookback around
+    [start, end]) BEFORE compile_promql, so histogram_quantile's
+    dispatch probes and the main plan both prune the scan — a negative
+    probe no longer exhausts the full stored history per request."""
+
+    def test_input_time_bounds_forms(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            input_time_bounds,
+            parse,
+            query_lookback_seconds,
+        )
+
+        q = parse("sum by (t) (rate(e[5m]))")
+        assert query_lookback_seconds(q) == 300
+        assert input_time_bounds(q, 1000.0, 2000.0) == (700.0, 2300.0)
+        q = parse("sum by (t) (rate(e[5m] offset 1h))")
+        assert query_lookback_seconds(q) == 3900
+        q = parse("max_over_time(rate(e[5m])[1h:5m])")
+        assert query_lookback_seconds(q) == 3900
+        assert input_time_bounds(q, None, 2000.0) == (None, 5900.0)
+        # binop: the widest side speaks for both
+        q = parse(
+            "sum by (t) (rate(e[5m] offset 1h)) / "
+            "sum by (t) (rate(e[5m]))"
+        )
+        assert input_time_bounds(q, 1000.0, 2000.0) == (-2900.0, 5900.0)
+        # '@' pin: bounds come from the pinned window, not the request
+        q = parse("sum by (t) (count_over_time(e[1h] @ 7203600))")
+        lo, hi = input_time_bounds(q, 100.0, 200.0)
+        assert lo == 7203600 - 3600.0 and hi == 7203600 + 3600.0
+
+    @pytest.fixture()
+    def dated_store(self, spark, tmp_path):
+        """A date-partitioned raw store spanning three days; only
+        GAUGE rows (NULL bucket columns) — the negative-probe shape."""
+        import pyspark.sql.functions as F
+
+        from clickhouse_metrics_pipeline_spark.schema import (
+            METRICS_RAW_SCHEMA,
+        )
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = []
+        for d in range(3):
+            for m in range(10):
+                rows.append(
+                    (
+                        "ws", 1, "gauge_x", "svc",
+                        t0 + dt.timedelta(days=d, minutes=m),
+                        1, 0, False,
+                        float(d * 100 + m),
+                        None, None, None,
+                        None, None, None, None, None,
+                        {"event_type": "g"},
+                        None, None,
+                    )
+                )
+        path = str(tmp_path / "metrics_raw")
+        spark.createDataFrame(rows, METRICS_RAW_SCHEMA).withColumn(
+            "date", F.to_date("timestamp")
+        ).write.partitionBy("date").parquet(path)
+        return spark.read.parquet(path), t0
+
+    def _partition_filters(self, df) -> str:
+        import re
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        return m.group(1) if m else ""
+
+    def test_clip_prunes_date_partitions(self, spark, dated_store):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            input_time_bounds,
+            parse,
+        )
+        from clickhouse_metrics_pipeline_spark.plans.serving import (
+            routed_series_frame,
+        )
+
+        raw, t0 = dated_store
+        # the middle day only, same composition the handler runs;
+        # now pinned so the 30 min recent span routes to metrics_raw
+        # (the date-partitioned store)
+        start = (t0 + dt.timedelta(days=1)).timestamp()
+        end = (t0 + dt.timedelta(days=1, minutes=30)).timestamp()
+        now_ms = int((end + 3600) * 1000)
+        parsed = parse("sum by (event_type) (count_over_time(gauge_x[5m]))")
+        lo, hi = input_time_bounds(parsed, start, end)
+        frame = clip_series_input(
+            routed_series_frame(raw, start, end, now_ms), lo, hi
+        )
+        pf = self._partition_filters(frame)
+        assert "date" in pf and ">=" in pf and "<=" in pf
+        # the clipped frame is what every dispatch probe scans; the
+        # compiled plan keeps the same pruned scan
+        compiled = compile_promql(parsed, frame)
+        assert "date" in self._partition_filters(compiled)
+        rows = compiled.collect()
+        got_ts = {r.bucket_ts for r in rows}
+        assert rows and all(
+            t0 + dt.timedelta(days=1) <= t
+            < t0 + dt.timedelta(days=1, minutes=35)
+            for t in got_ts
+        )
+
+    def test_negative_probe_request_answers_from_ladder(
+        self, spark, dated_store
+    ):
+        """End-to-end through the server: histogram_quantile over a
+        GAUGE (bucket columns present but all NULL) triggers the
+        negative dispatch probe; the request must still answer (raw
+        ladder fallback), with the provider wired through
+        routed_series_frame + clip_series_input."""
+        from clickhouse_metrics_pipeline_spark.plans.serving import (
+            routed_series_frame,
+        )
+
+        raw, t0 = dated_store
+        now_ms = int(
+            ((t0 + dt.timedelta(days=1, hours=1)).timestamp()) * 1000
+        )
+
+        def provider(start_s=None, end_s=None):
+            return routed_series_frame(raw, start_s, end_s, now_ms)
+
+        srv = make_promql_server(provider, port=0, limit=1000)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            start = int((t0 + dt.timedelta(days=1)).timestamp())
+            qs = urllib.parse.urlencode(
+                {
+                    "query": (
+                        "histogram_quantile(0.95, sum by (event_type)"
+                        " (count_over_time(gauge_x[5m])))"
+                    ),
+                    "start": start,
+                    "end": start + 1800,
+                }
+            )
+            code, p = _get_path(base, f"/api/v1/query_range?{qs}")
+            assert code == 200 and p["status"] == "success"
+            assert p["data"]["result"]  # answered, not empty/500
+        finally:
+            srv.shutdown()
+
+
+class TestAtModifierRouting:
+    """r10 ADVICE item (low): a query pinned to an old timestamp must
+    route the series frame by the PINNED window's bounds — the
+    request's recent [start, end] (or instant 5m lookback) previously
+    picked a table that need not hold the pin — and the pinned output
+    window must survive even when the request grid doesn't cover it."""
+
+    def test_pin_routes_and_returns_old_window(self, spark):
+        df = _series(spark)  # data at 2026-01-01T00:00..00:05
+        seen = []
+
+        def provider(start_s=None, end_s=None):
+            seen.append((start_s, end_s))
+            return df
+
+        srv = make_promql_server(provider, port=0, limit=1000)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            t0 = int(dt.datetime(2026, 1, 1).timestamp())
+            pin = t0 + 60
+            # request picker is FAR after the data; the pin is not
+            now = t0 + 90 * 86400
+            q = (
+                "sum by (event_type) "
+                f"(count_over_time(events[5m] @ {pin}))"
+            )
+            qs = urllib.parse.urlencode(
+                {"query": q, "start": now, "end": now + 300}
+            )
+            code, p = _get_path(base, f"/api/v1/query_range?{qs}")
+            assert code == 200 and p["status"] == "success"
+            # routed by the pin's input bounds, not the request range
+            lo, hi = seen[-1]
+            assert lo is not None and lo <= pin <= hi
+            assert hi < now
+            # and the pinned window's samples come back
+            res = p["data"]["result"]
+            assert res and all(
+                len(s["values"]) == 1 for s in res
+            )
+        finally:
+            srv.shutdown()
