@@ -1670,6 +1670,18 @@ from clickhouse_metrics_pipeline_spark.workloads_ext10 import (  # noqa: E402
 QUERIES.update(EXTRA10_QUERIES)
 ORACLE_SQL.update(EXTRA10_ORACLE)
 
+# round-11 extensions: increase() inside histogram_quantile (the
+# other canonical Grafana spelling) and histogram_fraction over
+# exp-histograms — the last native-histogram text completions named
+# by the r10 verdict (items 5 and 6)
+from clickhouse_metrics_pipeline_spark.workloads_ext11 import (  # noqa: E402
+    EXTRA11_ORACLE,
+    EXTRA11_QUERIES,
+)
+
+QUERIES.update(EXTRA11_QUERIES)
+ORACLE_SQL.update(EXTRA11_ORACLE)
+
 # --------------------------------------------------------------------------
 # Driver-coverage rotation (round 11)
 # --------------------------------------------------------------------------

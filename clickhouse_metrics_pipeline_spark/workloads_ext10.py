@@ -122,10 +122,14 @@ def promql_rate_bucket_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rate_bucket_sql() -> str:
+def _rate_bucket_sql(mode: str = "rate", phi: int = 95) -> str:
+    """extrapolatedRate twin over per-le cumulative bucket counters;
+    ``mode='increase'`` (r11) drops the /range division — the kernel's
+    increase form — before the same micro-unit sum and walk."""
     les = ", ".join(
         f"({j}, {le})" for j, le in enumerate(_LES10)
     )
+    div = "/ 86400.0" if mode == "rate" else ""
     return f"""
 WITH le(j, le) AS (
   VALUES {les}
@@ -181,7 +185,7 @@ WITH le(j, le) AS (
                      + (CASE WHEN dur_end < avg_iv * 1.1
                              THEN dur_end ELSE avg_iv / 2 END))
                     / sampled)
-                 / 86400.0, 6)
+                 {div}, 6)
          END AS rate
   FROM ext2
 ), counts AS (
@@ -199,7 +203,7 @@ WITH le(j, le) AS (
   FROM counts
 )
 SELECT event_type, bucket_ts,
-       {hist_walk_prom_scaled_sql(95)} AS value
+       {hist_walk_prom_scaled_sql(phi)} AS value
 FROM w GROUP BY event_type, bucket_ts
 """
 

@@ -1,0 +1,204 @@
+"""Round-11 catalog extensions — the r10 verdict's two named
+native-histogram text completions:
+
+- **increase() inside histogram_quantile** (verdict item 5 —
+  Grafana's other canonical latency-panel spelling,
+  ``histogram_quantile(0.95, sum(increase(x_bucket[5m])) by (le))``):
+  ``promql_increase_bucket_p95`` compiles the increase form over the
+  same stored CUMULATIVE bucket-counter frame as the r10 rate row —
+  the extrapolatedRate kernel in increase mode (rate × range on the
+  same micro-units, ``functions/rate.py mode='increase'``), then the
+  identical cross-series micro-unit sum and exact-integer prometheus
+  walk. The walk is scale-free in the counts, so the quantile agrees
+  with the rate form up to micro-unit rounding.
+
+- **histogram_fraction over exp-histograms** (verdict item 6 — the
+  last native-histogram read not reachable from text):
+  ``promql_exp_hist_fraction`` routes a two-bound fraction over a
+  frame carrying exp-histogram columns onto the H7 min-scale merge +
+  a two-bound cumulative-mass difference
+  (``functions/histogram.exp_histogram_fraction``), truncated-ppm
+  BIGINT output like the classic fraction rows. The fixture mixes
+  scales 0 and −1 (the merge's floor-div downscale runs for real) and
+  puts both bounds ON bucket edges — powers of two, exact at either
+  scale — so every mass term is an exactly-representable double and
+  the ppm floor is engine-invariant (the in-bucket interpolation
+  branch is pinned separately by pytest at scale 0, where edges and
+  offsets are binary-exact).
+
+Scale notes: the increase row shares the rate row's shape — shuffle 1
+on (series ⊗ le, window) with ladder-bounded fan-out, shuffle 2 the
+map-side-combinable (by, window, le) sum. The fraction row is the A6
+rollup-merge shape plus a row-local HOF over O(indexes) entries.
+``py=0`` throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.tables import _events
+from clickhouse_metrics_pipeline_spark.workloads_ext10 import (
+    _cum_bucket_series_frame,
+    _rate_bucket_sql,
+)
+
+_EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
+
+EXTRA11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA11_ORACLE: dict[str, str] = {}
+
+
+# --------------------------------------------------------------------------
+# increase() inside histogram_quantile (r10 verdict item 5)
+# --------------------------------------------------------------------------
+
+PROMQL_INCREASE_BUCKET_QUERY = (
+    "histogram_quantile(0.95, "
+    "sum by (event_type) (increase(hist_requests[1d])))"
+)
+
+
+def promql_increase_bucket_p95(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_quantile(0.95, sum by (t) (increase(x[1d]))) from
+    text over stored cumulative bucket arrays — the r10 verdict's
+    "most likely real-dashboard string still rejected". Same plan as
+    the driver-green rate form with the kernel in increase mode
+    (extrapolated increase = rate × range before the micro-unit
+    re-expression); the DuckDB twin restates the same kernel with the
+    /range division dropped. Output BIGINT p95 × 10000."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_INCREASE_BUCKET_QUERY,
+        _cum_bucket_series_frame(spark, sf_dir),
+    )
+
+
+EXTRA11_QUERIES["promql_increase_bucket_p95"] = promql_increase_bucket_p95
+EXTRA11_ORACLE["promql_increase_bucket_p95"] = _rate_bucket_sql(
+    mode="increase", phi=95
+)
+
+
+# --------------------------------------------------------------------------
+# histogram_fraction over exp-histograms (r10 verdict item 6)
+# --------------------------------------------------------------------------
+
+PROMQL_EXP_FRACTION_QUERY = (
+    "histogram_fraction(4, 16, "
+    "sum by (event_type) (count_over_time(exp_latency[1d])))"
+)
+
+
+def _exp_frac_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reshaped as an exp-histogram series frame for the
+    fraction read: scale alternates 0 / −1 by user (scale −1 buckets
+    are powers of FOUR, so the H7 min-scale downscale shifts the
+    scale-0 indexes by floor-div 2 for real), two positive buckets per
+    sample at indexes (event_id%3, event_id%3+2) with small
+    deterministic counts, and a 0/1 zero-count. Both query bounds
+    (4, 16) are bucket EDGES at either scale — powers of two, exact
+    doubles — so the fraction's mass terms restate exactly in
+    DuckDB."""
+    ev = _events(spark, sf_dir)
+    i0 = (F.col("event_id") % 3).cast("int")
+    c0 = ((F.col("event_id") + F.col("user_id")) % 3 + 1).cast("bigint")
+    c1 = (F.col("user_id") % 5 + 1).cast("bigint")
+    return ev.select(
+        F.lit("exp_latency").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type")), F.array(F.col("event_type"))
+        ).alias("attributes"),
+        F.col("ts"),
+        F.col("value"),
+        (-(F.col("user_id") % 2)).cast("int").alias("exp_scale"),
+        (F.col("event_id") % 2).cast("bigint").alias("exp_zero_count"),
+        F.lit(0.0).alias("exp_zero_threshold"),
+        F.array(
+            F.struct(i0.alias("index"), c0.alias("count")),
+            F.struct((i0 + 2).alias("index"), c1.alias("count")),
+        ).alias("exp_positive_buckets"),
+        F.lit(None)
+        .cast("array<struct<index:int,count:bigint>>")
+        .alias("exp_negative_buckets"),
+    )
+
+
+def promql_exp_hist_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_fraction(4, 16, ...) from text over EXP-histogram
+    columns: the native-histogram fraction (Prometheus supports
+    histogram_fraction on native histograms; the reference delegates
+    PromQL to downstream Prometheus — this is the engine-side
+    completion). H7 min-scale merge per (event_type, day), then the
+    two-bound cumulative-mass difference; bounds sit on bucket edges,
+    so no in-bucket interpolation fires and every term is integer
+    mass in exact doubles. Output truncated ppm BIGINT."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    return compile_promql(
+        PROMQL_EXP_FRACTION_QUERY, _exp_frac_series_frame(spark, sf_dir)
+    )
+
+
+_EXP_FRACTION_SQL = f"""
+WITH base AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         (-(user_id % 2))::INT AS scale,
+         (event_id % 2)::BIGINT AS zc,
+         (event_id % 3)::INT AS i0,
+         ((event_id + user_id) % 3 + 1)::BIGINT AS c0,
+         ((user_id % 5) + 1)::BIGINT AS c1
+  FROM {_EV_SQL}
+), ms AS (
+  SELECT event_type, bucket_ts, min(scale) AS min_scale
+  FROM base GROUP BY 1, 2
+), expl AS (
+  SELECT b.event_type, b.bucket_ts, ms.min_scale,
+         floor(b.i0 / pow(2, b.scale - ms.min_scale))::INT AS idx,
+         b.c0 AS cnt
+  FROM base b JOIN ms USING (event_type, bucket_ts)
+  UNION ALL
+  SELECT b.event_type, b.bucket_ts, ms.min_scale,
+         floor((b.i0 + 2) / pow(2, b.scale - ms.min_scale))::INT,
+         b.c1
+  FROM base b JOIN ms USING (event_type, bucket_ts)
+), pos AS (
+  SELECT event_type, bucket_ts, min_scale, idx, sum(cnt)::BIGINT AS cnt
+  FROM expl GROUP BY 1, 2, 3, 4
+), zeros AS (
+  SELECT event_type, bucket_ts, sum(zc)::BIGINT AS zcnt
+  FROM base GROUP BY 1, 2
+), masses AS (
+  SELECT p.event_type, p.bucket_ts,
+         sum(p.cnt) AS pos_total,
+         sum(p.cnt) FILTER (
+           WHERE pow(pow(2, pow(2, -p.min_scale)), p.idx + 1) <= 16.0
+         ) AS m_hi_pos,
+         sum(p.cnt) FILTER (
+           WHERE pow(pow(2, pow(2, -p.min_scale)), p.idx + 1) <= 4.0
+         ) AS m_lo_pos
+  FROM pos p GROUP BY 1, 2
+)
+SELECT m.event_type, m.bucket_ts,
+       CAST(floor(
+         ((coalesce(m.m_hi_pos, 0) - coalesce(m.m_lo_pos, 0))::DOUBLE
+          * 1000000.0)
+         / (z.zcnt + m.pos_total)::DOUBLE
+       ) AS BIGINT) AS value
+FROM masses m JOIN zeros z USING (event_type, bucket_ts)
+"""
+
+EXTRA11_QUERIES["promql_exp_hist_fraction"] = promql_exp_hist_fraction
+EXTRA11_ORACLE["promql_exp_hist_fraction"] = _EXP_FRACTION_SQL

@@ -1627,3 +1627,202 @@ class TestLabelReplaceDialectValidation:
             self._v("(a)", "$2")  # first digit already illegal
         with pytest.raises(PromQLError):
             self._v("a", "$1")  # no groups at all
+
+
+class TestIncreaseInQuantile:
+    """r10 verdict item 5: increase() accepted inside
+    histogram_quantile — Grafana's other canonical latency spelling,
+    histogram_quantile(0.95, sum(increase(x_bucket[5m])) by (le)).
+    The extrapolatedRate kernel runs in increase mode (rate × range on
+    the same micro-units) before the identical walk, so the quantile
+    is pinned by an exact hand-derived golden and agrees with the
+    rate form up to independent micro-unit rounding."""
+
+    import datetime as _dt
+
+    T0 = _dt.datetime(2026, 1, 1)
+
+    def _classic_frame(self, spark):
+        """3 cumulative samples at 0/10/20 min of the [T0, T0+1h)
+        window; le-delta buckets le=10 counter 2(i+1), le=50 counter
+        3(i+1). extrapolatedRate: dur_start=0 (first sample on the
+        window edge), dur_end=2400 ≥ 1.1·avg_iv=660 → extend by
+        avg_iv/2=300 → increase = Δv·(1200+300)/1200 = 1.25·Δv."""
+        import datetime as dt
+
+        rows = [
+            (
+                "m",
+                {"t": "x"},
+                self.T0 + dt.timedelta(minutes=10 * i),
+                float(i),
+                [(10.0, 2 * (i + 1)), (50.0, 3 * (i + 1))],
+            )
+            for i in range(3)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, "
+            "buckets array<struct<le:double,count:bigint>>",
+        )
+
+    Q_INC = "histogram_quantile(0.95, sum by (t) (increase(m[1h])))"
+    Q_RATE = "histogram_quantile(0.95, sum by (t) (rate(m[1h])))"
+
+    def test_increase_quantile_exact_golden(self, spark):
+        # increases: le10 1.25·4=5.0 → 5_000_000 micro; le50 1.25·6=7.5
+        # → 7_500_000. total=12_500_000, p95 target total·95; le10's
+        # (cum+count)·100=5e8 < 1.1875e9 → hit le50. prometheus walk:
+        # 10·10000 + floor((1_187_500_000 − 100·5_000_000)·40·100
+        # / 7_500_000) = 100000 + 366_666 = 466_666.
+        out = compile_promql(self.Q_INC, self._classic_frame(spark)).collect()
+        assert len(out) == 1
+        assert out[0].t == "x" and out[0].value == 466666
+
+    def test_increase_agrees_with_rate_form(self, spark):
+        # the walk is scale-free in the counts; the two forms differ
+        # only by independent round(·1e6) of rate vs rate·range
+        # (hand-derived: rate form floors to 466_663)
+        df = self._classic_frame(spark)
+        inc = compile_promql(self.Q_INC, df).collect()[0].value
+        rat = compile_promql(self.Q_RATE, df).collect()[0].value
+        assert abs(inc - rat) <= 10  # ≤ 1e-3 quantile units at ×10000
+
+    def test_increase_routes_to_exp_rate_plan(self, spark, monkeypatch):
+        import clickhouse_metrics_pipeline_spark.plans.promql as P
+
+        class Hit(Exception):
+            pass
+
+        def _rec(q, df):
+            assert q.func == "increase"
+            raise Hit()
+
+        monkeypatch.setattr(P, "_exp_rate_quantile_plan", _rec)
+        helper = TestQuantileDispatchMatrix()
+        df = helper._frame(spark, "absent", "populated")
+        with pytest.raises(Hit):
+            compile_promql(self.Q_INC, df)
+
+    def test_increase_null_buckets_is_clear_400(self, spark):
+        helper = TestQuantileDispatchMatrix()
+        df = helper._frame(spark, "null", "null")
+        with pytest.raises(PromQLError):
+            compile_promql(self.Q_INC, df)
+
+
+class TestExpHistogramFraction:
+    """r10 verdict item 6: histogram_fraction over EXP histograms —
+    kernel goldens for every mass_le branch (full bucket, zero/neg
+    mass, in-bucket interpolation at a binary-exact point, the 0.0
+    -Inf sentinel, hi=inf, empty→NULL) plus the text-level H7
+    mixed-scale merge and the dispatch probe."""
+
+    import datetime as _dt
+
+    T0 = _dt.datetime(2026, 1, 1)
+
+    SCHEMA = (
+        "scale int, zc bigint, "
+        "pos array<struct<index:int,count:bigint>>, "
+        "neg array<struct<index:int,count:bigint>>"
+    )
+
+    def _frac(self, spark, row, lo, hi):
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            exp_histogram_fraction,
+        )
+
+        df = spark.createDataFrame([row], self.SCHEMA)
+        return df.select(
+            exp_histogram_fraction("scale", "zc", "pos", "neg", lo, hi)
+            .alias("v")
+        ).collect()[0].v
+
+    # scale 0 (base 2): buckets (2,4] c=4 and (8,16] c=4, zero c=2
+    ROW = (0, 2, [(1, 4), (3, 4)], None)
+
+    def test_edge_bounds_exact(self, spark):
+        # mass_le(16)=2+4+4=10, mass_le(4)=2+4=6 → floor(4e6/10)
+        assert self._frac(spark, self.ROW, 4.0, 16.0) == 400000
+
+    def test_in_bucket_interpolation_scale0(self, spark):
+        # B=3 inside (2,4]: 4·(3−2)/(4−2)=2 exactly → mass_le(3)=4
+        assert self._frac(spark, self.ROW, 3.0, 16.0) == 600000
+
+    def test_lo_zero_is_minus_inf_sentinel(self, spark):
+        assert self._frac(spark, self.ROW, 0.0, 4.0) == 600000
+
+    def test_hi_inf_counts_everything(self, spark):
+        assert self._frac(spark, self.ROW, 0.0, float("inf")) == 1000000
+        assert self._frac(spark, self.ROW, 4.0, float("inf")) == 400000
+
+    def test_zero_and_negative_mass_sits_below_any_bound(self, spark):
+        # zc=1, neg total=3, pos (2,4] c=4 → total 8
+        row = (0, 1, [(1, 4)], [(0, 3)])
+        assert self._frac(spark, row, 0.0, 4.0) == 1000000
+        assert self._frac(spark, row, 4.0, float("inf")) == 0
+
+    def test_negative_scale_base4_interpolation(self, spark):
+        # scale −1 → base 4, bucket (4,16] c=8: B=8 straddles,
+        # 8·(8−4)/(16−4) = 8/3 → floor((8 − 8/3)·1e6/8) = 666666
+        row = (-1, 0, [(1, 8)], None)
+        assert self._frac(spark, row, 4.0, 16.0) == 1000000
+        assert self._frac(spark, row, 8.0, 16.0) == 666666
+
+    def test_empty_histogram_is_null(self, spark):
+        assert self._frac(spark, (0, 0, [], None), 0.0, 4.0) is None
+
+    Q = "histogram_fraction(4, 16, sum by (t) (count_over_time(m[1d])))"
+
+    def _exp_frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, exp_scale int, "
+            "exp_zero_count bigint, exp_zero_threshold double, "
+            "exp_positive_buckets array<struct<index:int,count:bigint>>, "
+            "exp_negative_buckets array<struct<index:int,count:bigint>>",
+        )
+
+    def test_text_mixed_scale_merge_golden(self, spark):
+        # series 1 at scale 0: (4,8] c=4, zc=1; series 2 at scale −1:
+        # (4,16] c=2, zc=1. H7 merge to min scale −1 shifts index 2
+        # → floor(2/2)=1 → merged (4,16] c=6, zc=2, total 8:
+        # fraction(4,16) = 6/8 → 750000 ppm
+        import datetime as dt
+
+        rows = [
+            ("m", {"t": "x"}, self.T0, 1.0, 0, 1, 0.0, [(2, 4)], None),
+            (
+                "m", {"t": "x"}, self.T0 + dt.timedelta(hours=1),
+                1.0, -1, 1, 0.0, [(1, 2)], None,
+            ),
+        ]
+        out = compile_promql(self.Q, self._exp_frame(spark, rows)).collect()
+        assert len(out) == 1 and out[0].value == 750000
+
+    def test_dispatch_probes_exp_presence(self, spark, monkeypatch):
+        import clickhouse_metrics_pipeline_spark.plans.promql as P
+
+        class Hit(Exception):
+            pass
+
+        def _rec(q, df):
+            raise Hit()
+
+        monkeypatch.setattr(P, "_exp_hist_fraction_plan", _rec)
+        rows = [("m", {"t": "x"}, self.T0, 1.0, 0, 1, 0.0, [(2, 4)], None)]
+        with pytest.raises(Hit):
+            compile_promql(self.Q, self._exp_frame(spark, rows))
+        # exp columns present but all NULL: the probe says no native
+        # histogram — fall through to the classic raw-value ladder
+        null_rows = [
+            ("m", {"t": "x"}, self.T0, 12.0, None, None, None, None, None),
+            ("m", {"t": "x"}, self.T0, 3.0, None, None, None, None, None),
+        ]
+        out = compile_promql(
+            self.Q, self._exp_frame(spark, null_rows)
+        ).collect()
+        assert out and out[0].value is not None
