@@ -182,7 +182,18 @@ def clip_series_input(
     (``date`` — routed_series_frame passes it through), the same
     bounds also filter it: a ``ts`` predicate only skips parquet row
     groups, while the ``date`` predicate prunes whole partition
-    directories out of the scan."""
+    directories out of the scan.
+
+    Per-request cost, measured (r11 bench note, pinned by
+    ``tests/test_promql_http.py::TestPreCompileInputClip::
+    test_dispatch_probe_job_count_is_bounded``): a histogram_quantile
+    compile now fires at most two presence probes, each a ``limit(1)
+    .count()`` over the CLIPPED scan — a positive probe is one
+    single-partition job; a negative probe exhausts the pruned
+    request-day scan through CollectLimit's partition scale-up
+    (<= 1 + ceil(log4(parts)) jobs; 4 total for the worst-case
+    two-negative-probe gauge request against a 1-day clip), no longer
+    a full-history read."""
     if lo_s is not None:
         df = df.where(F.col("ts") >= F.timestamp_seconds(F.lit(lo_s)))
         if "date" in df.columns:

@@ -850,6 +850,65 @@ class TestPreCompileInputClip:
             srv.shutdown()
 
 
+
+    def test_dispatch_probe_job_count_is_bounded(self, spark, dated_store):
+        """The per-request cost note the r10 verdict asked to pin:
+        with the pre-compile clip, a histogram_quantile compile fires
+        at most TWO probe jobettes (classic presence, then exp
+        presence), each a limit(1) count over the date-pruned scan —
+        not full-table scans, and not unbounded. Measured via the
+        job-group tracker around compile_promql alone (the frame is
+        built outside the group so routing jobs don't count)."""
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            PromQLError,
+            input_time_bounds,
+            parse,
+        )
+        from clickhouse_metrics_pipeline_spark.plans.serving import (
+            routed_series_frame,
+        )
+
+        raw, t0 = dated_store
+        start = (t0 + dt.timedelta(days=1)).timestamp()
+        end = (t0 + dt.timedelta(days=1, minutes=30)).timestamp()
+        now_ms = int((end + 3600) * 1000)
+        q = (
+            "histogram_quantile(0.95, sum by (event_type) "
+            "(count_over_time(gauge_x[5m])))"
+        )
+        parsed = parse(q)
+        lo, hi = input_time_bounds(parsed, start, end)
+        frame = clip_series_input(
+            routed_series_frame(raw, start, end, now_ms), lo, hi
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("probe-count", "dispatch probes")
+        try:
+            compile_promql(parsed, frame)  # probes fire; no collect
+        finally:
+            sc.setJobGroup("", "")
+        n = len(sc.statusTracker().getJobIdsForGroup("probe-count"))
+        # negative gauge shape: classic probe (0 hits) then exp probe.
+        # An EMPTY limit(1).count() exhausts its scan through
+        # CollectLimit's partition scale-up (1, 4x, ...), so each
+        # probe is <= 1 + ceil(log4(parts)) jobs — over the CLIPPED
+        # single-day scan, not the full history. Measured: 4 here.
+        assert 1 <= n <= 6, f"compile fired {n} jobs, expected <= 6"
+
+        # the rate form's clear-400 path is equally bounded
+        parsed_rate = parse(
+            "histogram_quantile(0.95, sum by (event_type) "
+            "(rate(gauge_x[5m])))"
+        )
+        sc.setJobGroup("probe-count-rate", "rate dispatch probes")
+        try:
+            with pytest.raises(PromQLError):
+                compile_promql(parsed_rate, frame)
+        finally:
+            sc.setJobGroup("", "")
+        n = len(sc.statusTracker().getJobIdsForGroup("probe-count-rate"))
+        assert 1 <= n <= 6, f"rate compile fired {n} jobs, expected <= 6"
+
 class TestAtModifierRouting:
     """r10 ADVICE item (low): a query pinned to an old timestamp must
     route the series frame by the PINNED window's bounds — the

@@ -529,6 +529,47 @@ def op_exp_quantile(ev: DataFrame) -> int:
     ).count()
 
 
+def op_exp_fraction(ev: DataFrame) -> int:
+    """histogram_fraction over exp histograms from text (r11): the
+    identical A6/H7 merge shape as exp_quantile — per-(group, sign,
+    index) partial sums at the min scale — with the walk replaced by
+    the two-bound cumulative-mass row-local HOF. Scaling is the
+    merge's: state per group bounded by the index range, growth adds
+    groups. (increase() inside histogram_quantile needs no family of
+    its own — it is rate_bucket_walk's plan with the /range division
+    dropped, byte-identical shuffle structure.)"""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+
+    i0 = (F.col("event_id") % 3).cast("int")
+    c0 = ((F.col("event_id") + F.col("user_id")) % 3 + 1).cast("bigint")
+    c1 = (F.col("user_id") % 5 + 1).cast("bigint")
+    frame = ev.select(
+        F.lit("exp_latency").alias("metric"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type")), F.array(F.col("event_type"))
+        ).alias("attributes"),
+        "ts",
+        "value",
+        (-(F.col("user_id") % 2)).cast("int").alias("exp_scale"),
+        (F.col("event_id") % 2).cast("bigint").alias("exp_zero_count"),
+        F.lit(0.0).alias("exp_zero_threshold"),
+        F.array(
+            F.struct(i0.alias("index"), c0.alias("count")),
+            F.struct((i0 + 2).alias("index"), c1.alias("count")),
+        ).alias("exp_positive_buckets"),
+        F.lit(None)
+        .cast("array<struct<index:int,count:bigint>>")
+        .alias("exp_negative_buckets"),
+    )
+    return compile_promql(
+        "histogram_fraction(4, 16, "
+        "sum by (event_type) (count_over_time(exp_latency[1d])))",
+        frame,
+    ).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
     "adjacent_pairs": ("events", op_adjacent_pairs),
@@ -537,6 +578,7 @@ OPS = {
     "group_left": ("events", op_group_left),
     "rate_bucket_walk": ("events", op_rate_bucket_walk),
     "exp_quantile": ("events", op_exp_quantile),
+    "exp_fraction": ("events", op_exp_fraction),
     "regression_moments": ("events", op_regression_moments),
     "recording_rules": ("events", op_recording_rules),
     "rate_kernel": ("events", op_rate_kernel),
