@@ -63,7 +63,7 @@ kernels the catalog queries use:
                    SAME output encoding so the integer comparison is
                    the raw-unit comparison; on/ignoring + group_left
                    compose exactly as for arithmetic
-              | aggop ('+'|'-'|'*') INT
+              | aggop ('+'|'-'|'*'|'/') INT
               | aggop ('>'|'>='|'<'|'<='|'=='|'!=') 'bool'? INT
                 -- scalar forms: comparisons FILTER the vector (PromQL
                    instant-vector comparison semantics) and keep the
@@ -78,10 +78,15 @@ kernels the catalog queries use:
                    a 10000-cent threshold; after an aggregated rate,
                    100/s compiles to 1e8 micro-units. '+'/'-' scale
                    the scalar into the side's encoding the same way;
-                   '*' is dimensionless and multiplies as-is. The
-                   scalar itself must still be an INTEGER (the
-                   exactness contract; sub-unit thresholds are not in
-                   the subset).
+                   '*' and '/' are dimensionless: '*' multiplies
+                   as-is; '/ N' (r11) stores sign-truncated
+                   (value x1e6) DIV N and appends '/ppm' to the
+                   encoding label, so the raw read-back is
+                   raw(value)/N — `sum(increase(x[1h])) / 3600` IS
+                   the per-second average idiom. N must be a NONZERO
+                   integer. The scalar itself must still be an
+                   INTEGER (the exactness contract; sub-unit
+                   thresholds are not in the subset).
                 -- vector arithmetic between two aggregated vectors:
                    with no matchmod the by-tuples must be IDENTICAL
                    (that tuple is the match key); matchmod sets an
@@ -302,6 +307,13 @@ binops require both sides to match):
     avg or quantile AGG over an inner encoding E       E x10000
     absent / absent_over_time                          count (0/1)
     binop '/'                                          ppm ratio (x1e6)
+    scalar '/ N' (r11)                                 side encoding
+                                                       x1e6 ('<base>/
+                                                       ppm' composite
+                                                       label; N lives
+                                                       in the stored
+                                                       value, not the
+                                                       scale)
     subquery fn(inner[R:S])                            inner encoding
                                                        through fn
                                                        (count fns ->
@@ -322,7 +334,9 @@ further 10000 (the interpolation carries fractional precision in
 integer form), so e.g. ``avg by (t) (sum_over_time(x[1h]))`` is cents
 x10000 = raw x1e6. Scalar comparisons and '+'/'-' read the user's
 integer scalar in RAW units and scale it into the side's encoding at
-compile time (see _apply_scalar). rate/increase/
+compile time (see _apply_scalar); '*' and '/' are dimensionless —
+'/ N' (r11) stores sign-truncated (value x1e6) DIV N and appends
+'/ppm' to the encoding label. rate/increase/
 histogram_quantile compile onto those full-fidelity kernels
 (functions/rate.py boundary extrapolation + reset correction;
 bucket_percentile_scaled prometheus-mode interpolation) — no lossy
@@ -528,7 +542,7 @@ def match_key(b: BinQuery) -> tuple[str, ...]:
 _ARITH_OPS = ("/", "+", "-", "*")
 _SET_OPS = ("and", "or", "unless")
 _CMP_OPS = (">", ">=", "<", "<=", "==", "!=")
-_SCALAR_ARITH = ("+", "-", "*")
+_SCALAR_ARITH = ("+", "-", "*", "/")
 
 
 # base per-function encodings and the avg/quantile x10000 promotion
@@ -611,6 +625,18 @@ def output_encoding(q: PromQuery) -> str:
     SAME label — mixing e.g. cents with value*10000 would produce
     silently wrong numbers vs PromQL; with equal labels the scales
     cancel under '/' and add consistently under '+'/'-'."""
+    if q.scalar_op == "/":
+        # scalar division (r11, closing a named subset residual):
+        # the stored integer becomes sign·floor(|v|·1e6 / N) in the
+        # side's own units, so the encoding is the side's label with
+        # a further 1e6 denominator — a composite '<base>/ppm' label
+        # whose scale encoding_scale() multiplies out. N itself does
+        # NOT enter the scale: v' ≈ v·1e6/N already carries it, so
+        # raw = v'/(base_scale·1e6) = (v/base_scale)/N exactly as
+        # PromQL's `vector / N` means.
+        from dataclasses import replace as _r
+
+        return output_encoding(_r(q, scalar_op=None, scalar=None)) + "/ppm"
     if q.count_values_label is not None:
         return "count"  # count_values emits series-counts
     if q.scalar_bool:
@@ -668,7 +694,11 @@ ENC_SCALE: dict[str, int] = {
 
 def encoding_scale(enc: str) -> int:
     """Integer factor between the emitted value column and raw
-    sample-value units for an ``output_encoding`` label."""
+    sample-value units for an ``output_encoding`` label. The
+    composite ``<base>/ppm`` label (scalar division, r11) multiplies
+    the base scale by the division's 1e6 denominator."""
+    if enc.endswith("/ppm"):
+        return ENC_SCALE[enc[: -len("/ppm")]] * 10**6
     return ENC_SCALE[enc]
 
 
@@ -963,11 +993,8 @@ class _Parser:
                 f"scalar must be an integer (the exactness "
                 f"contract), got {raw!r}"
             )
-        if v2 in _ARITH_OPS and v2 not in _SCALAR_ARITH:
-            raise PromQLError(
-                "scalar division is outside the subset (use a "
-                "vector rhs for ppm division)"
-            )
+        if v2 == "/" and int(raw) == 0:
+            raise PromQLError("scalar division by zero")
         if q.agg is None:
             raise PromQLError(
                 "scalar ops apply to aggregated vectors only"
@@ -3332,22 +3359,36 @@ def _apply_scalar(q: PromQuery, out: DataFrame) -> DataFrame:
     driver-flagged unit trap): ``> 100`` after sum_over_time compiles
     to a 10000-cent threshold, after an aggregated rate to 1e8
     micro-units, via ``encoding_scale(output_encoding(q))``. '+'/'-'
-    scale the scalar the same way; '*' is dimensionless and
-    multiplies unscaled. The scalar must still be an INTEGER (the
-    exactness contract — sub-raw-unit thresholds are outside the
-    subset), and the scaled literal stays integer because every
-    encoding scale is a power of ten."""
+    scale the scalar the same way; '*' and '/' are dimensionless and
+    use the raw integer. '/' (r11, closing a named subset residual)
+    mirrors the vector division's exactness contract: value becomes
+    sign·floor(|v|·1e6 / N) through the exact decimal divider, and
+    the output encoding gains the composite '<base>/ppm' label so the
+    HTTP layer's raw-unit decode divides by base_scale·1e6 — reading
+    back (v/base_scale)/N, PromQL's `vector / N`. The scalar must
+    still be an INTEGER (the exactness contract — sub-raw-unit
+    thresholds are outside the subset), and the scaled literal stays
+    integer because every encoding scale is a power of ten."""
     if q.scalar_op is None:
         return out
     from dataclasses import replace as _replace
 
+    v = F.col("value")
+    if q.scalar_op == "/":
+        sign = F.when(v < 0, F.lit(-1)).otherwise(F.lit(1))
+        # decimal BEFORE the 1e6 widening so micro-encoded magnitudes
+        # cannot overflow int64 pre-cast (same contract as _bin_plan)
+        val = sign * _floordiv_exact(
+            F.abs(v).cast("decimal(38,0)") * F.lit(1_000_000),
+            F.lit(abs(q.scalar)),
+        ) * F.lit(-1 if q.scalar < 0 else 1)
+        return out.withColumn("value", val.cast("bigint"))
     # the threshold scales by the PRE-bool encoding: output_encoding
     # reports count for a bool query (that IS the output), but the
     # comparison itself runs in the side's own units
     scale = encoding_scale(
         output_encoding(_replace(q, scalar_bool=False))
     )
-    v = F.col("value")
     sc = F.lit(
         q.scalar * (1 if q.scalar_op == "*" else scale)
     )
@@ -3380,12 +3421,17 @@ def _apply_vfn(q: PromQuery, out: DataFrame) -> DataFrame:
     if q.vfn == "abs":
         expr = F.abs(v)
     else:
-        # vfn applies BEFORE a trailing bool comparison, so its bound
-        # scales by the pre-bool encoding
+        # vfn applies BEFORE a trailing bool comparison OR scalar
+        # division, so its bound scales by the pre-bool, pre-division
+        # encoding (r11: stripping scalar_op keeps '/'-composite
+        # labels out of the clamp bound)
         bound = F.lit(
             q.vfn_arg
             * encoding_scale(
-                output_encoding(_replace(q, scalar_bool=False))
+                output_encoding(
+                    _replace(q, scalar_bool=False, scalar_op=None,
+                             scalar=None)
+                )
             )
         )
         expr = (

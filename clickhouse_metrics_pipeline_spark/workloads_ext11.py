@@ -202,3 +202,46 @@ FROM masses m JOIN zeros z USING (event_type, bucket_ts)
 
 EXTRA11_QUERIES["promql_exp_hist_fraction"] = promql_exp_hist_fraction
 EXTRA11_ORACLE["promql_exp_hist_fraction"] = _EXP_FRACTION_SQL
+
+
+# --------------------------------------------------------------------------
+# Scalar division (r11 — closing a named subset residual)
+# --------------------------------------------------------------------------
+
+PROMQL_PER_SECOND_QUERY = (
+    "sum by (event_type) (sum_over_time(events[1d])) / 86400"
+)
+
+
+def promql_per_second_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar division from text — `sum_over_time(...[1d]) / 86400`,
+    the per-second-average idiom (the r10 verdict's "scalar division"
+    residual, now in the subset): the daily cents sum becomes
+    sign-truncated (value x 1e6) DIV 86400 through the exact decimal
+    divider, carried under the composite 'value_x100/ppm' encoding
+    (raw read-back = daily_sum / 86400). The divisor N lives in the
+    stored value, not the scale, so the twin restates the identical
+    HUGEINT expression."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_PER_SECOND_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+_PER_SECOND_SQL = f"""
+SELECT event_type,
+       time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+       CAST(
+         (sum(CAST(round(value * 100) AS BIGINT))::HUGEINT * 1000000)
+         // 86400
+       AS BIGINT) AS value
+FROM {_EV_SQL}
+GROUP BY 1, 2
+"""
+
+EXTRA11_QUERIES["promql_per_second_avg"] = promql_per_second_avg
+EXTRA11_ORACLE["promql_per_second_avg"] = _PER_SECOND_SQL

@@ -974,8 +974,9 @@ class TestCompile:
     @pytest.mark.parametrize(
         "bad",
         [
-            # scalar division outside the subset
-            "sum by (t) (count_over_time(e[1h])) / 2",
+            # scalar division by zero (division itself is in the
+            # subset since r11 — see TestScalarDivision)
+            "sum by (t) (count_over_time(e[1h])) / 0",
             # float scalar breaks the exactness contract
             "sum by (t) (count_over_time(e[1h])) > 1.5",
             # unaggregated side
@@ -1826,3 +1827,122 @@ class TestExpHistogramFraction:
             self.Q, self._exp_frame(spark, null_rows)
         ).collect()
         assert out and out[0].value is not None
+
+
+class TestScalarDivision:
+    """r11 (r10 verdict's 'smaller text-path residuals'): scalar
+    division `aggop / N`. The stored integer becomes sign-truncated
+    (value x 1e6) DIV N through the exact decimal divider; the
+    encoding gains a composite '<base>/ppm' label whose scale is
+    base_scale x 1e6 — so the HTTP raw-unit decode reads back
+    raw(value)/N, PromQL's `vector / N`."""
+
+    import datetime as _dt
+
+    T0 = _dt.datetime(2026, 1, 1)
+
+    def _series(self, spark, values):
+        import datetime as dt
+
+        rows = [
+            (
+                "events", {"t": "a"},
+                self.T0 + dt.timedelta(minutes=i), float(v), i,
+            )
+            for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+
+    def test_cents_division_golden(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            output_encoding,
+            result_scale,
+        )
+
+        q = parse("sum by (t) (sum_over_time(events[1h])) / 60")
+        assert output_encoding(q) == "value_x100/ppm"
+        assert result_scale(q) == 100 * 10**6
+        # sum 1..5 = 15 raw = 1500 cents; floor(1500e6/60) = 25e6;
+        # raw read-back 25e6 / 1e8 = 0.25 = 15/60
+        out = compile_promql(q, self._series(spark, [1, 2, 3, 4, 5]))
+        assert out.collect()[0].value == 25_000_000
+
+    def test_sign_truncates_toward_zero(self, spark):
+        # delta can go negative: values 10 -> 3 over the window gives
+        # -7 raw = -700 cents; sign-truncated: -floor(700e6/3000)
+        q = parse("sum by (t) (delta(events[1h])) / 3000")
+        out = compile_promql(q, self._series(spark, [10, 3])).collect()
+        # delta extrapolates: hand-check only sign/truncation identity
+        v = out[0].value
+        q0 = parse("sum by (t) (delta(events[1h]))")
+        base = compile_promql(
+            q0, self._series(spark, [10, 3])
+        ).collect()[0].value
+        assert base < 0 and v < 0
+        assert v == -((abs(base) * 10**6) // 3000)
+
+    def test_micro_encoding_division(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            output_encoding,
+            result_scale,
+        )
+
+        q = parse("sum by (t) (rate(events[1h])) / 2")
+        assert output_encoding(q) == "rate_micro/ppm"
+        assert result_scale(q) == 10**6 * 10**6
+        base = compile_promql(
+            parse("sum by (t) (rate(events[1h]))"),
+            self._series(spark, [1, 2, 3]),
+        ).collect()[0].value
+        halved = compile_promql(
+            q, self._series(spark, [1, 2, 3])
+        ).collect()[0].value
+        assert halved == (base * 10**6) // 2
+
+    def test_http_raw_unit_decode(self, spark):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            result_scale,
+        )
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            promql_result_payload,
+        )
+
+        q = parse("sum by (t) (sum_over_time(events[1h])) / 60")
+        payload = promql_result_payload(
+            compile_promql(q, self._series(spark, [1, 2, 3, 4, 5])),
+            scale=result_scale(q),
+        )
+        vals = payload["data"]["result"][0]["values"]
+        assert [v for _, v in vals] == ["0.25"]  # 15 / 60
+
+    def test_rejections(self):
+        with pytest.raises(PromQLError):
+            parse("sum by (t) (count_over_time(events[1h])) / 0")
+        with pytest.raises(PromQLError):
+            parse("count_over_time(events[1h]) / 60")  # bare side
+        with pytest.raises(PromQLError):
+            # fractional divisor stays outside the exactness contract
+            parse("sum by (t) (count_over_time(events[1h])) / 1.5")
+
+    def test_division_side_cannot_enter_binop(self):
+        # a '/ N' side carries a composite encoding no other side can
+        # match — the combination fails at parse time, not silently
+        with pytest.raises(PromQLError):
+            parse(
+                "sum by (t) (count_over_time(events[1h])) / 60 "
+                "+ sum by (t) (count_over_time(events[1h]))"
+            )
+
+    def test_vfn_then_division_stays_rejected(self):
+        # the vfn grammar ends the expression — no trailing scalar of
+        # any kind composes after clamp/abs (pre-existing subset
+        # boundary, unchanged by the '/' addition)
+        with pytest.raises(PromQLError):
+            parse(
+                "clamp_min(sum by (t) (sum_over_time(events[1h])), 20)"
+                " / 60"
+            )
