@@ -15,7 +15,8 @@ kernels the catalog queries use:
                    exactness contract), value = the series count.
                    Count encoding
     matchmod := ('on'|'ignoring') '(' label (',' label)* ')'
-                ('group_left' ('(' label (',' label)* ')')?)?
+                (('group_left'|'group_right')
+                 ('(' label (',' label)* ')')?)?
                 -- r9 vector matching (the r8 verdict's item 3). The
                    match key is the on-labels (must be a subset of
                    the lhs by-tuple) or the lhs by-tuple minus the
@@ -32,10 +33,14 @@ kernels the catalog queries use:
                    key + pulled labels and enforces one rhs row per
                    match group with a runtime assert (real PromQL's
                    "multiple matches" execution error).
-                   group_right is rejected with a swap-the-sides
-                   hint; 'or' does not take a match modifier (its
-                   union would mix label sets); and/unless accept
-                   on/ignoring but not group_left (PromQL rule)
+                   group_right (r11) is the exact mirror: the many
+                   side is the RIGHT one; it desugars at parse time
+                   into the swapped group_left BinQuery with a
+                   swapped flag so '-'/'/'/comparisons still apply
+                   operands in the user's order. 'or' does not take
+                   a match modifier (its union would mix label
+                   sets); and/unless accept on/ignoring but not
+                   group_left/group_right (PromQL rule)
     setop    := aggop scalar? ('and'|'or'|'unless') matchmod?
                 aggop scalar?
                 -- vector set operations at the (by-labels, window)
@@ -524,6 +529,12 @@ class BinQuery:
     # pull these rhs labels into the output. () = bare group_left
     # (no label pull); None = strict one-to-one
     group_left: tuple[str, ...] | None = None
+    # r11: this BinQuery was desugared from ``group_right`` — the
+    # structural sides are the USER's sides swapped (the many side is
+    # always the structural lhs), so non-commutative ops ('-', '/',
+    # comparisons) must apply operands in the user's original order:
+    # user_lhs op user_rhs = structural_rhs op structural_lhs
+    swapped: bool = False
 
 
 def match_key(b: BinQuery) -> tuple[str, ...]:
@@ -1258,12 +1269,12 @@ class _Parser:
             k2, v2 = self.peek()
             if k2 == "ident" and v2 in _SET_OPS:
                 self.eat("ident")
-                on, ignoring, gl = self._match_modifier()
+                on, ignoring, gl, _gr = self._match_modifier()
                 if gl is not None:
                     raise PromQLError(
-                        "group_left does not apply to set operations "
-                        "(real PromQL forbids grouping on and/or/"
-                        "unless)"
+                        "group_left/group_right do not apply to set "
+                        "operations (real PromQL forbids grouping on "
+                        "and/or/unless)"
                     )
                 rhs = self._maybe_scalar(self._aggop_or_call())
                 b = BinQuery(
@@ -1287,12 +1298,24 @@ class _Parser:
                 return b
             if k2 == "op" and v2 in _ARITH_OPS and q.scalar_op is None:
                 self.eat("op")
-                on, ignoring, gl = self._match_modifier()
+                on, ignoring, gl, gr = self._match_modifier()
                 rhs = self._aggop_or_call()
-                b = BinQuery(
-                    q, v2, rhs,
-                    match_on=on, match_ignoring=ignoring, group_left=gl,
-                )
+                if gr:
+                    # group_right desugars to the mirror group_left:
+                    # the many side (user's RIGHT) becomes the
+                    # structural lhs; swapped=True keeps '-'/'/' in
+                    # the user's operand order at compile time
+                    b = BinQuery(
+                        rhs, v2, q,
+                        match_on=on, match_ignoring=ignoring,
+                        group_left=gl, swapped=True,
+                    )
+                else:
+                    b = BinQuery(
+                        q, v2, rhs,
+                        match_on=on, match_ignoring=ignoring,
+                        group_left=gl,
+                    )
                 self._check_binop(b, "binary-op")
                 enc_l, enc_r = output_encoding(q), output_encoding(rhs)
                 if enc_l != enc_r and not (
@@ -1330,12 +1353,24 @@ class _Parser:
                 # scales would be silently wrong); on/ignoring +
                 # group_left compose exactly as for arithmetic.
                 self.eat("op")
-                on, ignoring, gl = self._match_modifier()
+                on, ignoring, gl, gr = self._match_modifier()
                 rhs = self._maybe_scalar(self._aggop_or_call())
-                b = BinQuery(
-                    q, v2, rhs,
-                    match_on=on, match_ignoring=ignoring, group_left=gl,
-                )
+                if gr:
+                    # group_right comparison: the kept (and emitted)
+                    # rows are the MANY side's — the user's RIGHT —
+                    # with the comparison still in the user's operand
+                    # order (swapped=True)
+                    b = BinQuery(
+                        rhs, v2, q,
+                        match_on=on, match_ignoring=ignoring,
+                        group_left=gl, swapped=True,
+                    )
+                else:
+                    b = BinQuery(
+                        q, v2, rhs,
+                        match_on=on, match_ignoring=ignoring,
+                        group_left=gl,
+                    )
                 self._check_binop(b, "comparison")
                 enc_l, enc_r = output_encoding(q), output_encoding(rhs)
                 if enc_l != enc_r:
@@ -1360,31 +1395,32 @@ class _Parser:
         tuple[str, ...] | None,
         tuple[str, ...] | None,
         tuple[str, ...] | None,
+        bool,
     ]:
         """Optional vector-matching modifier after a binop operator:
         ``('on'|'ignoring') '(' labels ')'`` then optionally
-        ``'group_left' ('(' labels ')')?``. Returns
-        (on, ignoring, group_left); all None when absent.
-        ``group_right`` is rejected with a swap-the-sides hint (the
-        mirror form adds no expressive power to the subset)."""
+        ``('group_left'|'group_right') ('(' labels ')')?``. Returns
+        (on, ignoring, group_labels, is_right); all None/False when
+        absent. ``group_right`` (r11 — previously rejected with a
+        swap-the-sides hint) is DESUGARED at the construction sites
+        into the mirror group_left BinQuery with structurally swapped
+        sides and ``swapped=True``, so non-commutative ops still
+        evaluate in the user's operand order."""
         k, v = self.peek()
         if not (k == "ident" and v in ("on", "ignoring")):
-            return None, None, None
+            return None, None, None, False
         self.eat("ident")
         labels = self._label_list()
         on = labels if v == "on" else None
         ignoring = labels if v == "ignoring" else None
         gl: tuple[str, ...] | None = None
+        right = False
         k2, v2 = self.peek()
         if k2 == "ident" and v2 in ("group_left", "group_right"):
-            if v2 == "group_right":
-                raise PromQLError(
-                    "group_right is outside the subset — swap the "
-                    "sides and use group_left"
-                )
+            right = v2 == "group_right"
             self.eat("ident")
             gl = self._label_list() if self.peek() == ("op", "(") else ()
-        return on, ignoring, gl
+        return on, ignoring, gl, right
 
     def _check_binop(self, b: BinQuery, what: str) -> None:
         """Shared parse-time validation for vector binops/set-ops:
@@ -1433,10 +1469,11 @@ class _Parser:
                 "least one label / ignoring(...) must leave at least "
                 "one lhs by-label"
             )
+        lname, rname = ("right", "left") if b.swapped else ("left", "right")
         if b.match_on is not None and not set(key) <= set(b.lhs.by):
             raise PromQLError(
                 f"on({', '.join(key)}) labels must be a subset of "
-                f"the left side's by-labels {b.lhs.by}"
+                f"the {lname} (many) side's by-labels {b.lhs.by}"
             )
         if b.op in _SET_OPS:
             # and/unless: the rhs is only a key filter; it may carry
@@ -1454,21 +1491,23 @@ class _Parser:
                     f"one-to-one matching on key {key} requires both "
                     f"sides to aggregate by exactly those labels "
                     f"(got {b.lhs.by} vs {b.rhs.by}) — use "
-                    "group_left for many-to-one"
+                    "group_left/group_right for many-to-one"
                 )
             return
         extras = b.group_left
+        gname = "group_right" if b.swapped else "group_left"
         if set(extras) & (set(b.lhs.by) | set(key)):
             raise PromQLError(
-                f"group_left({', '.join(extras)}) labels must not "
-                "collide with the left side's by-labels or the "
-                "match key"
+                f"{gname}({', '.join(extras)}) labels must not "
+                f"collide with the {lname} (many) side's by-labels "
+                "or the match key"
             )
         if set(b.rhs.by) != set(key) | set(extras):
             raise PromQLError(
-                "group_left requires the right side to aggregate by "
-                f"exactly the match key plus the pulled labels, got "
-                f"{b.rhs.by} vs key {key} + group_left{extras}"
+                f"{gname} requires the {rname} (one) side to "
+                "aggregate by exactly the match key plus the pulled "
+                f"labels, got {b.rhs.by} vs key {key} + "
+                f"{gname}{extras}"
             )
 
     def _label_list(self) -> tuple[str, ...]:
@@ -2919,35 +2958,44 @@ def _bin_plan(b: BinQuery, series: DataFrame) -> DataFrame:
             ),
         )
     j = lhs.join(rhs, keys)
+    # user-order operand columns: a group_right-desugared BinQuery
+    # (b.swapped, r11) carries the user's sides structurally swapped —
+    # the many side is always the structural lhs — so non-commutative
+    # ops read the user's left from '_r' and right from '_l'
+    ul, ur = (
+        (F.col("_r"), F.col("_l")) if b.swapped
+        else (F.col("_l"), F.col("_r"))
+    )
     if b.op in _CMP_OPS:
-        # vector comparison filter: keep lhs rows (values unchanged)
-        # where the comparison against the matched rhs row holds —
+        # vector comparison filter: keep the structural-lhs rows (the
+        # many side under grouping; values unchanged) where the
+        # USER-ORDER comparison against the matched row holds —
         # parse-time equal encodings make the integer comparison the
         # raw-unit comparison
         cond = {
-            ">": F.col("_l") > F.col("_r"),
-            ">=": F.col("_l") >= F.col("_r"),
-            "<": F.col("_l") < F.col("_r"),
-            "<=": F.col("_l") <= F.col("_r"),
-            "==": F.col("_l") == F.col("_r"),
-            "!=": F.col("_l") != F.col("_r"),
+            ">": ul > ur,
+            ">=": ul >= ur,
+            "<": ul < ur,
+            "<=": ul <= ur,
+            "==": ul == ur,
+            "!=": ul != ur,
         }[b.op]
         out_cols = list(b.lhs.by) + extras + ["bucket_ts"]
         return j.where(cond).select(
             *out_cols, F.col("_l").cast("bigint").alias("value")
         )
     if b.op == "/":
-        j = j.where(F.col("_r") != 0)
+        j = j.where(ur != 0)
         sign = F.when(
-            (F.col("_l") < 0) != (F.col("_r") < 0), F.lit(-1)
+            (ul < 0) != (ur < 0), F.lit(-1)
         ).otherwise(F.lit(1))
         val = sign * _floordiv_exact(
-            F.abs(F.col("_l")) * F.lit(1_000_000), F.abs(F.col("_r"))
+            F.abs(ul) * F.lit(1_000_000), F.abs(ur)
         )
     elif b.op == "+":
         val = F.col("_l") + F.col("_r")
     elif b.op == "-":
-        val = F.col("_l") - F.col("_r")
+        val = ul - ur
     else:
         # '*' of two scaled BIGINT vectors can exceed BIGINT (cents *
         # cents at ~1e10 magnitudes); the product runs in DECIMAL(38,0)

@@ -245,3 +245,54 @@ GROUP BY 1, 2
 
 EXTRA11_QUERIES["promql_per_second_avg"] = promql_per_second_avg
 EXTRA11_ORACLE["promql_per_second_avg"] = _PER_SECOND_SQL
+
+
+# --------------------------------------------------------------------------
+# group_right vector matching (r11 — closing a named subset residual)
+# --------------------------------------------------------------------------
+
+PROMQL_GROUP_RIGHT_QUERY = (
+    "sum by (event_type) (count_over_time(events[1d])) "
+    "/ on(event_type) group_right "
+    "sum by (event_type, user) (count_over_time(events[1d]))"
+)
+
+
+def promql_group_right_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``group_right`` from text (the r10 verdict's "group_right is
+    rejected with a swap-the-sides hint" residual, now accepted): the
+    exact mirror of the driver-green promql_share_of_type — the many
+    side is the RIGHT one, so the user's spelled order total/per-user
+    emits the INVERSE share per (event_type, user, day) without any
+    manual side-swapping. Desugared at parse time into the swapped
+    group_left BinQuery with ``swapped=True``; '/' reads its
+    numerator from the user's LEFT (the one side), pinned by this
+    row's hand-ordered twin. Same plan as group_left: two branches
+    of one scan reduced to their by-grains, broadcast-sized join."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        PROMQL_GROUP_RIGHT_QUERY, events_as_series(_events(spark, sf_dir))
+    )
+
+
+_GROUP_RIGHT_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+         time_bucket(INTERVAL 1 DAY, ts) AS bucket_ts,
+         count(*)::BIGINT AS c
+  FROM {_EV_SQL} GROUP BY 1, 2, 3
+), per_type AS (
+  SELECT event_type, bucket_ts, sum(c)::BIGINT AS tc
+  FROM per_user GROUP BY 1, 2
+)
+SELECT p.event_type, p."user", p.bucket_ts,
+       ((t.tc * 1000000) // p.c)::BIGINT AS value
+FROM per_user p JOIN per_type t USING (event_type, bucket_ts)
+"""
+
+EXTRA11_QUERIES["promql_group_right_ratio"] = promql_group_right_ratio
+EXTRA11_ORACLE["promql_group_right_ratio"] = _GROUP_RIGHT_SQL

@@ -131,12 +131,20 @@ class TestParse:
                 "or on(t) sum by (t) (count_over_time(e[1h]))",
                 "'or' with on",
             ),
-            # group_right rejected with the swap hint
+            # group_right with a non-many right side (one-to-one
+            # shape): same strictness as group_left, mirrored
             (
-                "sum by (t) (count_over_time(e[1h])) "
+                "sum by (t, u) (count_over_time(e[1h])) "
                 "/ on(t) group_right "
                 "sum by (t) (count_over_time(e[1h]))",
                 "group_right",
+            ),
+            # group_right on a set op
+            (
+                "sum by (t) (count_over_time(e[1h])) "
+                "and on(t) group_right "
+                "sum by (t, u) (count_over_time(e[1h]))",
+                "set operations",
             ),
             # group_left on a set op
             (
@@ -907,3 +915,112 @@ class TestBoolModifier:
     def test_bool_with_arith_rejected(self):
         with pytest.raises(PromQLError, match="unsupported function"):
             parse("sum by (t) (count_over_time(e[1h])) + bool 3")
+
+
+class TestGroupRight:
+    """r11 (the r10 verdict's 'group_right rejected with a
+    swap-the-sides hint' residual, now accepted): group_right is the
+    exact mirror of group_left — the many side is the RIGHT one —
+    desugared at parse time into the swapped BinQuery with
+    ``swapped=True`` so non-commutative ops ('-', '/', comparisons)
+    still apply operands in the user's spelled order."""
+
+    def test_inverse_share_direction(self, series):
+        # user order total / per-user: the INVERSE of the group_left
+        # share — direction pins that '/' reads its numerator from
+        # the user's LEFT (the one side)
+        q = (
+            "sum by (event_type) (count_over_time(events[1h])) "
+            "/ on(event_type) group_right "
+            "sum by (event_type, user) (count_over_time(events[1h]))"
+        )
+        out = compile_promql(q, series)
+        # output labels come from the many (right) side
+        assert out.columns == ["event_type", "user", "bucket_ts", "value"]
+        got = {(r.event_type, r.user): r.value for r in out.collect()}
+        assert got == {
+            ("a", "u1"): 2_000_000,  # 8 / 4
+            ("a", "u2"): 2_000_000,
+            ("b", "u3"): 1_000_000,  # 4 / 4
+        }
+        assert result_scale(parse(q)) == 10**6
+
+    def test_parse_fields(self):
+        b = parse(
+            "sum by (event_type) (count_over_time(events[1h])) "
+            "/ on(event_type) group_right "
+            "sum by (event_type, user) (count_over_time(events[1h]))"
+        )
+        assert isinstance(b, BinQuery) and b.swapped
+        # structural sides are swapped: the many (user-right) side is
+        # the structural lhs
+        assert b.lhs.by == ("event_type", "user")
+        assert b.rhs.by == ("event_type",)
+        assert b.group_left == ()
+        assert match_key(b) == ("event_type",)
+
+    def test_subtraction_user_order(self, series):
+        # total - per-user (user order) — per (a, u): 16 - 8 = 8 raw
+        # cents; commutative-op code path untouched
+        q = (
+            "sum by (event_type) (sum_over_time(events[1h])) "
+            "- on(event_type) group_right "
+            "sum by (event_type, user) (sum_over_time(events[1h]))"
+        )
+        got = {
+            (r.event_type, r.user): r.value
+            for r in compile_promql(q, series).collect()
+        }
+        assert got == {
+            ("a", "u1"): 800,  # (1600 - 800) cents
+            ("a", "u2"): 800,
+            ("b", "u3"): 0,
+        }
+
+    def test_comparison_keeps_many_side_user_order(self, series):
+        # total > per-user holds only where the type has >1 user;
+        # kept rows are the many (right) side's with ITS values
+        q = (
+            "sum by (event_type) (count_over_time(events[1h])) "
+            "> on(event_type) group_right "
+            "sum by (event_type, user) (count_over_time(events[1h]))"
+        )
+        got = {
+            (r.event_type, r.user): r.value
+            for r in compile_promql(q, series).collect()
+        }
+        assert got == {("a", "u1"): 4, ("a", "u2"): 4}
+
+    def test_label_pull_from_left_one_side(self, series_with_info):
+        # group_right(tier) pulls labels from the user's LEFT (one)
+        # side — the mirror of the info-metric enrichment idiom
+        q = (
+            "max by (user, tier) (count_over_time(user_info[1h])) "
+            "* on(user) group_right(tier) "
+            "sum by (user) (sum_over_time(events[1h]))"
+        )
+        out = compile_promql(q, series_with_info)
+        assert out.columns == ["user", "tier", "bucket_ts", "value"]
+        got = {(r.user, r.tier): r.value for r in out.collect()}
+        assert got == {
+            ("u1", "gold"): 800,
+            ("u2", "free"): 800,
+            ("u3", "gold"): 800,
+        }
+
+    def test_many_to_many_raises(self, spark, series):
+        dup = spark.createDataFrame(
+            [
+                ("user_info", {"user": "u1", "tier": "gold"}, T0, 1.0, 1),
+                ("user_info", {"user": "u1", "tier": "free"}, T0, 1.0, 2),
+            ],
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        q = (
+            "max by (user, tier) (count_over_time(user_info[1h])) "
+            "* on(user) group_right(tier) "
+            "sum by (user) (count_over_time(events[1h]))"
+        )
+        with pytest.raises(Exception, match="multiple right-side"):
+            compile_promql(q, series.unionByName(dup)).collect()
