@@ -164,6 +164,39 @@ def parse_api_step(raw: str) -> float:
     return v
 
 
+_STALE_LISTING_MARKERS = (
+    "FAILED_READ_FILE",
+    "FILE_NOT_EXIST",
+    "underlying files have been updated",
+)
+
+
+def _is_stale_listing_error(exc: BaseException) -> bool:
+    """True when a Spark execution failure is the concurrent-rewrite
+    race: the plan's file listing predates a rollup/compaction
+    rewrite, so the scan hits a deleted part file. Matched on the
+    stable Spark error-class markers in the exception text (py4j
+    wraps the JVM exception, so string matching is the contract)."""
+    text = str(exc)
+    return any(m in text for m in _STALE_LISTING_MARKERS)
+
+
+def _retry_stale_listing(build, attempts: int = 3):
+    """Run ``build()`` retrying ONLY the stale-file-listing race (see
+    ``_is_stale_listing_error``) — every retry re-invokes the full
+    build, whose provider re-lists storage, so the new plan reads the
+    post-rewrite files. Other failures raise immediately."""
+    for i in range(attempts):
+        try:
+            return build()
+        except PromQLError:
+            raise
+        except Exception as exc:
+            if i == attempts - 1 or not _is_stale_listing_error(exc):
+                raise
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
 def clip_series_input(
     df: DataFrame, lo_s: float | None, hi_s: float | None
 ) -> DataFrame:
@@ -454,9 +487,16 @@ def make_promql_server(
     def _send(handler: BaseHTTPRequestHandler, build) -> None:
         """Run ``build()`` -> payload and write it, mapping parse
         errors to 400 bad_data and execution failures to 500 like
-        promhttp."""
+        promhttp. A stale-file-listing failure (r11: the serve.py
+        incremental rollup jobs rewrite metrics_1m/5m/1h partitions
+        every trigger, and a query planned against the pre-rewrite
+        listing reads a deleted part file —
+        FAILED_READ_FILE.FILE_NOT_EXIST) retries the whole build: the
+        provider re-lists storage per call, so the rebuilt frame sees
+        the post-rewrite files. Bounded at 2 retries; anything else
+        propagates to the 500 path unchanged."""
         try:
-            payload, code = build(), 200
+            payload, code = _retry_stale_listing(build), 200
         except PromQLError as exc:
             payload = {
                 "status": "error",

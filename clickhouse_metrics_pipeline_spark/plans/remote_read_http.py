@@ -59,12 +59,21 @@ def make_remote_read_server(
                 return
             body = self.rfile.read(length)
             try:
-                resp = handle_remote_read(
-                    catalog,
-                    body,
-                    workspace_id=workspace_id,
-                    now_ms=now_ms,
-                    limit=limit,
+                # stale-listing retry (r11): a rollup/compaction
+                # rewrite racing this read invalidates the plan's
+                # file listing; rebuilding re-lists storage
+                from clickhouse_metrics_pipeline_spark.plans.promql_http import (  # noqa: E501
+                    _retry_stale_listing,
+                )
+
+                resp = _retry_stale_listing(
+                    lambda: handle_remote_read(
+                        catalog,
+                        body,
+                        workspace_id=workspace_id,
+                        now_ms=now_ms,
+                        limit=limit,
+                    )
                 )
             except Exception as exc:  # malformed body -> 400, like the ref
                 self.send_error(400, f"bad read request: {exc}")

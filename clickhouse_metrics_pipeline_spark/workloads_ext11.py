@@ -1,5 +1,8 @@
 """Round-11 catalog extensions — the r10 verdict's two named
-native-histogram text completions:
+native-histogram text completions, plus two of its "smaller
+text-path residuals" promoted into the subset (scalar division,
+``promql_per_second_avg``; group_right, ``promql_group_right_ratio``
+— both below):
 
 - **increase() inside histogram_quantile** (verdict item 5 —
   Grafana's other canonical latency-panel spelling,

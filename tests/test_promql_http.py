@@ -953,3 +953,84 @@ class TestAtModifierRouting:
             )
         finally:
             srv.shutdown()
+
+
+class TestStaleListingRetry:
+    """r11 serving hardening, found live in the serve.py smoke: the
+    incremental rollup jobs rewrite metrics_1m/5m/1h partitions every
+    trigger, and a query planned against the pre-rewrite file listing
+    reads a deleted part file (FAILED_READ_FILE.FILE_NOT_EXIST) and
+    500'd. The HTTP layers retry the whole build — the provider
+    re-lists storage per call — bounded and only for that error
+    class."""
+
+    def test_retries_rebuild_after_rewrite(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            _retry_stale_listing,
+        )
+
+        p = str(tmp_path / "t")
+        spark.range(10).withColumn("v", F.lit(1)).write.parquet(p)
+        stale = spark.read.parquet(p)  # listing captured pre-rewrite
+        assert stale.count() == 10
+
+        import shutil
+
+        shutil.rmtree(p)  # the rewrite: old part files vanish
+        spark.range(5).write.parquet(p)
+
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return stale.count()  # scans deleted files
+            return spark.read.parquet(p).count()  # fresh listing
+
+        assert _retry_stale_listing(build) == 5
+        assert calls["n"] == 2
+
+    def test_other_errors_do_not_retry(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            PromQLError,
+        )
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            _retry_stale_listing,
+        )
+
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            raise ValueError("unrelated")
+
+        with pytest.raises(ValueError):
+            _retry_stale_listing(boom)
+        assert calls["n"] == 1  # no retry for non-listing failures
+
+        def parse_err():
+            calls["n"] += 1
+            raise PromQLError("bad query")
+
+        with pytest.raises(PromQLError):
+            _retry_stale_listing(parse_err)
+        assert calls["n"] == 2
+
+    def test_gives_up_after_bounded_attempts(self):
+        from clickhouse_metrics_pipeline_spark.plans.promql_http import (
+            _retry_stale_listing,
+        )
+
+        calls = {"n": 0}
+
+        def always_stale():
+            calls["n"] += 1
+            raise RuntimeError(
+                "[FAILED_READ_FILE.FILE_NOT_EXIST] gone forever"
+            )
+
+        with pytest.raises(RuntimeError):
+            _retry_stale_listing(always_stale)
+        assert calls["n"] == 3
