@@ -268,12 +268,18 @@ class TestBinopMatrixProperty:
 
     @staticmethod
     def _expect_valid(op, enc_l, enc_r, lby, rby, on, ignoring, gl,
-                      same_range):
+                      same_range, gr=False):
         set_ops = {"and", "or", "unless"}
         if not same_range:
             return False
         if op in set_ops and gl is not None:
             return False
+        if gr:
+            # group_right (r11) desugars to the mirror group_left
+            # with the sides structurally swapped — every structural
+            # check below therefore runs on the swapped tuple order
+            # (encoding rules are side-symmetric)
+            lby, rby = rby, lby
         if on is None and ignoring is None:
             if tuple(lby) != tuple(rby):
                 return False
@@ -333,10 +339,11 @@ class TestBinopMatrixProperty:
             ).map(tuple),
         ),
         same_range=st.booleans(),
+        gr=st.booleans(),
     )
-    @settings(max_examples=400, deadline=None)
+    @settings(max_examples=500, deadline=None)
     def test_binop_matrix(
-        self, op, lf, rf, lby, rby, mod, gl, same_range
+        self, op, lf, rf, lby, rby, mod, gl, same_range, gr
     ):
         from clickhouse_metrics_pipeline_spark.plans.promql import (
             BinQuery,
@@ -344,6 +351,8 @@ class TestBinopMatrixProperty:
 
         if mod is None:
             gl = None  # grammar: group_left only follows on/ignoring
+        if gl is None:
+            gr = False  # group_right only exists with a group clause
         on = tuple(mod[1]) if mod is not None and mod[0] == "on" else None
         ignoring = (
             tuple(mod[1])
@@ -354,16 +363,17 @@ class TestBinopMatrixProperty:
         lhs = f"sum by ({', '.join(lby)}) ({lf}(events[1h]))"
         rhs = f"sum by ({', '.join(rby)}) ({rf}(e2[{dur_r}]))"
         mod_txt = ""
+        kw = "group_right" if gr else "group_left"
         if mod is not None:
             mod_txt = f"{mod[0]}({', '.join(mod[1])}) "
             if gl == ():
-                mod_txt += "group_left "
+                mod_txt += f"{kw} "
             elif gl:
-                mod_txt += f"group_left({', '.join(gl)}) "
+                mod_txt += f"{kw}({', '.join(gl)}) "
         text = f"{lhs} {op} {mod_txt}{rhs}"
         want = self._expect_valid(
             op, self._FN_ENC[lf], self._FN_ENC[rf],
-            lby, rby, on, ignoring, gl, same_range,
+            lby, rby, on, ignoring, gl, same_range, gr,
         )
         try:
             b = parse(text)
@@ -376,7 +386,11 @@ class TestBinopMatrixProperty:
             assert b.op == op
             assert b.match_on == on and b.match_ignoring == ignoring
             assert b.group_left == gl
-            assert b.lhs.by == tuple(lby) and b.rhs.by == tuple(rby)
+            assert b.swapped == gr
+            if gr:  # structural sides are the user's sides swapped
+                assert b.lhs.by == tuple(rby) and b.rhs.by == tuple(lby)
+            else:
+                assert b.lhs.by == tuple(lby) and b.rhs.by == tuple(rby)
 
     @given(
         cmp=st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
@@ -1946,3 +1960,102 @@ class TestScalarDivision:
                 "clamp_min(sum by (t) (sum_over_time(events[1h])), 20)"
                 " / 60"
             )
+
+
+class TestScalarDivisionProperty:
+    """Parse-level property for '/ N' (r11): any nonzero integer
+    divisor parses, the composite encoding is the side's label +
+    '/ppm', and the whole-query scale is base_scale x 1e6 — N never
+    enters the scale (it lives in the stored value)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _FNS = {
+        "count_over_time": "count",
+        "sum_over_time": "value_x100",
+        "rate": "rate_micro",
+    }
+
+    # divisors are positive: the lexer has no signed numbers (the
+    # same pre-existing boundary as '+ - *' scalars)
+    @given(
+        fn=st.sampled_from(sorted(_FNS)),
+        n=st.integers(1, 10**6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_divisor_round_trip(self, fn, n):
+        from clickhouse_metrics_pipeline_spark.plans.promql import (
+            encoding_scale,
+            output_encoding,
+            result_scale,
+        )
+
+        q = parse(
+            f"sum by (event_type) ({fn}(events[1h])) / {n}"
+        )
+        assert q.scalar_op == "/" and q.scalar == n
+        base = self._FNS[fn]
+        assert output_encoding(q) == base + "/ppm"
+        assert result_scale(q) == encoding_scale(base) * 10**6
+
+
+class TestExpFractionMassLaws:
+    """Batched mass-law check for exp_histogram_fraction (r11): 200
+    seeded random histograms (scales -1/0/1, indexes 0..5, counts
+    1..9, zero-counts 0..3, optional negative buckets) evaluated in
+    ONE Spark pass. Bounds 4 and 16 are bucket edges at every one of
+    those scales (powers of two), so each mass term is integer-exact
+    and the only slack is the ppm floor per part:
+    - frac(0, inf) == 1_000_000 exactly on any nonempty histogram;
+    - the three-way partition frac(0,4) + frac(4,16) + frac(16,inf)
+      recovers 1e6 minus at most 3 (one floor per part);
+    - every part sits in [0, 1e6]."""
+
+    def test_partition_of_unity(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            exp_histogram_fraction,
+        )
+
+        rng = random.Random(1123)
+        rows = []
+        for i in range(200):
+            scale = rng.choice([-1, 0, 1])
+            npos = rng.randint(1, 4)
+            idxs = rng.sample(range(6), npos)
+            pos = [(j, rng.randint(1, 9)) for j in sorted(idxs)]
+            neg = (
+                [(rng.randint(0, 3), rng.randint(1, 5))]
+                if rng.random() < 0.3
+                else None
+            )
+            rows.append((i, scale, rng.randint(0, 3), pos, neg))
+        df = spark.createDataFrame(
+            rows,
+            "id int, scale int, zc bigint, "
+            "pos array<struct<index:int,count:bigint>>, "
+            "neg array<struct<index:int,count:bigint>>",
+        )
+
+        def frac(lo, hi, name):
+            return exp_histogram_fraction(
+                "scale", "zc", "pos", "neg", lo, hi
+            ).alias(name)
+
+        out = df.select(
+            "id",
+            frac(0.0, float("inf"), "whole"),
+            frac(0.0, 4.0, "p1"),
+            frac(4.0, 16.0, "p2"),
+            frac(16.0, float("inf"), "p3"),
+        ).collect()
+        assert len(out) == 200
+        for r in out:
+            assert r.whole == 1_000_000, r
+            for part in (r.p1, r.p2, r.p3):
+                assert 0 <= part <= 1_000_000, r
+            total = r.p1 + r.p2 + r.p3
+            assert 1_000_000 - 3 <= total <= 1_000_000, r
