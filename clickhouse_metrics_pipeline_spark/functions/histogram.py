@@ -232,6 +232,123 @@ def bucket_percentile_scaled(
     )
 
 
+def bucket_fraction_ppm(
+    buckets: Column | str, lo: float, hi: float
+) -> Column:
+    """Fraction of a merged le-DELTA bucket histogram's mass in
+    (lo, hi], truncated parts-per-million BIGINT (r11 — the bucket-
+    array twin of the raw-sample ``_hist_fraction_plan`` arithmetic,
+    feeding the rate()/increase() form of ``histogram_fraction``).
+
+    Bound conventions match the classic fraction plan's parser
+    contract: ``lo == 0.0`` is the -Inf sentinel, ``hi == inf`` is
+    everything (including +Inf-bucket mass). For a finite integral
+    bound B, mass(<= B) is the exact rational X/D computed by one
+    fold over the le-ascending buckets: full counts for buckets with
+    le <= B; the straddling bucket (first le > B, prev < B < le)
+    contributes linearly, X = cum_before*D + cnt*(B - prev) with
+    D = le - prev — the same interp rule as the count form, so
+    on-ladder bounds collapse to the D = 1 exact-count case. Mass in
+    a +Inf bucket sits above every finite bound. The two-bound
+    difference is the single rational
+    (X_hi*D_lo - X_lo*D_hi) * 1e6 / (n*D_hi*D_lo), floored through
+    the exact DECIMAL(38,0) divider (counts here are micro-rate sums
+    up to ~1e13; the numerator stays well inside 38 digits).
+    Requires integer-valued finite les (the stored-ladder contract,
+    same as :func:`bucket_percentile_scaled`); non-negative counts
+    (reset-corrected rates). Empty / zero-mass histogram -> NULL."""
+    for bound in (lo, hi):
+        if bound not in (0.0, float("inf")) and bound != int(bound):
+            raise ValueError(
+                f"bucket_fraction_ppm bounds must be integral, 0, or "
+                f"Inf (the exactness contract), got {bound}"
+            )
+    b = _sorted_buckets(buckets)
+    total = bucket_total(b)
+
+    def mass(bound: float):
+        """-> struct(num DECIMAL, den BIGINT): mass(<= bound) = num/den."""
+        if bound == float("inf"):
+            return F.struct(
+                total.cast("decimal(38,0)").alias("num"),
+                F.lit(1).cast("bigint").alias("den"),
+            )
+        if bound == 0.0:  # the parser's -Inf sentinel
+            return F.struct(
+                F.lit(0).cast("decimal(38,0)").alias("num"),
+                F.lit(1).cast("bigint").alias("den"),
+            )
+        bl = F.lit(float(bound))
+
+        def step(acc: Column, x: Column) -> Column:
+            le_int = x["le"].cast("bigint")
+            below = (x["le"] != F.lit(_INF)) & (x["le"] <= bl)
+            # straddle: first le > B (a +Inf straddle keeps D=1 and
+            # X=cum — its mass lies above every finite bound)
+            den = F.when(
+                x["le"] == F.lit(_INF), F.lit(1).cast("bigint")
+            ).otherwise(le_int - acc["prev"])
+            num = F.when(
+                x["le"] == F.lit(_INF), acc["cum"].cast("decimal(38,0)")
+            ).otherwise(
+                acc["cum"].cast("decimal(38,0)") * den
+                + x["count"].cast("decimal(38,0)")
+                * (F.lit(int(bound)) - acc["prev"])
+            )
+            return F.when(acc["num"].isNotNull(), acc).otherwise(
+                F.when(
+                    below,
+                    F.struct(
+                        (acc["cum"] + x["count"]).alias("cum"),
+                        le_int.alias("prev"),
+                        acc["num"].alias("num"),
+                        acc["den"].alias("den"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        acc["cum"].alias("cum"),
+                        acc["prev"].alias("prev"),
+                        num.alias("num"),
+                        den.alias("den"),
+                    )
+                )
+            )
+
+        return F.aggregate(
+            b,
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(0).cast("bigint").alias("prev"),
+                F.lit(None).cast("decimal(38,0)").alias("num"),
+                F.lit(None).cast("bigint").alias("den"),
+            ),
+            step,
+            lambda acc: F.struct(
+                F.coalesce(
+                    acc["num"], acc["cum"].cast("decimal(38,0)")
+                ).alias("num"),
+                F.coalesce(acc["den"], F.lit(1).cast("bigint")).alias(
+                    "den"
+                ),
+            ),
+        )
+
+    mh, ml = mass(hi), mass(lo)
+    num = (
+        mh["num"] * ml["den"].cast("decimal(38,0)")
+        - ml["num"] * mh["den"].cast("decimal(38,0)")
+    ) * F.lit(1_000_000)
+    den = (
+        total.cast("decimal(38,0)")
+        * mh["den"].cast("decimal(38,0)")
+        * ml["den"].cast("decimal(38,0)")
+    )
+    ppm = _floordiv_exact(num, den)
+    return F.when((total > 0) & (F.size(b) > 0), ppm).otherwise(
+        F.lit(None).cast("bigint")
+    )
+
+
 def delta_to_cumulative_buckets(buckets: Column | str) -> Column:
     """Running-sum over le-sorted buckets (H4, percentile.go:107-128)."""
     b = _sorted_buckets(buckets)

@@ -1207,11 +1207,19 @@ class _Parser:
             self.eat("op", ",")
             q = self._aggop_or_call()
             self.eat("op", ")")
-            if q.agg != "sum" or q.func != "count_over_time" or q.without:
+            if (
+                q.agg != "sum"
+                or q.func not in ("count_over_time", "rate", "increase")
+                or q.without
+            ):
                 raise PromQLError(
                     "histogram_fraction subset requires the merged-"
                     "histogram shape: sum by (...) "
-                    "(count_over_time(selector[range]))"
+                    "(count_over_time(selector[range])) or, over "
+                    "stored cumulative bucket counters (classic or "
+                    "exp), sum by (...) (rate/increase(sel[range])) "
+                    "— Prometheus's canonical native-histogram "
+                    "fraction spelling (r11)"
                 )
             if not hi > lo:
                 raise PromQLError(
@@ -2060,6 +2068,32 @@ def _stored_bucket_rate_quantile_plan(
             "series carry neither — use the count_over_time form "
             "over raw sample values instead"
         )
+    merged = _stored_bucket_rate_merged(q, df, pairs)
+    return merged.select(
+        *q.by,
+        "bucket_ts",
+        bucket_percentile_scaled(
+            "buckets", q.quantile, interpolation="prometheus"
+        ).alias("value"),
+    )
+
+
+def _stored_bucket_rate_merged(
+    q: PromQuery, df: DataFrame, pairs
+) -> DataFrame:
+    """Shared tail of the rate()/increase() stored-bucket read (r11
+    refactor): explode the cumulative per-le counters, rate each
+    (series, le) with the extrapolatedRate kernel in q.func's mode,
+    re-express as BIGINT micro-units, and merge to one le-DELTA
+    bucket array per (by-labels, window) — the frame both the
+    quantile walk and the fraction kernel consume."""
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        series_key,
+    )
+    from clickhouse_metrics_pipeline_spark.functions.rate import (
+        rate_over_window,
+    )
+
     has_sid = "sample_id" in df.columns
     tb = F.col("sample_id") if has_sid else F.lit(0)
     exploded = (
@@ -2100,22 +2134,62 @@ def _stored_bucket_rate_quantile_plan(
         .groupBy(*q.by, "bucket_ts", "le")
         .agg(F.sum("_r").alias("count"))
     )
-    merged = per_le.groupBy(*q.by, "bucket_ts").agg(
+    return per_le.groupBy(*q.by, "bucket_ts").agg(
         F.array_sort(F.collect_list(F.struct("le", "count"))).alias(
             "buckets"
         )
     )
-    return merged.select(
-        *q.by,
-        "bucket_ts",
-        bucket_percentile_scaled(
-            "buckets", q.quantile, interpolation="prometheus"
-        ).alias("value"),
-    )
 
 
 def _exp_rate_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
-    """histogram_quantile(φ, sum by (L) (rate(x[r]))) over
+    """histogram_quantile(φ, sum by (L) (rate(x[r]))) over exp
+    columns: the H6 midpoint walk over the rated merged histogram
+    (see ``_exp_rate_merged``)."""
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        exp_histogram_percentile,
+    )
+
+    rolled = _exp_rate_merged(q, df)
+    val = exp_histogram_percentile(
+        "exp_scale",
+        "exp_zero_count",
+        "exp_positive_buckets",
+        "exp_negative_buckets",
+        float(q.quantile),
+    )
+    return rolled.select(
+        *q.by,
+        "bucket_ts",
+        F.round(val * F.lit(10000)).cast("bigint").alias("value"),
+    )
+
+
+def _exp_rate_fraction_plan(q: PromQuery, df: DataFrame) -> DataFrame:
+    """histogram_fraction(lo, hi, sum by (L) (rate(x[r]))) over exp
+    columns (r11 — Prometheus's canonical native-histogram fraction
+    spelling composes rate() inside): the identical rated min-scale
+    merge as the quantile form, then the two-bound cumulative-mass
+    difference instead of the walk. Mass ratios are scale-free, so
+    the micro-rate counts fraction exactly like sample counts.
+    Output truncated-ppm BIGINT — the fraction encoding contract."""
+    from clickhouse_metrics_pipeline_spark.functions.histogram import (
+        exp_histogram_fraction,
+    )
+
+    rolled = _exp_rate_merged(q, df)
+    val = exp_histogram_fraction(
+        "exp_scale",
+        "exp_zero_count",
+        "exp_positive_buckets",
+        "exp_negative_buckets",
+        q.frac_lo,
+        q.frac_hi,
+    )
+    return rolled.select(*q.by, "bucket_ts", val.alias("value"))
+
+
+def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
+    """Rate()/increase() over
     TIME-cumulative EXP-histogram columns (r10) — the native-histogram
     rate read, the composition of this round's two new paths: every
     per-(series, sign, index) counter (positive/negative buckets AND
@@ -2135,9 +2209,6 @@ def _exp_rate_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
 
     from clickhouse_metrics_pipeline_spark.functions.hashing import (
         series_key,
-    )
-    from clickhouse_metrics_pipeline_spark.functions.histogram import (
-        exp_histogram_percentile,
     )
     from clickhouse_metrics_pipeline_spark.functions.rate import (
         rate_over_window,
@@ -2265,18 +2336,7 @@ def _exp_rate_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
             F.when(F.col("sign") == 0, F.col("count")).otherwise(0)
         ).alias("exp_zero_count"),
     )
-    val = exp_histogram_percentile(
-        "exp_scale",
-        "exp_zero_count",
-        "exp_positive_buckets",
-        "exp_negative_buckets",
-        float(q.quantile),
-    )
-    return rolled.select(
-        *q.by,
-        "bucket_ts",
-        F.round(val * F.lit(10000)).cast("bigint").alias("value"),
-    )
+    return rolled
 
 
 def _exp_hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
@@ -2460,9 +2520,52 @@ def _hist_fraction_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     to ppm through the exact DECIMAL(38,0) divider (numerator ≤
     n·500²·1e6 — 38 digits holds to astronomic n). On-ladder bounds
     are the D = 1 special case, so the pre-r10 results are unchanged.
-    One shuffle to the by-grain with map-side partial counts."""
+    One shuffle to the by-grain with map-side partial counts.
+
+    The rate()/increase() form (r11 — Prometheus's canonical
+    native-histogram fraction spelling,
+    ``histogram_fraction(lo, hi, rate(x[5m]))``) dispatches exactly
+    like the rate-form quantile: classic stored bucket arrays route
+    to the shared rated merge + ``bucket_fraction_ppm`` (the same
+    interp rule over micro-rate counts); exp columns route to the
+    rated min-scale merge + two-bound mass difference; neither is a
+    clear 400."""
     import bisect
 
+    if q.func in ("rate", "increase"):
+        from clickhouse_metrics_pipeline_spark.functions.histogram import (
+            bucket_fraction_ppm,
+        )
+
+        pairs = _bucket_pairs_col(df)
+        if pairs is not None:
+            probe = (
+                df.where(pairs.isNotNull() & (F.size(pairs) > 0))
+                .limit(1)
+                .count()
+            )
+            if not probe:
+                pairs = None
+        if pairs is None:
+            if (
+                "exp_positive_buckets" in df.columns
+                and _exp_presence_probe(df)
+            ):
+                return _exp_rate_fraction_plan(q, df)
+            raise PromQLError(
+                "the rate() form of histogram_fraction reads stored "
+                "cumulative bucket arrays (classic or exp); the "
+                "matched series carry neither — use the "
+                "count_over_time form over raw sample values instead"
+            )
+        merged = _stored_bucket_rate_merged(q, df, pairs)
+        return merged.select(
+            *q.by,
+            "bucket_ts",
+            bucket_fraction_ppm(
+                "buckets", q.frac_lo, q.frac_hi
+            ).alias("value"),
+        )
     if "exp_positive_buckets" in df.columns and _exp_presence_probe(df):
         # native-histogram fraction (r11): same bounded presence probe
         # as the quantile dispatch — matched metrics that actually

@@ -1720,7 +1720,8 @@ ORACLE_SQL.update(EXTRA11_ORACLE)
 #     together with the rows added in r11 (local-gate green,
 #     driver-graded r12): promql_increase_bucket_p95,
 #     promql_exp_hist_fraction, promql_per_second_avg,
-#     promql_group_right_ratio.
+#     promql_group_right_ratio, promql_rate_hist_fraction,
+#     promql_exp_rate_fraction.
 # After this window no oracle-backed row's driver evidence is older
 # than r8, every r10 addition is driver-graded, and the only rows
 # older than r9 are the 32 named r8 deferrals. Names are frozen;

@@ -122,14 +122,22 @@ def promql_rate_bucket_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rate_bucket_sql(mode: str = "rate", phi: int = 95) -> str:
+def _rate_bucket_sql(
+    mode: str = "rate",
+    phi: int = 95,
+    frac: tuple[float, float] | None = None,
+) -> str:
     """extrapolatedRate twin over per-le cumulative bucket counters;
     ``mode='increase'`` (r11) drops the /range division — the kernel's
-    increase form — before the same micro-unit sum and walk."""
+    increase form — before the same micro-unit sum and walk.
+    ``frac=(lo, hi)`` (r11) swaps the walk for the on-ladder
+    two-bound fraction: floor((cum_hi - cum_lo) * 1e6 / total) in
+    HUGEINT — bucket_fraction_ppm's D=1 exact-count case."""
     les = ", ".join(
         f"({j}, {le})" for j, le in enumerate(_LES10)
     )
     div = "/ 86400.0" if mode == "rate" else ""
+    tail = _rate_bucket_tail(phi, frac)
     return f"""
 WITH le(j, le) AS (
   VALUES {les}
@@ -202,10 +210,23 @@ WITH le(j, le) AS (
                                ORDER BY le) AS prev
   FROM counts
 )
-SELECT event_type, bucket_ts,
-       {hist_walk_prom_scaled_sql(phi)} AS value
-FROM w GROUP BY event_type, bucket_ts
+{tail}
 """
+
+
+def _rate_bucket_tail(
+    phi: int, frac: tuple[float, float] | None
+) -> str:
+    if frac is None:
+        return f"""SELECT event_type, bucket_ts,
+       {hist_walk_prom_scaled_sql(phi)} AS value
+FROM w GROUP BY event_type, bucket_ts"""
+    lo, hi = frac
+    return f"""SELECT event_type, bucket_ts,
+       CAST(((coalesce(max(CASE WHEN le <= {hi} THEN cum END), 0)
+              - coalesce(max(CASE WHEN le <= {lo} THEN cum END), 0))::HUGEINT
+             * 1000000) // max(total) AS BIGINT) AS value
+FROM w GROUP BY event_type, bucket_ts"""
 
 
 EXTRA10_QUERIES["promql_rate_bucket_p95"] = promql_rate_bucket_p95

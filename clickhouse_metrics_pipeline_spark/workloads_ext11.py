@@ -299,3 +299,116 @@ FROM per_user p JOIN per_type t USING (event_type, bucket_ts)
 
 EXTRA11_QUERIES["promql_group_right_ratio"] = promql_group_right_ratio
 EXTRA11_ORACLE["promql_group_right_ratio"] = _GROUP_RIGHT_SQL
+
+
+# --------------------------------------------------------------------------
+# rate() inside histogram_fraction (r11 — the canonical native-
+# histogram fraction spelling, classic + exp)
+# --------------------------------------------------------------------------
+
+PROMQL_RATE_FRACTION_QUERY = (
+    "histogram_fraction(25, 200, "
+    "sum by (event_type) (rate(hist_requests[1d])))"
+)
+
+
+def promql_rate_hist_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_fraction(lo, hi, sum by (t) (rate(x[1d]))) over
+    stored CUMULATIVE bucket counters — Prometheus's canonical
+    histogram_fraction spelling composes rate() inside (r11; the
+    count_over_time form was the r8/r10 subset). Same shared rated
+    merge as the driver-green rate quantile
+    (plans/promql._stored_bucket_rate_merged), then
+    ``bucket_fraction_ppm`` — the exact rational two-bound difference
+    over micro-rate counts; bounds 25/200 sit ON the stored ladder,
+    the D=1 exact-count case the HUGEINT twin restates directly.
+    Output truncated-ppm BIGINT."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads_ext10 import (
+        _cum_bucket_series_frame,
+    )
+
+    return compile_promql(
+        PROMQL_RATE_FRACTION_QUERY,
+        _cum_bucket_series_frame(spark, sf_dir),
+    )
+
+
+EXTRA11_QUERIES["promql_rate_hist_fraction"] = promql_rate_hist_fraction
+EXTRA11_ORACLE["promql_rate_hist_fraction"] = _rate_bucket_sql(
+    frac=(25.0, 200.0)
+)
+
+
+PROMQL_EXP_RATE_FRACTION_QUERY = (
+    "histogram_fraction(4, 16, "
+    "sum by (event_type) (rate(exp_requests_cum[1d])))"
+)
+
+
+def promql_exp_rate_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_fraction(4, 16, sum by (t) (rate(exp[1d]))) over
+    TIME-cumulative EXP-histogram counters — the native-histogram
+    fraction with rate() inside, completing the read matrix
+    {quantile, fraction} x {count_over_time, rate} x {classic, exp}.
+    The identical rated min-scale merge as the driver-gate-green
+    promql_exp_rate_p95 (per-(series, sign, index) extrapolatedRate
+    -> micro-units -> H7 floor-div merge), with the two-bound
+    cumulative-mass difference replacing the H6 walk; bounds 4/16
+    are bucket edges at both fixture scales, so every mass term is
+    an exact integer micro-rate sum. Twin = the exp-rate twin's
+    prefix with the walk CTEs swapped for the same mass difference.
+    Output truncated-ppm BIGINT."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+    )
+    from clickhouse_metrics_pipeline_spark.workloads_ext10 import (
+        _cum_exp_series_frame,
+    )
+
+    return compile_promql(
+        PROMQL_EXP_RATE_FRACTION_QUERY,
+        _cum_exp_series_frame(spark, sf_dir),
+    )
+
+
+def _exp_rate_fraction_sql() -> str:
+    """The exp-rate twin with its walk tail (uni/w/arg_min CTEs)
+    replaced by the two-bound mass difference — the prefix through
+    ``zeros`` (slots -> extrapolatedRate -> micro -> min-scale shift
+    -> pos/zeros) is shared verbatim with _EXP_RATE_SQL."""
+    from clickhouse_metrics_pipeline_spark.workloads_ext10 import (
+        _EXP_RATE_SQL,
+    )
+
+    marker = "), uni AS ("
+    prefix = _EXP_RATE_SQL.split(marker)[0]
+    return prefix + """), totals AS (
+  SELECT p.event_type, p.bucket_ts, z.cnt AS zcnt,
+         sum(p.cnt) AS pos_total,
+         sum(p.cnt) FILTER (
+           WHERE pow(pow(2, pow(2, -p.min_scale)), p.idx + 1) <= 16.0
+         ) AS hi_pos,
+         sum(p.cnt) FILTER (
+           WHERE pow(pow(2, pow(2, -p.min_scale)), p.idx + 1) <= 4.0
+         ) AS lo_pos
+  FROM pos p JOIN zeros z USING (event_type, bucket_ts)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, bucket_ts,
+       CAST(floor(
+         (coalesce(hi_pos, 0) - coalesce(lo_pos, 0))::DOUBLE
+         * 1000000.0 / (zcnt + pos_total)::DOUBLE
+       ) AS BIGINT) AS value
+FROM totals
+"""
+
+
+EXTRA11_QUERIES["promql_exp_rate_fraction"] = promql_exp_rate_fraction
+EXTRA11_ORACLE["promql_exp_rate_fraction"] = _exp_rate_fraction_sql()

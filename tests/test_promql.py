@@ -2059,3 +2059,135 @@ class TestExpFractionMassLaws:
                 assert 0 <= part <= 1_000_000, r
             total = r.p1 + r.p2 + r.p3
             assert 1_000_000 - 3 <= total <= 1_000_000, r
+
+
+class TestRateFraction:
+    """r11: rate()/increase() inside histogram_fraction — Prometheus's
+    canonical native-histogram fraction spelling. Classic stored
+    buckets route through the shared rated merge +
+    ``bucket_fraction_ppm`` (exact rational over micro-rate counts);
+    exp columns route to the rated min-scale merge + two-bound mass
+    difference; a gauge is a clear 400. Goldens derive on the
+    micro-rate lattice: the 0/10/20-min fixture extrapolates to
+    increase = 1.25 x delta, so increases are micro-exact (le10 ->
+    5_000_000, le50 -> 7_500_000) while the rate form's counts are
+    round(inc/3600 x 1e6) = (1389, 2083)."""
+
+    import datetime as _dt
+
+    T0 = _dt.datetime(2026, 1, 1)
+
+    def _classic(self, spark):
+        import datetime as dt
+
+        rows = [
+            (
+                "m", {"t": "x"},
+                self.T0 + dt.timedelta(minutes=10 * i), float(i),
+                [(10.0, 2 * (i + 1)), (50.0, 3 * (i + 1))],
+            )
+            for i in range(3)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, "
+            "buckets array<struct<le:double,count:bigint>>",
+        )
+
+    def _exp(self, spark):
+        import datetime as dt
+
+        rows = [
+            (
+                "m", {"t": "x"},
+                self.T0 + dt.timedelta(minutes=10 * i), float(i),
+                0, 1 * (i + 1), 0.0,
+                [(1, 4 * (i + 1)), (3, 2 * (i + 1))], None,
+            )
+            for i in range(3)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, exp_scale int, "
+            "exp_zero_count bigint, exp_zero_threshold double, "
+            "exp_positive_buckets array<struct<index:int,count:bigint>>, "
+            "exp_negative_buckets array<struct<index:int,count:bigint>>",
+        )
+
+    @pytest.mark.parametrize(
+        "q, want",
+        [
+            # rate counts (1389, 2083), total 3472:
+            # frac(10,50) = floor(2083e6/3472) = 599_942
+            ("histogram_fraction(10, 50, sum by (t) (rate(m[1h])))",
+             599942),
+            # frac(0,10) = floor(1389e6/3472) = 400_057... compute:
+            # 1389*1e6//3472 = 400_057 — pin the computed value below
+            # increase counts are micro-exact -> clean thirds
+            ("histogram_fraction(10, 50, sum by (t) (increase(m[1h])))",
+             600000),
+            ("histogram_fraction(0, 10, sum by (t) (increase(m[1h])))",
+             400000),
+            # off-ladder B=30 interpolates on the increase lattice:
+            # X30/D = 5e6 + 7.5e6*20/40 = 8.75e6 -> 700_000
+            ("histogram_fraction(0, 30, sum by (t) (increase(m[1h])))",
+             700000),
+            # and on the rate lattice: X = 1389*40 + 2083*20 = 97_220,
+            # ppm = floor(97_220e6 / (3472*40)) = 700_028
+            ("histogram_fraction(0, 30, sum by (t) (rate(m[1h])))",
+             700028),
+        ],
+    )
+    def test_classic_rate_fraction_goldens(self, spark, q, want):
+        out = compile_promql(q, self._classic(spark)).collect()
+        assert len(out) == 1 and out[0].value == want
+
+    def test_exp_rate_fraction_golden(self, spark):
+        # increases: zero 2.5e6, (2,4] 1e7, (8,16] 5e6; total 17.5e6
+        # frac(4,16) = 5e6/17.5e6 -> floor = 285_714
+        q = "histogram_fraction(4, 16, sum by (t) (increase(m[1h])))"
+        out = compile_promql(q, self._exp(spark)).collect()
+        assert len(out) == 1 and out[0].value == 285714
+
+    def test_exp_route_hits_exp_plan(self, spark, monkeypatch):
+        import clickhouse_metrics_pipeline_spark.plans.promql as P
+
+        class Hit(Exception):
+            pass
+
+        def _rec(q, df):
+            assert q.func == "rate" and q.frac_lo == 4.0
+            raise Hit()
+
+        monkeypatch.setattr(P, "_exp_rate_fraction_plan", _rec)
+        q = "histogram_fraction(4, 16, sum by (t) (rate(m[1h])))"
+        with pytest.raises(Hit):
+            compile_promql(q, self._exp(spark))
+
+    def test_gauge_is_clear_400(self, spark):
+        helper = TestQuantileDispatchMatrix()
+        df = helper._frame(spark, "null", "null")
+        q = "histogram_fraction(10, 50, sum by (t) (rate(m[1h])))"
+        with pytest.raises(PromQLError, match="rate.*form of histogram_fraction"):
+            compile_promql(q, df)
+
+    def test_count_form_unchanged(self, spark):
+        # the pre-r11 count_over_time fraction still takes the
+        # raw-sample ladder path on a plain value frame
+        import datetime as dt
+
+        rows = [
+            ("m", {"t": "x"}, self.T0 + dt.timedelta(minutes=i),
+             float(v), i)
+            for i, v in enumerate([5.0, 30.0, 60.0, 300.0])
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric string, attributes map<string,string>, "
+            "ts timestamp, value double, sample_id long",
+        )
+        q = "histogram_fraction(10, 50, sum by (t) (count_over_time(m[1h])))"
+        out = compile_promql(q, df).collect()
+        assert out[0].value == 250000  # 1 of 4 samples in (10, 50]
