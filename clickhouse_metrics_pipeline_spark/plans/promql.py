@@ -228,18 +228,25 @@ kernels the catalog queries use:
                    with lo < value <= hi, as truncated
                    parts-per-million (the events_histogram_fraction
                    kernel's exact-ppm arithmetic per (by-labels,
-                   window)). Same inner shape as histq. lo/hi must
-                   sit ON the fixed le ladder (10/25/50/100/200/500)
-                   or be an INTEGER inside the ladder range (r10:
-                   exact in-bucket linear interpolation),
-                   with lo = 0 meaning -Inf and hi = 'Inf' meaning
-                   +Inf — at ladder bounds the bucket walk is an
-                   exact count (no interpolation), so the engine
-                   counts raw samples directly and the result equals
-                   the stored-bucket answer by construction. Real
-                   PromQL interpolates arbitrary bounds inside
-                   buckets; off-ladder bounds are rejected rather
-                   than approximated (documented divergence)
+                   window)). Same inner shape as histq — incl. (r11)
+                   sum by (...) (rate/increase(...)) over stored
+                   cumulative bucket/exp counters, Prometheus's
+                   canonical native-histogram fraction spelling
+                   (classic: the shared rated merge +
+                   bucket_fraction_ppm over micro-rate counts; exp:
+                   the rated H7 merge + two-bound mass difference).
+                   lo/hi must sit ON the fixed le ladder
+                   (10/25/50/100/200/500) or be an INTEGER inside
+                   the ladder range (r10: exact in-bucket linear
+                   interpolation), with lo = 0 meaning -Inf and
+                   hi = 'Inf' meaning +Inf — at ladder bounds the
+                   bucket walk is an exact count (no interpolation),
+                   so the count form counts raw samples directly and
+                   the result equals the stored-bucket answer by
+                   construction. Real PromQL interpolates arbitrary
+                   bounds inside buckets; non-integer off-ladder
+                   bounds are rejected rather than approximated
+                   (documented divergence)
     topk     := ('topk'|'bottomk') '(' K ',' aggop ')'
                 -- deterministic tiebreak: value, then by-labels asc
                    (real PromQL ties are nondeterministic; documented)
