@@ -58,18 +58,44 @@ def rate_over_window(
     bucket = F.timestamp_seconds(
         F.floor(F.unix_timestamp(ts_col) / range_s) * range_s
     ).alias("bucket_ts")
-    w = Window.partitionBy(
-        *(window_cols if window_cols is not None else series_cols),
-        "bucket_ts",
-    ).orderBy(ts_col, tiebreak_col)
+    pkeys = list(window_cols if window_cols is not None else series_cols)
+    w = Window.partitionBy(*pkeys, "bucket_ts").orderBy(
+        ts_col, tiebreak_col
+    )
+    # r11 optimization (guide §2.4 + §5): first_v/last_v were
+    # min_by/max_by(value, struct(ts, tiebreak)) in the groupBy — a
+    # struct-ordered aggregation buffer Spark can only run as a
+    # SortAggregate (two extra Sorts), and grouping by the full
+    # series_cols (a superset of the window partition keys, re-aliased
+    # by the partial aggregate) re-shuffled the entire exploded row set
+    # a second time (measured: Exchange on every (series x le) row in
+    # the stored-bucket rate plans). The window's (pkeys, bucket) sort
+    # already puts each group in (ts, tiebreak) order, so the same
+    # Window pass now emits the partition's first/last value over an
+    # unbounded frame — identical values, (ts, tiebreak) is unique per
+    # the determinism contract — and the groupBy runs on EXACTLY the
+    # window partition keys (plain min/max/sum/count buffers -> one
+    # HashAggregate, exchange reused). Non-window series_cols are
+    # functionally determined by the canonical series key in pkeys
+    # (callers pass label projections of the same attributes), so they
+    # ride along as first() aggregates.
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     rows = df.select(
         *series_cols, ts_col, tiebreak_col, value_col, bucket
-    ).withColumn("prev_v", F.lag(value_col).over(w))
-    order = F.struct(ts_col, tiebreak_col)
-    agg = rows.groupBy(*series_cols, "bucket_ts").agg(
+    ).select(
+        "*",
+        F.lag(value_col).over(w).alias("prev_v"),
+        F.first(value_col).over(w_all).alias("_first_v"),
+        F.last(value_col).over(w_all).alias("_last_v"),
+    )
+    extra = [c for c in series_cols if c not in pkeys]
+    agg = rows.groupBy(*pkeys, "bucket_ts").agg(
+        *[F.first(c).alias(c) for c in extra],
         F.count(F.lit(1)).alias("n_samples"),
-        F.min_by(value_col, order).alias("first_v"),
-        F.max_by(value_col, order).alias("last_v"),
+        F.min("_first_v").alias("first_v"),
+        F.max("_last_v").alias("last_v"),
         (F.unix_micros(F.min(ts_col)) / 1e6).alias("first_s"),
         (F.unix_micros(F.max(ts_col)) / 1e6).alias("last_s"),
         F.sum(

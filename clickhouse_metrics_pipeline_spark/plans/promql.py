@@ -2121,6 +2121,11 @@ def _stored_bucket_rate_merged(
             F.col("b.count").cast("double").alias("_cum"),
         )
     )
+    # r11 optimization: the by-labels are plain orderable strings
+    # functionally determined by _sk, so they join the window partition
+    # keys — group keys then equal the window keys exactly and the
+    # kernel's aggregate needs no first(string) buffer (which would
+    # force a SortAggregate + an extra full-data Sort; guide §2.4/§5).
     rated = rate_over_window(
         exploded,
         [*q.by, "_sk", "le"],
@@ -2128,7 +2133,6 @@ def _stored_bucket_rate_merged(
         value_col="_cum",
         tiebreak_col="_tb",
         mode="increase" if q.func == "increase" else "rate",
-        window_cols=["_sk", "le"],
     )
     per_le = (
         rated.where(F.col("rate").isNotNull())
@@ -2286,6 +2290,10 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
     # counter (its first sample re-enters through the extrapolation
     # kernel's first-point handling), matching how Prometheus treats a
     # native-histogram schema change as a counter reset boundary.
+    # r11 optimization: same series_cols-as-window-keys move as the
+    # classic-bucket rate path (q.by is functionally determined by _sk)
+    # so the rate aggregate stays a HashAggregate on the window's own
+    # partitioning instead of a sorted first(string) aggregate.
     rated = rate_over_window(
         exploded,
         [*q.by, "_sk", "exp_scale", "sign", "index"],
@@ -2293,7 +2301,6 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
         value_col="_cum",
         tiebreak_col="_tb",
         mode="increase" if q.func == "increase" else "rate",
-        window_cols=["_sk", "exp_scale", "sign", "index"],
     )
     micro = rated.where(F.col("rate").isNotNull()).select(
         *q.by,
