@@ -58,6 +58,34 @@ def _sorted_buckets(buckets: Column | str) -> Column:
     return F.array_sort(_col(buckets))
 
 
+def _let(bindings: dict[str, Column], body) -> Column:
+    """Row-local let-binding: evaluate each binding column ONCE per row
+    and hand the values to ``body`` as fields of a bound lambda
+    variable (r11 optimization, guide §1.2 step 2).
+
+    Spark performs no common-subexpression elimination inside
+    higher-order-function lambda bodies, so a kernel that mentions
+    ``total`` (itself an ``aggregate`` over ``array_sort``) inside a
+    per-element walk lambda re-evaluates the whole sub-tree for every
+    element — O(k² log k) interpreted work per row (visible as ~12
+    repeated ``array_sort``/``aggregate`` copies in the percentile
+    plans, e.g. plans/r11/promql_rate_bucket_p95_before.txt node 22).
+    Routing the shared sub-expressions through a 1-element
+    ``transform`` turns every later mention into a lambda-variable
+    lookup. Same value, same types; nothing about the plan shape
+    (shuffles, aggregates) changes.
+    """
+    return F.element_at(
+        F.transform(
+            F.array(
+                F.struct(*[v.alias(k) for k, v in bindings.items()])
+            ),
+            body,
+        ),
+        1,
+    )
+
+
 def bucket_total(buckets: Column | str) -> Column:
     """Total observation count of a delta-bucket array."""
     return F.aggregate(
@@ -77,50 +105,63 @@ def bucket_percentile(
     """
     if interpolation not in ("golden", "prometheus"):
         raise ValueError(f"unknown interpolation mode: {interpolation}")
-    b = _sorted_buckets(buckets)
     p = F.lit(percentile) if not isinstance(percentile, Column) else percentile
-    total = bucket_total(b)
-    target = total.cast("double") * (p.cast("double") / F.lit(100.0))
 
-    def step(acc: Column, x: Column) -> Column:
-        hit = (acc["cum"] + x["count"]).cast("double") >= target
-        frac = (target - acc["cum"].cast("double")) / x["count"].cast("double")
-        if interpolation == "golden":
-            in_bucket = frac * x["le"]
-        else:
-            in_bucket = acc["prev"] + frac * (x["le"] - acc["prev"])
-        interp = (
-            F.when(x["count"] == 0, x["le"])
-            .when(x["le"] == F.lit(_INF), acc["prev"])
-            .otherwise(in_bucket)
-        )
-        return F.when(acc["res"].isNotNull(), acc).otherwise(
-            F.struct(
-                (acc["cum"] + x["count"]).alias("cum"),
-                x["le"].alias("prev"),
-                F.when(hit, interp)
-                .otherwise(F.lit(None).cast("double"))
-                .alias("res"),
+    def body(s: Column) -> Column:
+        b, total = s["b"], s["t"]
+        target = total.cast("double") * (p.cast("double") / F.lit(100.0))
+
+        def step(acc: Column, x: Column) -> Column:
+            hit = (acc["cum"] + x["count"]).cast("double") >= target
+            frac = (target - acc["cum"].cast("double")) / x["count"].cast(
+                "double"
             )
+            if interpolation == "golden":
+                in_bucket = frac * x["le"]
+            else:
+                in_bucket = acc["prev"] + frac * (x["le"] - acc["prev"])
+            interp = (
+                F.when(x["count"] == 0, x["le"])
+                .when(x["le"] == F.lit(_INF), acc["prev"])
+                .otherwise(in_bucket)
+            )
+            return F.when(acc["res"].isNotNull(), acc).otherwise(
+                F.struct(
+                    (acc["cum"] + x["count"]).alias("cum"),
+                    x["le"].alias("prev"),
+                    F.when(hit, interp)
+                    .otherwise(F.lit(None).cast("double"))
+                    .alias("res"),
+                )
+            )
+
+        last_le = F.element_at(b, -1)["le"]
+        walk = F.aggregate(
+            b,
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(0.0).alias("prev"),
+                F.lit(None).cast("double").alias("res"),
+            ),
+            step,
+            # Tail (unreachable when total>0 and p<=100, mirrored for
+            # safety): last finite bound, else previous bound
+            # (percentile.go:62-66).
+            lambda acc: F.coalesce(
+                acc["res"],
+                F.when(last_le != F.lit(_INF), last_le).otherwise(
+                    acc["prev"]
+                ),
+            ),
+        )
+        return F.when((total > 0) & (F.size(b) > 0), walk).otherwise(
+            F.lit(None).cast("double")
         )
 
-    last_le = F.element_at(b, -1)["le"]
-    walk = F.aggregate(
-        b,
-        F.struct(
-            F.lit(0).cast("bigint").alias("cum"),
-            F.lit(0.0).alias("prev"),
-            F.lit(None).cast("double").alias("res"),
-        ),
-        step,
-        # Tail (unreachable when total>0 and p<=100, mirrored for safety):
-        # last finite bound, else previous bound (percentile.go:62-66).
-        lambda acc: F.coalesce(
-            acc["res"], F.when(last_le != F.lit(_INF), last_le).otherwise(acc["prev"])
-        ),
-    )
-    return F.when((total > 0) & (F.size(b) > 0), walk).otherwise(
-        F.lit(None).cast("double")
+    # total is a count sum — order-independent, so it binds over the
+    # UNSORTED input and skips one sort entirely
+    return _let(
+        {"b": _sorted_buckets(buckets), "t": bucket_total(buckets)}, body
     )
 
 
@@ -175,60 +216,67 @@ def bucket_percentile_scaled(
     if scale % 100 != 0:
         raise ValueError("scale must be a multiple of 100")
     factor = scale // 100
-    b = _sorted_buckets(buckets)
-    total = bucket_total(b)
     p = int(percentile)
 
-    def step(acc: Column, x: Column) -> Column:
-        le_int = x["le"].cast("bigint")
-        hit = (acc["cum"] + x["count"]) * F.lit(100) >= total * F.lit(p)
-        # numerator of the in-bucket fraction, scaled by 100 (exact)
-        num_frac = (total.cast("decimal(38,0)") * F.lit(p)) - (
-            F.lit(100).cast("decimal(38,0)") * acc["cum"]
-        )
-        if interpolation == "golden":
-            in_bucket = _floordiv_exact(
-                num_frac * le_int * F.lit(factor), x["count"]
+    def body(s: Column) -> Column:
+        b, total = s["b"], s["t"]
+
+        def step(acc: Column, x: Column) -> Column:
+            le_int = x["le"].cast("bigint")
+            hit = (acc["cum"] + x["count"]) * F.lit(100) >= total * F.lit(p)
+            # numerator of the in-bucket fraction, scaled by 100 (exact)
+            num_frac = (total.cast("decimal(38,0)") * F.lit(p)) - (
+                F.lit(100).cast("decimal(38,0)") * acc["cum"]
             )
-        else:
-            in_bucket = acc["prev"] * F.lit(scale) + _floordiv_exact(
-                num_frac * (le_int - acc["prev"]) * F.lit(factor), x["count"]
+            if interpolation == "golden":
+                in_bucket = _floordiv_exact(
+                    num_frac * le_int * F.lit(factor), x["count"]
+                )
+            else:
+                in_bucket = acc["prev"] * F.lit(scale) + _floordiv_exact(
+                    num_frac * (le_int - acc["prev"]) * F.lit(factor),
+                    x["count"],
+                )
+            interp = (
+                F.when(x["count"] == 0, le_int * F.lit(scale))
+                .when(x["le"] == F.lit(_INF), acc["prev"] * F.lit(scale))
+                .otherwise(in_bucket)
             )
-        interp = (
-            F.when(x["count"] == 0, le_int * F.lit(scale))
-            .when(x["le"] == F.lit(_INF), acc["prev"] * F.lit(scale))
-            .otherwise(in_bucket)
-        )
-        return F.when(acc["res"].isNotNull(), acc).otherwise(
+            return F.when(acc["res"].isNotNull(), acc).otherwise(
+                F.struct(
+                    (acc["cum"] + x["count"]).alias("cum"),
+                    F.when(x["le"] == F.lit(_INF), acc["prev"])
+                    .otherwise(le_int)
+                    .alias("prev"),
+                    F.when(hit, interp)
+                    .otherwise(F.lit(None).cast("bigint"))
+                    .alias("res"),
+                )
+            )
+
+        last_le = F.element_at(b, -1)["le"]
+        walk = F.aggregate(
+            b,
             F.struct(
-                (acc["cum"] + x["count"]).alias("cum"),
-                F.when(x["le"] == F.lit(_INF), acc["prev"])
-                .otherwise(le_int)
-                .alias("prev"),
-                F.when(hit, interp)
-                .otherwise(F.lit(None).cast("bigint"))
-                .alias("res"),
-            )
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(0).cast("bigint").alias("prev"),
+                F.lit(None).cast("bigint").alias("res"),
+            ),
+            step,
+            lambda acc: F.coalesce(
+                acc["res"],
+                F.when(
+                    last_le != F.lit(_INF),
+                    last_le.cast("bigint") * F.lit(scale),
+                ).otherwise(acc["prev"] * F.lit(scale)),
+            ),
+        )
+        return F.when((total > 0) & (F.size(b) > 0), walk).otherwise(
+            F.lit(None).cast("bigint")
         )
 
-    last_le = F.element_at(b, -1)["le"]
-    walk = F.aggregate(
-        b,
-        F.struct(
-            F.lit(0).cast("bigint").alias("cum"),
-            F.lit(0).cast("bigint").alias("prev"),
-            F.lit(None).cast("bigint").alias("res"),
-        ),
-        step,
-        lambda acc: F.coalesce(
-            acc["res"],
-            F.when(
-                last_le != F.lit(_INF), last_le.cast("bigint") * F.lit(scale)
-            ).otherwise(acc["prev"] * F.lit(scale)),
-        ),
-    )
-    return F.when((total > 0) & (F.size(b) > 0), walk).otherwise(
-        F.lit(None).cast("bigint")
+    return _let(
+        {"b": _sorted_buckets(buckets), "t": bucket_total(buckets)}, body
     )
 
 
@@ -263,123 +311,139 @@ def bucket_fraction_ppm(
                 f"bucket_fraction_ppm bounds must be integral, 0, or "
                 f"Inf (the exactness contract), got {bound}"
             )
-    b = _sorted_buckets(buckets)
-    total = bucket_total(b)
+    def body(s: Column) -> Column:
+        b, total = s["b"], s["t"]
 
-    def mass(bound: float):
-        """-> struct(num DECIMAL, den BIGINT): mass(<= bound) = num/den."""
-        if bound == float("inf"):
-            return F.struct(
-                total.cast("decimal(38,0)").alias("num"),
-                F.lit(1).cast("bigint").alias("den"),
-            )
-        if bound == 0.0:  # the parser's -Inf sentinel
-            return F.struct(
-                F.lit(0).cast("decimal(38,0)").alias("num"),
-                F.lit(1).cast("bigint").alias("den"),
-            )
-        bl = F.lit(float(bound))
+        def mass(bound: float):
+            """-> struct(num DECIMAL, den BIGINT): mass(<= bound) = num/den."""
+            if bound == float("inf"):
+                return F.struct(
+                    total.cast("decimal(38,0)").alias("num"),
+                    F.lit(1).cast("bigint").alias("den"),
+                )
+            if bound == 0.0:  # the parser's -Inf sentinel
+                return F.struct(
+                    F.lit(0).cast("decimal(38,0)").alias("num"),
+                    F.lit(1).cast("bigint").alias("den"),
+                )
+            bl = F.lit(float(bound))
 
-        def step(acc: Column, x: Column) -> Column:
-            le_int = x["le"].cast("bigint")
-            below = (x["le"] != F.lit(_INF)) & (x["le"] <= bl)
-            # straddle: first le > B (a +Inf straddle keeps D=1 and
-            # X=cum — its mass lies above every finite bound)
-            den = F.when(
-                x["le"] == F.lit(_INF), F.lit(1).cast("bigint")
-            ).otherwise(le_int - acc["prev"])
-            num = F.when(
-                x["le"] == F.lit(_INF), acc["cum"].cast("decimal(38,0)")
-            ).otherwise(
-                acc["cum"].cast("decimal(38,0)") * den
-                + x["count"].cast("decimal(38,0)")
-                * (F.lit(int(bound)) - acc["prev"])
-            )
-            return F.when(acc["num"].isNotNull(), acc).otherwise(
-                F.when(
-                    below,
-                    F.struct(
-                        (acc["cum"] + x["count"]).alias("cum"),
-                        le_int.alias("prev"),
-                        acc["num"].alias("num"),
-                        acc["den"].alias("den"),
-                    ),
+            def step(acc: Column, x: Column) -> Column:
+                le_int = x["le"].cast("bigint")
+                below = (x["le"] != F.lit(_INF)) & (x["le"] <= bl)
+                # straddle: first le > B (a +Inf straddle keeps D=1 and
+                # X=cum — its mass lies above every finite bound)
+                den = F.when(
+                    x["le"] == F.lit(_INF), F.lit(1).cast("bigint")
+                ).otherwise(le_int - acc["prev"])
+                num = F.when(
+                    x["le"] == F.lit(_INF), acc["cum"].cast("decimal(38,0)")
                 ).otherwise(
-                    F.struct(
-                        acc["cum"].alias("cum"),
-                        acc["prev"].alias("prev"),
-                        num.alias("num"),
-                        den.alias("den"),
+                    acc["cum"].cast("decimal(38,0)") * den
+                    + x["count"].cast("decimal(38,0)")
+                    * (F.lit(int(bound)) - acc["prev"])
+                )
+                return F.when(acc["num"].isNotNull(), acc).otherwise(
+                    F.when(
+                        below,
+                        F.struct(
+                            (acc["cum"] + x["count"]).alias("cum"),
+                            le_int.alias("prev"),
+                            acc["num"].alias("num"),
+                            acc["den"].alias("den"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            acc["cum"].alias("cum"),
+                            acc["prev"].alias("prev"),
+                            num.alias("num"),
+                            den.alias("den"),
+                        )
                     )
                 )
+
+            return F.aggregate(
+                b,
+                F.struct(
+                    F.lit(0).cast("bigint").alias("cum"),
+                    F.lit(0).cast("bigint").alias("prev"),
+                    F.lit(None).cast("decimal(38,0)").alias("num"),
+                    F.lit(None).cast("bigint").alias("den"),
+                ),
+                step,
+                lambda acc: F.struct(
+                    F.coalesce(
+                        acc["num"], acc["cum"].cast("decimal(38,0)")
+                    ).alias("num"),
+                    F.coalesce(acc["den"], F.lit(1).cast("bigint")).alias(
+                        "den"
+                    ),
+                ),
             )
 
-        return F.aggregate(
-            b,
-            F.struct(
-                F.lit(0).cast("bigint").alias("cum"),
-                F.lit(0).cast("bigint").alias("prev"),
-                F.lit(None).cast("decimal(38,0)").alias("num"),
-                F.lit(None).cast("bigint").alias("den"),
-            ),
-            step,
-            lambda acc: F.struct(
-                F.coalesce(
-                    acc["num"], acc["cum"].cast("decimal(38,0)")
-                ).alias("num"),
-                F.coalesce(acc["den"], F.lit(1).cast("bigint")).alias(
-                    "den"
-                ),
-            ),
-        )
+        def tail(s2: Column) -> Column:
+            # each mass struct is referenced twice in the rational —
+            # bound so each fold runs once per row
+            mh, ml = s2["mh"], s2["ml"]
+            num = (
+                mh["num"] * ml["den"].cast("decimal(38,0)")
+                - ml["num"] * mh["den"].cast("decimal(38,0)")
+            ) * F.lit(1_000_000)
+            den = (
+                total.cast("decimal(38,0)")
+                * mh["den"].cast("decimal(38,0)")
+                * ml["den"].cast("decimal(38,0)")
+            )
+            ppm = _floordiv_exact(num, den)
+            return F.when((total > 0) & (F.size(b) > 0), ppm).otherwise(
+                F.lit(None).cast("bigint")
+            )
 
-    mh, ml = mass(hi), mass(lo)
-    num = (
-        mh["num"] * ml["den"].cast("decimal(38,0)")
-        - ml["num"] * mh["den"].cast("decimal(38,0)")
-    ) * F.lit(1_000_000)
-    den = (
-        total.cast("decimal(38,0)")
-        * mh["den"].cast("decimal(38,0)")
-        * ml["den"].cast("decimal(38,0)")
-    )
-    ppm = _floordiv_exact(num, den)
-    return F.when((total > 0) & (F.size(b) > 0), ppm).otherwise(
-        F.lit(None).cast("bigint")
+        return _let({"mh": mass(hi), "ml": mass(lo)}, tail)
+
+    return _let(
+        {"b": _sorted_buckets(buckets), "t": bucket_total(buckets)}, body
     )
 
 
 def delta_to_cumulative_buckets(buckets: Column | str) -> Column:
     """Running-sum over le-sorted buckets (H4, percentile.go:107-128)."""
-    b = _sorted_buckets(buckets)
     # cumulative[i] = sum(counts[0..i]); O(n^2) transform+slice is fine for
     # bucket arrays (tens of entries) and stays codegen'd / shuffle-free.
-    return F.transform(
-        b,
-        lambda x, i: F.struct(
-            x["le"].alias("le"),
-            F.aggregate(
-                F.slice(b, F.lit(1), i + 1),
-                F.lit(0).cast("bigint"),
-                lambda acc, y: acc + y["count"],
-            ).alias("count"),
+    # The sorted array is _let-bound so the per-element slice reads the
+    # bound value instead of re-sorting per element.
+    return _let(
+        {"b": _sorted_buckets(buckets)},
+        lambda s: F.transform(
+            s["b"],
+            lambda x, i: F.struct(
+                x["le"].alias("le"),
+                F.aggregate(
+                    F.slice(s["b"], F.lit(1), i + 1),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, y: acc + y["count"],
+                ).alias("count"),
+            ),
         ),
     )
 
 
 def cumulative_to_delta_buckets(buckets: Column | str) -> Column:
     """Adjacent difference over le-sorted buckets (H5, percentile.go:130-151)."""
-    b = _sorted_buckets(buckets)
-    return F.transform(
-        b,
-        lambda x, i: F.struct(
-            x["le"].alias("le"),
-            (
-                x["count"]
-                - F.when(i == 0, F.lit(0).cast("bigint")).otherwise(
-                    F.element_at(b, i)["count"]  # element_at is 1-based: i = previous
-                )
-            ).alias("count"),
+    return _let(
+        {"b": _sorted_buckets(buckets)},
+        lambda s: F.transform(
+            s["b"],
+            lambda x, i: F.struct(
+                x["le"].alias("le"),
+                (
+                    x["count"]
+                    - F.when(i == 0, F.lit(0).cast("bigint")).otherwise(
+                        # element_at is 1-based: i = previous
+                        F.element_at(s["b"], i)["count"]
+                    )
+                ).alias("count"),
+            ),
         ),
     )
 
@@ -392,21 +456,27 @@ def merge_bucket_arrays(buckets_arrays: Column | str) -> Column:
     groupArray-of-arrays layout). For rollup jobs prefer
     ``merge_buckets_agg`` (explode -> partial map-side aggregation).
     """
-    flat = F.flatten(_col(buckets_arrays))
-    les = F.array_distinct(F.transform(flat, lambda x: x["le"]))
-    return F.array_sort(
-        F.transform(
-            les,
-            lambda le: F.struct(
-                le.alias("le"),
-                F.aggregate(
-                    F.filter(flat, lambda x: x["le"] == le),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x["count"],
-                ).alias("count"),
-            ),
+
+    def body(s: Column) -> Column:
+        flat = s["flat"]
+        les = F.array_distinct(F.transform(flat, lambda x: x["le"]))
+        return F.array_sort(
+            F.transform(
+                les,
+                lambda le: F.struct(
+                    le.alias("le"),
+                    F.aggregate(
+                        F.filter(flat, lambda x: x["le"] == le),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x["count"],
+                    ).alias("count"),
+                ),
+            )
         )
-    )
+
+    # flat is re-read once per distinct le in the filter — bind it so
+    # the flatten runs once per row
+    return _let({"flat": F.flatten(_col(buckets_arrays))}, body)
 
 
 def merge_buckets_agg(df: DataFrame, group_cols: list[str], bucket_col: str = "buckets") -> DataFrame:
@@ -477,34 +547,53 @@ def exp_histogram_percentile(
         ),
     )
     unified = F.concat(neg_vals, zero_val, pos_vals)
-
-    total = F.aggregate(unified, F.lit(0).cast("bigint"), lambda a, x: a + x["count"])
-    target = total.cast("double") * (p.cast("double") / F.lit(100.0))
-
-    walk = F.aggregate(
-        unified,
-        F.struct(
-            F.lit(0).cast("bigint").alias("cum"),
-            F.lit(None).cast("double").alias("res"),
-        ),
-        lambda acc, x: F.when(acc["res"].isNotNull(), acc).otherwise(
-            F.struct(
-                (acc["cum"] + x["count"]).alias("cum"),
-                F.when(
-                    (acc["cum"] + x["count"]).cast("double") >= target, x["v"]
-                ).otherwise(F.lit(None).cast("double")).alias("res"),
-            )
-        ),
-        # overflow: last positive bucket's value, else 0 (percentile.go:205-209)
-        lambda acc: F.coalesce(
-            acc["res"],
-            F.when(
-                F.size(pos) > 0,
-                exp_bucket_value(F.element_at(pos, -1)["index"], sc, positive=True),
-            ).otherwise(F.lit(0.0)),
-        ),
+    # count sums are order- and value-transform-independent — total
+    # binds over the raw arrays, skipping the midpoint transforms
+    total_ind = zc + F.aggregate(
+        F.coalesce(_col(positive_buckets), F.array()),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x["count"],
+    ) + F.aggregate(
+        F.coalesce(_col(negative_buckets), F.array()),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x["count"],
     )
-    return F.when(total > 0, walk).otherwise(F.lit(None).cast("double"))
+
+    def body(s: Column) -> Column:
+        u, total, pos_b = s["u"], s["t"], s["pos"]
+        target = total.cast("double") * (p.cast("double") / F.lit(100.0))
+        walk = F.aggregate(
+            u,
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(None).cast("double").alias("res"),
+            ),
+            lambda acc, x: F.when(acc["res"].isNotNull(), acc).otherwise(
+                F.struct(
+                    (acc["cum"] + x["count"]).alias("cum"),
+                    F.when(
+                        (acc["cum"] + x["count"]).cast("double") >= target,
+                        x["v"],
+                    ).otherwise(F.lit(None).cast("double")).alias("res"),
+                )
+            ),
+            # overflow: last positive bucket's value, else 0
+            # (percentile.go:205-209)
+            lambda acc: F.coalesce(
+                acc["res"],
+                F.when(
+                    F.size(pos_b) > 0,
+                    exp_bucket_value(
+                        F.element_at(pos_b, -1)["index"], sc, positive=True
+                    ),
+                ).otherwise(F.lit(0.0)),
+            ),
+        )
+        return F.when(total > 0, walk).otherwise(
+            F.lit(None).cast("double")
+        )
+
+    return _let({"u": unified, "t": total_ind, "pos": pos}, body)
 
 
 def exp_histogram_fraction(
@@ -540,40 +629,49 @@ def exp_histogram_fraction(
     zc = F.coalesce(_col(zero_count), F.lit(0).cast("bigint"))
     pos = F.coalesce(_col(positive_buckets), F.array())
     neg = F.coalesce(_col(negative_buckets), F.array())
-    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -sc.cast("double")))
-    neg_total = F.aggregate(
+    base_e = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -sc.cast("double")))
+    neg_total_e = F.aggregate(
         neg, F.lit(0).cast("bigint"), lambda a, x: a + x["count"]
     )
-    pos_total = F.aggregate(
+    pos_total_e = F.aggregate(
         pos, F.lit(0).cast("bigint"), lambda a, x: a + x["count"]
     )
-    total = (zc + neg_total + pos_total).cast("double")
 
-    def mass_le(bound: float) -> Column:
-        if bound == float("inf"):
-            return total
-        if bound == 0.0:  # the parser's -Inf sentinel
-            return F.lit(0.0)
-        b = F.lit(float(bound))
+    def body(s: Column) -> Column:
+        base, neg_total = s["base"], s["nt"]
+        total = (zc + neg_total + s["pt"]).cast("double")
 
-        def contrib(a: Column, x) -> Column:
-            lower = F.pow(base, x["index"].cast("double"))
-            upper = F.pow(base, x["index"].cast("double") + 1)
-            c = x["count"].cast("double")
-            return a + (
-                F.when(upper <= b, c)
-                .when(lower >= b, F.lit(0.0))
-                .otherwise(c * (b - lower) / (upper - lower))
+        def mass_le(bound: float) -> Column:
+            if bound == float("inf"):
+                return total
+            if bound == 0.0:  # the parser's -Inf sentinel
+                return F.lit(0.0)
+            b = F.lit(float(bound))
+
+            def contrib(a: Column, x) -> Column:
+                lower = F.pow(base, x["index"].cast("double"))
+                upper = F.pow(base, x["index"].cast("double") + 1)
+                c = x["count"].cast("double")
+                return a + (
+                    F.when(upper <= b, c)
+                    .when(lower >= b, F.lit(0.0))
+                    .otherwise(c * (b - lower) / (upper - lower))
+                )
+
+            return (
+                (zc + neg_total).cast("double")
+                + F.aggregate(pos, F.lit(0.0), contrib)
             )
 
-        return (
-            (zc + neg_total).cast("double")
-            + F.aggregate(pos, F.lit(0.0), contrib)
+        ppm = F.floor(
+            (mass_le(hi) - mass_le(lo)) * F.lit(1_000_000.0) / total
+        )
+        return F.when(total > 0, ppm.cast("bigint")).otherwise(
+            F.lit(None).cast("bigint")
         )
 
-    ppm = F.floor((mass_le(hi) - mass_le(lo)) * F.lit(1_000_000.0) / total)
-    return F.when(total > 0, ppm.cast("bigint")).otherwise(
-        F.lit(None).cast("bigint")
+    return _let(
+        {"base": base_e, "nt": neg_total_e, "pt": pos_total_e}, body
     )
 
 

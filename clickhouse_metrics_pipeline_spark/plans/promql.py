@@ -2103,6 +2103,14 @@ def _stored_bucket_rate_merged(
 
     has_sid = "sample_id" in df.columns
     tb = F.col("sample_id") if has_sid else F.lit(0)
+    # r11 optimization (guide §1.2 step 2, §4.1): computing _sk in the
+    # SAME select as the explode placed the series_key projection (an
+    # interpreted array_sort+transform HOF chain over the attributes
+    # map) ABOVE the Generate node — once per (row × ladder-width)
+    # exploded row instead of once per input row (plan pin:
+    # promql_rate_bucket_p95_before.txt node 6 vs _after2.txt). A
+    # select BEFORE the explode keeps the canonicalization below the
+    # Generate; projects do not migrate through Generate.
     exploded = (
         df.where(pairs.isNotNull() & (F.size(pairs) > 0))
         .select(
@@ -2110,7 +2118,14 @@ def _stored_bucket_rate_merged(
             series_key("metric", "attributes").alias("_sk"),
             F.col("ts"),
             tb.alias("_tb"),
-            F.explode(pairs).alias("b"),
+            pairs.alias("_pairs"),
+        )
+        .select(
+            *q.by,
+            "_sk",
+            "ts",
+            "_tb",
+            F.explode("_pairs").alias("b"),
         )
         .select(
             *q.by,
