@@ -58,32 +58,13 @@ def _sorted_buckets(buckets: Column | str) -> Column:
     return F.array_sort(_col(buckets))
 
 
-def _let(bindings: dict[str, Column], body) -> Column:
-    """Row-local let-binding: evaluate each binding column ONCE per row
-    and hand the values to ``body`` as fields of a bound lambda
-    variable (r11 optimization, guide §1.2 step 2).
-
-    Spark performs no common-subexpression elimination inside
-    higher-order-function lambda bodies, so a kernel that mentions
-    ``total`` (itself an ``aggregate`` over ``array_sort``) inside a
-    per-element walk lambda re-evaluates the whole sub-tree for every
-    element — O(k² log k) interpreted work per row (visible as ~12
-    repeated ``array_sort``/``aggregate`` copies in the percentile
-    plans, e.g. plans/r11/promql_rate_bucket_p95_before.txt node 22).
-    Routing the shared sub-expressions through a 1-element
-    ``transform`` turns every later mention into a lambda-variable
-    lookup. Same value, same types; nothing about the plan shape
-    (shuffles, aggregates) changes.
-    """
-    return F.element_at(
-        F.transform(
-            F.array(
-                F.struct(*[v.alias(k) for k, v in bindings.items()])
-            ),
-            body,
-        ),
-        1,
-    )
+# Row-local let-binding (see functions/expr.py): a kernel that mentions
+# ``total`` (itself an ``aggregate`` over ``array_sort``) inside a
+# per-element walk lambda would otherwise re-evaluate the whole subtree
+# per element — O(k² log k) interpreted work per row (visible as ~12
+# repeated ``array_sort``/``aggregate`` copies in the percentile plans,
+# e.g. plans/r11/promql_rate_bucket_p95_before.txt node 22).
+from clickhouse_metrics_pipeline_spark.functions.expr import row_let as _let
 
 
 def bucket_total(buckets: Column | str) -> Column:

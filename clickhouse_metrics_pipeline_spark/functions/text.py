@@ -10,7 +10,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from clickhouse_metrics_pipeline_spark.functions.expr import row_let
 from clickhouse_metrics_pipeline_spark.operators.dedup import normalize_text, tokens
+
+# r11 optimization note (guide §1.2 step 2): every kernel here that
+# mentions the token array more than once — directly or through a
+# helper — binds it ONCE per row with ``row_let``. The HOF forms
+# (filter/aggregate/transform) are CodegenFallback, so without the
+# binding each mention re-ran the whole normalize+split tokenization
+# per row (detect_language: 8x, rolling_hash_fingerprint: once per
+# window position). Values and types are unchanged.
 
 # Tiny deterministic stopword lists for the language-ID heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -37,11 +46,17 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.regexp_count(t, F.lit(BPE_TOKEN_RE))
 
 
-def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio_of(w: Column, stopwords: list[str] | None = None) -> Column:
+    """Token-array form of :func:`stopword_ratio`."""
     sw = stopwords or STOPWORDS_EN
-    w = tokens(text)
     hits = F.size(F.filter(w, lambda x: x.isin(*sw)))
     return hits.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    return row_let(
+        {"w": tokens(text)}, lambda s: stopword_ratio_of(s["w"], stopwords)
+    )
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -51,11 +66,15 @@ def punct_ratio(text: Column | str) -> Column:
     ).cast("double")
 
 
-def mean_token_length(text: Column | str) -> Column:
-    w = tokens(text)
+def mean_token_length_of(w: Column) -> Column:
+    """Token-array form of :func:`mean_token_length`."""
     return F.aggregate(
         w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
     ).cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def mean_token_length(text: Column | str) -> Column:
+    return row_let({"w": tokens(text)}, lambda s: mean_token_length_of(s["w"]))
 
 
 def quality_score(text: Column | str) -> Column:
@@ -63,35 +82,62 @@ def quality_score(text: Column | str) -> Column:
     band + low punctuation + some stopwords. Deterministic, documented,
     SQL-portable (weights sum to 1)."""
     t = F.col(text) if isinstance(text, str) else text
-    n_tok = token_count(t)
-    len_ok = (n_tok >= 10) & (n_tok <= 100_000)
-    mtl = mean_token_length(t)
-    mtl_ok = (mtl >= 3.0) & (mtl <= 12.0)
-    punct_ok = punct_ratio(t) <= 0.2
-    sw_ok = stopword_ratio(t) >= 0.01
-    return (
-        len_ok.cast("double") * 0.3
-        + mtl_ok.cast("double") * 0.3
-        + punct_ok.cast("double") * 0.2
-        + sw_ok.cast("double") * 0.2
-    )
+
+    def body(s: Column) -> Column:
+        w = s["w"]
+        n_tok = F.size(w)
+        len_ok = (n_tok >= 10) & (n_tok <= 100_000)
+        mtl = mean_token_length_of(w)
+        mtl_ok = (mtl >= 3.0) & (mtl <= 12.0)
+        punct_ok = punct_ratio(t) <= 0.2
+        sw_ok = stopword_ratio_of(w) >= 0.01
+        return (
+            len_ok.cast("double") * 0.3
+            + mtl_ok.cast("double") * 0.3
+            + punct_ok.cast("double") * 0.2
+            + sw_ok.cast("double") * 0.2
+        )
+
+    return row_let({"w": tokens(t)}, body)
+
+
+def lang_marker_hits_of(w: Column, lang: str) -> Column:
+    """Token-array form of :func:`lang_marker_hits`."""
+    return F.size(F.filter(w, lambda x: x.isin(*LANG_MARKERS[lang])))
 
 
 def lang_marker_hits(text: Column | str, lang: str) -> Column:
-    return F.size(F.filter(tokens(text), lambda x: x.isin(*LANG_MARKERS[lang])))
+    return lang_marker_hits_of(tokens(text), lang)
 
 
 def detect_language(text: Column | str) -> Column:
     """Argmax of marker-word hits with deterministic tie-break
-    (en > de > es > fr); 'und' (undetermined) when no marker hits."""
+    (en > de > es > fr); 'und' (undetermined) when no marker hits.
+
+    Nested ``row_let``: the outer binding tokenizes once, the inner
+    binds each language's hit count once (each is referenced twice —
+    in the argmax and in the tie-break chain; the unbound form ran
+    8 filter passes each re-tokenizing the document)."""
     t = F.col(text) if isinstance(text, str) else text
-    hits = {lang: lang_marker_hits(t, lang) for lang in LANG_MARKERS}
-    best = F.greatest(*hits.values())
-    out = F.lit("und")
-    # reversed so earlier languages win ties in the final when-chain
-    for lang in reversed(list(LANG_MARKERS)):
-        out = F.when(hits[lang] == best, F.lit(lang)).otherwise(out)
-    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+    def inner(h: Column) -> Column:
+        best = F.greatest(*[h[lang] for lang in LANG_MARKERS])
+        out = F.lit("und")
+        # reversed so earlier languages win ties in the final when-chain
+        for lang in reversed(list(LANG_MARKERS)):
+            out = F.when(h[lang] == best, F.lit(lang)).otherwise(out)
+        return F.when(best > 0, out).otherwise(F.lit("und"))
+
+    return row_let(
+        {"w": tokens(t)},
+        lambda s: row_let(
+            {
+                lang: lang_marker_hits_of(s["w"], lang)
+                for lang in LANG_MARKERS
+            },
+            inner,
+        ),
+    )
 
 
 def text_chunks(text: Column | str, chunk: int = 32, stride: int = 24) -> Column:
@@ -99,14 +145,19 @@ def text_chunks(text: Column | str, chunk: int = 32, stride: int = 24) -> Column
     space-rejoined - the row-local context-window chunking primitive
     (ARRAY<STRING>, one element per window; a short document yields one
     short chunk). Pure JVM expressions: chunking is a map at any scale."""
-    w = tokens(text)
-    kmax = F.greatest(
-        F.lit(0), F.floor((F.size(w) - F.lit(chunk - stride + 1)) / F.lit(stride))
-    )
-    return F.transform(
-        F.sequence(F.lit(0), kmax),
-        lambda k: F.array_join(F.slice(w, k * stride + 1, chunk), " "),
-    )
+
+    def body(s: Column) -> Column:
+        w = s["w"]
+        kmax = F.greatest(
+            F.lit(0),
+            F.floor((F.size(w) - F.lit(chunk - stride + 1)) / F.lit(stride)),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), kmax),
+            lambda k: F.array_join(F.slice(w, k * stride + 1, chunk), " "),
+        )
+
+    return row_let({"w": tokens(text)}, body)
 
 
 def doc_fingerprint(text: Column | str) -> Column:
@@ -117,12 +168,16 @@ def doc_fingerprint(text: Column | str) -> Column:
 def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min of rolling window hashes
     over the token stream (robust to local edits, row-local)."""
-    w = tokens(text)
-    window_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(0))),
-        lambda i: F.xxhash64(F.array_join(F.slice(w, i + 1, window), " ")),
-    )
-    return F.array_min(window_hashes)
+
+    def body(s: Column) -> Column:
+        w = s["w"]
+        window_hashes = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(0))),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i + 1, window), " ")),
+        )
+        return F.array_min(window_hashes)
+
+    return row_let({"w": tokens(text)}, body)
 
 
 def _max_run_count(arr: Column) -> Column:
@@ -167,7 +222,7 @@ def top_token_frac_of(w: Column) -> Column:
 def top_token_frac(text: Column | str) -> Column:
     """Gopher-style repetition signal: fraction of tokens taken by the
     single most frequent token (high -> degenerate/repetitive text)."""
-    return top_token_frac_of(tokens(text))
+    return row_let({"w": tokens(text)}, lambda s: top_token_frac_of(s["w"]))
 
 
 def word_bigrams_of(w: Column) -> Column:
@@ -186,15 +241,18 @@ def word_bigrams_of(w: Column) -> Column:
 def word_bigrams(text: Column | str) -> Column:
     """All consecutive token bigrams (duplicates preserved — unlike
     word_shingles, which deduplicates for set semantics)."""
-    return word_bigrams_of(tokens(text))
+    return row_let({"w": tokens(text)}, lambda s: word_bigrams_of(s["w"]))
 
 
 def top_bigram_frac_of(w: Column) -> Column:
-    """Token-array form of :func:`top_bigram_frac`."""
-    bg = word_bigrams_of(w)
-    return _max_run_count(bg).cast("double") / F.greatest(
-        F.size(bg), F.lit(1)
-    ).cast("double")
+    """Token-array form of :func:`top_bigram_frac` (the bigram array is
+    itself bound once — it is referenced by both the mode count and the
+    size denominator)."""
+    return row_let(
+        {"bg": word_bigrams_of(w)},
+        lambda s: _max_run_count(s["bg"]).cast("double")
+        / F.greatest(F.size(s["bg"]), F.lit(1)).cast("double"),
+    )
 
 
 def top_bigram_frac(text: Column | str) -> Column:
@@ -202,7 +260,7 @@ def top_bigram_frac(text: Column | str) -> Column:
     the 2-gram repetition filter from the Gopher/MassiveText quality
     rules (fraction-of-characters-in-top-2-gram, adapted to token
     counts so the DuckDB oracle is exact)."""
-    return top_bigram_frac_of(tokens(text))
+    return row_let({"w": tokens(text)}, lambda s: top_bigram_frac_of(s["w"]))
 
 
 # PII scrubbing patterns (Java regex, applied via regexp_replace; the

@@ -68,8 +68,8 @@ def tokens(text: Column | str) -> Column:
     return F.split(normalize_text(text), " ")
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text.
+def _grams_of(w: Column, n: int) -> Column:
+    """n-gram array of a BOUND token array, one gram per start position.
 
     Built by zipping n shifted slices of the token array
     (``zip_with(w[0:m], w[1:m], concat)`` iterated), so each gram costs
@@ -77,7 +77,6 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     ``array_join`` per position — the earlier slice-per-gram form was
     quadratic in document length and measured ~10x slower on the sf0.1
     corpus."""
-    w = tokens(text)
     m = F.size(w) - (n - 1)
     grams = F.slice(w, 1, m)
     for j in range(1, n):
@@ -86,26 +85,45 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
             F.slice(w, j + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))
+    return grams
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text.
+
+    The token array is bound ONCE per row with ``row_let`` (r11
+    optimization, guide §1.2 step 2): the zip_with chain is
+    CodegenFallback, so without the binding every ``slice(w, ...)`` and
+    ``size(w)`` reference re-ran the whole normalize+split — 2n
+    tokenizations per row (16 copies of ``split(lower(trim(...)))`` in
+    the n=8 plans, e.g. plans/r11/docs_repeated_spans_before5.txt
+    node 2)."""
+    from clickhouse_metrics_pipeline_spark.functions.expr import row_let
+
+    return row_let(
+        {"w": tokens(text)},
+        lambda s: F.array_distinct(
+            F.when(F.size(s["w"]) >= n, _grams_of(s["w"], n)).otherwise(
+                F.array()
+            )
+        ),
+    )
 
 
 def ordered_word_shingles(text: Column | str, n: int = 8) -> Column:
     """Word n-grams of the normalized text in document order, one per
     start position (NOT distinct — positional twin of
-    :func:`word_shingles`, same zip_with construction). Element ``i``
-    (0-based) is the gram starting at token ``i``; callers that need
-    positions pair it with ``posexplode``."""
-    w = tokens(text)
-    m = F.size(w) - (n - 1)
-    grams = F.slice(w, 1, m)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(w, j + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    :func:`word_shingles`, same zip_with construction and same
+    ``row_let`` single-tokenization binding). Element ``i`` (0-based)
+    is the gram starting at token ``i``; callers that need positions
+    pair it with ``posexplode``."""
+    from clickhouse_metrics_pipeline_spark.functions.expr import row_let
+
+    return row_let(
+        {"w": tokens(text)},
+        lambda s: F.when(F.size(s["w"]) >= n, _grams_of(s["w"], n)).otherwise(
+            F.array().cast("array<string>")
+        ),
     )
 
 
@@ -155,10 +173,16 @@ def repeated_spans(
     )
     from pyspark.sql.window import Window
 
+    # r11 optimization (guide §2.3): hash each gram INSIDE the array so
+    # the Generate emits (pos, bigint) rows instead of materializing the
+    # ~8-word gram strings through the explode; portable_hash60 runs
+    # exactly once per gram either way, the values are identical.
     pg = docs.select(
         F.col(id_col),
-        F.posexplode(ordered_word_shingles(text_col, k)).alias("pos", "g"),
-    ).select(id_col, "pos", portable_hash60(F.col("g")).alias("h"))
+        F.posexplode(
+            F.transform(ordered_word_shingles(text_col, k), portable_hash60)
+        ).alias("pos", "h"),
+    )
     keep = F.col("_n") >= min_count
     if max_count is not None:
         keep = keep & (F.col("_n") <= max_count)
