@@ -1859,7 +1859,19 @@ def parse_selector(text: str) -> tuple[str, tuple[LabelMatcher, ...]]:
 def events_as_series(events: DataFrame) -> DataFrame:
     """Adapt the driver's events table to the series-frame contract:
     metric 'events', labels {event_type, user}; event_id rides along
-    as the unique sample_id tiebreaker for order-sensitive kernels."""
+    as the unique sample_id tiebreaker for order-sensitive kernels.
+
+    ``_series_key`` (r11 optimization, guide §1.2 step 2): the
+    attribute map's keys are LITERALS here, so the canonical sorted
+    entry order of functions/hashing.series_key is known at plan time
+    ("event_type" < "user" — array_sort on struct<key,value> compares
+    the distinct keys first). The statically unrolled concat is
+    byte-identical to the dynamic form (verified exceptAll-empty both
+    directions at sf0.1) and skips the per-row interpreted
+    map_entries+array_sort+transform chain, which measured ~3x the
+    whole projection cost on the rate plans. Plans that need the key
+    pick this column up via ``_sk_expr``; every plan's output columns
+    are explicit, so the extra input column never surfaces."""
     return events.select(
         F.lit("events").alias("metric"),
         F.map_from_arrays(
@@ -1869,6 +1881,29 @@ def events_as_series(events: DataFrame) -> DataFrame:
         F.col("ts"),
         F.col("value"),
         F.col("event_id").alias("sample_id"),
+        static_series_key(
+            "events",
+            {
+                "event_type": F.col("event_type"),
+                "user": F.col("user_id").cast("string"),
+            },
+        ).alias("_series_key"),
+    )
+
+
+def static_series_key(metric: str, attrs: dict[str, Column]) -> Column:
+    """Statically unrolled ``functions/hashing.series_key`` for a frame
+    whose attribute-map keys are string LITERALS (and distinct): the
+    canonical form sorts entries by (key, value), and with distinct
+    literal keys the order is decided by the keys alone — plan-time
+    constant. Byte-identical to the dynamic form (concat_ws mirrors
+    its null-value handling) without the per-row interpreted
+    map_entries+array_sort+transform chain (r11 optimization)."""
+    parts = [
+        F.concat_ws("=", F.lit(k), attrs[k]) for k in sorted(attrs)
+    ]
+    return F.concat(
+        F.lit(metric + "{"), F.concat_ws(",", *parts), F.lit("}")
     )
 
 
@@ -1894,6 +1929,26 @@ def _by_keys(q: PromQuery) -> list[Column]:
         ).alias(k)
         for k in q.by
     ]
+
+
+def _sk_expr(df: DataFrame) -> Column:
+    """Canonical K2 series key for a series frame.
+
+    Prefers a precomputed ``_series_key`` column when the frame carries
+    one (``events_as_series`` attaches a statically unrolled key — its
+    attribute-map keys are literals, so the canonical sort order is
+    plan-time constant) over the per-row interpreted
+    map_entries+array_sort+transform canonicalization, which measured
+    ~3x the cost of the rest of the pre-shuffle projection (r11
+    optimization; plans/r11/promql_rate_by_type_*). Identical values
+    either way."""
+    if "_series_key" in df.columns:
+        return F.col("_series_key")
+    from clickhouse_metrics_pipeline_spark.functions.hashing import (
+        series_key,
+    )
+
+    return series_key("metric", "attributes")
 
 
 def _stored_bucket_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
@@ -2035,9 +2090,6 @@ def _stored_bucket_rate_quantile_plan(
     the map-side-combinable (by, window, le) partial sum; the
     collect_list per (by, window) gathers O(ladder) rows. No UDFs, no
     collects."""
-    from clickhouse_metrics_pipeline_spark.functions.hashing import (
-        series_key,
-    )
     from clickhouse_metrics_pipeline_spark.functions.histogram import (
         bucket_percentile_scaled,
     )
@@ -2094,9 +2146,6 @@ def _stored_bucket_rate_merged(
     re-express as BIGINT micro-units, and merge to one le-DELTA
     bucket array per (by-labels, window) — the frame both the
     quantile walk and the fraction kernel consume."""
-    from clickhouse_metrics_pipeline_spark.functions.hashing import (
-        series_key,
-    )
     from clickhouse_metrics_pipeline_spark.functions.rate import (
         rate_over_window,
     )
@@ -2115,7 +2164,7 @@ def _stored_bucket_rate_merged(
         df.where(pairs.isNotNull() & (F.size(pairs) > 0))
         .select(
             *_by_keys(q),
-            series_key("metric", "attributes").alias("_sk"),
+            _sk_expr(df).alias("_sk"),
             F.col("ts"),
             tb.alias("_tb"),
             pairs.alias("_pairs"),
@@ -2233,9 +2282,6 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
     group. ``py=0`` throughout."""
     from pyspark.sql.window import Window
 
-    from clickhouse_metrics_pipeline_spark.functions.hashing import (
-        series_key,
-    )
     from clickhouse_metrics_pipeline_spark.functions.rate import (
         rate_over_window,
     )
@@ -2244,7 +2290,7 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
     tb = F.col("sample_id") if has_sid else F.lit(0)
     base = df.where(F.col("exp_scale").isNotNull()).select(
         *_by_keys(q),
-        series_key("metric", "attributes").alias("_sk"),
+        _sk_expr(df).alias("_sk"),
         F.col("ts"),
         tb.alias("_tb"),
         F.col("exp_scale"),
@@ -2670,9 +2716,6 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     re-expressed as BIGINT micro-units (round(rate*1e6)) so the
     cross-series aggregation is integer — float summation order would
     break the hash-exactness contract."""
-    from clickhouse_metrics_pipeline_spark.functions.hashing import (
-        series_key,
-    )
     from clickhouse_metrics_pipeline_spark.functions.rate import (
         rate_over_window,
     )
@@ -2683,7 +2726,7 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     # sorted — functions/hashing.py) while the labels map rides along
     # for the output
     cols = [
-        series_key("metric", "attributes").alias("_sk"),
+        _sk_expr(df).alias("_sk"),
         F.col("attributes").alias("labels"),
         F.col("ts"),
         F.col("value"),
@@ -2851,14 +2894,11 @@ def _irate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     series' first (no previous sample) emit nothing. ONE shuffle on
     the series key serves both the lag and the per-window argmax;
     aggregated forms ride the shared micro-unit tail."""
-    from clickhouse_metrics_pipeline_spark.functions.hashing import (
-        series_key,
-    )
     from pyspark.sql.window import Window
 
     has_sid = "sample_id" in df.columns
     cols = [
-        series_key("metric", "attributes").alias("_sk"),
+        _sk_expr(df).alias("_sk"),
         F.col("attributes").alias("labels"),
         F.col("ts"),
         F.col("value"),

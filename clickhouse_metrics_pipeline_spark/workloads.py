@@ -49,6 +49,7 @@ from clickhouse_metrics_pipeline_spark.functions.text import (
     token_count,
 )
 from clickhouse_metrics_pipeline_spark.functions.hashing import portable_hash60
+from clickhouse_metrics_pipeline_spark.functions.expr import packed_ts_order
 from clickhouse_metrics_pipeline_spark.operators.dedup import (
     gram_hashes_from_text,
     minhash_band_buckets_from_text,
@@ -337,7 +338,9 @@ def events_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("value_max"),
             avg_value("value").alias("value_avg"),
             F.round(
-                F.max_by("value", F.struct("ts", "event_id")), 4
+                # packed (ts, event_id) order keeps this a HashAggregate
+                # (struct orderings force SortAggregate; functions/expr)
+                F.max_by("value", packed_ts_order("ts", "event_id")), 4
             ).alias("value_last"),
             F.count(F.lit(1)).alias("samples_count"),
         )
@@ -504,7 +507,9 @@ def events_gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 deterministic anyLast: last value per series by (ts, event_id)."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("user_id", "event_type").agg(
-        F.round(F.max_by("value", F.struct("ts", "event_id")), 4).alias("last_value"),
+        F.round(
+            F.max_by("value", packed_ts_order("ts", "event_id")), 4
+        ).alias("last_value"),
         F.max("ts").alias("last_ts"),
     )
 

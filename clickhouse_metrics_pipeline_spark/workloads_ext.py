@@ -23,6 +23,8 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.functions.expr import packed_ts_order
 from pyspark.sql.window import Window
 
 from clickhouse_metrics_pipeline_spark.functions.histogram import (
@@ -666,7 +668,8 @@ def events_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
             F.sum(F.round(F.col("value") * 10000).cast("long")).alias("vsum"),
-            F.max_by("value", F.struct("ts", "event_id")).alias("vlast"),
+            # packed (ts, event_id) order: HashAggregate, not SortAggregate
+            F.max_by("value", packed_ts_order("ts", "event_id")).alias("vlast"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("event_type", F.col("w.start").alias("ts1"), "vmin", "vmax", "vsum", "vlast", "n")

@@ -79,6 +79,10 @@ def _cum_bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rate's counter contract), consistent across rows sharing a
     timestamp, and restatable in DuckDB with integer arithmetic.
     event_id rides along as sample_id (the rate kernel's tiebreak)."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        static_series_key,
+    )
+
     ev = _events(spark, sf_dir)
     host = (F.col("user_id") % 4).cast("string")
     counts = F.array(
@@ -101,6 +105,10 @@ def _cum_bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("sample_id"),
         F.array(*[F.lit(le) for le in _LES10]).alias("buckets_le"),
         counts.alias("buckets_count"),
+        static_series_key(
+            "hist_requests",
+            {"event_type": F.col("event_type"), "host": host},
+        ).alias("_series_key"),
     )
 
 
@@ -528,6 +536,10 @@ def _cum_exp_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     host+2) growing ``(unix·(1+j+host)) div 7`` and a zero counter
     growing ``(unix·(1+host)) div 11`` — all monotone per series and
     integer-restatable in DuckDB."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        static_series_key,
+    )
+
     ev = _events(spark, sf_dir)
     host = (F.col("user_id") % 4).cast("string")
 
@@ -560,6 +572,10 @@ def _cum_exp_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None)
         .cast("array<struct<index:int,count:bigint>>")
         .alias("exp_negative_buckets"),
+        static_series_key(
+            "exp_requests_cum",
+            {"event_type": F.col("event_type"), "host": host},
+        ).alias("_series_key"),
     )
 
 
@@ -714,6 +730,10 @@ def _cum_count_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(unix·(1+host)) div 7``, sum ``(unix·(2+host)) div 9`` — both
     monotone per (event_type, host=user_id%4) series and
     integer-restatable in DuckDB."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        static_series_key,
+    )
+
     ev = _events(spark, sf_dir)
     host = (F.col("user_id") % 4).cast("string")
     return ev.select(
@@ -733,6 +753,10 @@ def _cum_count_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((unix_timestamp(ts) * (2 + user_id % 4)) "
             "DIV 9 AS BIGINT)"
         ).cast("double").alias("sum"),
+        static_series_key(
+            "hist_cs",
+            {"event_type": F.col("event_type"), "host": host},
+        ).alias("_series_key"),
     )
 
 

@@ -32,6 +32,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from clickhouse_metrics_pipeline_spark.functions.expr import packed_ts_order
 from pyspark.sql.window import Window
 
 from clickhouse_metrics_pipeline_spark.functions.text import (
@@ -456,8 +458,12 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
         F.sum(value_cents("value")).alias("sum_value"),  # exact cents
-        F.max_by("value", F.struct("ts", "event_id")).alias("value_last"),
-        F.max(F.struct("ts", "event_id")).alias("last_key"),
+        # packed (ts, event_id) order (functions/expr.packed_ts_order):
+        # DECIMAL(38,0) buffers keep every cascade level a HashAggregate
+        # (the struct forms forced SortAggregate); last_key carries the
+        # same total order across levels, value_last is unchanged
+        F.max_by("value", packed_ts_order("ts", "event_id")).alias("value_last"),
+        F.max(packed_ts_order("ts", "event_id")).alias("last_key"),
         F.count(F.lit(1)).alias("samples"),
     )
     m5 = _grain_rollup(

@@ -152,6 +152,20 @@ def _series_with_user_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64("user_id", "day").alias("sample_id"),
         )
     )
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        static_series_key,
+    )
+
+    info = info.withColumn(
+        "_series_key",
+        static_series_key(
+            "user_info",
+            {
+                "user": F.col("attributes")["user"],
+                "tier": F.col("attributes")["tier"],
+            },
+        ),
+    )
     return events_as_series(ev).unionByName(info)
 
 
@@ -250,6 +264,10 @@ def _bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(event_id + j*user_id) % 5`` so the merged histograms are
     non-trivial and the DuckDB twin can restate them with a CROSS
     JOIN over the ladder."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        static_series_key,
+    )
+
     ev = _events(spark, sf_dir)
     return ev.select(
         F.lit("hist_requests").alias("metric"),
@@ -266,6 +284,9 @@ def _bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(len(_LES))
             ]
         ).alias("buckets_count"),
+        static_series_key(
+            "hist_requests", {"event_type": F.col("event_type")}
+        ).alias("_series_key"),
     )
 
 
