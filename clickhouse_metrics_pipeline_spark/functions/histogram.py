@@ -64,6 +64,7 @@ def _sorted_buckets(buckets: Column | str) -> Column:
 # per element — O(k² log k) interpreted work per row (visible as ~12
 # repeated ``array_sort``/``aggregate`` copies in the percentile plans,
 # e.g. plans/r11/promql_rate_bucket_p95_before.txt node 22).
+from clickhouse_metrics_pipeline_spark.functions.expr import memo_expr
 from clickhouse_metrics_pipeline_spark.functions.expr import row_let as _let
 
 
@@ -74,6 +75,7 @@ def bucket_total(buckets: Column | str) -> Column:
     )
 
 
+@memo_expr
 def bucket_percentile(
     buckets: Column | str,
     percentile: float | Column,
@@ -170,6 +172,7 @@ def _floordiv_exact(num: Column, den: Column) -> Column:
     return ((n - n % d) / d).cast("bigint")
 
 
+@memo_expr
 def bucket_percentile_scaled(
     buckets: Column | str,
     percentile: int,
@@ -261,6 +264,7 @@ def bucket_percentile_scaled(
     )
 
 
+@memo_expr
 def bucket_fraction_ppm(
     buckets: Column | str, lo: float, hi: float
 ) -> Column:
@@ -387,6 +391,7 @@ def bucket_fraction_ppm(
     )
 
 
+@memo_expr
 def delta_to_cumulative_buckets(buckets: Column | str) -> Column:
     """Running-sum over le-sorted buckets (H4, percentile.go:107-128)."""
     # cumulative[i] = sum(counts[0..i]); O(n^2) transform+slice is fine for
@@ -409,6 +414,7 @@ def delta_to_cumulative_buckets(buckets: Column | str) -> Column:
     )
 
 
+@memo_expr
 def cumulative_to_delta_buckets(buckets: Column | str) -> Column:
     """Adjacent difference over le-sorted buckets (H5, percentile.go:130-151)."""
     return _let(
@@ -429,6 +435,7 @@ def cumulative_to_delta_buckets(buckets: Column | str) -> Column:
     )
 
 
+@memo_expr
 def merge_bucket_arrays(buckets_arrays: Column | str) -> Column:
     """Merge an ARRAY<ARRAY<STRUCT<le,count>>> column by upper bound (H3).
 
@@ -491,6 +498,7 @@ def exp_bucket_value(index: Column, scale: Column, positive: bool = True) -> Col
     return mid if positive else -mid
 
 
+@memo_expr
 def exp_histogram_percentile(
     scale: Column | str,
     zero_count: Column | str,
@@ -577,6 +585,7 @@ def exp_histogram_percentile(
     return _let({"u": unified, "t": total_ind, "pos": pos}, body)
 
 
+@memo_expr
 def exp_histogram_fraction(
     scale: Column | str,
     zero_count: Column | str,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from clickhouse_metrics_pipeline_spark.functions.expr import row_let
+from clickhouse_metrics_pipeline_spark.functions.expr import memo_expr, row_let
 from clickhouse_metrics_pipeline_spark.operators.dedup import normalize_text, tokens
 
 # r11 optimization note (guide §1.2 step 2): every kernel here that
@@ -35,11 +35,13 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["was", "on", "as", "with", "be", "at", "by"
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+@memo_expr
 def token_count(text: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokens(text))
 
 
+@memo_expr
 def bpe_token_count(text: Column | str) -> Column:
     """Count of BPE-style pretokens (letters / digits / punct marks)."""
     t = F.col(text) if isinstance(text, str) else text
@@ -53,12 +55,14 @@ def stopword_ratio_of(w: Column, stopwords: list[str] | None = None) -> Column:
     return hits.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
 
 
+@memo_expr
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
     return row_let(
         {"w": tokens(text)}, lambda s: stopword_ratio_of(s["w"], stopwords)
     )
 
 
+@memo_expr
 def punct_ratio(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / F.greatest(
@@ -73,10 +77,12 @@ def mean_token_length_of(w: Column) -> Column:
     ).cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
 
 
+@memo_expr
 def mean_token_length(text: Column | str) -> Column:
     return row_let({"w": tokens(text)}, lambda s: mean_token_length_of(s["w"]))
 
 
+@memo_expr
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length band + mean token length
     band + low punctuation + some stopwords. Deterministic, documented,
@@ -110,6 +116,7 @@ def lang_marker_hits(text: Column | str, lang: str) -> Column:
     return lang_marker_hits_of(tokens(text), lang)
 
 
+@memo_expr
 def detect_language(text: Column | str) -> Column:
     """Argmax of marker-word hits with deterministic tie-break
     (en > de > es > fr); 'und' (undetermined) when no marker hits.
@@ -140,6 +147,7 @@ def detect_language(text: Column | str) -> Column:
     )
 
 
+@memo_expr
 def text_chunks(text: Column | str, chunk: int = 32, stride: int = 24) -> Column:
     """Fixed-size token windows with overlap (chunk - stride tokens),
     space-rejoined - the row-local context-window chunking primitive
@@ -160,11 +168,13 @@ def text_chunks(text: Column | str, chunk: int = 32, stride: int = 24) -> Column
     return row_let({"w": tokens(text)}, body)
 
 
+@memo_expr
 def doc_fingerprint(text: Column | str) -> Column:
     """md5 of normalized text - the portable exact-dedup key."""
     return F.md5(normalize_text(text))
 
 
+@memo_expr
 def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min of rolling window hashes
     over the token stream (robust to local edits, row-local)."""
@@ -219,6 +229,7 @@ def top_token_frac_of(w: Column) -> Column:
     ).cast("double")
 
 
+@memo_expr
 def top_token_frac(text: Column | str) -> Column:
     """Gopher-style repetition signal: fraction of tokens taken by the
     single most frequent token (high -> degenerate/repetitive text)."""
@@ -238,6 +249,7 @@ def word_bigrams_of(w: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+@memo_expr
 def word_bigrams(text: Column | str) -> Column:
     """All consecutive token bigrams (duplicates preserved — unlike
     word_shingles, which deduplicates for set semantics)."""
@@ -255,6 +267,7 @@ def top_bigram_frac_of(w: Column) -> Column:
     )
 
 
+@memo_expr
 def top_bigram_frac(text: Column | str) -> Column:
     """Fraction of token bigrams taken by the most frequent bigram —
     the 2-gram repetition filter from the Gopher/MassiveText quality
@@ -281,6 +294,7 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+@memo_expr
 def pii_scrub(text: Column | str) -> Column:
     """Redact emails, phone numbers and IPv4 addresses with typed
     placeholder tokens. Chained regexp_replace: map-only JVM regex, no
@@ -291,6 +305,7 @@ def pii_scrub(text: Column | str) -> Column:
     return out
 
 
+@memo_expr
 def pii_counts(text: Column | str) -> Column:
     """struct(email int, phone int, ipv4 int): per-document match counts
     for audit metrics (how much PII a source contributes) without

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_metrics_pipeline_spark.functions.expr import memo_expr
+
 _P = 2_147_483_647  # Mersenne prime 2^31-1
 _rng = random.Random(42)
 _MINHASH_A = [_rng.randrange(1, _P) for _ in range(256)]
@@ -88,6 +90,7 @@ def _grams_of(w: Column, n: int) -> Column:
     return grams
 
 
+@memo_expr
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text.
 
@@ -110,6 +113,7 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+@memo_expr
 def ordered_word_shingles(text: Column | str, n: int = 8) -> Column:
     """Word n-grams of the normalized text in document order, one per
     start position (NOT distinct — positional twin of

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -208,16 +208,32 @@ def docs_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     space is vocabulary-bounded (~1e6 distinct), so the final
     aggregate is tiny regardless of corpus size."""
     d = _t(spark, sf_dir, "documents")
-    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0))
-    m = F.size(pre) - 1
-    pairs = F.when(
-        m >= 1,
-        F.zip_with(
-            F.slice(pre, 1, m),
-            F.slice(pre, 2, m),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    # r11 optimization: bind the pretoken array once per row (row_let —
+    # the zip_with chain is CodegenFallback, so the unbound form re-ran
+    # the whole-document regexp_extract_all ~5x per row: the when
+    # guard, both slice sizes, and both slices)
+    from clickhouse_metrics_pipeline_spark.functions.expr import row_let
+
+    def _pairs_of(pre: Column) -> Column:
+        m = F.size(pre) - 1
+        return F.when(
+            m >= 1,
+            F.zip_with(
+                F.slice(pre, 1, m),
+                F.slice(pre, 2, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pairs = row_let(
+        {
+            "p": F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)
+            )
+        },
+        lambda s: _pairs_of(s["p"]),
+    )
     return (
         d.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
