@@ -91,7 +91,11 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
             yield out
 
-    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    # guide §4.1: mapInPandas ships every input column to the Python
+    # workers — project to exactly what _extract reads first
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=FEATURE_SCHEMA
+    )
 
 
 FEATURE_PLAN_SCHEMA = T.StructType(
@@ -138,7 +142,10 @@ def extract_features_with_frame_plan(
                 }
             )
 
-    return df.mapInPandas(_extract, schema=FEATURE_PLAN_SCHEMA)
+    # guide §4.1: project to the columns the kernel reads (drops mime)
+    return df.select("media_id", "payload", "meta").mapInPandas(
+        _extract, schema=FEATURE_PLAN_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
