@@ -2724,13 +2724,32 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     # Spark windows cannot partition by MAP columns, so the in-window
     # lag partitions on the canonical K2 series key (metric{k=v,...},
     # sorted — functions/hashing.py) while the labels map rides along
-    # for the output
-    cols = [
-        _sk_expr(df).alias("_sk"),
-        F.col("attributes").alias("labels"),
-        F.col("ts"),
-        F.col("value"),
-    ]
+    # for the output.
+    #
+    # r11 optimization (guide §2.4): for the by-aggregated form the
+    # output needs only the q.by label VALUES, which are functions of
+    # the series key — extract them BEFORE the kernel and pass them as
+    # extra window/group keys (orderable strings; group KEYS may be any
+    # type, only AGGREGATE BUFFERS must be mutable). The bare and
+    # without-forms still need the full labels map, whose
+    # ``first(labels)`` aggregate buffer (immutable map) forces the
+    # kernel's groupBy into SortAggregate; the aggregated form now runs
+    # as one HashAggregate (plan pin: promql_rate_by_type_after11.txt —
+    # zero SortAggregate nodes).
+    aggregated_by = q.agg is not None and not q.without
+    if aggregated_by:
+        id_cols = [
+            _sk_expr(df).alias("_sk"),
+            *_by_keys(q),
+        ]
+        series_cols = ["_sk", *q.by]
+    else:
+        id_cols = [
+            _sk_expr(df).alias("_sk"),
+            F.col("attributes").alias("labels"),
+        ]
+        series_cols = ["_sk", "labels"]
+    cols = [*id_cols, F.col("ts"), F.col("value")]
     if has_sid:
         cols.append(F.col("sample_id"))
         tiebreak = "sample_id"
@@ -2741,12 +2760,17 @@ def _rate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         tiebreak = "_tb"
     r = rate_over_window(
         df.select(*cols),
-        ["_sk", "labels"],
+        series_cols,
         q.range_s,
         tiebreak_col=tiebreak,
         mode=q.func,
-        window_cols=["_sk"],
+        window_cols=series_cols if aggregated_by else ["_sk"],
     )
+    if aggregated_by:
+        g = r.where(F.col("rate").isNotNull()).select(
+            *q.by, "bucket_ts", F.col("rate").alias("value")
+        )
+        return _micro_agg(q, g, keys_extracted=True)
     g = r.where(F.col("rate").isNotNull()).select(
         "labels", "bucket_ts", F.col("rate").alias("value")
     )
@@ -2830,11 +2854,18 @@ def _deriv_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     return _micro_agg(q, g)
 
 
-def _micro_agg(q: PromQuery, g: DataFrame) -> DataFrame:
+def _micro_agg(
+    q: PromQuery, g: DataFrame, keys_extracted: bool = False
+) -> DataFrame:
     """Shared aggregation tail for the double-valued rate family
     (rate/increase/irate): per-series round(double,6) values are
     re-expressed as BIGINT micro-units before any cross-series
-    aggregation so the result is order-independent and hash-exact."""
+    aggregation so the result is order-independent and hash-exact.
+
+    ``keys_extracted``: the caller already projected the q.by label
+    columns (r11: the rate kernel's aggregated form extracts them
+    before the kernel so no labels map rides through the aggregate);
+    skip the element_at extraction here."""
     if q.agg is None:
         return g
     if q.without:
@@ -2850,14 +2881,17 @@ def _micro_agg(q: PromQuery, g: DataFrame) -> DataFrame:
             ),
             avg_scale=1,
         )
-    keys = [
-        F.coalesce(
-            F.element_at(F.col("labels"), F.lit(k)), F.lit("")
-        ).alias(k)
-        for k in q.by
-    ]
     micro = F.round(F.col("value") * 1e6).cast("bigint")
-    g = g.select(*keys, "bucket_ts", micro.alias("value"))
+    if keys_extracted:
+        g = g.select(*q.by, "bucket_ts", micro.alias("value"))
+    else:
+        keys = [
+            F.coalesce(
+                F.element_at(F.col("labels"), F.lit(k)), F.lit("")
+            ).alias(k)
+            for k in q.by
+        ]
+        g = g.select(*keys, "bucket_ts", micro.alias("value"))
     if q.agg == "avg":
         out = g.groupBy(*q.by, "bucket_ts").agg(
             F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")
@@ -2896,13 +2930,27 @@ def _irate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
     aggregated forms ride the shared micro-unit tail."""
     from pyspark.sql.window import Window
 
+    from clickhouse_metrics_pipeline_spark.functions.expr import (
+        packed_ts_order,
+    )
+
     has_sid = "sample_id" in df.columns
-    cols = [
-        _sk_expr(df).alias("_sk"),
-        F.col("attributes").alias("labels"),
-        F.col("ts"),
-        F.col("value"),
-    ]
+    # r11 optimization (guide §2.4, same as _rate_plan): the
+    # by-aggregated form extracts the q.by label values before the
+    # kernel (group keys, not aggregate buffers), and the per-window
+    # argmax orders by the packed DECIMAL(38,0) (ts, tiebreak) key —
+    # the struct ordering's immutable buffer forced SortAggregate.
+    aggregated_by = q.agg is not None and not q.without
+    if aggregated_by:
+        id_cols = [_sk_expr(df).alias("_sk"), *_by_keys(q)]
+        id_names = ["_sk", *q.by]
+    else:
+        id_cols = [
+            _sk_expr(df).alias("_sk"),
+            F.col("attributes").alias("labels"),
+        ]
+        id_names = ["_sk", "labels"]
+    cols = [*id_cols, F.col("ts"), F.col("value")]
     if has_sid:
         cols.append(F.col("sample_id"))
         tiebreak = "sample_id"
@@ -2917,20 +2965,24 @@ def _irate_plan(q: PromQuery, df: DataFrame) -> DataFrame:
         F.floor(F.unix_timestamp("ts") / q.range_s) * q.range_s
     )
     base = df.select(*cols).select(
-        "_sk",
-        "labels",
+        *id_names,
         "ts",
         F.col(tiebreak),
         gap_s.alias("_gap"),
         bucket.alias("bucket_ts"),
         F.col("value"),
     )
-    g = base.groupBy("_sk", "labels", "bucket_ts").agg(
+    g = base.groupBy(*id_names, "bucket_ts").agg(
         F.max_by(
             F.round(F.col("value") / F.nullif(F.col("_gap"), F.lit(0.0)), 6),
-            F.struct("ts", tiebreak),
+            packed_ts_order("ts", tiebreak),
         ).alias("value")
     )
+    if aggregated_by:
+        g = g.where(F.col("value").isNotNull()).select(
+            *q.by, "bucket_ts", "value"
+        )
+        return _micro_agg(q, g, keys_extracted=True)
     g = g.where(F.col("value").isNotNull()).select(
         "labels", "bucket_ts", "value"
     )
