@@ -3312,6 +3312,47 @@ def compile_promql(
         return _post_ops(q, _rate_plan(q, df))
     bucket = F.window("ts", f"{q.range_s} seconds").alias("w")
     c = _cents(F.col("value"))
+    # r11 optimization (guide §2.4 — remove shuffles outright): when
+    # the outer aggregation COMPOSES with the per-series *_over_time
+    # function, the (series, window) intermediate grain is pure
+    # overhead — sum-by of per-series counts IS the row count per
+    # (by-labels, window), sum of sums a sum, min of mins a min, max of
+    # maxes a max, and group() only needs row presence. Those collapse
+    # to ONE map-side-combinable HashAggregate on the by-grain: one
+    # Exchange instead of two, and the shuffle carries by-grain
+    # partials instead of the full per-series grain (at raw-table
+    # cardinalities the series grain is ~the row count — this is the
+    # dominant shuffle of the whole plan family). avg/count/quantile
+    # need the per-series vector (avg of series values is not the row
+    # avg; count counts SERIES) and keep the two-stage path, as does
+    # 'without' (its group key is the pruned labels map itself).
+    if q.agg is not None and not q.without:
+        fused = {
+            ("sum", "count_over_time"): F.count(F.lit(1)),
+            ("sum", "sum_over_time"): F.sum(c),
+            ("min", "min_over_time"): F.min(c),
+            ("max", "max_over_time"): F.max(c),
+        }.get((q.agg, q.func))
+        if q.agg == "group":
+            # group() discards values: a group survives iff any of its
+            # series has a sample in the window iff any ROW lands there
+            fused = F.min(F.lit(1))
+        if fused is not None:
+            keys = [
+                F.coalesce(
+                    F.element_at(F.col("attributes"), F.lit(k)),
+                    F.lit(""),
+                ).alias(k)
+                for k in q.by
+            ]
+            out = (
+                df.groupBy(*keys, bucket)
+                .agg(fused.cast("bigint").alias("value"))
+                .select(
+                    *q.by, F.col("w.start").alias("bucket_ts"), "value"
+                )
+            )
+            return _post_ops(q, out)
     # sample_id (when the frame carries one) makes min_by/max_by
     # deterministic under equal-ts samples — the exactness contract
     order_key = (
