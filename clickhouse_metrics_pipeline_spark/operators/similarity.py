@@ -415,29 +415,46 @@ def lsh_ann_pairs(
         return pd.Series(list(keys))
 
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    sigs = df.select(
+    # r11 optimization (guide §8 — decide with small rows, move big
+    # rows once): the banded explode and the bucket self-join used to
+    # carry the embedding ARRAY — every vector crossed the explode
+    # num_tables times, the join shuffled it on both sides, and the
+    # candidate dedup ran distinct() over full vector payloads. The
+    # explode/join/distinct now operate on (id, table, key) only —
+    # 16 bytes a row — and the surviving candidate ids re-attach their
+    # vectors with one id-keyed join per side (AQE broadcasts the
+    # id->vec relation when it fits; at scale it is one shuffle of
+    # each vector instead of num_tables copies plus array-keyed
+    # dedup).
+    banded = df.select(
         F.col(id_col),
-        F.col(vec_col).alias("_vec"),
-        _table_keys(F.col(vec_col)).alias("_keys"),
+        F.posexplode(_table_keys(F.col(vec_col))).alias("table", "key"),
     )
-    banded = sigs.select(
-        id_col,
-        "_vec",
-        F.posexplode("_keys").alias("table", "key"),
-    )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "table", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "table", "key")
+    a = banded.select(F.col(id_col).alias("id_a"), "table", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "table", "key")
     # dedup BEFORE the Arrow verify: a pair colliding in k tables
     # would pay k cosine round-trips through the Python worker, and
     # the Arrow serialization of candidate vectors dominates this
     # operator (A/B-measured 1.5s vs 2.4s at sf0.1 for verify-first) —
     # the opposite call from the int8 path, whose verification is
     # JVM-side integer arithmetic with nothing to ship
-    cand = (
+    pairs = (
         a.join(b, ["table", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cand = pairs.join(
+        vecs.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        ),
+        "id_b",
     )
     return (
         cand.withColumn("cosine_sim", cosine_np(F.col("_va"), F.col("_vb")))
