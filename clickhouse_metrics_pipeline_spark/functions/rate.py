@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clickhouse_metrics_pipeline_spark.functions.expr import memo_expr
+
 
 def rate_over_window(
     df: DataFrame,
@@ -55,6 +57,40 @@ def rate_over_window(
     """
     if mode not in ("rate", "increase"):
         raise ValueError(f"mode must be rate|increase, got {mode!r}")
+    # r11 optimization (guide §1.2 step 2, driver side): the kernel's
+    # expression construction alone measured ~0.27 s of py4j round
+    # trips per invocation (bench pays it cold AND each warm run).
+    # Every expression depends only on the hashable argument tuple, so
+    # one constructed set is shared across invocations via memo_expr —
+    # expression trees only, never data or results.
+    sel, win_exprs, aggs, final = _kernel_exprs(
+        tuple(series_cols),
+        tuple(window_cols) if window_cols is not None else None,
+        range_s,
+        ts_col,
+        value_col,
+        tiebreak_col,
+        mode,
+    )
+    pkeys = list(window_cols if window_cols is not None else series_cols)
+    rows = df.select(*sel).select("*", *win_exprs)
+    agg = rows.groupBy(*pkeys, "bucket_ts").agg(*aggs)
+    return agg.select(*final)
+
+
+@memo_expr
+def _kernel_exprs(
+    series_cols: tuple,
+    window_cols: tuple | None,
+    range_s: int,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    mode: str,
+):
+    """Constructed-once column sets for ``rate_over_window``: the
+    pre-window projection, the window expressions, the aggregate
+    expressions, and the final extrapolation select."""
     bucket = F.timestamp_seconds(
         F.floor(F.unix_timestamp(ts_col) / range_s) * range_s
     ).alias("bucket_ts")
@@ -82,16 +118,14 @@ def rate_over_window(
     w_all = w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    rows = df.select(
-        *series_cols, ts_col, tiebreak_col, value_col, bucket
-    ).select(
-        "*",
+    sel = [*series_cols, ts_col, tiebreak_col, value_col, bucket]
+    win_exprs = [
         F.lag(value_col).over(w).alias("prev_v"),
         F.first(value_col).over(w_all).alias("_first_v"),
         F.last(value_col).over(w_all).alias("_last_v"),
-    )
+    ]
     extra = [c for c in series_cols if c not in pkeys]
-    agg = rows.groupBy(*pkeys, "bucket_ts").agg(
+    aggs = [
         *[F.first(c).alias(c) for c in extra],
         F.count(F.lit(1)).alias("n_samples"),
         F.min("_first_v").alias("first_v"),
@@ -105,7 +139,7 @@ def rate_over_window(
                 F.col("prev_v"),
             ).otherwise(F.lit(0.0))
         ).alias("corr"),
-    )
+    ]
     range_start = F.unix_timestamp("bucket_ts").cast("double")
     result_v = F.col("last_v") - F.col("first_v") + F.col("corr")
     sampled = F.col("last_s") - F.col("first_s")
@@ -128,11 +162,12 @@ def rate_over_window(
         if mode == "rate"
         else extrapolated
     )
-    return agg.select(
+    final = [
         *series_cols,
         "bucket_ts",
         "n_samples",
         F.when(
             (F.col("n_samples") >= 2) & (sampled > 0), F.round(val, 6)
         ).alias("rate"),
-    )
+    ]
+    return sel, win_exprs, aggs, final

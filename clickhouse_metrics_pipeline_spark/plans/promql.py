@@ -385,6 +385,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_metrics_pipeline_spark.functions.expr import memo_expr
 from clickhouse_metrics_pipeline_spark.functions.histogram import (
     _floordiv_exact,
 )
@@ -1980,13 +1981,20 @@ def _stored_bucket_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:
 
     bucket = F.window("ts", f"{q.range_s} seconds")
     pairs = _bucket_pairs_col(df)
+    # r11 optimization (guide §2.3, same lesson as the rate form): a
+    # projection in the SAME select as the explode lands ABOVE the
+    # Generate node — the by-key extraction and the window-start
+    # timestamp chain used to run once per (row × ladder-width)
+    # exploded row. Splitting the select keeps them below Generate,
+    # once per input row; projects do not migrate through Generate.
     per_le = (
         df.where(pairs.isNotNull() & (F.size(pairs) > 0))
         .select(
             *_by_keys(q),
             bucket["start"].alias("bucket_ts"),
-            F.explode(pairs).alias("b"),
+            pairs.alias("_pairs"),
         )
+        .select(*q.by, "bucket_ts", F.explode("_pairs").alias("b"))
         .groupBy(*q.by, "bucket_ts", F.col("b.le").alias("le"))
         .agg(F.sum(F.col("b.count")).alias("count"))
     )
@@ -2280,24 +2288,86 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
     bounded by the per-sample index count; shuffle 2 the map-side
     combinable (by, window, sign, index) sum; O(indexes) collect per
     group. ``py=0`` throughout."""
-    from pyspark.sql.window import Window
-
     from clickhouse_metrics_pipeline_spark.functions.rate import (
         rate_over_window,
     )
 
     has_sid = "sample_id" in df.columns
-    tb = F.col("sample_id") if has_sid else F.lit(0)
+    has_sk = "_series_key" in df.columns
+    c = _exp_rate_cols(tuple(q.by), has_sid, has_sk)
     base = df.where(F.col("exp_scale").isNotNull()).select(
-        *_by_keys(q),
-        _sk_expr(df).alias("_sk"),
+        *c["base"]
+    )
+    exploded = base.select(*c["exploded"]).select(*c["flat"])
+    # r10 ADVICE item (low): the in-window lag partitions on exp_scale
+    # too — a series that changes scale mid-window previously leaked
+    # prev_v across scale groups (corrupting reset correction) and
+    # summed two per-scale partial rates after downscaling,
+    # double-counting the window. A scale change now starts a new
+    # counter (its first sample re-enters through the extrapolation
+    # kernel's first-point handling), matching how Prometheus treats a
+    # native-histogram schema change as a counter reset boundary.
+    # r11 optimization: same series_cols-as-window-keys move as the
+    # classic-bucket rate path (q.by is functionally determined by _sk)
+    # so the rate aggregate stays a HashAggregate on the window's own
+    # partitioning instead of a sorted first(string) aggregate.
+    rated = rate_over_window(
+        exploded,
+        [*q.by, "_sk", "exp_scale", "sign", "index"],
+        q.range_s,
+        value_col="_cum",
+        tiebreak_col="_tb",
+        mode="increase" if q.func == "increase" else "rate",
+    )
+    micro = rated.where(F.col("rate").isNotNull()).select(*c["micro"])
+    # min-scale merge across series (H7): shift BEFORE the sum so the
+    # per-index partial is map-side combinable at the common scale
+    shifted = micro.withColumn(
+        "_min_scale", c["min_scale"]
+    ).withColumn("index", c["shifted_index"])
+    per_idx = shifted.groupBy(
+        *q.by, "bucket_ts", "_min_scale", "sign", "index"
+    ).agg(F.sum("_r").alias("count"))
+    rolled = per_idx.groupBy(
+        *q.by, "bucket_ts", F.col("_min_scale").alias("exp_scale")
+    ).agg(*c["rolled_aggs"])
+    return rolled
+
+
+@memo_expr
+def _exp_rate_cols(by: tuple, has_sid: bool, has_sk: bool) -> dict:
+    """Constructed-once column sets for ``_exp_rate_merged`` (r11
+    optimization, guide §1.2 step 2 driver side): the signed-bucket
+    transforms and merge aggregates measured ~0.6 s of py4j expression
+    construction per invocation; every piece depends only on (q.by,
+    sample_id presence, static-key presence), so one constructed set is
+    shared across invocations — expression trees only, never data."""
+    from pyspark.sql.window import Window
+
+    tb = F.col("sample_id") if has_sid else F.lit(0)
+    if has_sk:
+        sk = F.col("_series_key")
+    else:
+        from clickhouse_metrics_pipeline_spark.functions.hashing import (
+            series_key,
+        )
+
+        sk = series_key("metric", "attributes")
+    base = [
+        *[
+            F.coalesce(
+                F.element_at(F.col("attributes"), F.lit(k)), F.lit("")
+            ).alias(k)
+            for k in by
+        ],
+        sk.alias("_sk"),
         F.col("ts"),
         tb.alias("_tb"),
         F.col("exp_scale"),
         F.col("exp_zero_count"),
         F.col("exp_positive_buckets"),
         F.col("exp_negative_buckets"),
-    )
+    ]
 
     def _signed(col: str, sign: int):
         return F.transform(
@@ -2320,8 +2390,8 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
             .alias("count"),
         )
     )
-    exploded = base.select(
-        *q.by,
+    exploded = [
+        *by,
         "_sk",
         "ts",
         "_tb",
@@ -2333,8 +2403,9 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
                 zero,
             )
         ).alias("b"),
-    ).select(
-        *q.by,
+    ]
+    flat = [
+        *by,
         "_sk",
         "ts",
         "_tb",
@@ -2342,61 +2413,29 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
         F.col("b.sign").alias("sign"),
         F.col("b.index").alias("index"),
         F.col("b.count").cast("double").alias("_cum"),
-    )
-    # r10 ADVICE item (low): the in-window lag partitions on exp_scale
-    # too — a series that changes scale mid-window previously leaked
-    # prev_v across scale groups (corrupting reset correction) and
-    # summed two per-scale partial rates after downscaling,
-    # double-counting the window. A scale change now starts a new
-    # counter (its first sample re-enters through the extrapolation
-    # kernel's first-point handling), matching how Prometheus treats a
-    # native-histogram schema change as a counter reset boundary.
-    # r11 optimization: same series_cols-as-window-keys move as the
-    # classic-bucket rate path (q.by is functionally determined by _sk)
-    # so the rate aggregate stays a HashAggregate on the window's own
-    # partitioning instead of a sorted first(string) aggregate.
-    rated = rate_over_window(
-        exploded,
-        [*q.by, "_sk", "exp_scale", "sign", "index"],
-        q.range_s,
-        value_col="_cum",
-        tiebreak_col="_tb",
-        mode="increase" if q.func == "increase" else "rate",
-    )
-    micro = rated.where(F.col("rate").isNotNull()).select(
-        *q.by,
+    ]
+    micro = [
+        *by,
         "bucket_ts",
         "exp_scale",
         "sign",
         "index",
         F.round(F.col("rate") * 1e6).cast("bigint").alias("_r"),
+    ]
+    w = Window.partitionBy(*by, "bucket_ts")
+    min_scale = F.min("exp_scale").over(w)
+    shifted_index = F.when(F.col("sign") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.col("index").cast("double")
+            / F.pow(
+                F.lit(2.0),
+                (F.col("exp_scale") - F.col("_min_scale")).cast(
+                    "double"
+                ),
+            )
+        ).cast("int")
     )
-    # min-scale merge across series (H7): shift BEFORE the sum so the
-    # per-index partial is map-side combinable at the common scale
-    w = Window.partitionBy(*q.by, "bucket_ts")
-    shifted = (
-        micro.withColumn("_min_scale", F.min("exp_scale").over(w))
-        .withColumn(
-            "index",
-            F.when(F.col("sign") == 0, F.lit(0)).otherwise(
-                F.floor(
-                    F.col("index").cast("double")
-                    / F.pow(
-                        F.lit(2.0),
-                        (
-                            F.col("exp_scale") - F.col("_min_scale")
-                        ).cast("double"),
-                    )
-                ).cast("int")
-            ),
-        )
-    )
-    per_idx = shifted.groupBy(
-        *q.by, "bucket_ts", "_min_scale", "sign", "index"
-    ).agg(F.sum("_r").alias("count"))
-    rolled = per_idx.groupBy(
-        *q.by, "bucket_ts", F.col("_min_scale").alias("exp_scale")
-    ).agg(
+    rolled_aggs = [
         F.array_sort(
             F.collect_list(
                 F.when(F.col("sign") == 1, F.struct("index", "count"))
@@ -2410,8 +2449,16 @@ def _exp_rate_merged(q: PromQuery, df: DataFrame) -> DataFrame:
         F.sum(
             F.when(F.col("sign") == 0, F.col("count")).otherwise(0)
         ).alias("exp_zero_count"),
-    )
-    return rolled
+    ]
+    return {
+        "base": base,
+        "exploded": exploded,
+        "flat": flat,
+        "micro": micro,
+        "min_scale": min_scale,
+        "shifted_index": shifted_index,
+        "rolled_aggs": rolled_aggs,
+    }
 
 
 def _exp_hist_quantile_plan(q: PromQuery, df: DataFrame) -> DataFrame:

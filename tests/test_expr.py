@@ -104,3 +104,36 @@ def test_memo_expr_shares_and_falls_through(spark):
     df2 = spark.createDataFrame([("wxyz", 1)], ["text", "extra"])
     assert df1.select(a.alias("n")).collect()[0]["n"] == 4
     assert df2.select(a.alias("n")).collect()[0]["n"] == 8
+
+
+def test_rate_kernel_construction_is_memoized(spark):
+    """r11: rate_over_window routes its expression construction through
+    a memo_expr'd helper — identical argument tuples share ONE
+    constructed set, and repeated kernel invocations still compute
+    correct values from the input (expression caching, never result
+    caching)."""
+    import datetime
+
+    from clickhouse_metrics_pipeline_spark.functions.rate import (
+        _kernel_exprs,
+        rate_over_window,
+    )
+
+    args = (("k",), None, 300, "ts", "value", "event_id", "rate")
+    assert _kernel_exprs(*args) is _kernel_exprs(*args)
+    assert _kernel_exprs(*args) is not _kernel_exprs(
+        ("k",), None, 60, "ts", "value", "event_id", "rate"
+    )
+
+    t0 = datetime.datetime(2026, 8, 1, 12, 0, 0)
+    rows = [
+        ("a", t0 + datetime.timedelta(seconds=s), i, float(v))
+        for i, (s, v) in enumerate([(0, 10.0), (100, 40.0), (200, 70.0)])
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "event_id", "value"])
+    r1 = rate_over_window(df, ["k"], 300).collect()
+    r2 = rate_over_window(df, ["k"], 300).collect()
+    assert r1 == r2
+    assert len(r1) == 1 and r1[0]["n_samples"] == 3
+    # 60/200s sampled, extrapolated to the full 300 s window -> 0.3/s
+    assert abs(r1[0]["rate"] - 0.3) < 1e-9
