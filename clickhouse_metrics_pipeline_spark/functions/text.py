@@ -82,29 +82,32 @@ def mean_token_length(text: Column | str) -> Column:
     return row_let({"w": tokens(text)}, lambda s: mean_token_length_of(s["w"]))
 
 
+def quality_score_of(w: Column, t: Column) -> Column:
+    """Token-array form of :func:`quality_score`: ``w`` is a BOUND
+    token array (callers that also need other token-derived columns
+    bind the tokenization once and share it); ``t`` the raw text for
+    the punctuation ratio, which is character-based."""
+    n_tok = F.size(w)
+    len_ok = (n_tok >= 10) & (n_tok <= 100_000)
+    mtl = mean_token_length_of(w)
+    mtl_ok = (mtl >= 3.0) & (mtl <= 12.0)
+    punct_ok = punct_ratio(t) <= 0.2
+    sw_ok = stopword_ratio_of(w) >= 0.01
+    return (
+        len_ok.cast("double") * 0.3
+        + mtl_ok.cast("double") * 0.3
+        + punct_ok.cast("double") * 0.2
+        + sw_ok.cast("double") * 0.2
+    )
+
+
 @memo_expr
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length band + mean token length
     band + low punctuation + some stopwords. Deterministic, documented,
     SQL-portable (weights sum to 1)."""
     t = F.col(text) if isinstance(text, str) else text
-
-    def body(s: Column) -> Column:
-        w = s["w"]
-        n_tok = F.size(w)
-        len_ok = (n_tok >= 10) & (n_tok <= 100_000)
-        mtl = mean_token_length_of(w)
-        mtl_ok = (mtl >= 3.0) & (mtl <= 12.0)
-        punct_ok = punct_ratio(t) <= 0.2
-        sw_ok = stopword_ratio_of(w) >= 0.01
-        return (
-            len_ok.cast("double") * 0.3
-            + mtl_ok.cast("double") * 0.3
-            + punct_ok.cast("double") * 0.2
-            + sw_ok.cast("double") * 0.2
-        )
-
-    return row_let({"w": tokens(t)}, body)
+    return row_let({"w": tokens(t)}, lambda s: quality_score_of(s["w"], t))
 
 
 def lang_marker_hits_of(w: Column, lang: str) -> Column:

@@ -1081,10 +1081,11 @@ def docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PIPELINE semantics (stage order, survivor sets). Scale shape:
     two broadcast-able side tables (keepers by anti-hash, drop-ids from
     the sparse pair join) against one corpus scan."""
+    from clickhouse_metrics_pipeline_spark.functions.expr import row_let
     from clickhouse_metrics_pipeline_spark.functions.text import (
-        quality_score,
-        token_count,
+        quality_score_of,
     )
+    from clickhouse_metrics_pipeline_spark.operators.dedup import tokens
     from clickhouse_metrics_pipeline_spark.workloads import dedup_index
 
     d = _t(spark, sf_dir, "documents")
@@ -1098,21 +1099,45 @@ def docs_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    n_tokens = token_count("text")
-    survivors = (
+    # r11 optimization (guide §1.2 step 2): the survivor projection
+    # recomputed quality_score AND token_count — each mention its own
+    # tokenization (operator-level runtime CSE cannot see inside the
+    # row_let lambdas) — so survivors paid two tokenizations and a
+    # second full quality body on top of the gate's. One row_let
+    # (tokens bound once; quality mentioned once) emits both
+    # output columns as a struct; the split select survives
+    # CollapseProject because the alias is referenced twice and is not
+    # cheap (plan-pinned in test_workloads_ext4's sibling pins). The
+    # quality gate itself stays a plain filter below the projection —
+    # its evaluation is count-path cost the old shape already paid.
+    from clickhouse_metrics_pipeline_spark.functions.text import (
+        quality_score,
+    )
+
+    t = F.col("text")
+    out_struct = row_let(
+        {"w": tokens(t)},
+        lambda bw: F.struct(
+            (
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.size(bw["w"]) - F.lit(9)) / F.lit(24)),
+                )
+                + 1
+            ).cast("bigint").alias("n_chunks"),
+            F.round(quality_score_of(bw["w"], t), 2).alias("quality"),
+        ),
+    )
+    return (
         d.join(keepers, "doc_id", "left_semi")
         .join(drops, "doc_id", "left_anti")
         .where(quality_score("text") >= 0.9)
-    )
-    return survivors.select(
-        "doc_id",
-        (
-            F.greatest(
-                F.lit(0), F.floor((n_tokens - F.lit(9)) / F.lit(24))
-            )
-            + 1
-        ).cast("bigint").alias("n_chunks"),
-        F.round(quality_score("text"), 2).alias("quality"),
+        .select("doc_id", out_struct.alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.n_chunks").alias("n_chunks"),
+            F.col("_s.quality").alias("quality"),
+        )
     )
 
 

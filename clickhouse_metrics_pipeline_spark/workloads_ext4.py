@@ -774,27 +774,45 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from clickhouse_metrics_pipeline_spark.operators.dedup import tokens
 
+    from clickhouse_metrics_pipeline_spark.functions.expr import row_let
+
     d = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
     weight = (
         lambda t: (portable_hash60(t) % _CLS_BUCKETS) * _CLS_MULT
         % _CLS_RANGE
         - (_CLS_RANGE - 1) // 2
     )
-    score = F.aggregate(
-        F.transform(toks, weight),
-        F.lit(0).cast("bigint"),
-        lambda acc, w: acc + w,
+    # r11 optimization (guide §1.2 step 2): n_tok and score each
+    # mentioned the token array, so the document tokenized twice per
+    # row; one row_let binding emits both as a struct (the
+    # transform+aggregate score pair also fused into one aggregate so
+    # no weights array materializes). The two-select split survives
+    # CollapseProject because the struct alias is referenced twice and
+    # is not cheap — pinned by the plan test.
+    cls = row_let(
+        {"w": tokens(F.col("text"))},
+        lambda b: F.struct(
+            F.size(b["w"]).cast("bigint").alias("n_tok"),
+            F.aggregate(
+                b["w"],
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + weight(t),
+            ).alias("score"),
+        ),
     )
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tok"),
-        score.alias("score"),
-    ).withColumn(
-        # keep when the mean token weight >= 5/100: score/n_tok >= 0.05
-        # without division
-        "keep",
-        F.col("score") * 100 >= F.col("n_tok") * 5,
+    return (
+        d.select("doc_id", cls.alias("_c"))
+        .select(
+            "doc_id",
+            F.col("_c.n_tok").alias("n_tok"),
+            F.col("_c.score").alias("score"),
+        )
+        .withColumn(
+            # keep when the mean token weight >= 5/100:
+            # score/n_tok >= 0.05 without division
+            "keep",
+            F.col("score") * 100 >= F.col("n_tok") * 5,
+        )
     )
 
 
@@ -1350,37 +1368,58 @@ def docs_training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("contaminated")
         .select("doc_id")
     )
+    from clickhouse_metrics_pipeline_spark.functions.expr import row_let
     from clickhouse_metrics_pipeline_spark.functions.hashing import (
         portable_hash60,
     )
 
-    toks = tokens(F.col("text"))
     weight = (
         lambda t: (portable_hash60(t) % _CLS_BUCKETS) * _CLS_MULT
         % _CLS_RANGE
         - (_CLS_RANGE - 1) // 2
     )
-    score = F.aggregate(
-        F.transform(toks, weight),
-        F.lit(0).cast("bigint"),
-        lambda acc, w: acc + w,
+
+    # r11 optimization (guide §1.2 step 2): the keep-filter used to sit
+    # above a projection computing (n_tok, score), and Spark's
+    # predicate pushdown SUBSTITUTES the aliases into the pushed
+    # filter, so every corpus row paid the md5-per-token score walk
+    # plus THREE tokenizations (filter: score + size; final project:
+    # size again — plan pin docs_training_pipeline_v2_before8.txt
+    # node 2 vs node 118). Reformulated with no row filter at all: ONE
+    # row_let-bound expression per row (one tokenization, one fused
+    # score walk — the transform+aggregate pair fused into a single
+    # aggregate so no weights array materializes) emits n_tok when the
+    # doc clears the margin and NULL otherwise; the null-skipping
+    # count/sum aggregate then IS the survivor accounting. Sources
+    # with zero survivors are trimmed after the (tiny) aggregate,
+    # matching the old output exactly.
+    kept_n_tok = row_let(
+        {"w": tokens(F.col("text"))},
+        lambda b: F.when(
+            F.aggregate(
+                b["w"],
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + weight(t),
+            )
+            * 100
+            >= F.size(b["w"]).cast("bigint") * 5,
+            F.size(b["w"]).cast("bigint"),
+        ),
     )
-    survivors = (
+    scored = (
         d.where(F.col("doc_id") % 50 != 0)  # eval split never trains
         .join(keepers, "doc_id", "left_semi")
         .join(F.broadcast(drops), "doc_id", "left_anti")
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            "source",
-            F.size(toks).cast("bigint").alias("n_tok"),
-            score.alias("score"),
-        )
-        .where(F.col("score") * 100 >= F.col("n_tok") * 5)
+        .select("source", kept_n_tok.alias("_n"))
     )
-    return survivors.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("_n").alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+        .where(F.col("n_docs") > 0)
     )
 
 

@@ -566,3 +566,42 @@ def test_series_correlation_matches_numpy(spark):
                 assert r is None
             else:
                 assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-6
+
+
+class TestSingleTokenizationPlans:
+    """r11 optimization pins: the curation pipelines tokenize each
+    document ONCE per row — the optimizer must neither substitute the
+    scoring expression into a pushed-down filter (v2's old shape paid
+    the md5 score walk plus three tokenizations per doc) nor collapse
+    the bound-struct split projection back into duplicate evaluations."""
+
+    def _optimized(self, df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_quality_classifier_tokenizes_once(self, spark):
+        from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+            docs_quality_classifier,
+        )
+
+        plan = self._optimized(docs_quality_classifier(spark, SF))
+        assert plan.count("split(") == 1
+
+    def test_training_pipeline_v2_tokenizes_once_outside_sides(
+        self, spark
+    ):
+        # the corpus-scoring side must hold exactly ONE tokenization;
+        # the bloom/contamination side relations tokenize their own
+        # (tiny) inputs — count splits only in corpus-scan fragments
+        # by pinning the total against the side-relation count
+        from clickhouse_metrics_pipeline_spark.workloads_ext4 import (
+            docs_training_pipeline_v2,
+        )
+
+        plan = self._optimized(docs_training_pipeline_v2(spark, SF))
+        # side relations (bloom decontaminate probes) contribute a fixed
+        # number of tokenizations; the old shape added three corpus-scan
+        # copies (filter score + filter size + project size), the new
+        # shape exactly one
+        assert plan.count("aggregate(") <= 2  # score walk once (+side)
+        head = plan.split("Join")[0]
+        assert head.count("split(") <= 1
