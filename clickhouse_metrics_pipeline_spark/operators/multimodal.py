@@ -68,10 +68,18 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> list[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
-def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, fake_decode: bool = True, with_meta: bool = False
+) -> DataFrame:
     """mapInPandas feature extraction over BINARY payloads.
 
-    One Arrow batch at a time; nothing is collected to the driver."""
+    One Arrow batch at a time; nothing is collected to the driver.
+    ``with_meta=True`` passes the (small) typed ``meta`` struct through
+    the same Arrow batch (r11 optimization, guide §4.1 / the
+    extract_features_with_frame_plan rationale): a consumer that needs
+    features AND metadata of the SAME upstream kernel output would
+    otherwise re-run that upstream per join branch and shuffle on
+    media_id — a second full pass over the heaviest table at 100 TB."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,10 +97,19 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                     ),
                 }
             )
+            if with_meta:
+                out["meta"] = pdf["meta"]
             yield out
 
     # guide §4.1: mapInPandas ships every input column to the Python
     # workers — project to exactly what _extract reads first
+    if with_meta:
+        return df.select("media_id", "payload", "meta").mapInPandas(
+            _extract,
+            schema=T.StructType(
+                FEATURE_SCHEMA.fields + [MEDIA_SCHEMA["meta"]]
+            ),
+        )
     return df.select("media_id", "payload").mapInPandas(
         _extract, schema=FEATURE_SCHEMA
     )

@@ -3047,28 +3047,42 @@ def _absent_plan(q: PromQuery, df_metric: DataFrame) -> DataFrame:
     emitted (real absent() copies equality-matcher labels; subset
     divergence, documented in the grammar).
 
-    Scale: the grid is ONE row exploded to range/grain entries
-    (lifetime x grain, rollup-sized), the presence set is an
-    aggregated distinct at the window grain, and the anti-join
-    broadcasts — nothing here touches raw-row cardinality twice."""
-    sel = df_metric
-    if q.matchers:
-        sel = sel.where(compile_matchers(list(q.matchers)))
+    Scale: ONE scan of the metric frame (r11 optimization, guide §2.4
+    — the grid bounds and the matched-presence set used to be two
+    separate scans: an agg over unfiltered rows plus a distinct over
+    matcher-filtered rows, and a subplan feeding two join sides is
+    recomputed per side). One map-side-combinable window-grain
+    aggregate now feeds a single summary row carrying the bounds AND
+    the present-window set (both bounded by lifetime/grain — the range
+    report's own output size, never raw cardinality); the absent test
+    is a row-local array_contains over the exploded grid. No join at
+    all."""
     r = q.range_s
     win = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / r) * r
     )
-    bounds = df_metric.agg(
-        F.min(win).alias("_w0"), F.max(win).alias("_w1")
+    matched = (
+        compile_matchers(list(q.matchers)) if q.matchers else F.lit(True)
     )
-    grid = bounds.select(
-        F.explode(
-            F.sequence("_w0", "_w1", F.expr(f"INTERVAL {r} SECONDS"))
-        ).alias("bucket_ts")
+    per_win = df_metric.groupBy(win.alias("bucket_ts")).agg(
+        F.max(matched.cast("int")).alias("_has")
     )
-    present = sel.select(win.alias("bucket_ts")).distinct()
-    return grid.join(present, "bucket_ts", "left_anti").select(
-        "bucket_ts", F.lit(1).cast("bigint").alias("value")
+    summary = per_win.agg(
+        F.min("bucket_ts").alias("_w0"),
+        F.max("bucket_ts").alias("_w1"),
+        F.collect_set(
+            F.when(F.col("_has") == 1, F.col("bucket_ts"))
+        ).alias("_present"),
+    )
+    return (
+        summary.select(
+            F.explode(
+                F.sequence("_w0", "_w1", F.expr(f"INTERVAL {r} SECONDS"))
+            ).alias("bucket_ts"),
+            "_present",
+        )
+        .where(~F.array_contains("_present", F.col("bucket_ts")))
+        .select("bucket_ts", F.lit(1).cast("bigint").alias("value"))
     )
 
 

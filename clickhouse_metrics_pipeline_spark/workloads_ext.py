@@ -896,15 +896,19 @@ def multimodal_resize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(_t(spark, sf_dir, "documents"))
     resized = resize_media(media, width=32, height=24, fake_decode=True)
-    feats = extract_features(resized, fake_decode=True).select(
-        "media_id", "payload_bytes", F.size("features").alias("n_features")
-    )
-    dims = resized.select(
+    # r11 optimization (guide §4.1): the dims branch used to re-run the
+    # whole resize mapInPandas a second time (an unpersisted subplan
+    # feeding two join sides is recomputed per side) and join back on
+    # media_id; the meta struct now rides the SAME Arrow batch through
+    # extraction — one resize pass, one extract pass, no join.
+    feats = extract_features(resized, fake_decode=True, with_meta=True)
+    return feats.select(
         "media_id",
+        "payload_bytes",
+        F.size("features").alias("n_features"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
-    return feats.join(dims, "media_id")
 
 
 MULTIMODAL_RESIZE_SQL = """

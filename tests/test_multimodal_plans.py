@@ -97,3 +97,25 @@ def test_fused_frame_plan_matches_exploded_form(spark, media):
         for r in extract_features_with_frame_plan(media).collect()
     }
     assert plain == both
+
+
+def test_extract_features_meta_passthrough(spark, media):
+    """r11: with_meta=True carries the typed meta struct through the
+    same Arrow batch — identical feature columns, meta equal to the
+    input's, and the single-pass plan has no Join and exactly one
+    Python-eval stage."""
+    plain = {
+        r["media_id"]: (r["payload_bytes"], r["payload_sha1"], r["features"])
+        for r in extract_features(media, fake_decode=True).collect()
+    }
+    withm = extract_features(media, fake_decode=True, with_meta=True)
+    rows = withm.collect()
+    assert {
+        r["media_id"]: (r["payload_bytes"], r["payload_sha1"], r["features"])
+        for r in rows
+    } == plain
+    in_meta = {r["media_id"]: r["meta"] for r in media.select("media_id", "meta").collect()}
+    assert {r["media_id"]: r["meta"] for r in rows} == in_meta
+    plan = withm._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 1
