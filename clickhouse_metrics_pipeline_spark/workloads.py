@@ -1688,7 +1688,83 @@ QUERIES.update(EXTRA11_QUERIES)
 ORACLE_SQL.update(EXTRA11_ORACLE)
 
 # --------------------------------------------------------------------------
-# Driver-coverage rotation (round 11)
+# Driver-coverage rotation (round 12)
+# --------------------------------------------------------------------------
+# The driver's correctness snapshot grades the FIRST 50 entries of
+# ``queries()`` (dict insertion order). Round-12 window = the r11
+# verdict's item 9, exactly:
+# (a) the 32 rows whose newest driver evidence is r8 — the named
+#     deferrals from the r11 rotation comment, heaviest-first by
+#     their BENCH_r10 warm sec;
+# (b) the six rows added in r11 that have never been driver-graded
+#     (all local-oracle green in the r11 session's 188/188 gate):
+#     promql_increase_bucket_p95, promql_exp_hist_fraction,
+#     promql_per_second_avg, promql_group_right_ratio,
+#     promql_rate_hist_fraction, promql_exp_rate_fraction;
+# (c) 12 of the 50 rows whose last driver grade is r9, chosen
+#     cheapest-first by the r11 driver bench warm time so the window
+#     stays cheap. After this window no oracle-backed row's driver
+#     evidence is older than r9 (the r11 verdict's done-bar), and the
+#     38 remaining r9 rows lead the round-13 window.
+_ROTATION_FIRST_R12: list[str] = [
+    # (a) the 32 r8-stale deferrals, heaviest-first (BENCH_r10 warm)
+    "events_rollup_incremental",
+    "emb_srp_semantic_dedup",
+    "promql_scalar_sum_rate",
+    "emb_srp_int8_pairs",
+    "q8_market_share",
+    "promql_deriv_by_type",
+    "q7_volume_shipping",
+    "hist_percentile_events",
+    "hist_percentile_prom_events",
+    "emb_ivf_int_topk",
+    "promql_predict_by_type",
+    "docs_rare_bigram_rate",
+    "emb_pq_int_adc_topk",
+    "q11_important_stock",
+    "q10_returned_items",
+    "events_predict_linear",
+    "q17_small_quantity",
+    "events_series_correlation",
+    "q12_priority_shipping",
+    "q16_supplier_count",
+    "promql_resets_by_type",
+    "emb_label_centroids",
+    "promql_stdvar_by_type",
+    "events_absent_series",
+    "q15_top_supplier",
+    "promql_stddev_max_by_type",
+    "promql_changes_by_type",
+    "docs_stopword_profile",
+    "events_holt_winters",
+    "promql_absent_gap",
+    "events_summary_quantiles",
+    "events_delta_1h",
+    # (b) the six never-driver-graded r11 rows
+    "promql_increase_bucket_p95",
+    "promql_exp_hist_fraction",
+    "promql_per_second_avg",
+    "promql_group_right_ratio",
+    "promql_rate_hist_fraction",
+    "promql_exp_rate_fraction",
+    # (c) 12 cheapest r9-graded rows (r11 bench warm sec)
+    "events_delta_to_cumulative",
+    "events_cum_to_delta",
+    "events_gauge_last",
+    "docs_text_stats",
+    "events_validation",
+    "events_matcher_query",
+    "events_reset_detect",
+    "docs_dup_inflation",
+    "multimodal_binary_meta",
+    "emb_neardup_pairs",
+    "q6_forecast_revenue",
+    "events_stddev_over_time",
+]
+
+# --------------------------------------------------------------------------
+# Driver-coverage rotation (round 11 — superseded by the r12 list above,
+# kept for the audit trail)
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot grades the FIRST 50 entries of
 # ``queries()`` (dict insertion order). Round-11 window = the r10
@@ -1789,7 +1865,7 @@ _ROTATION_FIRST: list[str] = [
 
 
 def _rotate(d: dict) -> dict:
-    head = {k: d[k] for k in _ROTATION_FIRST if k in d}
+    head = {k: d[k] for k in _ROTATION_FIRST_R12 if k in d}
     return {**head, **{k: v for k, v in d.items() if k not in head}}
 
 
