@@ -35,12 +35,21 @@ def memo_expr(fn):
     every action still computes from the parquet inputs. Calls with a
     live Column argument (unhashable) fall through uncached. Sessions
     share one JVM per process, so cached JVM expression handles stay
-    valid across SparkSession restarts."""
+    valid across SparkSession restarts — but NOT across a py4j gateway
+    restart (r11 ADVICE): a cached handle into a dead JVM fails with
+    an opaque py4j error far from the cause, so the cache key carries
+    the gateway identity and a fresh gateway rebuilds its expressions."""
     cache: dict = {}
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        key = (args, tuple(sorted(kwargs.items())))
+        from pyspark import SparkContext
+
+        key = (
+            id(SparkContext._gateway),
+            args,
+            tuple(sorted(kwargs.items())),
+        )
         try:
             hash(key)
         except TypeError:

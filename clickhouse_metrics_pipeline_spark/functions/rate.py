@@ -170,4 +170,7 @@ def _kernel_exprs(
             (F.col("n_samples") >= 2) & (sampled > 0), F.round(val, 6)
         ).alias("rate"),
     ]
-    return sel, win_exprs, aggs, final
+    # tuples, not lists (r11 ADVICE): memo_expr hands the SAME objects
+    # to every later caller; a caller appending to a returned list
+    # would silently corrupt all subsequent invocations with this key
+    return tuple(sel), tuple(win_exprs), tuple(aggs), tuple(final)
