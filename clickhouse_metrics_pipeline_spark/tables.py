@@ -11,8 +11,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# r12 optimization (guide §1.2 step 2, driver side): ``spark.read
+# .parquet`` costs 100-300 ms of driver work PER CALL (file listing,
+# footer schema inference, py4j round trips) and every workload
+# invocation paid it again for the same immutable input table. The
+# memo below caches the constructed DataFrame — an analyzed logical
+# PLAN over the parquet relation, never rows or results: every action
+# on it still scans the parquet files. Keyed by the live SparkSession
+# object (a restarted session builds fresh plans; stale entries of a
+# stopped session can never be reached because the key holds the old
+# session). The input dirs this loader serves are the driver's
+# read-only test-data directories, so a cached file listing cannot go
+# stale; workloads that write-and-re-read intermediates use their own
+# tempdirs and never pass through here.
+_FRAME_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark, sf_dir, name)
+    df = _FRAME_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _FRAME_MEMO[key] = df
+    return df
+
+
+def frame_memo(fn):
+    """Memoize a ``(spark, sf_dir) -> DataFrame`` frame BUILDER by
+    (session, dir): the constructed logical plan is cached, never rows
+    — every action on the returned frame still computes from parquet.
+    For the promql series-frame builders this removes 60-200 ms of
+    per-invocation py4j construction on top of the `_t` read memo
+    (same r12 rationale as the header comment above)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark, sf_dir, fn.__module__ + "." + fn.__qualname__)
+        df = _FRAME_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _FRAME_MEMO[key] = df
+        return df
+
+    wrapper.__wrapped__ = fn
+    return wrapper
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -21,6 +64,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it as
     bigint nanos (legacy.parquet.nanosAsLong) - truncate to micros, same
     flooring DuckDB applies when surfacing ns timestamps to clients."""
+    key = (spark, sf_dir, "events#ts-normalized")
+    cached = _FRAME_MEMO.get(key)
+    if cached is not None:
+        return cached
     ev = _t(spark, sf_dir, "events")
     dt = dict(ev.dtypes)["ts"]
     if dt == "bigint":
@@ -30,6 +77,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # micros-precision files read as NTZ; session tz is pinned UTC so
         # this cast is value-identity - gives every sf the same ts type
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    _FRAME_MEMO[key] = ev
     return ev
 
 

@@ -51,7 +51,7 @@ from clickhouse_metrics_pipeline_spark.oracle_fragments import (
     LE_SQL,
     hist_walk_prom_scaled_sql,
 )
-from clickhouse_metrics_pipeline_spark.tables import _events
+from clickhouse_metrics_pipeline_spark.tables import _events, frame_memo
 
 _EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
 
@@ -71,6 +71,7 @@ PROMQL_RATE_BUCKET_QUERY = (
 _LES10 = [10.0, 25.0, 50.0, 100.0, 200.0, 500.0]
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _cum_bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reshaped as a stored CUMULATIVE-histogram frame: one
     series per (event_type, host=user_id%4), each sample carrying the
@@ -251,6 +252,7 @@ PROMQL_EXP_HIST_QUERY = (
 )
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _exp_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reshaped as an exp-histogram series frame: scale
     alternates 0/1 by user (so the merge exercises the H7 min-scale
@@ -363,6 +365,7 @@ PROMQL_RAW_FALLBACK_QUERY = (
 )
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _null_bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A metrics_raw-shaped frame (bucket columns PRESENT) whose
     matched metric carries no bucket arrays at all — the gauge case
@@ -529,6 +532,7 @@ PROMQL_EXP_RATE_QUERY = (
 )
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _cum_exp_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reshaped as TIME-cumulative exp-histogram series: one
     series per (event_type, host=user_id%4) at a per-series-constant
@@ -724,6 +728,7 @@ EXTRA10_ORACLE["promql_exp_rate_p95"] = _EXP_RATE_SQL
 # --------------------------------------------------------------------------
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _cum_count_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reshaped as stored-histogram rows whose count/sum
     component counters are TIME-cumulative: count grows

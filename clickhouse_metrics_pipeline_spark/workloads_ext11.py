@@ -43,7 +43,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_metrics_pipeline_spark.tables import _events
+from clickhouse_metrics_pipeline_spark.tables import _events, frame_memo
 from clickhouse_metrics_pipeline_spark.workloads_ext10 import (
     _cum_bucket_series_frame,
     _rate_bucket_sql,
@@ -101,6 +101,7 @@ PROMQL_EXP_FRACTION_QUERY = (
 )
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _exp_frac_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reshaped as an exp-histogram series frame for the
     fraction read: scale alternates 0 / −1 by user (scale −1 buckets

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from clickhouse_metrics_pipeline_spark.oracle_fragments import (
     hist_walk_prom_scaled_sql,
 )
-from clickhouse_metrics_pipeline_spark.tables import _events
+from clickhouse_metrics_pipeline_spark.tables import _events, frame_memo
 
 _EV_SQL = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) events"
 _CENTS = "CAST(round(value * 100) AS BIGINT)"
@@ -120,6 +120,7 @@ PROMQL_ENRICH_QUERY = (
 )
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _series_with_user_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events series frame unioned with a synthesized ``user_info``
     info metric: one sample per (user, day) with a deterministic
@@ -256,6 +257,7 @@ PROMQL_STORED_BUCKET_QUERY = (
 _LES = [10.0, 25.0, 50.0, 100.0, 200.0, 500.0]
 
 
+@frame_memo  # r12: plan-construction memo (see tables.frame_memo)
 def _bucket_series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events reshaped as a metrics_raw-style STORED-histogram frame:
     each event carries the fixed le ladder (schema.sql bounds) as

@@ -121,6 +121,50 @@ def test_avg_keeps_two_stage_path(spark, series):
     assert vals[("a", T0)] == 20000000
 
 
+SHARE_Q = (
+    "sum by (event_type, user) (count_over_time(events[20m])) "
+    "/ on(event_type) group_left "
+    "sum by (event_type) (count_over_time(events[20m]))"
+)
+
+
+def test_window_fused_binop_matches_join_form(spark, series):
+    """r12: a binop whose coarse side re-aggregates the fine side
+    compiles to ONE aggregate + a window function — values must equal
+    the independent two-compile join evaluation."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        _floordiv_exact,
+        parse,
+    )
+
+    fused = compile_promql(SHARE_Q, series)
+    b = parse(SHARE_Q)
+    lhs = compile_promql(b.lhs, series).withColumnRenamed("value", "_l")
+    rhs = compile_promql(b.rhs, series).withColumnRenamed("value", "_r")
+    j = lhs.join(rhs.select("event_type", "bucket_ts", "_r"),
+                 ["event_type", "bucket_ts"]).where(F.col("_r") != 0)
+    sign = F.when(
+        (F.col("_l") < 0) != (F.col("_r") < 0), F.lit(-1)
+    ).otherwise(F.lit(1))
+    expected = j.select(
+        "event_type", "user", "bucket_ts",
+        (sign * _floordiv_exact(
+            F.abs(F.col("_l")) * F.lit(1_000_000), F.abs(F.col("_r"))
+        )).cast("bigint").alias("value"),
+    )
+    assert _vec(fused) == _vec(expected)
+    assert _vec(fused)
+
+
+def test_window_fused_binop_plan_has_no_join_one_scan(spark, series):
+    fused = compile_promql(SHARE_Q, series)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # one aggregate exchange + one window exchange, nothing else
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("LocalTableScan") <= 1
+
+
 def test_count_counts_series_not_rows(spark, series):
     out = compile_promql(
         "count by (event_type) (count_over_time(events[1h]))", series
