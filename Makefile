@@ -18,7 +18,7 @@ test-unit: ## Fast pytest tier (excludes @slow streaming e2e; ~15 min)
 	python -m pytest tests/ -x -q -m "not slow"
 
 test-full: ## FULL pytest suite incl. @slow streaming e2e (nightly / pre-artifact)
-	python -m pytest tests/ -x -q
+	python -m pytest tests/ -x -q -m "slow or not slow"
 
 test-oracle: ## DuckDB oracle parity for every catalog query (sf0.01; starts with the HUGEINT type audit)
 	python tools/check_oracle.py $(SF_DIR)
@@ -27,7 +27,7 @@ test-oracle-types: ## Fast oracle output-type audit only (rejects HUGEINT column
 	python tools/check_oracle.py $(SF_DIR) --types-only
 
 test-streaming: ## Streaming pipeline + OTLP ingest e2e only (the @slow tier)
-	python -m pytest tests/test_streaming.py tests/test_otlp_ingest_e2e.py tests/test_pipeline_e2e.py -x -q
+	python -m pytest tests/test_streaming.py tests/test_otlp_ingest_e2e.py tests/test_pipeline_e2e.py -x -q -m "slow or not slow"
 
 bench: ## Headline benchmark at sf0.1 (one JSON line on stdout)
 	python bench.py

@@ -38,6 +38,7 @@ def _join(li, orders):
     ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty"))
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 def test_bucketed_join_has_no_exchange_before_the_join(spark, bucketed_tables):
     li_t, ord_t = bucketed_tables
     # force the SMJ path: at test scale the small side would broadcast,

@@ -84,6 +84,7 @@ def _export_request():
     }]}
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 def test_otlp_json_drop_to_parquet_end_to_end(spark, tmp_path):
     drop = tmp_path / "drop"
     drop.mkdir()

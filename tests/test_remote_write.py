@@ -117,6 +117,7 @@ class TestConverter:
                    for r in rm for m in r["scopeMetrics"][0]["metrics"])
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 class TestEndToEnd:
     def test_remote_write_to_parquet_through_shared_ingest(
         self, spark, tmp_path

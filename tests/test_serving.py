@@ -209,13 +209,17 @@ class TestStoredRollupServing:
 
     NOW = _epoch_ms(T0 + dt.timedelta(hours=2))
 
-    @pytest.fixture()
-    def stores(self, spark, tmp_path):
+    # r12: class scope — the three-rollup build takes ~8 s and every
+    # test in this class only READS the stored tables; building once
+    # per class removes two of three setups from the fast gate
+    @pytest.fixture(scope="class")
+    def stores(self, spark, tmp_path_factory):
         from clickhouse_metrics_pipeline_spark.operators.rollup import (
             incremental_rollup_job,
         )
         import pyspark.sql.functions as F
 
+        tmp_path = tmp_path_factory.mktemp("stored_rollup")
         raw_path = str(tmp_path / "metrics_raw")
         _raw(spark).withColumn(
             "date", F.to_date("timestamp")

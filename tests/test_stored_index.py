@@ -10,6 +10,8 @@ Reference analog: precomputed MV tables, schema.sql:146-192."""
 
 from __future__ import annotations
 
+import pytest
+
 import clickhouse_metrics_pipeline_spark.workloads as W
 import clickhouse_metrics_pipeline_spark.workloads_ext as WE
 import clickhouse_metrics_pipeline_spark.workloads_ext4 as WE4
@@ -33,6 +35,7 @@ def _clear_memos():
     WE4._PQ_BOOKS.clear()
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 def test_stored_index_roundtrip(spark, tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
     try:
@@ -112,6 +115,7 @@ def test_write_index_rejects_hidden_partition_column(spark):
         write_index(df, "/tmp/never-written", ["_cell"])
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 def test_stored_int_ann_models_equal_retrained(spark, tmp_path, monkeypatch):
     """The deterministic integer IVF/PQ models: stored (centroids +
     assignment / codebooks + codes) must reproduce the EXACT query

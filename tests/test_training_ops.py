@@ -110,6 +110,7 @@ class TestMinHashLSH:
         assert all(list(r.s) == list(sigs[0].s) for r in sigs)
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 class TestNgramJaccardCap:
     def test_df_cap_drops_boilerplate_shingles(self, spark):
         # every doc shares the same 12-token boilerplate prefix; pairs 1-2
@@ -417,6 +418,7 @@ class TestRepetitionMetrics:
         assert rows[3] == (1.0, 0.0)  # single token: no bigrams
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 class TestStoredIndexEquivalence:
     """The stored-index path (caller-provided banded/shingled/signature
     relations) must produce byte-identical results to the inline path
@@ -567,6 +569,7 @@ class TestPiiScrub:
         assert out[3].c.email == out[3].c.phone == out[3].c.ipv4 == 0
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 class TestProductQuantization:
     """PQ codebook training / encoding / ADC search (similarity.py).
 
@@ -701,6 +704,7 @@ def test_lsh_pairs_modal_dim_survives_ragged_first_row(spark):
     assert all(0 not in p for p in got)
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 def test_lsh_modal_dim_is_exact_not_sample_order_dependent(spark):
     """r9 ADVICE item: the modal dimension comes from EXACT groupBy
     frequencies, not an unordered limit(1001) sample — in a corpus

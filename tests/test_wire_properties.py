@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from clickhouse_metrics_pipeline_spark.plans.matchers import LabelMatcher, MatchType
@@ -102,6 +103,7 @@ def _brute_force_pairs(docs: list[tuple[int, str]], threshold: float, n: int = 3
     return out
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 def test_prefix_filtered_join_is_exact_on_random_corpus(spark):
     """The prefix + length + positional filters must lose NOTHING: on a
     seeded random corpus (shared vocab -> plenty of partial overlap) the

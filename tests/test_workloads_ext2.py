@@ -225,19 +225,37 @@ class TestPartitionCountDeterminism:
         "events_topk_series",
         "docs_pack_sequences",
         "emb_cosine_topk",
-        "docs_minhash_lsh",
+        pytest.param(
+            "docs_minhash_lsh",
+            marks=pytest.mark.slow,  # r12: fast-gate budget
+        ),
         "hist_percentile_prom_events",
         "q1_pricing_summary",
         # round-4 second batch: integer least-squares + span sweep
         "events_predict_linear",
         "events_changes_1h",
-        "docs_repeated_spans",
+        pytest.param(
+            "docs_repeated_spans",
+            marks=pytest.mark.slow,  # r12: fast-gate budget
+        ),
         # round-4 third batch: bloom pre-filter + linear classifier
-        "docs_bloom_decontaminate",
+        pytest.param(
+            "docs_bloom_decontaminate",
+            marks=pytest.mark.slow,  # r12: fast-gate budget
+        ),
         "docs_quality_classifier",
-        "emb_srp_int8_pairs",
-        "emb_srp_semantic_dedup",
-        "docs_training_pipeline_v2",
+        pytest.param(
+            "emb_srp_int8_pairs",
+            marks=pytest.mark.slow,  # r12: fast-gate budget
+        ),
+        pytest.param(
+            "emb_srp_semantic_dedup",
+            marks=pytest.mark.slow,  # r12: fast-gate budget
+        ),
+        pytest.param(
+            "docs_training_pipeline_v2",
+            marks=pytest.mark.slow,  # r12: fast-gate budget
+        ),
         "events_holt_winters",
         "events_alert_for",
         "events_absent_series",

@@ -66,6 +66,7 @@ def test_ivf_int_topk_matches_brute_force_within_probed_clusters(spark):
         assert got_set == [c for c in cand if c in set(got_set)][: len(got_set)]
 
 
+@pytest.mark.slow  # r12: excluded from the driver-completable fast gate (make test-full runs it)
 def test_ivf_int_kmeans_deterministic_and_parallelism_invariant(spark):
     from clickhouse_metrics_pipeline_spark.operators.similarity import (
         ivf_int_topk,
