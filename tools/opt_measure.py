@@ -1,4 +1,4 @@
-"""Isolated per-query measurement for the r11 optimization round.
+"""Isolated per-query measurement for the r11/r12 optimization rounds.
 
 Times each named query with the bench's exact protocol (cold + 2 warm
 ``.count()`` runs in one shared session, min-of-two-warm reported) and
@@ -49,7 +49,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        "r12",
     )
     os.makedirs(plans_dir, exist_ok=True)
 

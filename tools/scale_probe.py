@@ -431,12 +431,12 @@ def op_setop_match(ev: DataFrame) -> int:
 
 
 def op_group_left(ev: DataFrame) -> int:
-    """on(...) group_left vector matching (r9): the share-of-total
-    ratio — a fine-grained by-vector joined to its coarser total on
-    the on-key. Both sides reduce to their by-grains before the join
-    (one events scan feeds both branches), the rhs is key-unique by
-    construction, and AQE broadcasts it; throughput should track the
-    finer aggregation, not the join."""
+    """on(...) group_left vector matching — since r12 the
+    share-of-total ratio compiles to ONE aggregate plus a window
+    function over it (the coarse side is the window-sum of the fine
+    side partitioned by the on-key; no join, no second scan).
+    Throughput should track the single fine aggregation plus a
+    by-grain window exchange."""
     from clickhouse_metrics_pipeline_spark.plans.promql import (
         compile_promql,
         events_as_series,
@@ -570,8 +570,84 @@ def op_exp_fraction(ev: DataFrame) -> int:
     ).count()
 
 
+def op_byagg_fused(ev: DataFrame) -> int:
+    """Composable by-aggregation (r11 fusion): sum by of
+    count_over_time collapses to ONE map-side-combinable
+    HashAggregate on the by-grain — one exchange carrying by-grain
+    partials. The canonical fused one-aggregate shape; throughput
+    should track a plain windowed groupBy."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        "sum by (event_type) (count_over_time(events[1h]))",
+        events_as_series(ev),
+    ).count()
+
+
+def op_absent_gap(ev: DataFrame) -> int:
+    """absent() as a range report (r12 gap enumeration): one
+    map-side-combinable window-grain aggregate, then a
+    single-partition sort over lifetime/grain rows emitting each
+    unmatched window plus the grid gaps to its predecessor. Group
+    count is bounded by lifetime/grain (NOT cardinality), so the
+    aggregate dominates and throughput should hold; the r11 form's
+    O(N^2) single-task membership test is what this probe would have
+    caught at fine grains."""
+    from clickhouse_metrics_pipeline_spark.plans.promql import (
+        compile_promql,
+        events_as_series,
+    )
+
+    return compile_promql(
+        'absent(events{event_type="purchase"}[30m])',
+        events_as_series(ev),
+    ).count()
+
+
+def op_lsh_ann(emb: DataFrame) -> int:
+    """Float-ANN banded LSH pairs at the catalog config (r11 item 12
+    reshape: the explode/self-join/distinct decide pairs over
+    (id, table, key) rows only; vectors re-attach by id after).
+    Candidate volume stays ~linear at fixed threshold because the
+    rotated copies are not near-duplicates of each other."""
+    from clickhouse_metrics_pipeline_spark.operators.similarity import (
+        lsh_ann_pairs,
+    )
+
+    return lsh_ann_pairs(
+        emb, threshold=0.45, num_tables=8, planes_per_table=6
+    ).count()
+
+
+def op_resize_chain(docs: DataFrame) -> int:
+    """Multimodal resize -> extract chain (r11 item 16 reshape: meta
+    rides the Arrow batch — one resize pass, one extract pass, no
+    join). Pure map-only Python stages; throughput should scale with
+    cores until the Arrow boundary saturates."""
+    from clickhouse_metrics_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        resize_media,
+    )
+
+    media = documents_as_media(
+        docs.withColumn("n_chars", F.length("text"))
+    )
+    resized = resize_media(media, width=32, height=24, fake_decode=True)
+    return extract_features(
+        resized, fake_decode=True, with_meta=True
+    ).count()
+
+
 OPS = {
     "rollup_agg": ("events", op_rollup_agg),
+    "byagg_fused": ("events", op_byagg_fused),
+    "absent_gap": ("events", op_absent_gap),
+    "lsh_ann": ("embeddings", op_lsh_ann),
+    "resize_chain": ("documents", op_resize_chain),
     "adjacent_pairs": ("events", op_adjacent_pairs),
     "hw_fold": ("events", op_hw_fold),
     "setop_match": ("events", op_setop_match),
