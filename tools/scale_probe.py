@@ -608,17 +608,23 @@ def op_absent_gap(ev: DataFrame) -> int:
 
 
 def op_lsh_ann(emb: DataFrame) -> int:
-    """Float-ANN banded LSH pairs at the catalog config (r11 item 12
-    reshape: the explode/self-join/distinct decide pairs over
-    (id, table, key) rows only; vectors re-attach by id after).
-    Candidate volume stays ~linear at fixed threshold because the
-    rotated copies are not near-duplicates of each other."""
+    """Float-ANN banded LSH pairs (r11 item 12 reshape: the
+    explode/self-join/distinct decide pairs over (id, table, key)
+    rows only; vectors re-attach by id after). Same sizing rule as
+    op_srp_pairs: planes grow with log2(n) so expected bucket
+    occupancy stays O(1) — a FIXED 6-plane table at 16x measures the
+    quadratic candidate blowup of a misconfigured run (measured:
+    eff 2.5), not the plan."""
+    import math
+
     from clickhouse_metrics_pipeline_spark.operators.similarity import (
         lsh_ann_pairs,
     )
 
+    n = emb.count()
+    planes = max(6, math.ceil(math.log2(max(n, 2))) - 5)
     return lsh_ann_pairs(
-        emb, threshold=0.45, num_tables=8, planes_per_table=6
+        emb, threshold=0.45, num_tables=8, planes_per_table=planes
     ).count()
 
 
